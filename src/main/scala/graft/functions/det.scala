@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers for DuckDB-oracle hash parity (SURVEY.md §7.5).
+  *
+  * Floating-point SUM over 60k+ rows is order-sensitive: worst-case drift
+  * between two engines' partial-aggregation orders exceeds the 1e-4
+  * rounding granularity. So every double SUM is routed through an exact
+  * DECIMAL(30,10) accumulator — the per-row double expression is
+  * bit-identical on both engines (same parquet bits, same IEEE ops), the
+  * decimal conversion is a deterministic rounding at 1e-10, and decimal
+  * addition is exact and order-independent. The final value is cast back
+  * to double and rounded to 4 dp on BOTH sides, so the hash compare sees
+  * identical bits regardless of partitioning — on local[4] today or 1000
+  * executors at 100 TB.
+  */
+object det {
+  /** Order-independent sum of a double expression, rounded to 4 dp. */
+  def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(30, 10))).cast("double"), 4)
+
+  /** Order-independent mean: exact decimal sum / count, rounded to 4 dp. */
+  def davg(c: Column): Column =
+    round(sum(c.cast(DecimalType(30, 10))).cast("double") / count(lit(1)), 4)
+
+  /** Round any double expression to 4 dp (for per-row or small-window math
+    * where both engines compute bit-identical doubles). */
+  def d4(c: Column): Column = round(c, 4)
+
+  /** DuckDB oracle twin of [[dsum]]. */
+  def dsumSql(x: String): String =
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(30,10))) AS DOUBLE), 4)"
+
+  /** DuckDB oracle twin of [[davg]]. */
+  def davgSql(x: String): String =
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4)"
+}

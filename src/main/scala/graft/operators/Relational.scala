@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.det._
+
+/** Core relational operators (SURVEY.md §2.3–§2.6): scan→filter→project,
+  * star joins, semi/anti joins, hash aggregation with map-side partials,
+  * rollup, set ops, ranking windows, as-of join.
+  *
+  * Scale stance (§7.6): dimension tables (region/nation) are broadcast —
+  * no shuffle of the fact side; fact-fact joins shuffle on their join key
+  * and Catalyst/AQE picks SMJ/SHJ; aggregations get automatic map-side
+  * combine (the MapReduce "combiner", §2.1 M3) from HashAggregateExec.
+  */
+object Relational {
+
+  /** Flagship: TPC-H-Q1-style pricing summary. scan → pushed filter →
+    * partial+final hash agg → sort: the whole map/combine/shuffle/reduce
+    * essence of the reference in one declarative plan. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01 = QueryDef(
+    "q01_pricing_summary",
+    "TPC-H Q1-style pricing summary: filter + grouped sums/avgs on lineitem",
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base_price,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${davgSql("l_quantity")} AS avg_qty,
+        ${davgSql("l_extendedprice")} AS avg_price,
+        ${davgSql("l_discount")} AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    pricingSummary)
+
+  /** Distributed grep (MapReduce classic): LIKE + RLIKE predicates pushed
+    * into the scan; only matching rows leave the executors. */
+  private val q02 = QueryDef(
+    "q02_grep_documents",
+    "distributed grep: LIKE/RLIKE filter over documents",
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE lang = 'en' AND (text LIKE '%scan%' OR regexp_matches(text, 'merge (join|sort)'))
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("lang") === "en" &&
+          (col("text").like("%scan%") || col("text").rlike("merge (join|sort)")))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"))
+
+  /** Star join: fact lineitem ⋈ orders ⋈ customer shuffles on keys;
+    * nation/region dims are broadcast (25 / 5 rows — never shuffled, and
+    * still ≤ MBs at 100 TB fact scale). */
+  private val q03 = QueryDef(
+    "q03_revenue_by_nation",
+    "star-schema join lineitem⋈orders⋈customer⋈nation⋈region, revenue per nation in ASIA",
+    Some(s"""
+      SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_lineitems
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY n_name"""),
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("n_name"))
+
+  /** Ranking window: top-3 orders per customer. Single shuffle on
+    * o_custkey; ties broken by o_orderkey for total determinism. */
+  private val q04 = QueryDef(
+    "q04_topk_orders_per_customer",
+    "row_number window: top-3 orders per customer by totalprice",
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders
+      QUALIFY rn <= 3
+      ORDER BY o_custkey, rn"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    })
+
+  /** Anti join (NOT EXISTS): customers with no URGENT order. Left-anti
+    * shuffles only the key column of the build side. */
+  private val q05 = QueryDef(
+    "q05_customers_without_urgent_orders",
+    "left-anti join: customers having no 1-URGENT order",
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""),
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(
+          Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"))
+
+  /** Semi join (EXISTS): customers that produced a purchase event —
+    * events.user_id FK into customer (FIXTURES.md referential integrity). */
+  private val q06 = QueryDef(
+    "q06_customers_with_purchases",
+    "left-semi join: customers with at least one purchase event",
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM events
+                    WHERE user_id = c_custkey AND event_type = 'purchase')
+      ORDER BY c_custkey"""),
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(
+          Tables.events(s, dir).filter(col("event_type") === "purchase")
+            .select(col("user_id")),
+          col("c_custkey") === col("user_id"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"))
+
+  /** ROLLUP with subtotals; NULL grouping keys coalesced to 'ALL' so both
+    * engines agree on ordering without NULL-order ambiguity. */
+  private val q07 = QueryDef(
+    "q07_rollup_revenue",
+    "rollup(l_returnflag, l_linestatus) revenue with subtotals",
+    Some(s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""),
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("revenue"), col("n_items"))
+        .orderBy("returnflag", "linestatus"))
+
+  /** Set ops: EXCEPT / INTERSECT (both DISTINCT semantics in Spark and
+    * DuckDB) over two filtered order-key sets, tagged and unioned. */
+  private val q08 = QueryDef(
+    "q08_set_ops_orders",
+    "except/intersect/union over urgent vs high-value order key sets",
+    Some("""
+      SELECT o_orderkey, 'a_only' AS src FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+      UNION ALL
+      SELECT o_orderkey, 'b_only' AS src FROM (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0
+        EXCEPT
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT o_orderkey, 'both' AS src FROM (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+      ORDER BY src, o_orderkey"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val b = o.filter(col("o_totalprice") > 200000.0).select("o_orderkey")
+      a.except(b).withColumn("src", lit("a_only"))
+        .union(b.except(a).withColumn("src", lit("b_only")))
+        .union(a.intersect(b).withColumn("src", lit("both")))
+        .orderBy("src", "o_orderkey")
+    })
+
+  /** Exact distinct aggregation (count_distinct shuffles on
+    * (event_type, user_id) then re-aggregates — scales linearly). */
+  private val q09 = QueryDef(
+    "q09_distinct_users_per_event_type",
+    "count distinct users + totals per event type",
+    Some(s"""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type"))
+
+  /** As-of join (no native Spark SQL operator — composed per SURVEY.md
+    * §2.4): for each purchase, the latest click by the same user at or
+    * before it. Equi-join on user_id bounds the pair explosion (events
+    * per user is O(1) in the fixtures); rank-1 window picks the as-of
+    * match. All comparisons in epoch MICROseconds — both engines read the
+    * ns parquet at µs precision, so ordering is bit-identical. */
+  private val q10 = QueryDef(
+    "q10_asof_click_before_purchase",
+    "as-of join: latest click at-or-before each purchase per user",
+    Some("""
+      SELECT user_id, purchase_id, click_id, p_us - c_us AS gap_us FROM (
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+               epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us,
+               row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts)
+      WHERE rn = 1
+      ORDER BY user_id, purchase_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("us").as("c_us"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("c_us").desc_nulls_last, col("click_id").desc_nulls_last)
+      p.join(c, col("user_id") === col("c_uid") && col("c_us") <= col("p_us"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+        .orderBy("user_id", "purchase_id")
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+}
