@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.det._
+
+/** Event-time windowing expressed as batch over `events` (SURVEY.md
+  * §2.8): tumbling, sliding, and session windows. The harness is strictly
+  * batch, so these use the same `window()`/island formulations that a
+  * Structured Streaming job would — see graft.streaming for the streaming
+  * runtime variant of the tumbling aggregation.
+  *
+  * All timestamps are compared in epoch MICROseconds: Spark reads the ns
+  * parquet as int64 (ts_us = ts div 1000), DuckDB reads it as µs
+  * TIMESTAMP, so `epoch_us(ts)` is bit-identical to ts_us.
+  */
+object EventTime {
+
+  /** Tumbling 1-day windows via Spark's window() generator; window start
+    * is the UTC day boundary = date_trunc on the oracle side. */
+  private val q18 = QueryDef(
+    "q18_tumbling_daily_counts",
+    "tumbling 1-day event-time windows: counts + value sums per type",
+    Some(s"""
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type"""),
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts_t"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("day", "event_type"))
+
+  /** Sliding 6h windows every 1h: Spark's window() assigns each event to
+    * 6 epoch-aligned windows; the oracle reproduces that assignment
+    * explicitly (hour-truncate minus i hours, i ∈ 0..5). */
+  private val q19 = QueryDef(
+    "q19_sliding_6h_1h_counts",
+    "sliding 6-hour windows every 1 hour over events",
+    Some(s"""
+      SELECT epoch_us(date_trunc('hour', ts) - i * INTERVAL 1 HOUR) AS ws_us,
+             COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+      FROM events CROSS JOIN (SELECT unnest(range(0, 6)) AS i) g
+      GROUP BY 1
+      ORDER BY ws_us"""),
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts_t"), "6 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("sum_value"))
+        .orderBy("ws_us"))
+
+  /** Session windows (30-min inactivity gap) via the island method —
+    * identical, integer-only logic on both engines (SURVEY.md §7.4 #3:
+    * more robust than session_window vs DuckDB-SQL equivalence).
+    * Scale note: one shuffle on user_id; per-user state is a running sum,
+    * exactly what flatMapGroupsWithState would keep in streaming. */
+  private val q20 = QueryDef(
+    "q20_session_windows",
+    "per-user session windows with 30-minute gap (island method)",
+    Some("""
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(us) AS start_us, MAX(us) AS end_us,
+             MAX(us) - MIN(us) AS duration_us
+      FROM (
+        SELECT user_id, us, CAST(SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                      >= 1800000000
+                      OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM events))
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val gap = col("us") - lag(col("us"), 1).over(w)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us").as("us"), col("event_id"))
+        .withColumn("new_sess",
+          when(gap.isNull || gap >= 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q18, q19, q20)
+}
