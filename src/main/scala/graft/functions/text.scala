@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline building blocks shared by the dedup / text-analysis
+  * operators. Everything is built from codegen'd higher-order array
+  * functions — no JVM UDFs in any hot path (SURVEY.md §7.6).
+  */
+object text {
+
+  /** Distinct word n-shingles per document: (doc_id, shingle).
+    * Documents with fewer than n tokens produce no shingles.
+    * The oracle twin is [[shinglesCte]]. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val t = split(col("text"), " ")
+    val sh = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** DuckDB CTEs producing the same (doc_id, shingle) set as [[shingles]]
+    * with n=3, named `sh`. */
+  val shinglesCte: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |       FROM tok WHERE len(t) >= 3)""".stripMargin
+
+  /** 60-bit token hash both engines can compute identically: the first 15
+    * hex digits of md5 interpreted as an integer. Used by SimHash so the
+    * oracle can reproduce signatures bit-for-bit. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Hash60]]. */
+  def md5Hash60Sql(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+}

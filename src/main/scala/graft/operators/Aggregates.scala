@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.det._
+import graft.functions.WelfordVariance
+
+/** Custom-aggregate surface (SURVEY.md §2.10) + sketch aggregates
+  * (§2.5): the typed Welford Aggregator as the "user reduce fn"
+  * showcase, and HyperLogLog approximate distinct for 100 TB
+  * cardinalities where exact count-distinct would shuffle every key.
+  */
+object Aggregates {
+
+  /** Welford-variance UDAF vs DuckDB var_samp. Prices are scaled down
+    * (1e-5) before aggregating so the 4-dp rounding comfortably absorbs
+    * the ~1e-12 relative difference between the two engines' stable
+    * variance algorithms. */
+  private val q36 = QueryDef(
+    "q36_welford_variance",
+    "typed Aggregator (Welford/Chan) sample variance per order status",
+    Some(s"""
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             ROUND(var_samp(o_totalprice / 100000.0), 4) AS var_scaled,
+             ${davgSql("o_totalprice")} AS avg_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+    (s, dir) => {
+      val welford = udaf(WelfordVariance)
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(welford(col("o_totalprice") / 100000.0), 4).as("var_scaled"),
+          davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  /** HyperLogLog distinct-user estimate per event type. No oracle:
+    * DuckDB's approx_count_distinct is a different sketch, so the driver
+    * records the weaker rows-only check (SparkEntry.oracleSql contract);
+    * the exact counterpart is oracled as q09. Deterministic for a fixed
+    * input regardless of partitioning — HLL merge is commutative. */
+  private val q37 = QueryDef(
+    "q37_approx_distinct_users",
+    "approx_count_distinct (HLL) users per event type",
+    None,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37)
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.text
+
+/** Deduplication operators for a training-data pipeline: exact dedup,
+  * brute-force n-gram Jaccard, banded MinHash+LSH, and SimHash
+  * (embedding-cosine near-dup lives in Similarity).
+  *
+  * Scale design (SURVEY.md §2.9): the brute-force shingle self-join is
+  * quadratic in docs sharing a shingle — correct and oracle-able at test
+  * scale, the yardstick for the others. MinHash+LSH is the 100 TB path:
+  * signatures are a constant 128 ints per doc, the band self-join only
+  * pairs docs colliding in a band bucket (sub-quadratic for real
+  * corpora), and the exact-Jaccard verify touches candidates only. All
+  * hashing is seed-fixed and RNG-free so results are deterministic —
+  * spark.ml's MinHashLSH is deliberately avoided (SURVEY.md §2.9).
+  */
+object Dedup {
+
+  /** Exact duplicate detection by content hash: groups of identical
+    * texts (hash-groupBy — the canonical exact-dedup at any scale; md5
+    * so the oracle can reproduce the key). Fixtures plant no exact dups,
+    * so this asserts the "no duplicates" result deterministically:
+    * output is every doc with its content hash and the group size. */
+  private val q21 = QueryDef(
+    "q21_exact_dedup_groups",
+    "exact dedup: content-hash groups with sizes; canonical = min doc_id",
+    Some("""
+      SELECT h.doc_id, g.content_hash, g.group_size, g.canonical_doc_id,
+             CASE WHEN h.doc_id = g.canonical_doc_id THEN 0 ELSE 1 END AS is_dup
+      FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) h
+      JOIN (SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS group_size,
+                   MIN(doc_id) AS canonical_doc_id
+            FROM documents GROUP BY 1) g USING (content_hash)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val g = d.groupBy("content_hash")
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_doc_id"))
+      d.join(g, "content_hash")
+        .select(col("doc_id"), col("content_hash"), col("group_size"), col("canonical_doc_id"),
+          when(col("doc_id") === col("canonical_doc_id"), 0).otherwise(1).as("is_dup"))
+        .orderBy("doc_id")
+    })
+
+  /** Shared tail: candidate pairs -> exact-Jaccard-verified near-dup
+    * pairs with the same output schema as the brute-force query. */
+  private def verifiedPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
+        Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val jaccardOracle = s"""
+      WITH ${text.shinglesCte},
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5
+      ORDER BY doc_a, doc_b"""
+
+  /** Brute-force 3-shingle Jaccard near-dup pairs (threshold 0.5 —
+    * catches the fixtures' 28 planted pairs). Pairs are generated only
+    * through shared shingles, so the join is bounded by shingle
+    * co-occurrence, not |docs|². */
+  private val q22 = QueryDef(
+    "q22_neardup_jaccard",
+    "exact 3-shingle Jaccard near-duplicate pairs (J >= 0.5)",
+    Some(jaccardOracle),
+    (s, dir) => {
+      val sh = text.shingles(Tables.documents(s, dir))
+      val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifiedPairs(sh, pairs)
+    })
+
+  /** MinHash + banded LSH near-dup: 128 seed-fixed affine permutations of
+    * murmur3 shingle hashes, 64 bands × 2 rows. P(candidate | J=0.5) =
+    * 1-(1-0.25)^64 ≈ 1-1e-8, so recall at the 0.5 threshold is
+    * effectively total while the candidate join stays sub-quadratic.
+    * False positives are killed by the exact-Jaccard verify, so the
+    * final output equals the brute-force q22 result — and shares its
+    * oracle. */
+  private val q23 = QueryDef(
+    "q23_neardup_minhash_lsh",
+    "MinHash(128)+LSH(64x2) candidates, exact-Jaccard verified (J >= 0.5)",
+    Some(jaccardOracle),
+    (s, dir) => {
+      val P = 2147483647L // 2^31 - 1, prime
+      val rnd = new scala.util.Random(42)
+      val perms = Array.fill(128)(
+        (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+      val sh = text.shingles(Tables.documents(s, dir))
+      // |a|,|h32| < 2^31 so a*h+b stays within 2^63 — no overflow, ANSI-safe.
+      val h32 = hash(col("shingle")).cast("long")
+      val sigs = sh.withColumn("h", h32)
+        .groupBy("doc_id")
+        .agg(
+          min(pmod(lit(perms(0)._1) * col("h") + lit(perms(0)._2), lit(P))).as("m0"),
+          (1 until 128).map(i =>
+            min(pmod(lit(perms(i)._1) * col("h") + lit(perms(i)._2), lit(P))).as(s"m$i")): _*)
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 64).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws("_", col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("sig"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifiedPairs(text.shingles(Tables.documents(s, dir)), pairs)
+    })
+
+  /** SimHash near-dup: 60-bit signatures from md5-derived token hashes
+    * (so the oracle reproduces them exactly), pairs at Hamming distance
+    * <= 6. Signature build is one groupBy; the pair scan is the naive
+    * O(n²) check — at 100 TB you'd bucket by signature bytes (pigeonhole:
+    * distance <= 6 over 7+ chunks guarantees one exact-match chunk). */
+  private val q24 = QueryDef(
+    "q24_neardup_simhash",
+    "SimHash(60-bit) near-dup pairs at Hamming distance <= 6",
+    Some {
+      val sums = (0 until 60).map(k =>
+        s"SUM(CASE WHEN (h >> $k) & 1 = 1 THEN tf ELSE -tf END) AS s$k").mkString(", ")
+      val bits = (0 until 60).map(k =>
+        s"CASE WHEN s$k > 0 THEN (1::BIGINT << $k) ELSE 0::BIGINT END").mkString(" + ")
+      s"""
+      WITH tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+                  GROUP BY 1, 2),
+      wh AS (SELECT doc_id, tf, ${text.md5Hash60Sql("word")} AS h FROM tf),
+      sums AS (SELECT doc_id, $sums FROM wh GROUP BY doc_id),
+      sig AS (SELECT doc_id, $bits AS simhash FROM sums)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      ORDER BY doc_a, doc_b"""
+    },
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .withColumn("h", text.md5Hash60(col("word")))
+      val sumCols: Seq[Column] = (0 until 60).map(k =>
+        sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1, col("tf"))
+          .otherwise(-col("tf"))).as(s"s$k"))
+      val sums = tf.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      val sig = sums.select(col("doc_id"),
+        (0 until 60).map(k =>
+          when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)): Column)
+          .reduce(_ + _).as("simhash"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        .filter(col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24)
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Similarity search + multimodal operators (SURVEY.md §2.9).
+  *
+  * Embeddings are unit-norm (FIXTURES.md) so cosine ≡ dot product. The
+  * dot product is zip_with + aggregate — codegen'd higher-order array
+  * functions, no UDF. Scale paths:
+  *  - brute-force top-k: query side broadcast, data side scanned once —
+  *    embarrassingly parallel, the correct baseline at any scale;
+  *  - IVF-bucketed ANN: probe only the query's coarse cell(s). Here the
+  *    fixture `label` stands in for the offline k-means cell assignment;
+  *    at 100 TB the cells are Hive/bucket partitions and the probe is a
+  *    partition-pruned scan, turning O(N) per query into O(N/cells).
+  */
+object Similarity {
+
+  /** dot(a,b) over array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def rounded(a: Column, b: Column): Column = round(dot(a, b), 4)
+
+  /** DuckDB twin of [[rounded]] over LIST(FLOAT) columns. */
+  private def dotSql(a: String, b: String): String =
+    s"ROUND(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), 4)"
+
+  /** Brute-force cosine top-k: 10 query vectors (broadcast) against the
+    * full embedding table; rank on the rounded similarity with vec_id
+    * tie-break so both engines order identically. */
+  private val q31 = QueryDef(
+    "q31_cosine_topk",
+    "brute-force cosine top-5 neighbors for query vectors 0..9",
+    Some(s"""
+      SELECT query_id, rn, neighbor_id, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+        FROM (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${dotSql("q.qe", "e.embedding")} AS sim
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id AS query_id, embedding AS qe
+                          FROM embeddings WHERE vec_id < 10) q
+              WHERE e.vec_id != q.query_id))
+      WHERE rn <= 5
+      ORDER BY query_id, rn"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          rounded(col("qv"), col("v")).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("query_id", "rn", "neighbor_id", "sim")
+        .orderBy("query_id", "rn")
+    })
+
+  /** IVF-style bucketed ANN: probe only the query's coarse cell (label =
+    * offline cluster assignment). Same math as q31 but the candidate set
+    * shrinks by the cell count — the 100 TB scale path. */
+  private val q32 = QueryDef(
+    "q32_ann_ivf_bucketed",
+    "IVF-bucketed ANN: top-3 within the query's coarse cell (label)",
+    Some(s"""
+      SELECT query_id, rn, neighbor_id, label, sim FROM (
+        SELECT query_id, neighbor_id, label, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+        FROM (SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                     ${dotSql("q.qe", "e.embedding")} AS sim
+              FROM embeddings e
+              JOIN (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+                    FROM embeddings WHERE vec_id < 10) q
+                ON e.label = q.qlabel AND e.vec_id != q.query_id))
+      WHERE rn <= 3
+      ORDER BY query_id, rn"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("v").as("qv"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+      e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+          rounded(col("qv"), col("v")).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("query_id", "rn", "neighbor_id", "label", "sim")
+        .orderBy("query_id", "rn")
+    })
+
+  /** Multimodal query: text metadata ⋈ vector column in one plan —
+    * filter by lang, rank English docs by similarity to query vector 0. */
+  private val q33 = QueryDef(
+    "q33_multimodal_text_vector",
+    "documents ⋈ embeddings: top-10 English docs by similarity to vector 0",
+    Some(s"""
+      SELECT rn, doc_id, lang, n_chars, sim FROM (
+        SELECT doc_id, lang, n_chars, sim,
+               CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rn
+        FROM (SELECT d.doc_id, d.lang, d.n_chars,
+                     ${dotSql("q.qe", "e.embedding")} AS sim
+              FROM documents d
+              JOIN embeddings e ON d.doc_id = e.vec_id
+              CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+              WHERE d.lang = 'en'))
+      WHERE rn <= 10
+      ORDER BY rn"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val w = Window.orderBy(col("sim").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .join(e, col("doc_id") === col("vec_id"))
+        .filter(col("lang") === "en")
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          rounded(col("qv"), col("v")).as("sim"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select("rn", "doc_id", "lang", "n_chars", "sim")
+        .orderBy("rn")
+    })
+
+  /** Embedding-cosine near-dup: global top-20 most similar pairs
+    * (orderBy + limit → TakeOrderedAndProject, no full sort). At 100 TB
+    * the pair space is pruned with the same LSH/IVF bucketing as q32 —
+    * comparing only within buckets — before this exact ranking. */
+  private val q34 = QueryDef(
+    "q34_embedding_pair_topk",
+    "top-20 most similar embedding pairs (embedding-cosine near-dup)",
+    Some(s"""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${dotSql("a.embedding", "b.embedding")} AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ORDER BY sim DESC, vec_a, vec_b
+      LIMIT 20"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), rounded(col("va"), col("vb")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    })
+
+  /** Multimodal binary-column plumbing: the payload stands in for
+    * image/audio bytes (text cast to binary — the fixtures ship no media
+    * table). The schema, partition-parallel per-row feature extraction,
+    * and deterministic "frame sampling" (bytes at stride-10 offsets) are
+    * real; a production decode step would be a mapPartitions/Pandas-UDF
+    * batch over the same binary column with this exact output schema. */
+  private val q35 = QueryDef(
+    "q35_multimodal_binary_features",
+    "binary payload plumbing: byte length, base64 prefix, sampled frame codes",
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             substr(base64(encode(text)), 1, 16) AS b64_prefix,
+             array_to_string(list_transform(
+               list_filter(generate_series(0, 3), k -> k * 10 + 1 <= length(text)),
+               k -> CAST(unicode(text[k * 10 + 1]) AS VARCHAR)), ',') AS frame_codes
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val payload = col("text").cast("binary")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(payload).cast("long").as("byte_len"),
+          substring(base64(payload), 1, 16).as("b64_prefix"),
+          array_join(
+            transform(
+              filter(sequence(lit(0), lit(3)), k => k * 10 + 1 <= length(col("text"))),
+              k => ascii(col("text").substr(k * lit(10) + 1, lit(1))).cast("string")),
+            ",").as("frame_codes"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35)
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.det._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §2.9): tf-idf, lexicon sentiment, language-ID heuristic, quality
+  * scoring, token counting, and rolling-hash fingerprinting.
+  *
+  * All per-document math is integer or single-operation double (then
+  * rounded), so both engines agree bit-for-bit; lexicons are inline
+  * literal tables (broadcast on the Spark side, VALUES in the oracle).
+  */
+object TextPipeline {
+
+  /** tf-idf: top-5 distinctive terms per language. Two aggregations +
+    * one join — df is a tiny per-term table (vocab-sized), broadcast. */
+  private val q25 = QueryDef(
+    "q25_tfidf_top_terms",
+    "tf-idf: top-5 terms per language by tf * ln((N+1)/(df+1))",
+    Some("""
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT lang, rn, term, tf, df, tfidf FROM (
+        SELECT lang, term, tf, df, tfidf,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        FROM (SELECT lang, term, tf, df,
+                     ROUND(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 4) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n))
+      WHERE rn <= 5
+      ORDER BY lang, rn"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+      val w = Window.partitionBy("lang").orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select("lang", "rn", "term", "tf", "df", "tfidf")
+        .orderBy("lang", "rn")
+    })
+
+  private val lexicon = Seq(
+    ("fast", 2), ("spark", 2), ("merge", 1), ("join", 1), ("query", 1),
+    ("stream", 1), ("vector", 1), ("big", 1),
+    ("slow", -2), ("dup", -2), ("small", -1), ("the", -1))
+
+  /** Lexicon sentiment: Σ weight(token) per doc; non-lexicon tokens
+    * contribute 0 via left join + coalesce. */
+  private val q26 = QueryDef(
+    "q26_sentiment_lexicon",
+    "lexicon sentiment score per document",
+    Some(s"""
+      WITH lex(word, weight) AS (VALUES ${lexicon.map { case (w, v) => s"('$w', $v)" }.mkString(", ")}),
+      tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             CAST(SUM(COALESCE(weight, 0)) AS BIGINT) AS score,
+             CASE WHEN SUM(COALESCE(weight, 0)) > 0 THEN 'pos'
+                  WHEN SUM(COALESCE(weight, 0)) < 0 THEN 'neg'
+                  ELSE 'neu' END AS sentiment
+      FROM tok LEFT JOIN lex USING (word)
+      GROUP BY doc_id, lang
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val lex = s.createDataFrame(lexicon).toDF("word", "weight")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(lex), Seq("word"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("weight"), lit(0))).cast("long").as("score"))
+        .withColumn("sentiment",
+          when(col("score") > 0, "pos").when(col("score") < 0, "neg").otherwise("neu"))
+        .select("doc_id", "lang", "n_tokens", "score", "sentiment")
+        .orderBy("doc_id")
+    })
+
+  private val markers = Seq(
+    ("the", "en"), ("fast", "en"), ("join", "en"), ("query", "en"),
+    ("order", "de"), ("group", "de"), ("batch", "de"), ("window", "de"),
+    ("data", "es"), ("table", "es"), ("row", "es"), ("value", "es"),
+    ("merge", "fr"), ("sort", "fr"), ("column", "fr"), ("line", "fr"),
+    ("spark", "zh"), ("stream", "zh"), ("vector", "zh"), ("hash", "zh"))
+
+  /** Language-ID heuristic: marker-token voting (the n-gram-profile
+    * classic shrunk to the fixtures' 31-word vocab). argmax hits with
+    * lang-asc tie-break; zero hits → 'und'. Accuracy is not the point —
+    * deterministic, scalable classification plumbing is. */
+  private val q27 = QueryDef(
+    "q27_langid_heuristic",
+    "marker-token language-ID vote per document vs actual lang",
+    Some(s"""
+      WITH markers(word, plang) AS (VALUES ${markers.map { case (w, l) => s"('$w', '$l')" }.mkString(", ")}),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      sc AS (SELECT doc_id, plang, COUNT(*) AS hits
+             FROM tok JOIN markers USING (word) GROUP BY 1, 2),
+      best AS (SELECT doc_id, plang, hits FROM (
+                 SELECT doc_id, plang, hits,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn
+                 FROM sc) WHERE rn = 1)
+      SELECT d.doc_id, d.lang, COALESCE(b.plang, 'und') AS pred_lang,
+             COALESCE(b.hits, 0) AS hits,
+             CASE WHEN d.lang = COALESCE(b.plang, 'und') THEN 1 ELSE 0 END AS is_match
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id"""),
+    (s, dir) => {
+      val m = s.createDataFrame(markers).toDF("word", "plang")
+      val docs = Tables.documents(s, dir)
+      val sc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(m), Seq("word"))
+        .groupBy("doc_id", "plang").agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang").asc)
+      val best = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang"), col("hits"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("plang"), lit("und")).as("pred_lang"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          when(col("lang") === coalesce(col("plang"), lit("und")), 1).otherwise(0).as("is_match"))
+        .orderBy("doc_id")
+    })
+
+  /** Quality scoring: length / stopword-ratio features and a composite
+    * score — per-row arithmetic only, fully parallel, no shuffle. */
+  private val q28 = QueryDef(
+    "q28_quality_score",
+    "document quality features + composite score",
+    Some("""
+      SELECT doc_id, lang, n_chars, n_tokens, avg_token_len, stop_ratio,
+             ROUND(least(1.0, n_tokens / 50.0) * (1.0 - stop_ratio), 4) AS quality
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               ROUND(CAST(n_chars - (len(t) - 1) AS DOUBLE) / len(t), 4) AS avg_token_len,
+               ROUND(CAST(len(list_filter(t, w -> list_contains(['the', 'a'], w))) AS DOUBLE) / len(t), 4) AS stop_ratio
+        FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents))
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val t = split(col("text"), " ")
+      val stops = array(lit("the"), lit("a"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(t).cast("long").as("n_tokens"),
+          round((col("n_chars") - (size(t) - 1)).cast("double") / size(t), 4)
+            .as("avg_token_len"),
+          round(size(filter(t, w => array_contains(stops, w))).cast("double") / size(t), 4)
+            .as("stop_ratio"))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_tokens") / 50.0) * (lit(1.0) - col("stop_ratio")), 4))
+        .orderBy("doc_id")
+    })
+
+  /** Token counting per language: whitespace tokens + a BPE-ish subword
+    * estimate (⌈len/4⌉ chunks per word) — integer-exact on both sides. */
+  private val q29 = QueryDef(
+    "q29_token_stats",
+    "whitespace + subword token counts aggregated per language",
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+             CAST(SUM(subtokens) AS BIGINT) AS sum_subtokens,
+             CAST(MAX(ws_tokens) AS BIGINT) AS max_ws_tokens,
+             ROUND(CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_ws_tokens
+      FROM (
+        SELECT lang, len(t) AS ws_tokens,
+               CAST(list_sum(list_transform(t, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subtokens
+        FROM (SELECT lang, string_split(text, ' ') AS t FROM documents))
+      GROUP BY lang
+      ORDER BY lang"""),
+    (s, dir) => {
+      val t = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(t).cast("long").as("ws_tokens"),
+          aggregate(
+            transform(t, w => ceil(length(w) / 4.0).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("subtokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("subtokens")).as("sum_subtokens"),
+          max(col("ws_tokens")).as("max_ws_tokens"),
+          round(sum(col("ws_tokens")).cast("double") / count(lit(1)), 4).as("avg_ws_tokens"))
+        .orderBy("lang")
+    })
+
+  /** Rolling-hash document fingerprint: Σ code(c_i)·31^(i mod 9) mod p —
+    * per-row, integer-exact, identical on both engines (the 31^k powers
+    * are literal so neither engine touches floating pow). */
+  private val q30 = QueryDef(
+    "q30_doc_fingerprint",
+    "polynomial rolling-hash fingerprint per document",
+    Some("""
+      SELECT doc_id, n_chars,
+             CAST(list_sum(list_transform(generate_series(1, length(text)),
+                    i -> (unicode(text[i]) * ([1, 31, 961, 29791, 923521, 28629151, 887503681, 27512614111, 852891037441][((i - 1) % 9) + 1])) % 1000000007))
+                  % 1000000007 AS BIGINT) AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val powers = array(Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+        887503681L, 27512614111L, 852891037441L).map(lit): _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (aggregate(
+            transform(sequence(lit(1), length(col("text"))),
+              i => (ascii(col("text").substr(i, lit(1))).cast("long") *
+                element_at(powers, pmod(i - 1, lit(9)) + 1)) % 1000000007L),
+            lit(0L), (acc, x) => acc + x) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30)
+}
