@@ -47,17 +47,11 @@ object Dedup {
         .orderBy("doc_id")
     })
 
-  /** Shared tail: candidate pairs -> exact-Jaccard-verified near-dup
-    * pairs with the same output schema as the brute-force query. */
-  private def verifiedPairs(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Shared tail: per-pair intersection counts -> exact-Jaccard-verified
+    * near-dup pairs with the brute-force output schema. */
+  private def jaccardFromInter(sh: DataFrame, inter: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
-        Seq("doc_b"))
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+    inter
       .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("jaccard",
@@ -66,6 +60,17 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Intersection sizes for candidate pairs only: the shingle join is
+    * restricted to the candidate set before any pair row is produced. */
+  private def interForCandidates(sh: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
+        Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
 
   private val jaccardOracle = s"""
       WITH ${text.shinglesCte},
@@ -91,12 +96,17 @@ object Dedup {
     "exact 3-shingle Jaccard near-duplicate pairs (J >= 0.5)",
     Some(jaccardOracle),
     (s, dir) => {
+      // Single pass: the shingle co-occurrence join feeds partial hash
+      // aggregation directly (map-side combine on (doc_a, doc_b)), so
+      // pair rows never hit a shuffle un-aggregated and the intersection
+      // is counted exactly once.
       val sh = text.shingles(Tables.documents(s, dir))
-      val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      verifiedPairs(sh, pairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      jaccardFromInter(sh, inter)
     })
 
   /** MinHash + banded LSH near-dup: 128 seed-fixed affine permutations of
@@ -134,7 +144,7 @@ object Dedup {
           Seq("band", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      verifiedPairs(text.shingles(Tables.documents(s, dir)), pairs)
+      jaccardFromInter(sh, interForCandidates(sh, pairs))
     })
 
   /** SimHash near-dup: 60-bit signatures from md5-derived token hashes
