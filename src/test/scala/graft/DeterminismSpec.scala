@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism layer (SURVEY.md §5, §7.5): the hash-compare gate demands
+  * run-to-run identical results. Double-run the queries whose plans
+  * contain the usual nondeterminism hazards (collect_set, window ties,
+  * hash-based candidates, float sums) and require exact equality. */
+class DeterminismSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val hazards = Seq(
+    "q01_pricing_summary",     // double sums across partitions
+    "q12_inverted_index",      // collect_set ordering
+    "q20_session_windows",     // window over possibly-tied ts
+    "q22_neardup_jaccard",     // join + agg ordering
+    "q23_neardup_minhash_lsh", // hash candidates
+    "q31_cosine_topk")         // float ranking ties
+
+  hazards.foreach { name =>
+    test(s"$name is run-to-run identical") {
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf).collect().toSeq
+      val b = fn(spark, sf).collect().toSeq
+      assert(a == b)
+    }
+  }
+}

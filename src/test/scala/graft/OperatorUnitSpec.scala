@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.det._
+import graft.functions.{DotProduct, WelfordVariance}
+
+/** Unit layer: operators exercised on tiny literal DataFrames with exact
+  * expected values (SURVEY.md §5). */
+class OperatorUnitSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("dsum is an exact, order-independent double sum rounded to 4dp") {
+    val df = Seq(0.1, 0.2, 0.3, 1e9, -1e9).toDF("x")
+    val Seq(r1) = df.repartition(1).agg(dsum($"x")).as[Double].collect().toSeq
+    val Seq(r4) = df.repartition(4).agg(dsum($"x")).as[Double].collect().toSeq
+    assert(r1 == r4)
+    assert(r1 == 0.6)
+  }
+
+  test("davg = exact sum / count") {
+    val df = Seq(1.0, 2.0, 4.0).toDF("x")
+    assert(df.agg(davg($"x")).as[Double].head() == 2.3333)
+  }
+
+  test("DotProduct codegen matches the composed zip_with+aggregate fold") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextDouble() - 0.5),
+      Seq.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val native = df.select(DotProduct.dot($"a", $"b")).as[Double].collect()
+    val composed = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (s, x) => s + x))
+      .as[Double].collect()
+    assert(native.toSeq == composed.toSeq) // bit-identical, same fold order
+  }
+
+  test("DotProduct null semantics: null array -> null, null element -> skipped") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (None, Some(Seq(1.0, 1.0)))).toDF("a", "b")
+    val got = df.select(DotProduct.dot($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got.toSeq == Seq(11.0, null))
+  }
+
+  test("Welford aggregator matches two-pass sample variance exactly enough") {
+    val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+    val mean = xs.sum / xs.size
+    val expected = xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1)
+    val welford = udaf(WelfordVariance)
+    val got = xs.toDF("x").repartition(3)
+      .agg(welford($"x")).as[Double].head()
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("session island logic: gap >= 30min splits sessions") {
+    // crafted events: user 1 has gaps 10min / 30min / 29:59.999999
+    val us = Seq(0L, 600L * 1000000, 2400L * 1000000, 4199999999L)
+    val df = us.zipWithIndex.map { case (u, i) => (1L, u, i.toLong) }
+      .toDF("user_id", "us", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val gap = $"us" - lag($"us", 1).over(w)
+    val sess = df
+      .withColumn("new_sess", when(gap.isNull || gap >= 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select($"event_id", $"sid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 0 and 1 together (10min); 2 splits (30min); 3 joins 2 (29:59.999...)
+    assert(sess.toSeq == Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("shingles: distinct 3-gram shingles, short docs produce none") {
+    val docs = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val got = graft.functions.text.shingles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(identity).toSeq
+    assert(got == Seq((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("md5Hash60 is stable") {
+    val h = Seq("spark").toDF("w")
+      .select(graft.functions.text.md5Hash60($"w")).as[Long].head()
+    assert(h == Seq("spark").toDF("w")
+      .select(graft.functions.text.md5Hash60($"w")).as[Long].head())
+    assert(h > 0) // 60-bit positive
+  }
+
+  test("rollup coalesces to ALL with deterministic ordering") {
+    val got = SparkEntry.queries("q07_rollup_revenue")(spark, sf)
+      .select($"returnflag", $"linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.contains(("ALL", "ALL")))   // grand total present
+    assert(got == got.sorted)              // lexicographic: "A" < "ALL" < "F"
+  }
+}

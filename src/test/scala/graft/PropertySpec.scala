@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property layer (SURVEY.md §5): algebraic laws that must hold for any
+  * input — seeded generated inputs where generation helps, the fixtures
+  * where the law is about the real pipeline. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("wordcount masses balance: sum of counts == total token count") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = docs.select(size(split($"text", " ")).cast("long").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    val counted = SparkEntry.queries("q11_wordcount")(spark, sf)
+      .agg(sum($"n")).as[Long].head()
+    assert(counted == total)
+  }
+
+  test("exact dedup is idempotent: distinct(distinct(x)) == distinct(x)") {
+    val d = graft.sources.Tables.documents(spark, sf).select($"text").distinct()
+    assert(d.count() == d.distinct().count())
+  }
+
+  test("top-k monotonicity: top-3 orders per customer ⊆ top-5") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    def topk(k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      orders.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select($"o_orderkey").as[Long].collect().toSet
+    }
+    assert(topk(3).subsetOf(topk(5)))
+  }
+
+  test("DotProduct is commutative and scales linearly (seeded generated inputs)") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(25)((
+      List.fill(8)(rnd.nextDouble() * 20 - 10),
+      List.fill(8)(rnd.nextDouble() * 20 - 10)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.DotProduct.dot($"a", $"b").as("ab"),
+      graft.functions.DotProduct.dot($"b", $"a").as("ba"),
+      graft.functions.DotProduct.dot(transform($"a", x => x * 2), $"b").as("a2b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(math.abs(r.getDouble(2) - 2 * r.getDouble(0)) < 1e-9)
+    }
+  }
+
+  test("jaccard bounds: every reported pair has 0.5 <= j <= 1.0 and inter <= min(sz)") {
+    val rows = SparkEntry.queries("q22_neardup_jaccard")(spark, sf).collect()
+    rows.foreach { r =>
+      val inter = r.getAs[Long]("inter")
+      val sa = r.getAs[Long]("sz_a"); val sb = r.getAs[Long]("sz_b")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+      assert(inter <= math.min(sa, sb))
+    }
+  }
+
+  test("session windows partition events exactly: Σ n_events == |events|") {
+    val n = graft.sources.Tables.events(spark, sf).count()
+    val sessSum = SparkEntry.queries("q20_session_windows")(spark, sf)
+      .agg(sum($"n_events")).as[Long].head()
+    assert(sessSum == n)
+  }
+
+  test("sliding windows cover each event exactly 6 times") {
+    val n = graft.sources.Tables.events(spark, sf).count()
+    val winSum = SparkEntry.queries("q19_sliding_6h_1h_counts")(spark, sf)
+      .agg(sum($"n")).as[Long].head()
+    assert(winSum == 6 * n)
+  }
+}
