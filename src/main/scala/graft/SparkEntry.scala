@@ -12,7 +12,8 @@ object SparkEntry {
   /** All implemented capabilities, one QueryDef per SURVEY.md §2 row. */
   def all: Seq[QueryDef] =
     Relational.defs ++ Classics.defs ++ EventTime.defs ++
-      Dedup.defs ++ TextPipeline.defs ++ Similarity.defs ++ Aggregates.defs
+      Dedup.defs ++ TextPipeline.defs ++ Similarity.defs ++
+      Aggregates.defs ++ Analytics.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.det._
+
+/** Remaining §2.5/§2.6 surface: supplier-side star join, CUBE with full
+  * subtotal lattice, and the analytic-window family (running sums via
+  * exact decimal accumulation, lag/lead). */
+object Analytics {
+
+  /** Supplier-side star join: lineitem ⋈ supplier ⋈ nation — the second
+    * fact-to-dim path of the schema (supplier is small enough to
+    * broadcast at any realistic scale: it grows with SF but stays ~MB/TB
+    * of fact data; nation is constant). */
+  private val q38 = QueryDef(
+    "q38_supplier_revenue_by_nation",
+    "revenue per supplier nation (lineitem ⋈ supplier ⋈ nation)",
+    Some(s"""
+      SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_lineitems
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""),
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy("n_name"))
+
+  /** CUBE: the full subtotal lattice over (priority, status) — all four
+    * grouping-set combinations in one pass. */
+  private val q39 = QueryDef(
+    "q39_cube_priority_status",
+    "cube(o_orderpriority, o_orderstatus): counts + revenue with all subtotals",
+    Some(s"""
+      SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+             COALESCE(o_orderstatus, 'ALL') AS status,
+             COUNT(*) AS n_orders,
+             ${dsumSql("o_totalprice")} AS revenue
+      FROM orders
+      GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY priority, status"""),
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy("priority", "status"))
+
+  /** Analytic windows: per-customer running revenue (exact decimal
+    * accumulation inside the frame so both engines agree bit-for-bit
+    * regardless of their frame-sum algorithms), lag/lead neighbors, and
+    * sequence numbers — one shuffle on o_custkey for all four. */
+  private val q40 = QueryDef(
+    "q40_running_revenue_per_customer",
+    "running sum + lag/lead over each customer's order history",
+    Some("""
+      SELECT o_custkey, seq, o_orderkey, o_totalprice,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_revenue,
+             lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             lead(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(row_number() OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+            FROM orders)
+      ORDER BY o_custkey, seq"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.orders(s, dir)
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("running_revenue",
+          round(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            .over(frame).cast("double"), 4))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "seq", "o_orderkey", "o_totalprice",
+          "running_revenue", "prev_price", "next_price")
+        .orderBy("o_custkey", "seq")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q38, q39, q40)
+}
