@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event record for the streaming API (mirrors the events table;
+  * ts is an epoch-µs long exactly like Tables.events.ts_us). */
+final case class Event(event_id: Long, ts_us: Long, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user running aggregate emitted by the stateful stream. */
+final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+/** Structured Streaming surface (SURVEY.md §2.8): the same event-time
+  * semantics as the batch EventTime operators, expressed on unbounded
+  * input. The driver harness is batch-only, so these are exercised by
+  * StreamingSpec via MemoryStream; the transforms are source-agnostic —
+  * `spark.readStream.parquet/kafka → transform → writeStream` at scale.
+  *
+  * Scale notes: tumbling/sliding aggregation state is bounded by the
+  * watermark horizon (late data beyond 1 day is dropped and state
+  * evicted); the stateful running aggregate keeps O(users) state,
+  * partitioned by the groupBy key across executors.
+  */
+object EventStream {
+
+  /** Streaming form of q18 (tumbling daily counts): event-time window +
+    * watermark. Works identically on a batch DataFrame. */
+  def tumblingDaily(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 day")
+      .groupBy(window(col("ts_t"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Stateful per-user running aggregate via mapGroupsWithState — the
+    * "user reduce fn with state across triggers" that a MapReduce-style
+    * system cannot express without an external store. */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, sv) = batch.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((c, s), e) => (c + 1, s + e.value)
+          }
+          val next = UserRunning(userId, n, sv)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming session windows via the built-in session_window generator
+    * (30-min gap) — the streaming twin of q20's island method. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+}

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Event, EventStream}
+
+/** Demo/driver for the Structured Streaming surface: feeds two
+  * micro-batches through tumblingDaily and the stateful running
+  * aggregate, printing each result — the in-memory twin of a
+  * readStream.parquet/kafka deployment. */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val day1 = 1704067200000000L // 2024-01-01 UTC, epoch µs
+    val stream = MemoryStream[Event]
+    val tumbling = EventStream.tumblingDaily(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    val running = EventStream.runningUserCounts(stream.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+
+    stream.addData(Seq(
+      Event(1, day1, 1, "click", 1.5),
+      Event(2, day1 + 3600L * 1000000, 1, "click", 2.5),
+      Event(3, day1 + 86400L * 1000000, 2, "view", 9.0)))
+    tumbling.processAllAvailable(); running.processAllAvailable()
+    println("=== tumbling after batch 1 ===")
+    spark.table("tumbling").orderBy("day", "event_type").show()
+
+    stream.addData(Seq(Event(4, day1 + 90000L * 1000000, 1, "view", 4.0)))
+    tumbling.processAllAvailable(); running.processAllAvailable()
+    println("=== tumbling after batch 2 ===")
+    spark.table("tumbling").orderBy("day", "event_type").show()
+    println("=== stateful running counts (update log) ===")
+    spark.table("running").show()
+
+    tumbling.stop(); running.stop(); spark.stop()
+  }
+}

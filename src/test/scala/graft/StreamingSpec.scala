@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Event, EventStream}
+
+/** Drives the Structured Streaming surface with MemoryStream: batches of
+  * fixture-shaped events flow through the same transforms a readStream
+  * pipeline would use; results must match the batch formulation. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def us(day: Int, hour: Int, min: Int = 0): Long =
+    (((day - 1) * 24L + hour) * 60 + min) * 60 * 1000000 + 1704067200L * 1000000 // 2024-01-01
+
+  private val batch1 = Seq(
+    Event(1, us(1, 1), 10, "click", 1.0),
+    Event(2, us(1, 2), 10, "click", 2.0),
+    Event(3, us(1, 3), 11, "purchase", 10.0),
+    Event(4, us(2, 5), 10, "click", 3.0))
+  private val batch2 = Seq(
+    Event(5, us(2, 6), 11, "purchase", 20.0),
+    Event(6, us(2, 7), 10, "view", 4.0))
+
+  test("tumbling daily streaming aggregation matches the batch result") {
+    val stream = MemoryStream[Event]
+    val q = EventStream.tumblingDaily(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("tumbling")
+        .orderBy("day", "event_type").collect().toSeq
+      val batch = EventStream.tumblingDaily((batch1 ++ batch2).toDF())
+        .orderBy("day", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 5) // d1: click, purchase; d2: click, purchase, view
+    } finally q.stop()
+  }
+
+  test("stateful running user counts accumulate across triggers") {
+    val stream = MemoryStream[Event]
+    val q = EventStream.runningUserCounts(stream.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      val afterB1 = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(afterB1 == Set((10L, 3L, 6.0), (11L, 1L, 10.0)))
+      stream.addData(batch2); q.processAllAvailable()
+      val latest = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      assert(latest == Set((10L, 4L, 10.0), (11L, 2L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows close 30-min-gapped sessions") {
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 20: two events 10 min apart (one session), then 40 min gap (new session)
+      stream.addData(Seq(
+        Event(7, us(3, 1, 0), 20, "click", 1.0),
+        Event(8, us(3, 1, 10), 20, "click", 1.0),
+        Event(9, us(3, 1, 50), 20, "click", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions").orderBy("start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(got == Seq((20L, 2L), (20L, 1L)))
+    } finally q.stop()
+  }
+}
