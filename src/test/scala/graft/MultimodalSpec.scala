@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaFeatures, MediaRecord}
+
+/** The multimodal plumbing is real even though the codec is stubbed:
+  * schema, typed mapPartitions execution, partition independence. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("extractFeatures is exact and partition-count independent") {
+    val recs = Seq(
+      MediaRecord(1L, "image", Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)),
+      MediaRecord(2L, "audio", Array[Byte](16, 17)),
+      MediaRecord(3L, "image", Array.empty[Byte]))
+    def run(parts: Int): Seq[(Long, Int, Int, Int, Seq[Double])] =
+      Multimodal.extractFeatures(recs.toDS().repartition(parts))
+        .collect().toSeq.sortBy(_.doc_id)
+        .map(f => (f.doc_id, f.byte_len, f.width, f.height, f.histogram.toSeq))
+    val one = run(1)
+    assert(one == run(4))
+    assert(one.head == ((1L, 8, 16, 24, Seq.fill(8)(0.125))))
+    assert(one(2) == ((3L, 0, 16, 16, Seq.fill(8)(0.0))))
+  }
+
+  test("fixture documents flow through the typed pipeline") {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.documentPayloads(spark, sf)).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.byte_len > 0)
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+    }
+  }
+}
