@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use, so `spark.sql("SELECT graft_dot(a, b) ...")`
+  * works in any session built with `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.GraftExtensions` — the standard
+  * library-integration path for a cluster deployment.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an already-running session (the
+    * extensions path only applies at session build time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+}

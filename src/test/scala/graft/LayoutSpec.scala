@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Layouts, Tables}
+import graft.functions.skew
+
+/** Proves the 100 TB storage/skew claims on real plans: partition
+  * pruning reaches the scan, bucketed joins plan no exchange, salted
+  * aggregation is exact. */
+class LayoutSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("partitioned write + filtered read prunes partitions in the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Layouts.writePartitioned(
+      Tables.events(spark, sf).select($"event_id", $"user_id", $"value", $"event_type"),
+      dir, "event_type")
+    val read = spark.read.parquet(dir).filter($"event_type" === "click")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"))
+    val clicks = Tables.events(spark, sf).filter($"event_type" === "click").count()
+    assert(read.count() == clicks)
+  }
+
+  test("same-bucketed tables join with no exchange (co-located join)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      Layouts.writeBucketed(
+        Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        "orders_b", "o_orderkey", 4)
+      Layouts.writeBucketed(
+        Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity"),
+        "lineitem_b", "l_orderkey", 4)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation exactly") {
+    val e = Tables.events(spark, sf)
+    val direct = e.groupBy($"user_id".as("k"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    val salted = skew.saltedCountSum(e, $"user_id", $"event_id", $"value", 8)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    assert(direct.toSeq == salted.toSeq)
+  }
+
+  test("graft_dot is SQL-callable once registered") {
+    // The extensions object applies cleanly (build-time path)...
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // ...and the same registration on a live session makes SQL resolve it.
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 11.0)
+  }
+}
