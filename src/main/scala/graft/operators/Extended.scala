@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.det._
+
+/** Extended analytics surface: interval/range join, exact quantiles,
+  * bivariate statistics. */
+object Extended {
+
+  /** Range (interval) join: for each purchase, clicks by the same user
+    * in the preceding hour. The equi-condition on user_id keys the
+    * shuffle; the range predicate is evaluated inside the joined
+    * partition, so the pair space is bounded per user — the streaming
+    * "interval join" expressed in batch. */
+  private val q41 = QueryDef(
+    "q41_range_join_clicks_before_purchase",
+    "interval join: clicks within 1h before each purchase, per user",
+    Some("""
+      SELECT p.user_id, p.event_id AS purchase_id,
+             COUNT(c.event_id) AS n_clicks_1h
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND epoch_us(c.ts) >  epoch_us(p.ts) - 3600000000
+       AND epoch_us(c.ts) <= epoch_us(p.ts)
+      GROUP BY p.user_id, p.event_id
+      ORDER BY p.user_id, purchase_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("ts_us").as("c_us"))
+      p.join(c,
+          col("user_id") === col("c_uid") &&
+            col("c_us") > col("p_us") - 3600000000L &&
+            col("c_us") <= col("p_us"),
+          "left")
+        .groupBy("user_id", "purchase_id")
+        .agg(count(col("click_id")).as("n_clicks_1h"))
+        .orderBy("user_id", "purchase_id")
+    })
+
+  /** Exact interpolated quantiles (percentile) — both engines sort and
+    * linearly interpolate, so 4-dp rounding gives parity. At 100 TB the
+    * approx_percentile sketch replaces this; exact quantiles stay viable
+    * per-group when groups fit a reducer. */
+  private val q42 = QueryDef(
+    "q42_price_quantiles",
+    "exact p25/p50/p75/p95 of order totalprice per status",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy("o_orderstatus"))
+
+  /** Bivariate statistics: correlation + covariance of lineitem
+    * quantity/price per return flag (co-moment accumulators merge
+    * associatively — the same partial-aggregation shape as everything
+    * else; 4-dp rounding absorbs engine ulp differences). */
+  private val q43 = QueryDef(
+    "q43_quantity_price_correlation",
+    "corr + covar_samp of (l_quantity, l_extendedprice) per return flag",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             ROUND(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+             ROUND(covar_samp(l_quantity / 100.0, l_extendedprice / 100000.0), 4) AS qp_covar_scaled
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+          round(covar_samp(col("l_quantity") / 100.0, col("l_extendedprice") / 100000.0), 4)
+            .as("qp_covar_scaled"))
+        .orderBy("l_returnflag"))
+
+  def defs: Seq[QueryDef] = Seq(q41, q42, q43)
+}
