@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: time named queries at sf0.1, 3 runs each (run1 shows
+  * first-run JIT/codegen cost — what a run-once benchmark pays).
+  * Usage: runMain graft.tools.TimeQ <queryName> [more ...] */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").count()
+    for (name <- args; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
+      println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
