@@ -100,7 +100,12 @@ object Dedup {
       // aggregation directly (map-side combine on (doc_a, doc_b)), so
       // pair rows never hit a shuffle un-aggregated and the intersection
       // is counted exactly once.
+      // The shingle set feeds 4 plan subtrees (pair join both sides +
+      // two size lookups); slightly different pushed filters defeat
+      // Spark's exchange reuse, so persist it — recomputing a corpus
+      // explosion 4x is exactly what you wouldn't do at 100 TB.
       val sh = text.shingles(Tables.documents(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
         .filter(col("doc_a") < col("doc_b"))
@@ -130,7 +135,12 @@ object Dedup {
       // the groups, so raise it; buffers are 1KB each, memory is a
       // non-issue at any realistic docs-per-partition count.
       s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // The shingle set feeds 4 plan subtrees (pair join both sides +
+      // two size lookups); slightly different pushed filters defeat
+      // Spark's exchange reuse, so persist it — recomputing a corpus
+      // explosion 4x is exactly what you wouldn't do at 100 TB.
       val sh = text.shingles(Tables.documents(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // |a|,|h32| < 2^31 so a*h+b stays within 2^63 — no overflow.
       val h32 = hash(col("shingle")).cast("long")
       // One MinHashSketch buffer per doc instead of 42 generated
@@ -182,18 +192,15 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
     },
     (s, dir) => {
+      // SimHashSketch (one 60-long buffer) instead of 60 generated
+      // sum(case...) aggregates — same JIT-bomb avoidance as q23.
+      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         .withColumn("h", text.md5Hash60(col("word")))
-      val sumCols: Seq[Column] = (0 until 60).map(k =>
-        sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1, col("tf"))
-          .otherwise(-col("tf"))).as(s"s$k"))
-      val sums = tf.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-      val sig = sums.select(col("doc_id"),
-        (0 until 60).map(k =>
-          when(col(s"s$k") > 0, lit(1L << k)).otherwise(lit(0L)): Column)
-          .reduce(_ + _).as("simhash"))
+      val sig = tf.groupBy("doc_id")
+        .agg(graft.functions.SimHashSketch.simhash(col("h"), col("tf"), 60).as("simhash"))
       val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
       val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
       a.join(b, col("doc_a") < col("doc_b"))
@@ -232,6 +239,7 @@ object Dedup {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val sh = text.shingles(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
         .filter(col("doc_a") < col("doc_b"))
