@@ -256,5 +256,88 @@ object Dedup {
         .orderBy("lang")
     })
 
-  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q44)
+  /** Connected components over the verified near-dup graph: the full
+    * canonical-assignment semantic (transitive closure of near-dup
+    * pairs; every doc in a dup cluster maps to the cluster's min
+    * doc_id). Iterative min-label propagation on DataFrames — each
+    * round one join + one aggregate, converging in graph-diameter
+    * rounds (near-dup clusters are shallow; capped at 20). At 100 TB
+    * this is the same alternating join/min loop, with the label table
+    * hash-partitioned once and reused. Oracle: DuckDB recursive CTE
+    * computing min reachable label. */
+  private val q45 = QueryDef(
+    "q45_neardup_components",
+    "connected components of the near-dup pair graph (canonical per cluster)",
+    Some(s"""
+      WITH RECURSIVE ${text.shinglesCte},
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      ver AS (
+        SELECT doc_a, doc_b
+        FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node)
+      SELECT c.node AS doc_id, c.component_id,
+             CAST(cs.n AS BIGINT) AS component_size
+      FROM comp c
+      JOIN (SELECT component_id, COUNT(*) AS n FROM comp GROUP BY 1) cs
+        USING (component_id)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val sh = text.shingles(Tables.documents(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      val pairs = jaccardFromInter(sh, inter).select("doc_a", "doc_b")
+      val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Convergence check: labels only ever decrease, so the label sum
+      // is strictly monotone until fixpoint — one cheap aggregate per
+      // round instead of a join-and-diff (also ~half the per-iteration
+      // codegen, which dominates a cold run).
+      var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
+          .groupBy(col("doc_b").as("node"))
+          .agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iter += 1
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
+      labels
+        .join(sizes, Seq("lbl"))
+        .select(col("node").as("doc_id"), col("lbl").as("component_id"),
+          col("component_size"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q44, q45)
 }
