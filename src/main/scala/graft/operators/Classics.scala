@@ -184,5 +184,36 @@ object Classics {
         .drop("d")
         .orderBy("day"))
 
-  def defs: Seq[QueryDef] = Seq(q11, q12, q13, q14, q15, q16, q17)
+  /** Map-typed semi-structured processing: props parsed to a real
+    * MapType with from_json, then map_keys/element_at/size (§2.7 Map
+    * family). Oracle uses DuckDB's JSON extension (statically linked in
+    * the python wheel) for the same extraction. */
+  private val q46 = QueryDef(
+    "q46_json_map_functions",
+    "from_json -> MapType: key lists, sizes, and value sums per event type",
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MIN(array_to_string(json_keys(props), ',')) AS min_keys,
+             CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_n_keys
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      Tables.events(s, dir)
+        .select(col("event_type"), m.as("m"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(element_at(col("m"), "k")).as("sum_k"),
+          min(concat_ws(",", map_keys(col("m")))).as("min_keys"),
+          max(size(map_keys(col("m")))).cast("long").as("max_n_keys"))
+        .orderBy("event_type")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q11, q12, q13, q14, q15, q16, q17, q46)
 }

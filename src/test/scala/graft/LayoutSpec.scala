@@ -57,6 +57,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(direct.toSeq == salted.toSeq)
   }
 
+  test("raw-text input format (M1): text-source wordcount equals parquet wordcount") {
+    val dir = Files.createTempDirectory("graft_txt").toString
+    Tables.documents(spark, sf).select($"text")
+      .write.mode("overwrite").text(dir)
+    val fromText = spark.read.text(dir)
+      .select(explode(split($"value", " ")).as("word"))
+      .groupBy("word").count().orderBy("word")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fromParquet = SparkEntry.queries("q11_wordcount")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fromText == fromParquet)
+  }
+
   test("graft_dot is SQL-callable once registered") {
     // The extensions object applies cleanly (build-time path)...
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
