@@ -305,14 +305,21 @@ object Dedup {
       val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .withColumn("lbl", col("node"))
+      // Seed with the one-hop neighbor minimum (what the first loop
+      // iteration would compute) — near-dup clusters are shallow, so
+      // this usually leaves only the confirmation pass.
+      var labels = edges.groupBy(col("doc_a").as("node"))
+        .agg(min(col("doc_b")).as("mb"))
+        .select(col("node"), least(col("node"), col("mb")).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Convergence check: labels only ever decrease, so the label sum
       // is strictly monotone until fixpoint — one cheap aggregate per
       // round instead of a join-and-diff (also ~half the per-iteration
-      // codegen, which dominates a cold run).
-      var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      // codegen, which dominates a cold run). coalesce guards the
+      // empty-graph case (no near-dup pairs at some scale).
+      def lblSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      var prevSum = lblSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -324,7 +331,7 @@ object Dedup {
           .select(col("node"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+        val nextSum = lblSum(next)
         labels.unpersist()
         labels = next
         converged = nextSum == prevSum

@@ -284,6 +284,39 @@ object Relational {
         .orderBy("user_id", "purchase_id")
     })
 
+  /** Multiset (ALL) set operations: bag difference/intersection preserve
+    * duplicate multiplicities — exceptAll keeps max(m_a - m_b, 0) copies,
+    * intersectAll min(m_a, m_b) — identical semantics in Spark and
+    * DuckDB. Aggregated to per-key counts for a stable, ordered result. */
+  private val q47 = QueryDef(
+    "q47_set_ops_multiset",
+    "exceptAll/intersectAll over duplicate-bearing partkey bags",
+    Some("""
+      SELECT l_partkey, 'a_minus_b' AS src, COUNT(*) AS n FROM (
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 25.0
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_discount > 0.05)
+      GROUP BY l_partkey
+      UNION ALL
+      SELECT l_partkey, 'a_and_b' AS src, COUNT(*) AS n FROM (
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 25.0
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_discount > 0.05)
+      GROUP BY l_partkey
+      ORDER BY src, l_partkey"""),
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_quantity") > 25.0).select("l_partkey")
+      val b = li.filter(col("l_discount") > 0.05).select("l_partkey")
+      a.exceptAll(b).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .withColumn("src", lit("a_minus_b"))
+        .union(
+          a.intersectAll(b).groupBy("l_partkey").agg(count(lit(1)).as("n"))
+            .withColumn("src", lit("a_and_b")))
+        .select("l_partkey", "src", "n")
+        .orderBy("src", "l_partkey")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47)
 }
