@@ -42,6 +42,37 @@ object Multimodal {
     (w, h, hist.map(_ / n))
   }
 
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, thumb: Array[Byte])
+
+  /** STUB resize: deterministic fake of image/audio downsampling — takes
+    * every stride-th payload byte up to maxBytes (a real implementation
+    * would bilinear-resample decoded pixels; batch shape is identical). */
+  def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] = {
+    if (payload.isEmpty) Array.empty
+    else {
+      val stride = math.max(1, payload.length / maxBytes)
+      payload.indices.by(stride).take(maxBytes).map(payload).toArray
+    }
+  }
+
+  /** STUB spectrogram: deterministic fake audio feature — windowed byte
+    * energy (mean of unsigned bytes per fixed-size window). */
+  def spectrogramStub(payload: Array[Byte], window: Int): Array[Double] =
+    payload.grouped(window)
+      .map(w => w.map(java.lang.Byte.toUnsignedInt(_)).sum.toDouble / w.length)
+      .toArray
+
+  /** Partition-parallel resize pipeline (same plumbing contract as
+    * [[extractFeatures]]). */
+  def resizeAll(records: Dataset[MediaRecord], maxBytes: Int = 32): Dataset[ResizedMedia] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      val (w, h, _) = decodeStub(r.payload)
+      ResizedMedia(r.doc_id, r.media_type, w, h, resizeStub(r.payload, maxBytes))
+    })
+  }
+
   /** Partition-parallel feature extraction over binary payloads. */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._

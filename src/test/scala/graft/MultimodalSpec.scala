@@ -25,6 +25,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one(2) == ((3L, 0, 16, 16, Seq.fill(8)(0.0))))
   }
 
+  test("resize + spectrogram stubs are deterministic and bounded") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val resized = Multimodal.resizeStub(payload, 32)
+    assert(resized.length <= 32 && resized.sameElements(Multimodal.resizeStub(payload, 32)))
+    val spec = Multimodal.spectrogramStub(payload, 10)
+    assert(spec.length == 10 && spec.head == 4.5) // mean of 0..9
+    val thumbs = Multimodal.resizeAll(
+      Multimodal.documentPayloads(spark, sf), 16).collect()
+    assert(thumbs.length == 500)
+    thumbs.foreach(t => assert(t.thumb.length <= 16))
+  }
+
   test("fixture documents flow through the typed pipeline") {
     val feats = Multimodal.extractFeatures(
       Multimodal.documentPayloads(spark, sf)).collect()
