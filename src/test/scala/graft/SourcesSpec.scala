@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** §2.2 source-format breadth: CSV and JSON-lines round-trips with
+  * explicit schemas (never inferred — inference is a full extra pass and
+  * nondeterministic under dirty data), and partition-count independence
+  * of the deterministic aggregate layer. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  test("CSV round-trip with explicit schema preserves values") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(evSchema).option("header", "true").csv(dir)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      src.orderBy("event_id").collect().toSeq)
+  }
+
+  test("JSON-lines round-trip with explicit schema preserves values") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val src = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(evSchema).json(dir)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      src.orderBy("event_id").collect().toSeq)
+  }
+
+  test("results are partition-count independent (4 vs 13 shuffle partitions)") {
+    val names = Seq("q01_pricing_summary", "q22_neardup_jaccard",
+      "q20_session_windows")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(parts: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try names.map(n => SparkEntry.queries(n)(spark, sf).collect().toSeq)
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    assert(run("4") == run("13"))
+  }
+}
