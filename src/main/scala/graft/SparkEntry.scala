@@ -13,7 +13,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Classics.defs ++ EventTime.defs ++
       Dedup.defs ++ TextPipeline.defs ++ Similarity.defs ++
-      Aggregates.defs ++ Analytics.defs ++ Extended.defs ++ Reshape.defs
+      Aggregates.defs ++ Analytics.defs ++ Extended.defs ++
+      Reshape.defs ++ MoreFunctions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
