@@ -319,6 +319,13 @@ object Dedup {
       // empty-graph case (no near-dup pairs at some scale).
       def lblSum(df: DataFrame): Long =
         df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      // The loop's label tables are a few hundred rows; whole-stage
+      // codegen costs more JIT time per iteration than it saves, so run
+      // the loop interpreted (restored afterwards — the returned final
+      // DataFrame plans with normal codegen). Same arithmetic either
+      // way; results are unchanged.
+      val wscg = s.conf.get("spark.sql.codegen.wholeStage", "true")
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
       var prevSum = lblSum(labels)
       var converged = false
       var iter = 0
@@ -338,6 +345,7 @@ object Dedup {
         prevSum = nextSum
         iter += 1
       }
+      s.conf.set("spark.sql.codegen.wholeStage", wscg)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
       labels
         .join(sizes, Seq("lbl"))
