@@ -85,7 +85,7 @@ object Classics {
     Some("""
       SELECT event_type,
              COUNT(*) AS n,
-             MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k,
+             MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k,
              ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 4) AS avg_k
       FROM (SELECT event_type,
                    CAST(regexp_extract(props, '-?[0-9]+') AS BIGINT) AS k

@@ -326,26 +326,36 @@ object Dedup {
       // way; results are unchanged.
       val wscg = s.conf.get("spark.sql.codegen.wholeStage", "true")
       s.conf.set("spark.sql.codegen.wholeStage", "false")
-      var prevSum = lblSum(labels)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
-          .groupBy(col("doc_b").as("node"))
-          .agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nextSum = lblSum(next)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        iter += 1
+      try {
+        var prevSum = lblSum(labels)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val neighborMin = edges
+            .join(labels.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
+            .groupBy(col("doc_b").as("node"))
+            .agg(min(col("lbl")).as("nlbl"))
+          val next = labels.join(neighborMin, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nextSum = lblSum(next)
+          labels.unpersist()
+          labels = next
+          converged = nextSum == prevSum
+          prevSum = nextSum
+          iter += 1
+        }
+      } finally {
+        // An exception mid-loop must not leave codegen disabled for every
+        // later query in a shared Bench/Verify session.
+        s.conf.set("spark.sql.codegen.wholeStage", wscg)
       }
-      s.conf.set("spark.sql.codegen.wholeStage", wscg)
+      // labels is materialized at the fixpoint (each lblSum forces a full
+      // scan of the just-persisted table), so the upstream shingle/edge
+      // caches are dead weight from here on — release them now.
+      sh.unpersist()
+      edges.unpersist()
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
       labels
         .join(sizes, Seq("lbl"))

@@ -83,8 +83,8 @@ object Extended {
     "corr + covar_samp of (l_quantity, l_extendedprice) per return flag",
     Some("""
       SELECT l_returnflag, COUNT(*) AS n,
-             ROUND(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
-             ROUND(covar_samp(l_quantity / 100.0, l_extendedprice / 100000.0), 4) AS qp_covar_scaled
+             ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qp_corr,
+             ROUND(covar_samp(l_quantity / 100.0, l_extendedprice / 100000.0), 4) + 0.0 AS qp_covar_scaled
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
@@ -93,9 +93,9 @@ object Extended {
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
-          round(covar_samp(col("l_quantity") / 100.0, col("l_extendedprice") / 100000.0), 4)
-            .as("qp_covar_scaled"))
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("qp_corr"),
+          (round(covar_samp(col("l_quantity") / 100.0, col("l_extendedprice") / 100000.0), 4)
+            + lit(0.0)).as("qp_covar_scaled"))
         .orderBy("l_returnflag"))
 
   def defs: Seq[QueryDef] = Seq(q41, q42, q43)

@@ -74,8 +74,8 @@ object Reshape {
       Tables.part(s, dir)
         .filter(col("p_partkey") < 200)
         .select(col("p_partkey"),
-          levenshtein(col("p_name"), col("p_brand")).as("dist"),
-          levenshtein(lower(col("p_type")), lit("standard")).as("type_dist"))
+          levenshtein(col("p_name"), col("p_brand")).cast("long").as("dist"),
+          levenshtein(lower(col("p_type")), lit("standard")).cast("long").as("type_dist"))
         .orderBy("p_partkey"))
 
   def defs: Seq[QueryDef] = Seq(q48, q49, q50)

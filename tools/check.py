@@ -22,13 +22,22 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails, passes = [], []
 
+import math
+
 def norm(v):
+    # Type-faithful: never cross-coerce int/float (the driver's hash
+    # compare is type-sensitive — DuckDB HUGEINT vs Spark BIGINT fails
+    # there), and distinguish -0.0 from 0.0 via copysign.
     if v is None:
         return None
     if isinstance(v, float):
-        return ("f", v) if v == v else ("f", "nan")
-    if isinstance(v, (int,)):
-        return ("f", float(v)) if float(v) == v else ("i", v)
+        if v != v:
+            return ("f", "nan")
+        if v == 0.0:
+            return ("f", 0.0, math.copysign(1.0, v))
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
     return v
 
 for name in sorted(oracle):
@@ -39,14 +48,16 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: missing spark output"); fails.append(name); continue
     try:
-        ocur = con.execute(sql)
-        ocols = [d[0] for d in ocur.description]
-        orows = ocur.fetchall()
+        orel = con.sql(sql)
+        ocols = list(orel.columns)
+        otypes_all = [str(t) for t in orel.types]
+        orows = orel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}"); fails.append(name); continue
-    scur = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
-    scols = [d[0] for d in scur.description]
-    srows = scur.fetchall()
+    srel = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
+    scols = list(srel.columns)
+    stypes_all = [str(t) for t in srel.types]
+    srows = srel.fetchall()
     if sorted(ocols) != sorted(scols):
         print(f"FAIL {name}: columns oracle={sorted(ocols)} spark={sorted(scols)}")
         fails.append(name); continue
@@ -55,6 +66,20 @@ for name in sorted(oracle):
         fails.append(name); continue
     operm = sorted(range(len(ocols)), key=lambda i: ocols[i])
     sperm = sorted(range(len(scols)), key=lambda i: scols[i])
+    # Result-type check through the same DuckDB lens on both sides:
+    # catches SUM-type promotions (HUGEINT vs BIGINT) the value compare
+    # used to coerce away.
+    # int widths <= 64 bits all land in pandas int64 under the driver's
+    # compare — only HUGEINT (int128) breaks out of it. Collapse the
+    # equivalent widths; keep everything else exact.
+    def tnorm(t):
+        return "INT64" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                                "UTINYINT", "USMALLINT", "UINTEGER") else t
+    otypes = [tnorm(otypes_all[i]) for i in operm]
+    stypes = [tnorm(stypes_all[i]) for i in sperm]
+    if otypes != stypes:
+        print(f"FAIL {name}: result types differ\n  cols : {sorted(ocols)}\n  oracle: {otypes}\n  spark : {stypes}")
+        fails.append(name); continue
     bad = None
     for ri, (orow, srow) in enumerate(zip(orows, srows)):
         ov = tuple(norm(orow[i]) for i in operm)
