@@ -1,0 +1,449 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.{det, text}
+
+/** Training-data-pipeline operators beyond the round-1 surface: a fully
+  * oracle-able distributed cardinality sketch, deterministic dataset
+  * splitting/sampling, document chunking, bigram association mining,
+  * Zipf statistics, embedding-threshold near-dup, event funnels, and a
+  * staged quality-filter accounting query.
+  *
+  * Everything is seed-free and RNG-free: where production pipelines use
+  * random sampling/splitting, these use md5-derived hashes (the standard
+  * trick for reproducible pipelines — the "random" bits are a pure
+  * function of the record key, identical on any cluster size, any
+  * partitioning, and any engine that can compute md5).
+  */
+object Pipeline {
+
+  /** h(key) as a 60-bit non-negative int both engines compute
+    * identically (see graft.functions.text.md5Hash60). */
+  private def hkey(prefix: String, c: Column): Column =
+    text.md5Hash60(concat(lit(prefix), c.cast("string")))
+
+  private def hkeySql(prefix: String, x: String): String =
+    text.md5Hash60Sql(s"'$prefix' || CAST($x AS VARCHAR)")
+
+  // ---------------------------------------------------------------------
+  // q56 — deterministic HyperLogLog, oracle-able end to end
+  // ---------------------------------------------------------------------
+
+  /** HLL with m=64 registers over md5-derived 60-bit hashes. Unlike
+    * Spark's native approx_count_distinct (whose HLL++ register layout
+    * no other engine reproduces — q37 is rows-only for that reason),
+    * every step here is plain relational algebra both engines run
+    * identically:
+    *
+    *   bucket = h % 64;  rho = 55 - bitlength(h div 64)  (55 if zero)
+    *   register r = MAX(rho) per (group, bucket)
+    *   S = Σ 2^(55-r) over all 64 buckets (empty bucket → 2^55),
+    *       kept EXACT as a BIGINT via shiftleft — a float Σ2^-r would be
+    *       summation-order-sensitive above 2^53 and break parity
+    *   E = α₆₄·64²·2^55 / S, with the standard small-range linear
+    *       counting correction E ≤ 2.5m ∧ V>0 → m·ln(m/V).
+    *
+    * This is the 100 TB cardinality path: registers are 64 longs per
+    * group merged with MAX — the same partial/final shape as any agg —
+    * while exact COUNT(DISTINCT) must shuffle every distinct value. The
+    * exact count is emitted alongside to show the estimate's error. */
+  private val q56 = QueryDef(
+    "q56_hll_distinct_sketch",
+    "deterministic 64-register HLL distinct-user estimate per event_type vs exact",
+    Some(s"""
+      WITH h AS (SELECT event_type,
+                        ${text.md5Hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+                 FROM events),
+      b AS (SELECT event_type, h % 64 AS bucket,
+                   CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END AS rho
+            FROM h),
+      reg AS (SELECT event_type, bucket, MAX(rho) AS r FROM b GROUP BY 1, 2),
+      agg AS (SELECT event_type,
+                     CAST(SUM(1::BIGINT << (55 - r)) AS BIGINT) AS s_present,
+                     COUNT(*) AS n_present
+              FROM reg GROUP BY 1),
+      est AS (SELECT event_type,
+                     CAST(s_present + (64 - n_present) * (1::BIGINT << 55) AS DOUBLE) AS s,
+                     64 - n_present AS v
+              FROM agg),
+      fin AS (SELECT event_type,
+                     0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 36028797018963968.0 / s AS e_raw,
+                     v
+              FROM est)
+      SELECT f.event_type,
+             CAST(x.n AS BIGINT) AS exact_distinct,
+             ROUND(CASE WHEN f.e_raw <= 160.0 AND f.v > 0
+                        THEN 64.0 * ln(64.0 / CAST(f.v AS DOUBLE))
+                        ELSE f.e_raw END, 4) AS hll_estimate
+      FROM fin f
+      JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n
+            FROM events GROUP BY 1) x USING (event_type)
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val h = ev.select(col("event_type"),
+        text.md5Hash60(col("user_id").cast("string")).as("h"))
+      val b = h.select(col("event_type"), (col("h") % 64).as("bucket"),
+        when(expr("h DIV 64") === 0, 55)
+          .otherwise(lit(55) - length(bin(expr("h DIV 64")))).as("rho"))
+      val reg = b.groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
+      val agg = reg.groupBy("event_type").agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      val est = agg.select(col("event_type"),
+        (col("s_present") + (lit(64) - col("n_present")) * lit(1L << 55))
+          .cast("double").as("s"),
+        (lit(64) - col("n_present")).as("v"))
+      val fin = est.select(col("event_type"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) * lit(64.0) * lit(64.0)
+          * lit(36028797018963968.0) / col("s")).as("e_raw"),
+        col("v"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).cast("long").as("exact_distinct"))
+      fin.join(exact, "event_type")
+        .select(col("event_type"), col("exact_distinct"),
+          round(when(col("e_raw") <= 160.0 && col("v") > 0,
+              lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+            .otherwise(col("e_raw")), 4).as("hll_estimate"))
+        .orderBy("event_type")
+    })
+
+  // ---------------------------------------------------------------------
+  // q57 — deterministic train/val/test split
+  // ---------------------------------------------------------------------
+
+  /** Reproducible 80/10/10 split: the split of a document is a pure
+    * function of its id, so re-running the pipeline on any cluster (or
+    * adding new docs) never reshuffles existing assignments — the
+    * property that matters when checkpointed training shards must stay
+    * stable. No shuffle is needed to ASSIGN (pure map); the count here
+    * is the audit query. */
+  private val q57 = QueryDef(
+    "q57_hash_split_train_val_test",
+    "deterministic hash-based 80/10/10 train/val/test split audit per lang",
+    Some(s"""
+      SELECT lang, split, COUNT(*) AS n_docs,
+             ${det.davgSql("n_chars")} AS avg_chars
+      FROM (SELECT lang, n_chars,
+                   CASE WHEN ${hkeySql("split:", "doc_id")} % 100 < 80 THEN 'train'
+                        WHEN ${hkeySql("split:", "doc_id")} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+      GROUP BY lang, split
+      ORDER BY lang, split"""),
+    (s, dir) => {
+      val bucket = hkey("split:", col("doc_id")) % 100
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), det.davg(col("n_chars")).as("avg_chars"))
+        .orderBy("lang", "split")
+    })
+
+  // ---------------------------------------------------------------------
+  // q58 — fixed-size token chunking with overlap
+  // ---------------------------------------------------------------------
+
+  /** Context-window chunking: 32-token chunks, stride 24 (8-token
+    * overlap), the standard prep step before tokenize-and-pack. Chunk
+    * generation is a per-row explode — embarrassingly parallel, no
+    * shuffle until the audit aggregation. Integer-only arithmetic, so
+    * parity is exact. */
+  private val q58 = QueryDef(
+    "q58_doc_chunking",
+    "chunk docs into 32-token windows with stride 24; per-lang audit",
+    Some("""
+      WITH c AS (
+        SELECT lang, doc_id, n,
+               unnest(generate_series(0, n - 1, 24)) AS s
+        FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS n
+              FROM documents))
+      SELECT lang,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(least(s + 32, n) - s) AS BIGINT) AS sum_chunk_tokens,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE), 4)
+               AS avg_chunks_per_doc
+      FROM c
+      GROUP BY lang
+      ORDER BY lang"""),
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n"))
+        .select(col("lang"), col("doc_id"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(24))).as("s"))
+        .groupBy("lang")
+        .agg(
+          count_distinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(least(col("s") + 32, col("n")) - col("s")).cast("long").as("sum_chunk_tokens"),
+          round(count(lit(1)).cast("double") /
+            count_distinct(col("doc_id")).cast("double"), 4).as("avg_chunks_per_doc"))
+        .orderBy("lang"))
+
+  // ---------------------------------------------------------------------
+  // q59 — bigram PMI (word association mining)
+  // ---------------------------------------------------------------------
+
+  /** Pointwise mutual information of adjacent word pairs:
+    * PMI(a,b) = ln(p(ab) / (p(a)p(b))). All counts are exact integers
+    * (< 2^53, so the double products below are exact on both engines);
+    * only the final ln/division rounds. Two aggregations + two
+    * broadcast-able count-table joins — at 100 TB the unigram table is
+    * |vocab| rows (tiny) and the bigram table shuffles once. */
+  private val q59 = QueryDef(
+    "q59_bigram_pmi",
+    "top-20 adjacent-word bigrams by PMI (min count 20)",
+    Some("""
+      WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM tok),
+      ca AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      nu AS (SELECT COUNT(*) AS n FROM uni),
+      bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1])) AS bigram
+             FROM tok WHERE len(t) >= 2),
+      cab AS (SELECT bigram, COUNT(*) AS n_pairs FROM bi GROUP BY bigram
+              HAVING COUNT(*) >= 20),
+      nb AS (SELECT COUNT(*) AS n FROM bi)
+      SELECT bigram, n_pairs,
+             ROUND(ln((CAST(n_pairs AS DOUBLE) * CAST(nu.n AS DOUBLE) * CAST(nu.n AS DOUBLE))
+                      / (CAST(nb.n AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 4)
+               AS pmi
+      FROM cab, nu, nb
+      JOIN ca a ON a.w = string_split(bigram, ' ')[1]
+      JOIN ca b ON b.w = string_split(bigram, ' ')[2]
+      ORDER BY pmi DESC, bigram
+      LIMIT 20"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = split(col("text"), " ")
+      val uni = docs.select(explode(t).as("w"))
+      val ca = uni.groupBy("w").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(count(lit(1)).as("nu"))
+      val bi = docs
+        .select(explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cab = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+        .filter(col("n_pairs") >= 20)
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      cab
+        .join(broadcast(ca.select(col("w").as("w1"), col("c").as("c_a"))), Seq("w1"))
+        .join(broadcast(ca.select(col("w").as("w2"), col("c").as("c_b"))), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(
+          concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+          col("n_pairs"),
+          round(log((col("n_pairs").cast("double") * col("nu").cast("double") * col("nu").cast("double"))
+            / (col("nb").cast("double") * col("c_a").cast("double") * col("c_b").cast("double"))), 4)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
+    })
+
+  // ---------------------------------------------------------------------
+  // q60 — embedding-cosine near-dup at a fixed threshold
+  // ---------------------------------------------------------------------
+
+  /** Threshold variant of embedding near-dup (q34 is the top-k variant):
+    * all pairs with cosine ≥ 0.4 (unit-norm ⇒ dot product; the fixture
+    * corpus tops out at ~0.6, so 0.4 yields a real pair set — 59 pairs
+    * at sf0.01, 920 at sf0.1). Brute-force pair scan with the codegen
+    * DotProduct; at 100 TB the pair space is LSH/IVF-bucketed first
+    * (q32) and this exact filter runs per bucket. */
+  private val q60 = QueryDef(
+    "q60_embedding_neardup_pairs",
+    "embedding pairs with cosine >= 0.4 (threshold near-dup)",
+    Some("""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), 4) AS cos_sim,
+             CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same_label
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), 4) >= 0.4
+      ORDER BY vec_a, vec_b"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("label").as("la"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"), col("v").as("vb"))
+      // The threshold goes INTO the join condition, cheap test first:
+      // left as a post-join filter, Catalyst merges it in front of the
+      // a<b test and the dot product runs for all N² ordered pairs
+      // instead of the N²/2 canonical ones (measured 2× slower).
+      a.join(b, col("vec_a") < col("vec_b") &&
+          round(graft.functions.DotProduct.dot(col("va"), col("vb")), 4) >= 0.4)
+        .select(col("vec_a"), col("vec_b"),
+          round(graft.functions.DotProduct.dot(col("va"), col("vb")), 4).as("cos_sim"),
+          when(col("la") === col("lb"), 1).otherwise(0).as("same_label"))
+        .orderBy("vec_a", "vec_b")
+    })
+
+  // ---------------------------------------------------------------------
+  // q61 — deterministic stratified sampling
+  // ---------------------------------------------------------------------
+
+  /** 10% per-stratum sample, again hash-derived: sampling is a pure
+    * filter (no shuffle, no RNG state to coordinate across executors),
+    * and the audit shows per-stratum achieved rates. TABLESAMPLE /
+    * rand() would not be reproducible across engines or partitionings. */
+  private val q61 = QueryDef(
+    "q61_stratified_hash_sample",
+    "deterministic 10% hash-sample per lang with achieved-rate audit",
+    Some(s"""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             ROUND(CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS rate,
+             CAST(SUM(CASE WHEN sampled THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+      FROM (SELECT lang, n_chars,
+                   ${hkeySql("sample:", "doc_id")} % 10 = 0 AS sampled
+            FROM documents)
+      GROUP BY lang
+      ORDER BY lang"""),
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          (hkey("sample:", col("doc_id")) % 10 === 0).as("sampled"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1).otherwise(0)).cast("long").as("n_sampled"),
+          round(sum(when(col("sampled"), 1).otherwise(0)).cast("double")
+            / count(lit(1)).cast("double"), 4).as("rate"),
+          sum(when(col("sampled"), col("n_chars")).otherwise(0)).cast("long")
+            .as("sampled_chars"))
+        .orderBy("lang"))
+
+  // ---------------------------------------------------------------------
+  // q62 — Zipf rank/frequency statistics
+  // ---------------------------------------------------------------------
+
+  /** Word-frequency Zipf curve: rank words by corpus frequency and emit
+    * freq·rank/N (constant ≈ C under Zipf's law). One explode + one
+    * groupBy + a global rank over the |vocab|-row count table (tiny —
+    * the window over it is driver-scale even at 100 TB corpora). */
+  private val q62 = QueryDef(
+    "q62_zipf_rank_frequency",
+    "top-20 words by frequency with Zipf constant freq*rank/N",
+    Some("""
+      WITH uni AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (SELECT w, COUNT(*) AS freq FROM uni GROUP BY w),
+      n AS (SELECT COUNT(*) AS n FROM uni),
+      r AS (SELECT w, freq,
+                   CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank
+            FROM c)
+      SELECT rank, w AS word, freq,
+             ROUND(CAST(freq AS DOUBLE) * CAST(rank AS DOUBLE) / CAST(n.n AS DOUBLE), 4)
+               AS zipf_c
+      FROM r, n
+      WHERE rank <= 20
+      ORDER BY rank"""),
+    (s, dir) => {
+      val uni = Tables.documents(s, dir).select(explode(split(col("text"), " ")).as("w"))
+      val c = uni.groupBy("w").agg(count(lit(1)).as("freq"))
+      val n = uni.agg(count(lit(1)).as("n"))
+      c.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .crossJoin(broadcast(n))
+        .select(col("rank"), col("w").as("word"), col("freq"),
+          round(col("freq").cast("double") * col("rank").cast("double")
+            / col("n").cast("double"), 4).as("zipf_c"))
+        .orderBy("rank")
+    })
+
+  // ---------------------------------------------------------------------
+  // q63 — event-sequence conversion funnel
+  // ---------------------------------------------------------------------
+
+  /** view → click → purchase funnel: per-user min event times (one
+    * groupBy over the fact table — conditional aggregation, no joins),
+    * then ordered-sequence counts. Null min-times propagate correctly
+    * through the > comparisons on both engines (NULL > x is NULL →
+    * filtered). */
+  private val q63 = QueryDef(
+    "q63_conversion_funnel",
+    "user funnel: any event -> view -> view<click -> view<click<purchase",
+    Some("""
+      WITH u AS (SELECT user_id,
+               min(epoch_us(ts)) FILTER (event_type = 'view') AS vmin,
+               min(epoch_us(ts)) FILTER (event_type = 'click') AS cmin,
+               min(epoch_us(ts)) FILTER (event_type = 'purchase') AS pmin
+             FROM events GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+             CAST(SUM(CASE WHEN vmin IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+             CAST(SUM(CASE WHEN cmin > vmin THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+             CAST(SUM(CASE WHEN cmin > vmin AND pmin > cmin THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchased_after
+      FROM u"""),
+    (s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("vmin"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("cmin"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("pmin"))
+      u.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("vmin").isNotNull, 1).otherwise(0)).cast("long").as("n_viewed"),
+        sum(when(col("cmin") > col("vmin"), 1).otherwise(0)).cast("long")
+          .as("n_clicked_after"),
+        sum(when(col("cmin") > col("vmin") && col("pmin") > col("cmin"), 1).otherwise(0))
+          .cast("long").as("n_purchased_after"))
+    })
+
+  // ---------------------------------------------------------------------
+  // q64 — staged quality-filter accounting
+  // ---------------------------------------------------------------------
+
+  /** The funnel every corpus-cleaning pipeline reports: how many docs
+    * survive each successive filter stage (length band → token band →
+    * lexical diversity). Stages are conditional sums in ONE scan — not
+    * one job per stage — which is how you'd audit a 100 TB cleaning run
+    * without re-reading the corpus per stage. */
+  private val q64 = QueryDef(
+    "q64_quality_filter_funnel",
+    "per-lang survivor counts through staged quality filters",
+    Some("""
+      WITH d AS (SELECT lang, n_chars, string_split(text, ' ') AS t FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_len,
+             CAST(SUM(CASE WHEN n_chars BETWEEN 150 AND 450
+                            AND len(t) BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_tokens,
+             CAST(SUM(CASE WHEN n_chars BETWEEN 150 AND 450
+                            AND len(t) BETWEEN 20 AND 80
+                            AND ROUND(CAST(len(list_distinct(t)) AS DOUBLE)
+                                      / CAST(len(t) AS DOUBLE), 4) >= 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pass_diversity
+      FROM d
+      GROUP BY lang
+      ORDER BY lang"""),
+    (s, dir) => {
+      val t = split(col("text"), " ")
+      val lenOk = col("n_chars").between(150, 450)
+      val tokOk = lenOk && size(t).between(20, 80)
+      val divOk = tokOk &&
+        round(size(array_distinct(t)).cast("double") / size(t).cast("double"), 4) >= 0.5
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(lenOk, 1).otherwise(0)).cast("long").as("pass_len"),
+          sum(when(tokOk, 1).otherwise(0)).cast("long").as("pass_tokens"),
+          sum(when(divOk, 1).otherwise(0)).cast("long").as("pass_diversity"))
+        .orderBy("lang")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64)
+}

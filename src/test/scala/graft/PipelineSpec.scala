@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data-pipeline operators (q56–q64): law-based assertions on
+  * sf0.001 — monotone funnels, conservation sums, hash-split stability,
+  * and sketch error bounds. Oracle parity is covered by the driver gate
+  * (tools/check.py); these pin the semantics independently. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q56 HLL estimate is within 20% of the exact distinct count") {
+    run("q56_hll_distinct_sketch").collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("hll_estimate")
+      assert(math.abs(est - exact) / exact < 0.20,
+        s"estimate $est vs exact $exact")
+    }
+  }
+
+  test("q57 split sizes sum to the table size and are run-to-run stable") {
+    val rows = run("q57_hash_split_train_val_test").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == docs)
+    // overall split must be roughly 80/10/10 (hash uniformity)
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train").toDouble / docs > 0.7)
+    assert(bySplit("val") > 0 && bySplit("test") > 0)
+    assert(run("q57_hash_split_train_val_test").collect().toSeq == rows.toSeq)
+  }
+
+  test("q58 chunking covers every token at least once (overlap >= 1x)") {
+    val rows = run("q58_doc_chunking").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val tokens = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val chunkTokens = rows.map(_.getAs[Long]("sum_chunk_tokens")).sum
+    assert(chunkTokens >= tokens) // stride < window => overlap inflates
+    rows.foreach(r => assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs")))
+  }
+
+  test("q59 PMI output respects the min-count floor and the limit") {
+    val rows = run("q59_bigram_pmi").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_pairs") >= 20))
+    // sorted by pmi desc
+    val pmis = rows.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
+  test("q60 threshold near-dup pairs are canonical (a<b) and above threshold") {
+    run("q60_embedding_neardup_pairs").collect().foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos_sim") >= 0.4)
+    }
+  }
+
+  test("q61 sample is a subset with a plausible rate") {
+    val rows = run("q61_stratified_hash_sample").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val sampled = rows.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(sampled / total > 0.03 && sampled / total < 0.25)
+  }
+
+  test("q62 Zipf ranks are 1..20 with non-increasing frequency") {
+    val rows = run("q62_zipf_rank_frequency").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val freqs = rows.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sorted.reverse)
+  }
+
+  test("q63 funnel stages are monotone non-increasing") {
+    val r = run("q63_conversion_funnel").head()
+    val chain = Seq(r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+      r.getAs[Long]("n_clicked_after"), r.getAs[Long]("n_purchased_after"))
+    assert(chain == chain.sorted.reverse)
+    assert(chain.head > 0)
+  }
+
+  test("q64 quality funnel stages are monotone non-increasing per lang") {
+    run("q64_quality_filter_funnel").collect().foreach { r =>
+      val chain = Seq(r.getAs[Long]("n_docs"), r.getAs[Long]("pass_len"),
+        r.getAs[Long]("pass_tokens"), r.getAs[Long]("pass_diversity"))
+      assert(chain == chain.sorted.reverse)
+    }
+  }
+}
