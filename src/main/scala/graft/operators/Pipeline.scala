@@ -445,5 +445,114 @@ object Pipeline {
         .orderBy("lang")
     })
 
-  def defs: Seq[QueryDef] = Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64)
+  // ---------------------------------------------------------------------
+  // q65 — hyperplane-LSH bucketed ANN
+  // ---------------------------------------------------------------------
+
+  /** Sign-random-projection hyperplanes, derived at query-BUILD time from
+    * md5("hp:j:d") — so the "random" matrix is a deterministic constant
+    * folded into both the Spark plan and the oracle SQL as literals.
+    * Java's MD5 and DuckDB's md5() agree, but nothing at runtime hashes:
+    * the ±1 components below are plain literals on both sides. */
+  private val hyperplanes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      val hex = md.digest(s"hp:$j:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (BigInt(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
+    }
+    (0 until 6).map(j => (0 until 64).map(d => sign(j, d)))
+  }
+
+  /** LSH-bucketed approximate nearest neighbors: 6 sign-projection bits
+    * → 64 buckets; candidates = same-bucket vectors; exact rank inside
+    * the bucket. This is the similarity-search scale path that is a
+    * HASH, not a clustering (complementing q32's IVF): bucket assignment
+    * is a pure per-row map (no training, no shuffle), so at 100 TB the
+    * bucket becomes a partition key and each query probes one partition.
+    * Same-signature ⇒ likely-similar; recall is tunable by bits and by
+    * multi-probe. The sign bit compares the SAME left-to-right float sum
+    * on both engines, so bucket ids match exactly. */
+  private val q65 = QueryDef(
+    "q65_ann_hyperplane_lsh",
+    "hyperplane-LSH bucketed ANN: top-3 same-bucket neighbors for queries 0..9",
+    Some {
+      val bucketExpr = (col: String) => hyperplanes.zipWithIndex.map { case (w, j) =>
+        val lst = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $col[i]::DOUBLE * ($lst)[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""
+      WITH b AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+                 FROM embeddings)
+      SELECT query_id, rn, neighbor_id, sim FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                      i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) DESC,
+                      e.vec_id) AS BIGINT) AS rn
+        FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id != e.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rn <= 3
+      ORDER BY query_id, rn"""
+    },
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
+        when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val b = e.withColumn("bucket", bucket)
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      val cand = q.join(b.select(col("vec_id").as("neighbor_id"), col("v"), col("bucket")),
+          Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")), 4).as("sim"))
+      cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+          .cast("long"))
+        .filter(col("rn") <= 3)
+        .select("query_id", "rn", "neighbor_id", "sim")
+        .orderBy("query_id", "rn")
+    })
+
+  // ---------------------------------------------------------------------
+  // q66 — explicit GROUPING SETS
+  // ---------------------------------------------------------------------
+
+  /** Grouping sets beyond rollup/cube (q07/q39): the exact set list
+    * ((status, priority), (status), ()) — one shuffle produces all three
+    * granularities (Spark expands sets into a single Expand + aggregate,
+    * not one job per set). */
+  private val q66 = QueryDef(
+    "q66_grouping_sets",
+    "explicit grouping sets (status,priority) / (status) / () over orders",
+    Some(s"""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n_orders,
+             ${det.dsumSql("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY status, priority"""),
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), det.dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("status", "priority"))
+
+  def defs: Seq[QueryDef] =
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -55,6 +55,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact-dedup on event_id with bounded state: the watermark
+    * lets Spark evict seen-keys older than the horizon, so state is
+    * O(events per hour), not O(all events ever) — the streaming twin of
+    * q21's hash-dedup and the standard shape for at-least-once ingestion
+    * (replayed events inside the horizon are dropped exactly). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming session windows via the built-in session_window generator
     * (30-min gap) — the streaming twin of q20's island method. */
   def sessionCounts(events: DataFrame): DataFrame =

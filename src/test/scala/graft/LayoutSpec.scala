@@ -70,6 +70,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(fromText == fromParquet)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // One hot key large enough to trip the (lowered) skew thresholds:
+    // AQE must split that shuffle partition instead of letting one task
+    // drag the stage — the runtime answer to key skew at 100 TB.
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    try {
+      val hot = spark.range(60000).select(lit(7L).as("k"), $"id".as("payload"))
+        .union(spark.range(3000).select(($"id" % 97).as("k"), $"id".as("payload")))
+      val dim = spark.range(100).select($"id".as("k"), ($"id" * 2).as("attr"))
+      val joined = hot.join(dim, "k")
+      // collect() drives joined's OWN QueryExecution (count() would spawn
+      // a fresh one and leave this AQE plan unfinalized)
+      assert(joined.collect().length == 63000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("graft_dot is SQL-callable once registered") {
     // The extensions object applies cleanly (build-time path)...
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)

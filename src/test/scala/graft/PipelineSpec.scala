@@ -84,6 +84,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(chain.head > 0)
   }
 
+  test("q65 LSH neighbors are a subset of brute-force candidates with rn<=3") {
+    val rows = run("q65_ann_hyperplane_lsh").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 3)
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+    }
+    // per query, rn is contiguous from 1 and sims are non-increasing
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq == (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("q66 grouping sets: detail rows sum to subtotals and grand total") {
+    val rows = run("q66_grouping_sets").collect()
+    def n(st: String, pr: String) = rows.collectFirst {
+      case r if r.getAs[String]("status") == st && r.getAs[String]("priority") == pr =>
+        r.getAs[Long]("n_orders")
+    }.get
+    val statuses = rows.map(_.getAs[String]("status")).distinct.filter(_ != "ALL")
+    statuses.foreach { st =>
+      val detail = rows.filter(r => r.getAs[String]("status") == st
+        && r.getAs[String]("priority") != "ALL").map(_.getAs[Long]("n_orders")).sum
+      assert(detail == n(st, "ALL"), s"subtotal mismatch for $st")
+    }
+    assert(statuses.map(st => n(st, "ALL")).sum == n("ALL", "ALL"))
+  }
+
   test("q64 quality funnel stages are monotone non-increasing per lang") {
     run("q64_quality_filter_funnel").collect().foreach { r =>
       val chain = Seq(r.getAs[Long]("n_docs"), r.getAs[Long]("pass_len"),

@@ -60,6 +60,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    val stream = MemoryStream[Event]
+    val q = EventStream.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      // replay two events from batch1 alongside genuinely new ones
+      stream.addData(Seq(batch1(0), batch1(2)) ++ batch2); q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == (1L to 6L), s"duplicates not dropped: $ids")
+    } finally q.stop()
+  }
+
   test("streaming session windows close 30-min-gapped sessions") {
     val stream = MemoryStream[Event]
     val q = EventStream.sessionCounts(stream.toDF())
