@@ -227,10 +227,13 @@ object Pipeline {
       val uni = docs.select(explode(t).as("w"))
       val ca = uni.groupBy("w").agg(count(lit(1)).as("c"))
       val nu = uni.agg(count(lit(1)).as("nu"))
-      val bi = docs
-        .select(explode(when(size(t) >= 2,
-          transform(sequence(lit(1), size(t) - 1),
-            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      // token array materialized as an attribute first — an inline
+      // split() would re-run per lambda element (see text.shingles)
+      val tt = col("t")
+      val bi = docs.select(t.as("t"))
+        .select(explode(when(size(tt) >= 2,
+          transform(sequence(lit(1), size(tt) - 1),
+            i => struct(element_at(tt, i).as("w1"), element_at(tt, i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val cab = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
