@@ -125,5 +125,63 @@ object MoreFunctions {
           col("m.p").as("top_price"), col("m.k").as("top_orderkey"))
         .orderBy("o_orderpriority"))
 
-  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55)
+  /** Date/time function breadth: month arithmetic (both engines clamp
+    * month-ends identically — verified 1999-01-31 + 1 month = Feb 28),
+    * last_day, day-diffs, quarter, ISO day-of-week (Spark weekday() is
+    * 0=Monday, DuckDB isodow is 1=Monday — offset by one). Pure per-row
+    * projections; no shuffle except the final order. */
+  private val q67 = QueryDef(
+    "q67_date_arithmetic",
+    "calendar arithmetic per order: +3 months, month end, day diffs, quarter, ISO dow",
+    Some("""
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER)
+               AS days_to_1998,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow
+      FROM orders WHERE o_orderkey < 200
+      ORDER BY o_orderkey"""),
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"),
+          datediff(lit(java.sql.Date.valueOf("1998-01-01")),
+            col("o_orderdate").cast("date")).as("days_to_1998"),
+          quarter(col("o_orderdate")).as("qtr"),
+          (weekday(col("o_orderdate")) + 1).as("iso_dow"))
+        .orderBy("o_orderkey"))
+
+  /** String function breadth: split_part / pad / translate / reverse /
+    * instr-strpos / repeat — all 1-based, same not-found and multi-char
+    * semantics in both engines. */
+  private val q68 = QueryDef(
+    "q68_string_functions",
+    "string-function kitchen over parts: split/pad/translate/reverse/find/repeat",
+    Some("""
+      SELECT p_partkey, split_part(p_type, ' ', 1) AS type_head,
+             lpad(p_brand, 12, '*') AS brand_pad,
+             translate(lower(p_name), 'aeiou', '01234') AS name_tr,
+             reverse(left(p_name, 5)) AS name_rev5,
+             CAST(strpos(p_type, 'BRASS') AS INTEGER) AS brass_at,
+             repeat(right(p_brand, 2), 2) AS brand_echo
+      FROM part WHERE p_partkey < 200
+      ORDER BY p_partkey"""),
+    (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          translate(lower(col("p_name")), "aeiou", "01234").as("name_tr"),
+          reverse(substring(col("p_name"), 1, 5)).as("name_rev5"),
+          instr(col("p_type"), "BRASS").as("brass_at"),
+          repeat(substring(col("p_brand"), -2, 2), 2).as("brand_echo"))
+        .orderBy("p_partkey"))
+
+  def defs: Seq[QueryDef] = Seq(q51, q52, q53, q54, q55, q67, q68)
 }

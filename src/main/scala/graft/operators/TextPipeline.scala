@@ -150,9 +150,12 @@ object TextPipeline {
         FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents))
       ORDER BY doc_id"""),
     (s, dir) => {
-      val t = split(col("text"), " ")
+      // token array materialized once per row (see text.shingles)
+      val t = col("t")
       val stops = array(lit("the"), lit("a"))
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(t).cast("long").as("n_tokens"),
           round((col("n_chars") - (size(t) - 1)).cast("double") / size(t), 4)
@@ -182,8 +185,10 @@ object TextPipeline {
       GROUP BY lang
       ORDER BY lang"""),
     (s, dir) => {
-      val t = split(col("text"), " ")
+      // token array materialized once per row (see text.shingles)
+      val t = col("t")
       Tables.documents(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("t"))
         .select(col("lang"),
           size(t).cast("long").as("ws_tokens"),
           aggregate(

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gate: the properties that make these queries
+  * scale — pushdown reaching the parquet scan, pruned read schemas,
+  * broadcast star joins, map-side partial aggregation, range-partitioned
+  * global sort, rank-limit pushdown, top-k without a global sort — are
+  * asserted on the actual plans, so a regression in plan shape fails CI
+  * even while results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: ship-date filter and column pruning reach the parquet scan; agg is partial+final") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"), "expected map-side combine (partial aggregation)")
+    assert(!p.contains("l_orderkey"), "q01 must not read join keys it doesn't use")
+  }
+
+  test("q03: every dimension join in the star is broadcast, fact scan reads 3 columns") {
+    val p = plan("q03_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "customer/orders-side dims should broadcast")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+    assert(!p.contains("SortMergeJoin"), "no SMJ expected in the dim star")
+  }
+
+  test("q04: rank<=k is pushed into WindowGroupLimit (no full per-group sort)") {
+    val p = plan("q04_topk_orders_per_customer")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"))
+  }
+
+  test("q13: global sort is a range-partitioned exchange (terasort shape)") {
+    val p = plan("q13_global_sort_events")
+    assert(p.contains("rangepartitioning(ts_us"))
+  }
+
+  test("q34: top-k pairs use TakeOrderedAndProject, not a global sort") {
+    val p = plan("q34_embedding_pair_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("rangepartitioning"), "limit after order must not global-sort")
+  }
+
+  test("events scan reads ns timestamps as bigint (nanosAsLong contract)") {
+    val p = plan("q13_global_sort_events")
+    assert(p.contains("ts:bigint"), "events.ts must surface as int64 nanos")
+  }
+
+  test("q65: bucket self-join is broadcast (bucket assignment shuffles nothing)") {
+    val p = plan("q65_ann_hyperplane_lsh")
+    // bucket = pure per-row projection; the query side broadcasts, so the
+    // candidate join needs no hash-partitioning exchange at all
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("hashpartitioning(bucket"),
+      "bucket join must not shuffle on bucket")
+    assert(p.contains("WindowGroupLimit"), "per-query top-3 should rank-limit early")
+  }
+}
