@@ -86,6 +86,32 @@ object Multimodal {
     }
   }
 
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame extraction: a "video" payload is split into fixed-size
+    * frame chunks (a real implementation seeks keyframes via the codec;
+    * the 1→N row shape, ordering, and typing are identical). */
+  def frameChunks(payload: Array[Byte], frameBytes: Int): Seq[Array[Byte]] =
+    payload.grouped(frameBytes).toSeq
+
+  /** Frame sampling: every k-th frame of each video payload, as typed
+    * 1→N rows (flatMap through mapPartitions — per-partition codec init,
+    * rows stream out without buffering a whole video's frames). At
+    * 100 TB, videos are the fat rows; sampling happens before any
+    * shuffle so only sampled frames move. */
+  def sampleFrames(records: Dataset[MediaRecord], everyK: Int = 4,
+      frameBytes: Int = 16): Dataset[VideoFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder context would init here
+      it.flatMap { r =>
+        frameChunks(r.payload, frameBytes).zipWithIndex.collect {
+          case (chunk, idx) if idx % everyK == 0 => VideoFrame(r.doc_id, idx, chunk)
+        }
+      }
+    }
+  }
+
   /** Fixture adapter: treat document text bytes as payloads (the fixtures
     * ship no media table), typed end-to-end. */
   def documentPayloads(s: SparkSession, dir: String): Dataset[MediaRecord] = {

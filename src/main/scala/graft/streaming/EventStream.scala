@@ -12,6 +12,13 @@ final case class Event(event_id: Long, ts_us: Long, user_id: Long,
 /** Per-user running aggregate emitted by the stateful stream. */
 final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Open-session state carried between triggers by the session tracker. */
+final case class SessionState(start_us: Long, last_us: Long, n_events: Long)
+
+/** A closed session emitted once its idle gap expires. */
+final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long)
+
 /** Structured Streaming surface (SURVEY.md §2.8): the same event-time
   * semantics as the batch EventTime operators, expressed on unbounded
   * input. The driver harness is batch-only, so these are exercised by
@@ -52,6 +59,57 @@ object EventStream {
           val next = UserRunning(userId, n, sv)
           state.update(next)
           next
+      }
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState: sessions close on
+    * a 30-minute idle gap OR explicitly on a "signup" event — per-key
+    * logic session_window can't express. State is one SessionState per
+    * open session; processing-time timeout flushes idle users, so state
+    * is bounded by concurrently-active users. Emits 0..N closed sessions
+    * per key per trigger (the flatMap part). */
+  def trackedSessions(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start_us, s.last_us, s.n_events))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.last_us > gapUs =>
+                  closed += ClosedSession(userId, s.start_us, s.last_us, s.n_events)
+                  open = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case Some(s) =>
+                  open = Some(SessionState(s.start_us, e.ts_us, s.n_events + 1))
+                case None =>
+                  open = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+              // domain rule session_window can't express: signup ends the
+              // session immediately
+              if (e.event_type == "signup") {
+                open.foreach(s =>
+                  closed += ClosedSession(userId, s.start_us, s.last_us, s.n_events))
+                open = None
+              }
+            }
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutDuration("30 minutes")
+              case None => if (state.exists) state.remove()
+            }
+            closed.result().iterator
+          }
       }
   }
 

@@ -37,6 +37,21 @@ class MultimodalSpec extends AnyFunSuite {
     thumbs.foreach(t => assert(t.thumb.length <= 16))
   }
 
+  test("frame sampling keeps every k-th frame with its index, 1->N typed rows") {
+    val payload = (0 until 100).map(_.toByte).toArray // 7 frames of 16B (last short)
+    val chunks = Multimodal.frameChunks(payload, 16)
+    assert(chunks.length == 7 && chunks.last.length == 4)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.documentPayloads(spark, sf), everyK = 4, frameBytes = 16).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_idx % 4 == 0)
+      assert(f.frame.length <= 16 && f.frame.nonEmpty)
+    }
+    // every doc contributes its frame 0
+    assert(frames.count(_.frame_idx == 0) == 500)
+  }
+
   test("fixture documents flow through the typed pipeline") {
     val feats = Multimodal.extractFeatures(
       Multimodal.documentPayloads(spark, sf)).collect()

@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState closes sessions on gap and on signup") {
+    val stream = MemoryStream[Event]
+    val q = EventStream.trackedSessions(stream.toDS())
+      .writeStream.format("memory").queryName("tracked")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 30: two events 5 min apart, then a 40-min gap (closes #1),
+      // then an event followed by signup (signup closes #2 immediately)
+      stream.addData(Seq(
+        Event(10, us(4, 1, 0), 30, "click", 1.0),
+        Event(11, us(4, 1, 5), 30, "view", 1.0),
+        Event(12, us(4, 1, 50), 30, "click", 1.0),
+        Event(13, us(4, 1, 55), 30, "signup", 1.0)))
+      // processAllAvailable never quiesces under ProcessingTimeTimeout
+      // (timeout-only batches keep the engine busy) — poll the sink
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table("tracked").count() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val got = spark.table("tracked").orderBy("start_us").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
+      assert(got == Seq((30L, 2L), (30L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows close 30-min-gapped sessions") {
     val stream = MemoryStream[Event]
     val q = EventStream.sessionCounts(stream.toDF())
