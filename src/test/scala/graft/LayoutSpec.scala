@@ -99,6 +99,32 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("M8 counters: observe() collects job metrics in the same pass") {
+    val obs = new org.apache.spark.sql.Observation("m8")
+    val e = Tables.events(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when($"event_type" === "purchase", 1).otherwise(0)).as("n_purchases"))
+      .filter($"value" >= 0)
+    val total = e.count() // one job; counters ride along, no second scan
+    val m = obs.get
+    assert(m("n_rows") == 1000L)
+    assert(m("n_purchases").asInstanceOf[Long] ==
+      Tables.events(spark, sf).filter($"event_type" === "purchase").count())
+    assert(total <= 1000)
+  }
+
+  test("M5 sort guarantee: sortWithinPartitions orders within, not across") {
+    val df = Tables.events(spark, sf)
+      .repartition(4, $"user_id")
+      .sortWithinPartitions($"ts_us")
+    assert(df.rdd.getNumPartitions == 4)
+    val perPartSorted = df.select($"ts_us").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect()
+    perPartSorted.foreach(p => assert(p == p.sorted, "each partition must be sorted"))
+    assert(perPartSorted.count(_.nonEmpty) > 1, "expected multiple non-empty partitions")
+  }
+
   test("graft_dot is SQL-callable once registered") {
     // The extensions object applies cleanly (build-time path)...
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
