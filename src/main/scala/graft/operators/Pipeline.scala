@@ -556,6 +556,80 @@ object Pipeline {
           col("n_orders"), col("sum_price"))
         .orderBy("status", "priority"))
 
+  // ---------------------------------------------------------------------
+  // q69 — forward as-of join (q10 is the backward direction)
+  // ---------------------------------------------------------------------
+
+  /** Forward as-of: the FIRST view strictly after each signup per user
+    * (activation tracking). Same equi-join + per-key rank shape as the
+    * backward as-of — at scale both sides hash-partition on user_id once
+    * and WindowGroupLimit keeps only the rank-1 row per signup before
+    * the final sort. */
+  private val q69 = QueryDef(
+    "q69_asof_forward_view_after_signup",
+    "forward as-of join: earliest view strictly after each signup per user",
+    Some("""
+      SELECT user_id, signup_id, view_id, v_us - s_us AS gap_us FROM (
+        SELECT s.user_id, s.event_id AS signup_id, v.event_id AS view_id,
+               epoch_us(s.ts) AS s_us, epoch_us(v.ts) AS v_us,
+               row_number() OVER (PARTITION BY s.event_id
+                 ORDER BY v.ts ASC NULLS LAST, v.event_id ASC NULLS LAST) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON v.user_id = s.user_id AND v.ts > s.ts)
+      WHERE rn = 1
+      ORDER BY user_id, signup_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("us").as("s_us"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
+          col("us").as("v_us"))
+      val w = Window.partitionBy(col("signup_id"))
+        .orderBy(col("v_us").asc_nulls_last, col("view_id").asc_nulls_last)
+      sg.join(v, col("user_id") === col("v_uid") && col("v_us") > col("s_us"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("signup_id"), col("view_id"),
+          (col("v_us") - col("s_us")).as("gap_us"))
+        .orderBy("user_id", "signup_id")
+    })
+
+  // ---------------------------------------------------------------------
+  // q70 — equi-depth histogram (q16 is the equi-width one)
+  // ---------------------------------------------------------------------
+
+  /** Equi-depth deciles of event value via ntile over a tie-broken total
+    * order: every bucket holds (almost) the same row count and the
+    * boundaries fall where the data is dense — the histogram an
+    * optimizer actually wants. One global sort (range partitioning at
+    * scale) + one aggregation. */
+  private val q70 = QueryDef(
+    "q70_equidepth_histogram",
+    "equi-depth value deciles: count and value bounds per ntile(10) bucket",
+    Some("""
+      SELECT decile, COUNT(*) AS n,
+             ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+      FROM (SELECT CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT) AS decile,
+                   value
+            FROM events)
+      GROUP BY decile
+      ORDER BY decile"""),
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("value"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(col("value"), col("event_id"))).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy("decile"))
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70)
 }
