@@ -311,41 +311,37 @@ object Dedup {
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       // Seed with the one-hop neighbor minimum (what the first loop
       // iteration would compute) — near-dup clusters are shallow, so
-      // this usually leaves only the confirmation pass.
+      // the seed is usually already the fixpoint.
       var labels = edges.groupBy(col("doc_a").as("node"))
         .agg(min(col("doc_b")).as("mb"))
         .select(col("node"), least(col("node"), col("mb")).as("lbl"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Convergence check: labels only ever decrease, so the label sum
-      // is strictly monotone until fixpoint — one cheap aggregate per
-      // round instead of a join-and-diff (also ~half the per-iteration
-      // codegen, which dominates a cold run). coalesce guards the
-      // empty-graph case (no near-dup pairs at some scale).
-      def lblSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-      // The one-hop seed is usually already the fixpoint (near-dup
-      // clusters are near-cliques; measured diameter <= 2 at sf0.1), so
-      // the loop typically runs a single confirmation pass. Per-
-      // iteration whole-stage codegen was measured cost-neutral at this
-      // iteration count, so no config toggling — the loop runs with
-      // whatever the session has.
-      var prevSum = lblSum(labels)
+      // One Spark action per iteration: the propagation carries a
+      // `changed` flag and the convergence test aggregates it in the
+      // same pass (no separate seed-sum action, and the final iteration
+      // IS the confirmation — labels only ever decrease, so changed=0
+      // means fixpoint). coalesce guards the empty-graph case.
       var converged = false
       var iter = 0
+      // the DataFrame actually holding the previous iteration's cache
+      // (labels itself may be a projection over it)
+      var prevCached: DataFrame = labels
       while (!converged && iter < 20) {
         val neighborMin = edges
           .join(labels.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
           .groupBy(col("doc_b").as("node"))
           .agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        val stepped = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), col("lbl"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nextSum = lblSum(next)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
+        val nChanged = stepped
+          .agg(coalesce(sum(when(col("nxt") < col("lbl"), 1L).otherwise(0L)), lit(0L)))
+          .head().getLong(0)
+        prevCached.unpersist()
+        prevCached = stepped
+        labels = stepped.select(col("node"), col("nxt").as("lbl"))
+        converged = nChanged == 0
         iter += 1
       }
       // labels is materialized at the fixpoint (each lblSum forces a full

@@ -606,8 +606,11 @@ object Pipeline {
   /** Equi-depth deciles of event value via ntile over a tie-broken total
     * order: every bucket holds (almost) the same row count and the
     * boundaries fall where the data is dense — the histogram an
-    * optimizer actually wants. One global sort (range partitioning at
-    * scale) + one aggregation. */
+    * optimizer actually wants. NOTE the unpartitioned window funnels all
+    * rows through one task — exact ntile semantics require a global
+    * order. At 100 TB you trade exactness: approx_percentile boundaries
+    * (one pass, mergeable sketches) then bucket by range comparison;
+    * this query is the exact small/medium-cardinality form. */
   private val q70 = QueryDef(
     "q70_equidepth_histogram",
     "equi-depth value deciles: count and value bounds per ntile(10) bucket",
