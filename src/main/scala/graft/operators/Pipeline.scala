@@ -633,6 +633,49 @@ object Pipeline {
           round(max(col("value")), 4).as("hi"))
         .orderBy("decile"))
 
+  // ---------------------------------------------------------------------
+  // q71 — correlated subqueries (EXISTS / NOT EXISTS / scalar)
+  // ---------------------------------------------------------------------
+
+  /** The subquery surface q05/q06 express as explicit joins, written AS
+    * subqueries: Catalyst decorrelates EXISTS into a left-semi join,
+    * NOT EXISTS into a left-anti join, and the correlated scalar COUNT
+    * into a left-outer aggregate join — one shuffle each, no per-row
+    * re-execution (PlanSpec asserts the decorrelated shapes). Counts
+    * are integers, so parity is exact. */
+  private val q71 = QueryDef(
+    "q71_correlated_subqueries",
+    "EXISTS / NOT EXISTS / correlated scalar COUNT over customers",
+    Some("""
+      SELECT c_custkey, c_name,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM events e
+                        WHERE e.user_id = c.c_custkey
+                          AND e.event_type = 'error')
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g71_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("g71_orders")
+      Tables.events(s, dir).createOrReplaceTempView("g71_events")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT COUNT(*) FROM g71_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM g71_customer c
+        WHERE EXISTS (SELECT 1 FROM g71_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM g71_events e
+                          WHERE e.user_id = c.c_custkey
+                            AND e.event_type = 'error')
+        ORDER BY c_custkey""")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71)
 }

@@ -54,6 +54,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ts:bigint"), "events.ts must surface as int64 nanos")
   }
 
+  test("q71: subqueries decorrelate to semi/anti/outer joins, no per-row re-execution") {
+    val p = plan("q71_correlated_subqueries")
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a left-semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must decorrelate to a left-anti join")
+    assert(p.contains("LeftOuter"), "scalar COUNT must decorrelate to an outer agg join")
+  }
+
   test("q65: bucket self-join is broadcast (bucket assignment shuffles nothing)") {
     val p = plan("q65_ann_hyperplane_lsh")
     // bucket = pure per-row projection; the query side broadcasts, so the
