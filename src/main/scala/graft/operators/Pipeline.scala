@@ -676,6 +676,71 @@ object Pipeline {
         ORDER BY c_custkey""")
     })
 
+  // ---------------------------------------------------------------------
+  // q72 — multi-probe hyperplane LSH (the recall dial on q65)
+  // ---------------------------------------------------------------------
+
+  /** Multi-probe ANN: each query probes its own bucket PLUS the 6
+    * one-bit-flip neighbors — the standard recall/cost dial (7× the
+    * candidates of q65's single probe without adding hash tables).
+    * Probe buckets are distinct values, so a candidate matches at most
+    * one probe and no pair dedup is needed. Same broadcast join shape:
+    * the exploded query side (10×7 rows) broadcasts. */
+  private val q72 = QueryDef(
+    "q72_ann_multiprobe_lsh",
+    "multi-probe hyperplane LSH: top-3 neighbors probing bucket + 1-bit flips",
+    Some {
+      val bucketExpr = (col: String) => hyperplanes.zipWithIndex.map { case (w, j) =>
+        val lst = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $col[i]::DOUBLE * ($lst)[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val flips = (0 until 6).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+      s"""
+      WITH b AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id, embedding,
+                   unnest([bucket, $flips]) AS probe
+            FROM b WHERE vec_id < 10)
+      SELECT query_id, rn, neighbor_id, sim FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) AS sim,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                      i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) DESC,
+                      e.vec_id) AS BIGINT) AS rn
+        FROM q JOIN b e ON q.probe = e.bucket AND q.vec_id != e.vec_id)
+      WHERE rn <= 3
+      ORDER BY query_id, rn"""
+    },
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
+        when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val b = e.withColumn("bucket", bucket)
+      val probes = array(col("bucket") +:
+        (0 until 6).map(j => col("bucket").bitwiseXOR(1 << j)): _*)
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(probes).as("probe"))
+      val cand = broadcast(q)
+        .join(b.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("bucket").as("probe")), Seq("probe"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")), 4).as("sim"))
+      cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id")))
+          .cast("long"))
+        .filter(col("rn") <= 3)
+        .select("query_id", "rn", "neighbor_id", "sim")
+        .orderBy("query_id", "rn")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72)
 }

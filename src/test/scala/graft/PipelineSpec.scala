@@ -100,6 +100,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q72 multi-probe dominates single-probe LSH per query (recall dial)") {
+    def best(name: String): Map[Long, Double] =
+      run(name).collect()
+        .filter(_.getAs[Long]("rn") == 1L)
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim")).toMap
+    val single = best("q65_ann_hyperplane_lsh")
+    val multi = best("q72_ann_multiprobe_lsh")
+    // every query answered by single-probe is answered at least as well
+    single.foreach { case (q, s) =>
+      assert(multi.contains(q), s"multi-probe lost query $q")
+      assert(multi(q) >= s, s"multi-probe worse for query $q: ${multi(q)} < $s")
+    }
+    assert(multi.size >= single.size)
+  }
+
   test("q66 grouping sets: detail rows sum to subtotals and grand total") {
     val rows = run("q66_grouping_sets").collect()
     def n(st: String, pr: String) = rows.collectFirst {
