@@ -15,7 +15,13 @@ class DeterminismSpec extends AnyFunSuite {
     "q20_session_windows",     // window over possibly-tied ts
     "q22_neardup_jaccard",     // join + agg ordering
     "q23_neardup_minhash_lsh", // hash candidates
-    "q31_cosine_topk")         // float ranking ties
+    "q31_cosine_topk",         // float ranking ties
+    "q45_neardup_components",  // iterative fixpoint loop
+    "q56_hll_distinct_sketch", // hash-bucketed registers + float estimate
+    "q59_bigram_pmi",          // rounded-PMI ordering ties
+    "q65_ann_hyperplane_lsh",  // sign-of-float-sum bucketing
+    "q70_equidepth_histogram", // global ntile over ties
+    "q72_ann_multiprobe_lsh")  // multi-bucket candidate union
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
