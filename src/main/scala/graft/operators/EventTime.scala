@@ -105,5 +105,48 @@ object EventTime {
         .orderBy("user_id", "session_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q18, q19, q20)
+  /** Sliding-window time-series similarity (PAPERS.md EDBT'19 theme):
+    * squared Euclidean distance between every 8-step window of the
+    * global event value series and a fixed query pattern [1..8] — the
+    * subsequence-matching primitive behind matrix-profile/DTW pipelines
+    * (this is the exact, unnormalized form). The 8-term distance sum is
+    * written left-associated to match DuckDB's list_sum fold order, so
+    * parity needs only the final 4-dp round. NOTE the unpartitioned
+    * window is the exact small-series form — at 100 TB the series is
+    * chunked by key/day with (k-1)-row overlap and windows stay local. */
+  private val q74 = QueryDef(
+    "q74_sliding_window_distance",
+    "top-20 closest 8-step sliding windows to pattern [1..8] (squared L2)",
+    Some("""
+      WITH s AS (
+        SELECT event_id, value,
+               list(value) OVER (ORDER BY epoch_us(ts), event_id
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w,
+               row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events)
+      SELECT event_id,
+             ROUND(list_sum(list_transform(generate_series(1, 8),
+               i -> (w[i] - i) * (w[i] - i))), 4) AS dist
+      FROM s WHERE rn >= 8
+      ORDER BY dist, event_id
+      LIMIT 20"""),
+    (s, dir) => {
+      val ord = Window.orderBy(col("ts_us"), col("event_id"))
+      val frame = ord.rowsBetween(-7, 0)
+      val withW = Tables.events(s, dir)
+        .select(col("event_id"), col("ts_us"), col("value"))
+        .withColumn("w", collect_list(col("value")).over(frame))
+        .withColumn("rn", row_number().over(ord))
+        .filter(col("rn") >= 8)
+      val dist = (1 to 8).map { i =>
+        val d = element_at(col("w"), i) - i
+        d * d
+      }.reduce(_ + _)
+      withW
+        .select(col("event_id"), round(dist, 4).as("dist"))
+        .orderBy(col("dist"), col("event_id"))
+        .limit(20)
+    })
+
+  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q74)
 }
