@@ -38,6 +38,17 @@ class SourcesSpec extends AnyFunSuite {
       src.orderBy("event_id").collect().toSeq)
   }
 
+  test("ORC round-trip preserves values and types (columnar alternative to parquet)") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir) // ORC embeds the schema like parquet
+    assert(back.schema == src.schema)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      src.orderBy("event_id").collect().toSeq)
+  }
+
   test("results are partition-count independent (4 vs 13 shuffle partitions)") {
     val names = Seq("q01_pricing_summary", "q22_neardup_jaccard",
       "q20_session_windows")
