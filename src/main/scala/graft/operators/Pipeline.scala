@@ -741,6 +741,57 @@ object Pipeline {
         .orderBy("query_id", "rn")
     })
 
+  // ---------------------------------------------------------------------
+  // q75 — per-source importance sampling (data mixing)
+  // ---------------------------------------------------------------------
+
+  /** Corpus mixing: each source gets a target sampling rate (the recipe
+    * that rebalances a web-heavy crawl toward curated sources) and the
+    * keep decision is the usual hash-of-key threshold — a pure per-row
+    * predicate, so the mix is reproducible on any cluster and any
+    * partitioning, and composable with the split (q57): a doc's split
+    * and its mix-keep never disagree between runs. Audit: achieved vs
+    * target rate per source. */
+  private val q75 = QueryDef(
+    "q75_importance_sampling_mix",
+    "per-source hash sampling at mixed rates (permille recipe) with rate audit",
+    Some(s"""
+      SELECT source,
+             CAST(rate_pm AS BIGINT) AS rate_pm,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             ROUND(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 4) AS achieved_rate
+      FROM (SELECT source,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000
+                        WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+                        ELSE 200 END AS rate_pm,
+                   ${hkeySql("mix:", "doc_id")} % 1000 <
+                     CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000
+                          WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+                          ELSE 200 END AS kept
+            FROM documents)
+      GROUP BY source, rate_pm
+      ORDER BY source"""),
+    (s, dir) => {
+      val ratePm = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1000)
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 500)
+        .otherwise(200)
+      Tables.documents(s, dir)
+        .select(col("source"), ratePm.as("rate_pm"),
+          (hkey("mix:", col("doc_id")) % 1000 < ratePm).as("kept"))
+        .groupBy("source", "rate_pm")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"),
+          round(sum(when(col("kept"), 1).otherwise(0)).cast("double")
+            / count(lit(1)).cast("double"), 4).as("achieved_rate"))
+        .select(col("source"), col("rate_pm").cast("long").as("rate_pm"),
+          col("n_docs"), col("n_kept"), col("achieved_rate"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72)
+    Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
+      q72, q75)
 }
