@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    // cheap-conjuncts-first join conditions (see the rule's scaladoc for
+    // the measured misplan motivating it)
+    e.injectOptimizerRule(_ => graft.plans.ReorderJoinPredicates)
   }
 }
 
