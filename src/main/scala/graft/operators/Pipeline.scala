@@ -791,7 +791,42 @@ object Pipeline {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q76 — weekly retention cohorts
+  // ---------------------------------------------------------------------
+
+  /** Cohort retention: users grouped by first-active ISO week, counted
+    * per week offset since — the activation/retention matrix every
+    * product-analytics stack computes. Two aggregations + one join, all
+    * hash-partitioned on user_id; week truncation is ISO-Monday in both
+    * engines, offsets are exact integer day-diffs DIV 7. */
+  private val q76 = QueryDef(
+    "q76_retention_cohorts",
+    "weekly cohort retention matrix: distinct users per (cohort week, offset)",
+    Some("""
+      WITH aw AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS DATE) AS week
+                  FROM events),
+      fw AS (SELECT user_id, MIN(week) AS cohort FROM aw GROUP BY user_id)
+      SELECT f.cohort, CAST(datediff('day', f.cohort, a.week) // 7 AS BIGINT) AS week_offset,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM aw a JOIN fw f USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    (s, dir) => {
+      val aw = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", timestamp_micros(col("ts_us"))).cast("date").as("week"))
+        .distinct()
+      val fw = aw.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      aw.join(fw, Seq("user_id"))
+        .groupBy(col("cohort"),
+          expr("datediff(week, cohort) DIV 7").cast("long").as("week_offset"))
+        .agg(count_distinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy("cohort", "week_offset")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75)
+      q72, q75, q76)
 }
