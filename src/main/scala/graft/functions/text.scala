@@ -37,6 +37,21 @@ object text {
       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
       |       FROM tok WHERE len(t) >= 3)""".stripMargin
 
+  /** DuckDB CTEs from [[shinglesCte]] through the exact-Jaccard-verified
+    * pair set (J >= 0.5), named `ver(doc_a, doc_b)` — the shared oracle
+    * prefix of the near-dup graph queries (components, PageRank). */
+  val verifiedPairsCte: String =
+    s"""$shinglesCte,
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |p0 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ver AS (
+      |  SELECT doc_a, doc_b
+      |  FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5)""".stripMargin
+
   /** 60-bit token hash both engines can compute identically: the first 15
     * hex digits of md5 interpreted as an integer. Used by SimHash so the
     * oracle can reproduce signatures bit-for-bit. */

@@ -61,6 +61,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shared near-dup graph prefix: the persisted distinct shingle set and
+    * the persisted exact-Jaccard-verified pair set (J >= 0.5). Used by
+    * the connected-components and PageRank queries; callers rely on the
+    * harness clearing caches between queries. Oracle twin:
+    * [[graft.functions.text.verifiedPairsCte]]. */
+  private[operators] def shinglesAndVerifiedPairs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = text.shingles(Tables.documents(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    // Persist the VERIFIED pair set (tiny), not anything derived from it
+    // per-query: a persist above the union/iteration would re-run the
+    // 1M+-row shingle-pair join once per consumer.
+    val pairs = jaccardFromInter(sh, inter).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (sh, pairs)
+  }
+
   /** Intersection sizes for candidate pairs only: the shingle join is
     * restricted to the candidate set before any pair row is produced. */
   private def interForCandidates(sh: DataFrame, pairs: DataFrame): DataFrame =
@@ -269,16 +291,7 @@ object Dedup {
     "q45_neardup_components",
     "connected components of the near-dup pair graph (canonical per cluster)",
     Some(s"""
-      WITH RECURSIVE ${text.shinglesCte},
-      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-      p0 AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      ver AS (
-        SELECT doc_a, doc_b
-        FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5),
+      WITH RECURSIVE ${text.verifiedPairsCte},
       edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
                 UNION ALL SELECT doc_b, doc_a FROM ver),
       nodes AS (SELECT DISTINCT s AS node FROM edges),
@@ -294,19 +307,7 @@ object Dedup {
         USING (component_id)
       ORDER BY doc_id"""),
     (s, dir) => {
-      val sh = text.shingles(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-      // Persist the VERIFIED pair set (tiny), not the edge union built
-      // from it: union branches are planned independently, so a persist
-      // on the union would still evaluate the 1M+-row shingle-pair join
-      // once per branch.
-      val pairs = jaccardFromInter(sh, inter).select("doc_a", "doc_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (sh, pairs) = shinglesAndVerifiedPairs(s, dir)
       val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       // Seed with the one-hop neighbor minimum (what the first loop

@@ -1,9 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.sources.Tables
 import graft.functions.text
 
 /** Graph analytics over the verified near-dup graph (GraphX theme from
@@ -37,16 +35,7 @@ object Graph {
            |        FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
       }.mkString(",\n")
       s"""
-      WITH ${text.shinglesCte},
-      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-      p0 AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      ver AS (
-        SELECT doc_a, doc_b
-        FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5),
+      WITH ${text.verifiedPairsCte},
       e AS (SELECT doc_a AS src, doc_b AS dst FROM ver
             UNION ALL SELECT doc_b, doc_a FROM ver),
       nodes AS (SELECT DISTINCT src AS node FROM e),
@@ -58,21 +47,7 @@ object Graph {
       ORDER BY doc_id"""
     },
     (s, dir) => {
-      val sh = text.shingles(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = inter
-        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-        .filter(round(col("inter").cast("double")
-          / (col("sz_a") + col("sz_b") - col("inter")), 4) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, pairs) = Dedup.shinglesAndVerifiedPairs(s, dir)
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val nodes = e.select(col("src").as("node")).distinct()
