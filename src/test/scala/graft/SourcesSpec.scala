@@ -49,6 +49,28 @@ class SourcesSpec extends AnyFunSuite {
       src.orderBy("event_id").collect().toSeq)
   }
 
+  test("PERMISSIVE JSON ingest isolates corrupt records instead of failing") {
+    val dir = Files.createTempDirectory("graft_dirty").toString
+    val lines = Seq(
+      """{"event_id": 1, "user_id": 10, "event_type": "click", "value": 1.5}""",
+      """{"event_id": 2, "user_id": 11, "event_type": "view"""", // truncated
+      """not json at all""",
+      """{"event_id": 3, "user_id": 12, "event_type": "purchase", "value": 9.0}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = evSchema.add(StructField("_corrupt_record", StringType))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-record column requires the full row to be materialized
+    assert(df.count() == 4)
+    assert(df.filter($"_corrupt_record".isNotNull).count() == 2)
+    val good = df.filter($"_corrupt_record".isNull)
+    assert(good.select(sum($"value")).head().getDouble(0) == 10.5)
+    df.unpersist()
+  }
+
   test("results are partition-count independent (4 vs 13 shuffle partitions)") {
     val names = Seq("q01_pricing_summary", "q22_neardup_jaccard",
       "q20_session_windows")
