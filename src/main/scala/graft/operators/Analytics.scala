@@ -98,5 +98,51 @@ object Analytics {
         .orderBy("o_custkey", "seq")
     })
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q40)
+  /** Ratio-to-total + positional window values: each nation's share of
+    * global revenue (the unpartitioned SUM OVER () goes through an exact
+    * DECIMAL accumulator — a float grand total would be summation-order-
+    * sensitive), plus rank / first_value / nth_value over an explicit
+    * full frame (the default frame with ORDER BY stops at CURRENT ROW,
+    * which would silently change nth_value). 25 input rows: the global
+    * window is dimension-sized, not fact-sized, at any scale. */
+  private val q77 = QueryDef(
+    "q77_revenue_share_window",
+    "nation revenue share of total + rank/first_value/nth_value analytics",
+    Some(s"""
+      WITH rev AS (
+        SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, revenue,
+             ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(30,10))) OVER () AS DOUBLE), 4)
+               AS share,
+             CAST(rank() OVER (ORDER BY revenue DESC, n_name) AS BIGINT) AS rev_rank,
+             first_value(n_name) OVER w AS top_nation,
+             nth_value(n_name, 2) OVER w AS runner_up
+      FROM rev
+      WINDOW w AS (ORDER BY revenue DESC, n_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY n_name"""),
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      val full = Window.orderBy(col("revenue").desc, col("n_name"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rev.select(col("n_name"), col("revenue"),
+          round(col("revenue") /
+            sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+              .over(Window.partitionBy()).cast("double"), 4).as("share"),
+          rank().over(Window.orderBy(col("revenue").desc, col("n_name"))).cast("long")
+            .as("rev_rank"),
+          first_value(col("n_name")).over(full).as("top_nation"),
+          nth_value(col("n_name"), 2).over(full).as("runner_up"))
+        .orderBy("n_name")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77)
 }
