@@ -15,6 +15,11 @@ run / fork := true
 // prefix: the bench/verify drivers parse raw JSON lines from stdout
 // (round-1 BENCH json shows parsed:null because of the prefix).
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt must not append "[success] Total time: ..." AFTER the JSON
+// line either (it defeated the driver's line-oriented parse in rounds
+// 1-2 even with StdoutOutput): drop the success epilogue entirely so the
+// bench JSON is the final stdout line of `sbt runMain graft.Bench`.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

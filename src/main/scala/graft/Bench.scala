@@ -35,23 +35,47 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // Per-query time is execution only: the timestamp is taken before
+      // the clearCache teardown, so cache-heavy queries aren't charged
+      // their cache-drop cost.
+      var t1 = t0
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { fn(spark, sfDir).count(); t1 = System.nanoTime(); true }
         catch { case e: Throwable =>
+          t1 = System.nanoTime()
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
         finally spark.catalog.clearCache() // query fns are pure; drop their caches
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, (t1 - t0) / 1e9, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // 1-minute system load average at end of run: totals on this box swing
+    // 3x with container load (BASELINE.md), so the artifact carries its
+    // own load context instead of leaving contaminated runs ambiguous.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // A crashing query must not masquerade as a fast one: failures are
     // listed explicitly in the emitted JSON (empty list = all ran).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"loadavg":$loadAvg,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: the JSON goes (a) to two
+    // known file paths, (b) to stderr, and (c) to stdout as the FINAL
+    // line (build.sbt suppresses sbt's trailing "[success]" epilogue,
+    // which defeated line-oriented parsing in rounds 1-2).
+    for (p <- Seq("bench_out.json", "/tmp/graft_bench.json")) {
+      try {
+        val w = new java.io.PrintWriter(p, "UTF-8")
+        try w.println(json) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
+    System.err.println(json)
+    println(json)
+    System.out.flush()
   }
 }
