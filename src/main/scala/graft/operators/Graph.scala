@@ -19,10 +19,16 @@ import graft.functions.text
   */
 object Graph {
 
-  /** 10 fixed iterations; no convergence actions — the whole iteration
-    * chain is ONE lazy plan (each step: one join + one aggregate), so
-    * Spark executes a single 10-step job. At 100 TB the edge table is
-    * hash-partitioned once and every step reuses that partitioning. */
+  /** 10 fixed iterations. The rank table is localCheckpoint'ed every 3
+    * iterations: round 2 showed that leaving all 10 join+agg steps as
+    * ONE lazy plan makes Catalyst analyze/optimize a 10-deep tree whose
+    * cost dwarfs the (tiny) data — 10 s at sf0.1 for a 47-node graph.
+    * Truncating lineage keeps each optimized plan 3 steps deep; the
+    * arithmetic is exact integer, so materialization points cannot
+    * change results. At 100 TB the edge table is hash-partitioned once,
+    * every step reuses that partitioning, and the checkpoint (cluster
+    * `checkpoint()` there, not local) bounds both plan depth and the
+    * recovery-lineage length — the standard iterative-graph discipline. */
   private val q73 = QueryDef(
     "q73_pagerank_neardup_graph",
     "10-iteration fixed-point integer PageRank over the near-dup pair graph",
@@ -47,13 +53,13 @@ object Graph {
       ORDER BY doc_id"""
     },
     (s, dir) => {
-      val (_, pairs) = Dedup.shinglesAndVerifiedPairs(s, dir)
+      val pairs = Dedup.verifiedPairs(s, dir)
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val nodes = e.select(col("src").as("node")).distinct()
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       var rank = nodes.select(col("node"), lit(1000000L).as("rank"))
-      for (_ <- 1 to 10) {
+      for (i <- 1 to 10) {
         val share = rank.join(deg, Seq("node"))
           .select(col("node").as("src"), expr("rank DIV deg").as("share"))
         val contrib = e.join(share, Seq("src"))
@@ -62,6 +68,7 @@ object Graph {
         rank = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(150000L) + expr("COALESCE(s, 0L) * 85 DIV 100")).as("rank"))
+        if (i % 3 == 0 && i < 10) rank = rank.localCheckpoint()
       }
       rank.join(deg, Seq("node"))
         .select(col("node").as("doc_id"), col("rank").as("pr_rank"),
