@@ -188,9 +188,16 @@ object Dedup {
 
   /** SimHash near-dup: 60-bit signatures from md5-derived token hashes
     * (so the oracle reproduces them exactly), pairs at Hamming distance
-    * <= 6. Signature build is one groupBy; the pair scan is the naive
-    * O(n²) check — at 100 TB you'd bucket by signature bytes (pigeonhole:
-    * distance <= 6 over 7+ chunks guarantees one exact-match chunk). */
+    * <= 6. Signature build is one groupBy, materialized per dataset;
+    * the pair search is PIGEONHOLE-BUCKETED, not the naive O(n²) scan:
+    * split the 60 bits into 7 disjoint chunks — two signatures within
+    * Hamming distance 6 differ in at most 6 chunks, so at least one
+    * chunk matches EXACTLY. Candidates = pairs colliding on (chunk
+    * index, chunk value); the exact Hamming check then touches only
+    * candidates. Collisions on a 9-bit chunk are ~n²/2^9 per position —
+    * sub-quadratic for any corpus whose signatures spread, and the
+    * recall is exactly 100% (pigeonhole is a proof, not a heuristic),
+    * so the result equals the brute-force scan row-for-row. */
   private val q24 = QueryDef(
     "q24_neardup_simhash",
     "SimHash(60-bit) near-dup pairs at Hamming distance <= 6",
@@ -213,22 +220,39 @@ object Dedup {
       ORDER BY doc_a, doc_b"""
     },
     (s, dir) => {
-      // SimHashSketch (one 60-long buffer) instead of 60 generated
-      // sum(case...) aggregates — same JIT-bomb avoidance as q23.
-      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      val tf = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .withColumn("h", text.md5Hash60(col("word")))
-      val sig = tf.groupBy("doc_id")
-        .agg(graft.functions.SimHashSketch.simhash(col("h"), col("tf"), 60).as("simhash"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
+      // The signature table feeds 3 plan subtrees (chunk explosion +
+      // both verify sides); materialize it per dataset like the shingle
+      // set so each is a tiny parquet scan.
+      val sig = graft.sources.MaterializedViews.cached(s, dir, "simhash_sig60") {
+        // SimHashSketch (one 60-long buffer) instead of 60 generated
+        // sum(case...) aggregates — same JIT-bomb avoidance as q23.
+        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+          .withColumn("h", text.md5Hash60(col("word")))
+          .groupBy("doc_id")
+          .agg(graft.functions.SimHashSketch.simhash(col("h"), col("tf"), 60).as("simhash"))
+      }
+      // Pigeonhole candidates: 7 chunks of 9 bits (the 7th holds the top
+      // 6) — shiftright leaves <= 9 bits for every k, so one &511 mask
+      // serves all chunk positions. Signatures ride along through the
+      // bucket join, so the Hamming check runs PIPELINED on candidate
+      // rows (no candidate-set shuffle, no signature back-joins) and
+      // only the tiny survivor set pays a distinct — a pair matching in
+      // several chunks yields duplicate rows with identical hamming.
+      val chunked = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(6))).as("k"))
+        .withColumn("chunk", expr("shiftright(simhash, k * 9) & 511"))
+      chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+          col("k"), col("chunk"))
+        .join(chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+          col("k"), col("chunk")), Seq("k", "chunk"))
+        .filter(col("doc_a") < col("doc_b"))
         .withColumn("hamming",
           bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
         .filter(col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming").distinct()
         .orderBy("doc_a", "doc_b")
     })
 
