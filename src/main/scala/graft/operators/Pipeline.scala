@@ -826,7 +826,69 @@ object Pipeline {
         .orderBy("cohort", "week_offset")
     })
 
+  // ---------------------------------------------------------------------
+  // q78 — LSH-pruned embedding pair top-k (the scale form of q34)
+  // ---------------------------------------------------------------------
+
+  /** Embedding-cosine near-dup at scale: prune the O(n²) pair space with
+    * the q65 hyperplane buckets BEFORE the exact ranking — candidates
+    * are pairs whose 6-bit bucket signatures differ in at most 1 bit
+    * (multi-probe via 1-bit flips on one side, so each qualifying pair
+    * collides on exactly one probe and needs no dedup). The exact
+    * rounded dot + TakeOrdered top-20 then runs on ~1/9 of the pairs
+    * (64 buckets, 7 probes), through an EQUI-join — no nested-loop pair
+    * scan anywhere in the plan (spec-asserted). The oracle replicates
+    * the pruning bit-for-bit, so correctness is exact; RECALL vs the
+    * unpruned q34 is the standard sign-LSH curve: P[bits agree] =
+    * 1 - θ/π per bit. True near-dups (cosine → 1) survive with margin;
+    * this fixture's closest pair is only cosine 0.60 (θ ≈ 53°, ~30%
+    * flip probability per bit), so the overlap with q34's exact top-20
+    * is partial BY THE FIXTURE'S GEOMETRY, not by a plan defect — on a
+    * corpus with planted duplicates the same plan converges to q34.
+    * At 100 TB: more bucket bits, bucket = partition key, probes =
+    * partition-pruned scans — same plan shape as q72. */
+  private val q78 = QueryDef(
+    "q78_embedding_pair_topk_lsh",
+    "top-20 most similar embedding pairs via hyperplane-LSH pruning + exact rank",
+    Some {
+      val bucketExpr = (col: String) => hyperplanes.zipWithIndex.map { case (w, j) =>
+        val lst = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $col[i]::DOUBLE * ($lst)[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val flips = (0 until 6).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+      s"""
+      WITH b AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+                 FROM embeddings),
+      a AS (SELECT vec_id, embedding, unnest([bucket, $flips]) AS probe FROM b)
+      SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) AS sim
+      FROM a JOIN b e ON a.probe = e.bucket AND a.vec_id < e.vec_id
+      ORDER BY sim DESC, vec_a, vec_b
+      LIMIT 20"""
+    },
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
+        when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val b = e.withColumn("bucket", bucket)
+      val probes = array(col("bucket") +:
+        (0 until 6).map(j => col("bucket").bitwiseXOR(1 << j)): _*)
+      val a = b.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        explode(probes).as("probe"))
+      a.join(b.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("bucket").as("probe")), Seq("probe"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(dot(col("va"), col("vb")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+        .limit(20)
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75, q76)
+      q72, q75, q76, q78)
 }

@@ -115,6 +115,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("q78 LSH-pruned pair top-k: sims are exact dots; ordering is total") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q78_embedding_pair_topk_lsh").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // every reported sim must equal the exact rounded dot of the two
+    // vectors (pruning may drop pairs, but must never distort a value)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(a < b)
+      val exact = BigDecimal(vecs(a).zip(vecs(b)).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + x * y
+      }).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("sim") - exact) < 1e-9,
+        s"pair ($a,$b): reported ${r.getAs[Double]("sim")} vs exact $exact")
+    }
+    val sims = rows.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+    // and the pruned top-1 must not beat the exact top-1 (sanity: subset)
+    val exactTop = run("q34_embedding_pair_topk").head().getAs[Double]("sim")
+    assert(sims.head <= exactTop)
+  }
+
   test("q66 grouping sets: detail rows sum to subtotals and grand total") {
     val rows = run("q66_grouping_sets").collect()
     def n(st: String, pr: String) = rows.collectFirst {

@@ -49,6 +49,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), "limit after order must not global-sort")
   }
 
+  test("q78: LSH-pruned pair top-k has no nested-loop pair scan") {
+    val p = plan("q78_embedding_pair_topk_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must be the probe equi-join, not an all-pairs scan")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("events scan reads ns timestamps as bigint (nanosAsLong contract)") {
     val p = plan("q13_global_sort_events")
     assert(p.contains("ts:bigint"), "events.ts must surface as int64 nanos")
