@@ -317,6 +317,50 @@ object Relational {
         .orderBy("src", "l_partkey")
     })
 
+  /** FULL OUTER join — the one outer-join kind the other queries don't
+    * exercise (left: q44/q69; semi/anti: q05/q06). Two cohort aggregates
+    * over DIFFERENT tables (urgent-order customers vs clicking users)
+    * genuinely populate both null sides — fixture referential integrity
+    * means a raw fact⟗dim full-outer would degenerate to a left join.
+    * Null-side accounting (the `side` tag + coalesced key) is the usual
+    * cohort-compare recipe. Scale: both sides pre-aggregate BEFORE the
+    * join, so the full-outer shuffles two already-small keyed tables —
+    * a shuffled hash/merge join on the coalesced key domain. */
+  private val q79 = QueryDef(
+    "q79_full_outer_cohort_compare",
+    "full outer join of urgent-order customers vs clicking users, with side tag",
+    Some("""
+      SELECT COALESCE(a.k, b.k) AS cust_id,
+             a.n_urgent, b.n_clicks,
+             CASE WHEN a.k IS NULL THEN 'events_only'
+                  WHEN b.k IS NULL THEN 'orders_only'
+                  ELSE 'both' END AS side
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n_urgent FROM orders
+            WHERE o_orderpriority = '1-URGENT' GROUP BY 1) a
+      FULL OUTER JOIN
+           (SELECT user_id AS k, COUNT(*) AS n_clicks FROM events
+            WHERE event_type = 'click' GROUP BY 1) b
+        ON a.k = b.k
+      ORDER BY cust_id"""),
+    (s, dir) => {
+      val a = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("ak"))
+        .agg(count(lit(1)).as("n_urgent"))
+      val b = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("bk"))
+        .agg(count(lit(1)).as("n_clicks"))
+      a.join(b, col("ak") === col("bk"), "full")
+        .select(
+          coalesce(col("ak"), col("bk")).as("cust_id"),
+          col("n_urgent"), col("n_clicks"),
+          when(col("ak").isNull, "events_only")
+            .when(col("bk").isNull, "orders_only")
+            .otherwise("both").as("side"))
+        .orderBy("cust_id")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79)
 }

@@ -89,6 +89,13 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(h > 0) // 60-bit positive
   }
 
+  test("q79 full outer join populates both null sides and the match set") {
+    val sides = SparkEntry.queries("q79_full_outer_cohort_compare")(spark, sf)
+      .collect().map(_.getAs[String]("side")).toSet
+    assert(sides == Set("both", "orders_only", "events_only"),
+      s"full outer must exercise all three cases, got $sides")
+  }
+
   test("rollup coalesces to ALL with deterministic ordering") {
     val got = SparkEntry.queries("q07_rollup_revenue")(spark, sf)
       .select($"returnflag", $"linestatus").collect()
