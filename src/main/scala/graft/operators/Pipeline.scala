@@ -634,6 +634,59 @@ object Pipeline {
         .orderBy("decile"))
 
   // ---------------------------------------------------------------------
+  // q80 — equi-depth histogram, the 100 TB form (q70 is the exact form)
+  // ---------------------------------------------------------------------
+
+  /** Equi-depth deciles WITHOUT the global single-task window q70 needs:
+    * decile boundaries come from an EXACT percentile over a deterministic
+    * 20% hash-sample (md5-keyed, so the sample — and hence the result —
+    * is identical on any cluster, any partitioning, and in DuckDB),
+    * then every row is range-bucketed against the 9 broadcast
+    * boundaries. Plan: one partial+final aggregate for the boundaries
+    * (sample fits one agg buffer by construction — at 100 TB you dial
+    * the rate so it still does), one broadcast, one hash aggregate; no
+    * window anywhere (PlanSpec-asserted). Spark's `percentile` and
+    * DuckDB's `quantile_cont` both linear-interpolate, and boundaries
+    * are rounded to 4dp on both sides before bucketing. Bucket counts
+    * are approximately n/10 (sampling error), unlike q70's exact
+    * ntile — that's the accepted trade of the scale form. */
+  private val q80 = QueryDef(
+    "q80_equidepth_histogram_scale",
+    "equi-depth deciles via sampled exact boundaries + range bucketing (no window)",
+    Some(s"""
+      WITH smp AS (SELECT value FROM events
+                   WHERE ${hkeySql("edh:", "event_id")} % 5 = 0),
+      b AS (SELECT list_transform(quantile_cont(value,
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   x -> ROUND(x, 4)) AS bs
+            FROM smp)
+      SELECT bucket, COUNT(*) AS n,
+             ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi
+      FROM (SELECT CAST(1 + len(list_filter(b.bs, x -> e.value > x)) AS BIGINT)
+                     AS bucket,
+                   e.value
+            FROM events e CROSS JOIN b)
+      GROUP BY bucket
+      ORDER BY bucket"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val bounds = ev
+        .filter(hkey("edh:", col("event_id")) % 5 === 0)
+        .agg(expr(
+          "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+          .as("bs"))
+        .select(transform(col("bs"), b => round(b, 4)).as("bs"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          (size(filter(col("bs"), b => col("value") > b)) + 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy("bucket")
+    })
+
+  // ---------------------------------------------------------------------
   // q71 — correlated subqueries (EXISTS / NOT EXISTS / scalar)
   // ---------------------------------------------------------------------
 
@@ -890,5 +943,5 @@ object Pipeline {
 
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75, q76, q78)
+      q72, q75, q76, q78, q80)
 }

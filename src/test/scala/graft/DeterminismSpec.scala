@@ -21,7 +21,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q59_bigram_pmi",          // rounded-PMI ordering ties
     "q65_ann_hyperplane_lsh",  // sign-of-float-sum bucketing
     "q70_equidepth_histogram", // global ntile over ties
-    "q72_ann_multiprobe_lsh")  // multi-bucket candidate union
+    "q72_ann_multiprobe_lsh",  // multi-bucket candidate union
+    "q78_embedding_pair_topk_lsh", // probe-join candidates + float ranking
+    "q80_equidepth_histogram_scale") // sampled percentile boundaries
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -141,6 +141,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(sims.head <= exactTop)
   }
 
+  test("q80 approx equi-depth tracks the exact ntile histogram") {
+    val approx = run("q80_equidepth_histogram_scale").collect()
+    val exact = run("q70_equidepth_histogram").collect()
+    val total = exact.map(_.getAs[Long]("n")).sum
+    assert(approx.map(_.getAs[Long]("n")).sum == total,
+      "every row must land in exactly one bucket")
+    assert(approx.map(_.getAs[Long]("bucket")).toSeq == (1L to 10L),
+      "all 10 deciles populated")
+    // sampled boundaries keep buckets within 50% of the ideal depth at
+    // this tiny scale (20% of 1000 events = a 200-row sample)
+    approx.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      assert(n > total / 10.0 * 0.5 && n < total / 10.0 * 1.5,
+        s"bucket ${r.getAs[Long]("bucket")} depth $n vs ideal ${total / 10.0}")
+    }
+    // bucket value ranges are disjoint and ordered, like the exact form
+    val his = approx.map(_.getAs[Double]("hi")).toSeq
+    assert(his == his.sorted)
+  }
+
   test("q66 grouping sets: detail rows sum to subtotals and grand total") {
     val rows = run("q66_grouping_sets").collect()
     def n(st: String, pr: String) = rows.collectFirst {

@@ -49,6 +49,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), "limit after order must not global-sort")
   }
 
+  test("q80: scale equi-depth histogram has no window operator at all") {
+    val p = plan("q80_equidepth_histogram_scale")
+    assert(!p.contains("Window"), "range bucketing must not fall back to a window")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 9 boundaries should reach rows via broadcast")
+  }
+
   test("q78: LSH-pruned pair top-k has no nested-loop pair scan") {
     val p = plan("q78_embedding_pair_topk_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
