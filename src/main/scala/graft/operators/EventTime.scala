@@ -111,9 +111,27 @@ object EventTime {
     * subsequence-matching primitive behind matrix-profile/DTW pipelines
     * (this is the exact, unnormalized form). The 8-term distance sum is
     * written left-associated to match DuckDB's list_sum fold order, so
-    * parity needs only the final 4-dp round. NOTE the unpartitioned
-    * window is the exact small-series form — at 100 TB the series is
-    * chunked by key/day with (k-1)-row overlap and windows stay local. */
+    * parity needs only the final 4-dp round.
+    *
+    * The plan is PARTITION-PARALLEL — no window over the full series:
+    *  1. rows are day-chunked (`ts_us DIV 1 day`; the day order equals
+    *     the (ts, event_id) order, so per-chunk ranks + a per-chunk
+    *     row-count offset reconstruct the GLOBAL row number exactly);
+    *  2. the per-day offset table (one row per day — the only
+    *     unpartitioned window, dimension-sized by construction) is
+    *     broadcast;
+    *  3. a row is COPIED into a later chunk iff that chunk starts
+    *     within 7 global positions after it (the (k-1)-row overlap), so
+    *     every 8-row window is complete inside its own chunk partition —
+    *     correct even for days with fewer than 7 events, because carry
+    *     eligibility is decided on global row numbers, not day counts;
+    *  4. the 7-PRECEDING collect_list window runs partitioned by chunk.
+    * At 100 TB this is the textbook chunk-with-overlap series scan: the
+    * heavy window never funnels through one task, and the duplicated
+    * rows are bounded by 7 per chunk boundary. A spec asserts equality
+    * with the single-window exact form; `value IS NOT NULL` is explicit
+    * on both sides (collect_list/list() drop NULLs — don't let parity
+    * hinge on an undeclared fixture invariant). */
   private val q74 = QueryDef(
     "q74_sliding_window_distance",
     "top-20 closest 8-step sliding windows to pattern [1..8] (squared L2)",
@@ -123,7 +141,8 @@ object EventTime {
                list(value) OVER (ORDER BY epoch_us(ts), event_id
                                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w,
                row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
-        FROM events)
+        FROM events
+        WHERE value IS NOT NULL)
       SELECT event_id,
              ROUND(list_sum(list_transform(generate_series(1, 8),
                i -> (w[i] - i) * (w[i] - i))), 4) AS dist
@@ -131,13 +150,33 @@ object EventTime {
       ORDER BY dist, event_id
       LIMIT 20"""),
     (s, dir) => {
-      val ord = Window.orderBy(col("ts_us"), col("event_id"))
-      val frame = ord.rowsBetween(-7, 0)
-      val withW = Tables.events(s, dir)
-        .select(col("event_id"), col("ts_us"), col("value"))
-        .withColumn("w", collect_list(col("value")).over(frame))
-        .withColumn("rn", row_number().over(ord))
-        .filter(col("rn") >= 8)
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("ts_us"), col("value"),
+          expr("ts_us DIV 86400000000").as("chunk"))
+      // global rn = per-chunk rank + rows-before-chunk offset
+      val wc = Window.partitionBy("chunk").orderBy(col("ts_us"), col("event_id"))
+      val offsets = ev.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("chunk"), col("off"))
+      val rows = ev.withColumn("lrn", row_number().over(wc))
+        .join(broadcast(offsets), Seq("chunk"))
+        .select(col("event_id"), col("value"),
+          (col("off") + col("lrn")).as("rn"), col("chunk"))
+      // overlap copies: row rn feeds chunk t iff t starts in (rn, rn+7]
+      val carries = rows.join(
+          broadcast(offsets.select(col("chunk").as("tchunk"), col("off").as("toff"))),
+          col("toff") + 1 > col("rn") && col("toff") + 1 <= col("rn") + 7)
+        .select(col("event_id"), col("value"), col("rn"),
+          col("tchunk").as("chunk"), lit(false).as("native"))
+      val all = rows.withColumn("native", lit(true))
+        .select("event_id", "value", "rn", "chunk", "native")
+        .union(carries)
+      val ww = Window.partitionBy("chunk").orderBy("rn").rowsBetween(-7, 0)
+      val withW = all.withColumn("w", collect_list(col("value")).over(ww))
+        .filter(col("native") && col("rn") >= 8)
       val dist = (1 to 8).map { i =>
         val d = element_at(col("w"), i) - i
         d * d

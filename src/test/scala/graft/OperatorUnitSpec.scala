@@ -96,6 +96,26 @@ class OperatorUnitSpec extends AnyFunSuite {
       s"full outer must exercise all three cases, got $sides")
   }
 
+  test("q74 chunked sliding windows equal the single-window exact form") {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("ts_us"), col("event_id"))
+    val withW = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("ts_us"), col("value"))
+      .withColumn("w", collect_list(col("value")).over(ord.rowsBetween(-7, 0)))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") >= 8)
+    val dist = (1 to 8).map { i =>
+      val d = element_at(col("w"), i) - i
+      d * d
+    }.reduce(_ + _)
+    val exact = withW.select(col("event_id"), round(dist, 4).as("dist"))
+      .orderBy(col("dist"), col("event_id")).limit(20).collect().toSeq
+    val chunked = SparkEntry.queries("q74_sliding_window_distance")(spark, sf)
+      .collect().toSeq
+    assert(chunked == exact)
+  }
+
   test("rollup coalesces to ALL with deterministic ordering") {
     val got = SparkEntry.queries("q07_rollup_revenue")(spark, sf)
       .select($"returnflag", $"linestatus").collect()
