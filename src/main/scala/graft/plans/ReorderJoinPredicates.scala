@@ -20,6 +20,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * non-deterministic conjunct would change which rows it observes.
   * The sort is stable, so equal-cost conjuncts keep their user order.
   *
+  * ANSI-mode caveat: under `spark.sql.ansi.enabled` (the Spark 4
+  * default) AND is commutative only over RESULTS, not ERRORS — a cheap
+  * throwing conjunct (division, strict cast, element_at) hoisted ahead
+  * of a larger guarding conjunct (`y IN (1,2) AND 100/y > 10`) would
+  * turn a succeeding query into a runtime error. `deterministic` does
+  * not exclude throwing expressions, so the rule simply does not fire
+  * when ANSI mode is on — conjunct reordering there would need a
+  * can-this-throw analysis over every expression kind, and the harness
+  * sessions run ANSI-off where the rewrite is unconditionally safe.
+  *
   * Registered via [[graft.GraftExtensions]]; the harness queries do not
   * depend on it (q60 orders its condition manually), it demonstrates
   * the `SparkSessionExtensions` optimizer-injection path with a rule
@@ -33,7 +43,7 @@ object ReorderJoinPredicates extends Rule[LogicalPlan] with PredicateHelper {
     n
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (conf.ansiEnabled) plan else plan.transform {
     case j @ Join(_, _, _, Some(cond), _) if cond.deterministic =>
       val conjuncts = splitConjunctivePredicates(cond)
       if (conjuncts.length < 2) j

@@ -65,16 +65,23 @@ object EventStream {
   /** Custom sessionization via flatMapGroupsWithState: sessions close on
     * a 30-minute idle gap OR explicitly on a "signup" event — per-key
     * logic session_window can't express. State is one SessionState per
-    * open session; processing-time timeout flushes idle users, so state
-    * is bounded by concurrently-active users. Emits 0..N closed sessions
-    * per key per trigger (the flatMap part). */
+    * open session, flushed by an EVENT-TIME timeout set to last event +
+    * gap: a session closes exactly when the watermark passes its idle
+    * horizon, so emitted sessions depend on event time alone (matching
+    * the batch island method), never on trigger/arrival wall-clock
+    * timing the way a processing-time timeout would. State stays
+    * bounded by concurrently-active users inside the watermark horizon.
+    * Emits 0..N closed sessions per key per trigger (the flatMap part). */
   def trackedSessions(events: Dataset[Event]): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
     events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -105,7 +112,12 @@ object EventStream {
             open match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutDuration("30 minutes")
+                // close when the WATERMARK passes last_us + gap (ms
+                // granularity); clamp above the current watermark —
+                // Spark rejects a timeout at-or-before it
+                state.setTimeoutTimestamp(math.max(
+                  s.last_us / 1000 + gapUs / 1000,
+                  state.getCurrentWatermarkMs() + 1))
               case None => if (state.exists) state.remove()
             }
             closed.result().iterator

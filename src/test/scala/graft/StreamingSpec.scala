@@ -87,11 +87,10 @@ class StreamingSpec extends AnyFunSuite {
         Event(11, us(4, 1, 5), 30, "view", 1.0),
         Event(12, us(4, 1, 50), 30, "click", 1.0),
         Event(13, us(4, 1, 55), 30, "signup", 1.0)))
-      // processAllAvailable never quiesces under ProcessingTimeTimeout
-      // (timeout-only batches keep the engine busy) — poll the sink
-      val deadline = System.nanoTime() + 60L * 1000000000L
-      while (spark.table("tracked").count() < 2 && System.nanoTime() < deadline)
-        Thread.sleep(200)
+      // both closures here are data-driven (gap seen in-batch; signup),
+      // so processAllAvailable quiesces — event-time timeouts only fire
+      // on watermark advance, not on an idle wall clock
+      q.processAllAvailable()
       val got = spark.table("tracked").orderBy("start_us").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
       assert(got == Seq((30L, 2L), (30L, 2L)))
