@@ -361,6 +361,31 @@ object Relational {
         .orderBy("cust_id")
     })
 
+  /** RIGHT OUTER join, written right-outer on purpose (not mirrored to
+    * left) so the §2.4 kind is exercised as such: per-user event counts
+    * on the LEFT, the full customer dimension on the RIGHT — every
+    * customer survives, event-less customers null-extend. Catalyst is
+    * free to build the hash side either way; at scale the small
+    * pre-aggregated side broadcasts. */
+  private val q81 = QueryDef(
+    "q81_right_outer_customer_events",
+    "right outer join: per-customer event counts, event-less customers kept",
+    Some("""
+      SELECT c.c_custkey, c.c_mktsegment, e.n_events,
+             CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END AS no_events
+      FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) e
+      RIGHT OUTER JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY c_custkey"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      e.join(Tables.customer(s, dir), col("user_id") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_mktsegment"), col("n_events"),
+          when(col("user_id").isNull, 1).otherwise(0).as("no_events"))
+        .orderBy("c_custkey")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81)
 }
