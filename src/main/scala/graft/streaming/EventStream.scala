@@ -136,6 +136,33 @@ object EventStream {
       .withWatermark("ts_t", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked STREAM-STREAM inner join — the streaming twin of the
+    * batch range join (q41): each purchase matched to the same user's
+    * clicks in the preceding hour. Both sides carry a watermark and the
+    * join condition bounds event time on both ends, so Spark derives a
+    * state-eviction horizon for each side: buffered rows older than
+    * watermark − range are dropped, keeping state O(events per hour)
+    * per side instead of unbounded — the property that makes
+    * stream-stream joins deployable at 100 TB/day. */
+  def clicksBeforePurchases(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("c_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("c_ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("c_ts"), col("ts_us").as("c_us"))
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("p_ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("p_ts"), col("ts_us").as("p_us"))
+    p.join(c,
+        col("user_id") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("p_us") - col("c_us")).as("gap_us"))
+  }
+
   /** Streaming session windows via the built-in session_window generator
     * (30-min gap) — the streaming twin of q20's island method. */
   def sessionCounts(events: DataFrame): DataFrame =

@@ -56,6 +56,20 @@ class PlanSpec extends AnyFunSuite {
       "the 9 boundaries should reach rows via broadcast")
   }
 
+  test("q24: SimHash pair search is the chunk-bucket equi-join, no nested loop") {
+    val p = plan("q24_neardup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pigeonhole candidates must come from the (k, chunk) equi-join")
+  }
+
+  test("q74: the heavy collect_list window is partitioned by chunk") {
+    val p = plan("q74_sliding_window_distance")
+    val lists = p.linesIterator.filter(_.contains("collect_list")).toSeq
+    assert(lists.nonEmpty, "expected a collect_list window in the plan")
+    assert(lists.forall(_.contains("windowspecdefinition(chunk")),
+      s"the sliding window must be partitioned by day chunk:\n${lists.mkString("\n")}")
+  }
+
   test("q78: LSH-pruned pair top-k has no nested-loop pair scan") {
     val p = plan("q78_embedding_pair_topk_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

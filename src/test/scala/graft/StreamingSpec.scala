@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches clicks within the hour before each purchase") {
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.clicksBeforePurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 50: clicks at 02:00 and 02:50; purchase at 03:10 — only the
+      // 02:50 click is within the preceding hour. user 51's click must
+      // not match user 50's purchase.
+      clicks.addData(Seq(
+        Event(100, us(5, 2, 0), 50, "click", 1.0),
+        Event(101, us(5, 2, 50), 50, "click", 1.0),
+        Event(102, us(5, 2, 55), 51, "click", 1.0)))
+      purchases.addData(Seq(Event(200, us(5, 3, 10), 50, "purchase", 9.0)))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").orderBy("click_id")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"),
+          r.getAs[Long]("gap_us"))).toSeq
+      assert(got == Seq((50L, 200L, 101L, 20L * 60 * 1000000)))
+    } finally q.stop()
+  }
+
   test("streaming session windows close 30-min-gapped sessions") {
     val stream = MemoryStream[Event]
     val q = EventStream.sessionCounts(stream.toDF())
