@@ -57,5 +57,38 @@ object Aggregates {
           count(lit(1)).as("n_events"))
         .orderBy("event_type"))
 
-  def defs: Seq[QueryDef] = Seq(q36, q37)
+  /** Two-phase SALTED aggregation — the skew-mitigation shape for
+    * power-law keys (one user = 10% of a 100 TB event stream would pin
+    * one reducer in a direct groupBy). Phase 1 aggregates (key, salt)
+    * so the hot key fans over 16 reducers; phase 2 merges the per-salt
+    * partials. The salt is md5-derived from event_id (stable, never
+    * rand()), and double sums ride the exact DECIMAL accumulator
+    * through BOTH phases, so the result is bit-identical to a direct
+    * single-phase aggregate — which is exactly what the oracle runs.
+    * events has only 5 event_type keys: a deliberately extreme
+    * key-to-reducer ratio that a direct groupBy would serialize. */
+  private val q82 = QueryDef(
+    "q82_salted_skew_aggregation",
+    "two-phase salted count+sum per event_type (skew-safe aggregation)",
+    Some(s"""
+      SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val salt = pmod(
+        graft.functions.text.md5Hash60(concat(lit("salt:"), col("event_id"))),
+        lit(16))
+      Tables.events(s, dir)
+        .select(col("event_type"), salt.as("salt"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(30, 10)).as("v"))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("v")).as("ps"))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          round(sum(col("ps")).cast("double"), 4).as("sum_value"))
+        .orderBy("event_type")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q82)
 }

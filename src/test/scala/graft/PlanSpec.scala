@@ -56,6 +56,12 @@ class PlanSpec extends AnyFunSuite {
       "the 9 boundaries should reach rows via broadcast")
   }
 
+  test("q82: salted aggregation shuffles on (key, salt), then merges per key") {
+    val p = plan("q82_salted_skew_aggregation")
+    assert("hashpartitioning\\(event_type#\\d+, salt#\\d+".r.findFirstIn(p).isDefined,
+      "phase-1 exchange must fan each key over the salt space")
+  }
+
   test("q24: SimHash pair search is the chunk-bucket equi-join, no nested loop") {
     val p = plan("q24_neardup_simhash")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
