@@ -22,8 +22,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q65_ann_hyperplane_lsh",  // sign-of-float-sum bucketing
     "q70_equidepth_histogram", // global ntile over ties
     "q72_ann_multiprobe_lsh",  // multi-bucket candidate union
+    "q74_sliding_window_distance", // chunked windows + float distance ties
     "q78_embedding_pair_topk_lsh", // probe-join candidates + float ranking
-    "q80_equidepth_histogram_scale") // sampled percentile boundaries
+    "q80_equidepth_histogram_scale", // sampled percentile boundaries
+    "q82_salted_skew_aggregation") // two-phase decimal partial merge
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

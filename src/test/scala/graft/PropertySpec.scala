@@ -35,6 +35,28 @@ class PropertySpec extends AnyFunSuite {
     assert(topk(3).subsetOf(topk(5)))
   }
 
+  test("pigeonhole lemma: Hamming<=6 pairs always share one of the 7 chunks") {
+    // the q24 candidate-generation guarantee, checked on seeded random
+    // signature pairs mutated by exactly d <= 6 bit flips
+    val rnd = new scala.util.Random(7)
+    def chunks(sig: Long): Seq[Long] = (0 until 7).map(k => (sig >>> (k * 9)) & 511L)
+    for (_ <- 1 to 500) {
+      val a = rnd.nextLong() & ((1L << 60) - 1)
+      val d = rnd.nextInt(7) // 0..6 flips
+      val flipped = rnd.shuffle((0 until 60).toList).take(d)
+        .foldLeft(a)((s, b) => s ^ (1L << b))
+      assert(java.lang.Long.bitCount(a ^ flipped) <= 6)
+      assert(chunks(a).zip(chunks(flipped)).exists { case (x, y) => x == y },
+        s"no shared chunk for d=$d flips")
+    }
+    // and the bucket join's candidate condition is exact on the boundary:
+    // 7 flips spread one per chunk CAN miss every chunk (why 7 chunks is
+    // the minimum for threshold 6, not a convenience)
+    val base = 0L
+    val spread = (0 until 7).foldLeft(base)((s, k) => s ^ (1L << (k * 9)))
+    assert(chunks(base).zip(chunks(spread)).forall { case (x, y) => x != y })
+  }
+
   test("DotProduct is commutative and scales linearly (seeded generated inputs)") {
     val rnd = new scala.util.Random(42)
     val rows = Seq.fill(25)((
