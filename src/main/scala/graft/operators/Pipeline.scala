@@ -941,7 +941,71 @@ object Pipeline {
         .limit(20)
     })
 
+  // ---------------------------------------------------------------------
+  // q83 — LSH-bucketed threshold near-dup (the scale form of q60)
+  // ---------------------------------------------------------------------
+
+  /** Threshold near-dup at scale: q60's `cosine >= 0.4` pair filter run
+    * over q78's hyperplane-pruned candidate space instead of the O(n²)
+    * pair scan. Candidates are pairs whose 6-bit signatures differ in at
+    * most 1 bit (multi-probe via 1-bit flips on one side — each
+    * qualifying pair collides on exactly one probe, so no dedup), joined
+    * through an EQUI-join on the probe key; the exact rounded dot and
+    * the threshold then touch ~1/9 of the pairs. The oracle replicates
+    * the pruning bit-for-bit, so the row set is exactly reproducible;
+    * RECALL vs the unpruned q60 is the sign-LSH curve (per-bit agree
+    * prob 1 - θ/π). At the 0.4–0.6 cosines this fixture tops out at
+    * (θ ≈ 53–66°) a 6-bit/1-flip prune keeps ~30-50% of true pairs —
+    * documented, spec-asserted subset of q60; true near-dups (cosine→1)
+    * survive with margin. At 100 TB: bucket = partition key, probes =
+    * partition-pruned scans, and the threshold filter replaces q78's
+    * global top-k so the output needs no final single-point ordering. */
+  private val q83 = QueryDef(
+    "q83_embedding_neardup_lsh",
+    "cosine >= 0.4 near-dup pairs via hyperplane-LSH pruning (scale form of q60)",
+    Some {
+      val bucketExpr = (col: String) => hyperplanes.zipWithIndex.map { case (w, j) =>
+        val lst = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $col[i]::DOUBLE * ($lst)[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val flips = (0 until 6).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+      s"""
+      WITH b AS (SELECT vec_id, label, embedding, ${bucketExpr("embedding")} AS bucket
+                 FROM embeddings),
+      a AS (SELECT vec_id, label, embedding, unnest([bucket, $flips]) AS probe FROM b)
+      SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> a.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) AS cos_sim,
+             CASE WHEN a.label = e.label THEN 1 ELSE 0 END AS same_label
+      FROM a JOIN b e ON a.probe = e.bucket AND a.vec_id < e.vec_id
+      WHERE ROUND(list_sum(list_transform(generate_series(1, 64),
+              i -> a.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) >= 0.4
+      ORDER BY vec_a, vec_b"""
+    },
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
+        when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val b = e.withColumn("bucket", bucket)
+      val probes = array(col("bucket") +:
+        (0 until 6).map(j => col("bucket").bitwiseXOR(1 << j)): _*)
+      val a = b.select(col("vec_id").as("vec_a"), col("label").as("la"),
+        col("v").as("va"), explode(probes).as("probe"))
+      a.join(b.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+          col("v").as("vb"), col("bucket").as("probe")), Seq("probe"))
+        .filter(col("vec_a") < col("vec_b") &&
+          round(dot(col("va"), col("vb")), 4) >= 0.4)
+        .select(col("vec_a"), col("vec_b"),
+          round(dot(col("va"), col("vb")), 4).as("cos_sim"),
+          when(col("la") === col("lb"), 1).otherwise(0).as("same_label"))
+        .orderBy("vec_a", "vec_b")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75, q76, q78, q80)
+      q72, q75, q76, q78, q80, q83)
 }
