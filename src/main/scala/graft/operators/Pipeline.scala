@@ -956,7 +956,10 @@ object Pipeline {
     * RECALL vs the unpruned q60 is the sign-LSH curve (per-bit agree
     * prob 1 - θ/π). At the 0.4–0.6 cosines this fixture tops out at
     * (θ ≈ 53–66°) a 6-bit/1-flip prune keeps ~30-50% of true pairs —
-    * documented, spec-asserted subset of q60; true near-dups (cosine→1)
+    * a subset of q60 asserted by `PipelineSpec` ("q83 ... subset of
+    * q60") with exact-dot value checks, by `PlanSpec` (no nested-loop
+    * pair scan, no shuffle on the probe key), and by `DeterminismSpec`
+    * (double-run identity); true near-dups (cosine→1)
     * survive with margin. At 100 TB: bucket = partition key, probes =
     * partition-pruned scans, and the threshold filter replaces q78's
     * global top-k so the output needs no final single-point ordering. */

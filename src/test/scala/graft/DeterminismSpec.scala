@@ -25,7 +25,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q74_sliding_window_distance", // chunked windows + float distance ties
     "q78_embedding_pair_topk_lsh", // probe-join candidates + float ranking
     "q80_equidepth_histogram_scale", // sampled percentile boundaries
-    "q82_salted_skew_aggregation") // two-phase decimal partial merge
+    "q82_salted_skew_aggregation", // two-phase decimal partial merge
+    "q83_embedding_neardup_lsh") // hash-bucketed candidates + float threshold
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

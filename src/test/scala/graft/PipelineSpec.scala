@@ -141,6 +141,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(sims.head <= exactTop)
   }
 
+  test("q83 LSH-pruned threshold near-dup is a subset of q60 with identical values") {
+    // The pruned scale form may DROP pairs (sign-LSH recall curve) but
+    // must never invent a pair or distort a value: every q83 row must
+    // appear in q60 byte-for-byte, and every sim must be the exact
+    // rounded dot of the raw vectors.
+    import org.apache.spark.sql.functions._
+    def keyed(name: String): Map[(Long, Long), (Double, Int)] =
+      run(name).collect().map { r =>
+        (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+          ((r.getAs[Double]("cos_sim"), r.getAs[Int]("same_label")))
+      }.toMap
+    val pruned = keyed("q83_embedding_neardup_lsh")
+    val exact = keyed("q60_embedding_neardup_pairs")
+    assert(pruned.nonEmpty, "fixture must yield at least one pruned pair")
+    pruned.foreach { case (pair, v) =>
+      assert(exact.contains(pair), s"q83 invented pair $pair absent from q60")
+      assert(exact(pair) == v, s"pair $pair: q83 $v vs q60 ${exact(pair)}")
+    }
+    // and the values themselves are exact rounded dots of the raw vectors
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    pruned.foreach { case ((a, b), (sim, _)) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(sim >= 0.4, s"pair ($a,$b) below threshold: $sim")
+      val dot = BigDecimal(vecs(a).zip(vecs(b)).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + x * y
+      }).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sim - dot) < 1e-9,
+        s"pair ($a,$b): reported $sim vs exact $dot")
+    }
+  }
+
   test("q80 approx equi-depth tracks the exact ntile histogram") {
     val approx = run("q80_equidepth_histogram_scale").collect()
     val exact = run("q70_equidepth_histogram").collect()

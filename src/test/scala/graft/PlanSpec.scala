@@ -83,6 +83,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q83: LSH-pruned threshold near-dup has no nested-loop pair scan") {
+    val p = plan("q83_embedding_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must be the probe equi-join, not an all-pairs scan")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("hashpartitioning(probe"),
+      "probe join must not shuffle on the probe key")
+  }
+
   test("events scan reads ns timestamps as bigint (nanosAsLong contract)") {
     val p = plan("q13_global_sort_events")
     assert(p.contains("ts:bigint"), "events.ts must surface as int64 nanos")
