@@ -363,6 +363,11 @@ object Dedup {
         converged = nChanged == 0
         iter += 1
       }
+      // CACHE CONTRACT: the final iteration's persist stays live because
+      // the returned plan reads it (unpersisting here would recompute the
+      // whole loop at execution). Callers that execute query plans are
+      // expected to clearCache() afterwards — the harness (Verify/Bench)
+      // and the test session both do; long-lived embedders should too.
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
       labels
         .join(sizes, Seq("lbl"))

@@ -56,21 +56,28 @@ object Graph {
       val pairs = Dedup.verifiedPairs(s, dir)
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val nodes = e.select(col("src").as("node")).distinct()
+      // Node base WITH degree, materialized once (edges are symmetric,
+      // so deg's keys are exactly the node set). Degree is static, so it
+      // rides inside the rank table across iterations: the per-iteration
+      // share becomes a join-free projection (`rank DIV deg` is map-side
+      // arithmetic), cutting the loop from 3 joins/iter to 2 and
+      // dropping the final degree join — same exact integer results,
+      // ~1/3 fewer scheduled stages per iteration.
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      var rank = nodes.select(col("node"), lit(1000000L).as("rank"))
+        .localCheckpoint()
+      var rank = deg.select(col("node"), col("deg"), lit(1000000L).as("rank"))
       for (i <- 1 to 10) {
-        val share = rank.join(deg, Seq("node"))
-          .select(col("node").as("src"), expr("rank DIV deg").as("share"))
-        val contrib = e.join(share, Seq("src"))
+        val contrib = e.join(
+            rank.select(col("node").as("src"), expr("rank DIV deg").as("share")),
+            Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("share")).as("s"))
-        rank = nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
+        rank = deg.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("deg"),
             (lit(150000L) + expr("COALESCE(s, 0L) * 85 DIV 100")).as("rank"))
         if (i % 3 == 0 && i < 10) rank = rank.localCheckpoint()
       }
-      rank.join(deg, Seq("node"))
+      rank
         .select(col("node").as("doc_id"), col("rank").as("pr_rank"),
           col("deg").as("degree"))
         .orderBy("doc_id")

@@ -26,12 +26,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    so a view written by one query and read by another cannot change
   *    any result — only when it is computed.
   *  - The build is guarded by a JVM-wide lock + parquet's _SUCCESS
-  *    marker: the harness is sequential, tests may not be.
+  *    marker within one JVM, and by write-to-temp + atomic rename
+  *    across JVMs: a concurrent builder in another process either wins
+  *    the rename or discards its temp dir — readers only ever see a
+  *    complete view, never a half-written one.
   */
 object MaterializedViews {
 
   private val root = new File(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-mv")
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -46,8 +54,26 @@ object MaterializedViews {
       val src = new File(dir, srcFile)
       val fp = md5hex(s"$dir|${src.length}|${src.lastModified}")
       val out = new File(new File(root, fp), name)
-      if (!new File(out, "_SUCCESS").isFile)
-        build.write.mode("overwrite").parquet(out.getPath)
+      if (!new File(out, "_SUCCESS").isFile) {
+        // Publish atomically: build into a process-private temp sibling,
+        // then rename into place. Two JVMs racing the same fingerprint
+        // each build a complete view; the loser's rename fails against
+        // the winner's (identical, deterministic) published dir and its
+        // temp is discarded — no reader can observe a partial write.
+        val tmp = new File(out.getParentFile,
+          s"$name.tmp-${java.lang.ProcessHandle.current.pid}")
+        build.write.mode("overwrite").parquet(tmp.getPath)
+        try
+          java.nio.file.Files.move(tmp.toPath, out.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.FileSystemException
+            if new File(out, "_SUCCESS").isFile =>
+            // lost the race to an equivalent view — discard ours
+            deleteRecursively(tmp)
+        }
+      }
       s.read.parquet(out.getPath)
     }
 }

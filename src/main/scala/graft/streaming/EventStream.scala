@@ -138,7 +138,10 @@ object EventStream {
 
   /** Watermarked STREAM-STREAM inner join — the streaming twin of the
     * batch range join (q41): each purchase matched to the same user's
-    * clicks in the preceding hour. Both sides carry a watermark and the
+    * clicks in the preceding hour — the half-open interval (p−1h, p],
+    * exactly q41's bounds, so a MemoryStream replay of the fixture
+    * reproduces q41's per-purchase counts row-for-row (StreamingSpec
+    * asserts this parity). Both sides carry a watermark and the
     * join condition bounds event time on both ends, so Spark derives a
     * state-eviction horizon for each side: buffered rows older than
     * watermark − range are dropped, keeping state O(events per hour)
@@ -157,7 +160,7 @@ object EventStream {
         col("p_ts"), col("ts_us").as("p_us"))
     p.join(c,
         col("user_id") === col("c_uid") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (col("p_us") - col("c_us")).as("gap_us"))

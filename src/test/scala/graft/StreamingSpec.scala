@@ -121,6 +121,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join replays batch q41 on the same fixture slice") {
+    import org.apache.spark.sql.functions._
+    // The streaming interval join, replayed over the REAL fixture's
+    // click/purchase slices, must reproduce batch q41's per-purchase
+    // counts exactly (q41's zero-click purchases excepted — an inner
+    // stream-stream join cannot emit them). Closes the streaming/batch
+    // parity loop the session tracker already has with q20.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event].collect().toSeq
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.clicksBeforePurchases(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("q41parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(ev.filter(_.event_type == "click"))
+      purchases.addData(ev.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      val streamed = spark.table("q41parity")
+        .groupBy("user_id", "purchase_id")
+        .agg(count(lit(1)).as("n_clicks_1h"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("n_clicks_1h"))).toSet
+      val batch = SparkEntry.queries("q41_range_join_clicks_before_purchase")(spark, sf)
+        .filter(col("n_clicks_1h") >= 1)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("n_clicks_1h"))).toSet
+      assert(batch.nonEmpty, "fixture slice must contain matched purchases")
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size} matched purchases")
+    } finally q.stop()
+  }
+
   test("streaming session windows close 30-min-gapped sessions") {
     val stream = MemoryStream[Event]
     val q = EventStream.sessionCounts(stream.toDF())
