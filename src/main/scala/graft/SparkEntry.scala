@@ -14,7 +14,8 @@ object SparkEntry {
     Relational.defs ++ Classics.defs ++ EventTime.defs ++
       Dedup.defs ++ TextPipeline.defs ++ Similarity.defs ++
       Aggregates.defs ++ Analytics.defs ++ Extended.defs ++
-      Reshape.defs ++ MoreFunctions.defs ++ Pipeline.defs ++ Graph.defs
+      Reshape.defs ++ MoreFunctions.defs ++ Pipeline.defs ++ Graph.defs ++
+      Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

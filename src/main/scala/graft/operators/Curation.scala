@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.{det, text}
+
+/** Dataset-curation / lightweight-learning operators over the fixture
+  * corpus: a k-means E-step (per-label centroids + nearest-centroid
+  * assignment), robust (median/MAD) outlier statistics, weighted
+  * reservoir-style sampling, and a trigram conditional language-model
+  * table — the operations a training-data pipeline runs between dedup
+  * and export (cluster balance checks, outlier filtering, quality-
+  * weighted subsampling, corpus statistics).
+  *
+  * Same determinism discipline as [[Pipeline]]: no RNG anywhere —
+  * "random" bits come from md5-derived record hashes; every double SUM
+  * rides the exact-decimal accumulator in [[graft.functions.det]]; every
+  * output ends in a total ORDER BY.
+  */
+object Curation {
+
+  private def hkey(prefix: String, c: Column): Column =
+    text.md5Hash60(concat(lit(prefix), c.cast("string")))
+
+  private def hkeySql(prefix: String, x: String): String =
+    text.md5Hash60Sql(s"'$prefix' || CAST($x AS VARCHAR)")
+
+  // ---------------------------------------------------------------------
+  // q84 — k-means E-step: label centroids + nearest-centroid assignment
+  // ---------------------------------------------------------------------
+
+  /** One k-means expectation step over the embedding corpus, seeded by
+    * the existing labels: per-label centroids (element-wise mean), then
+    * each vector assigned to its nearest centroid by squared L2, reported
+    * as a label-vs-assigned confusion table — the standard cluster-
+    * balance / label-coherence check before training.
+    *
+    * Everything is LONG-FORM relational algebra, the shape that scales:
+    * vectors are exploded to (vec_id, dim, value) rows (posexplode — no
+    * per-row UDF, no wide arrays through the shuffle), centroids are one
+    * groupBy over that (k·64 rows, broadcast back), and the distance
+    * computation is an equi-join on dim followed by a grouped sum — at
+    * 100 TB the explode streams, the centroid table is KB-sized, and the
+    * only shuffle keys on (vec_id, label, clabel). Both the centroid
+    * mean and the distance sum ride the exact-decimal accumulator
+    * ([[det.davg]]/[[det.dsum]]), so results are partitioning-independent
+    * bit-for-bit; nearest-centroid ties break on the centroid label. */
+  private val q84 = QueryDef(
+    "q84_kmeans_label_centroids",
+    "k-means E-step: per-label centroids, nearest-centroid confusion table",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT vec_id, label, dim, embedding[dim]::DOUBLE AS v
+             FROM embeddings, dims),
+      cents AS (SELECT label AS clabel, dim, ${det.davgSql("v")} AS c
+                FROM lf GROUP BY 1, 2),
+      d2 AS (SELECT lf.vec_id, lf.label, c.clabel,
+                    ${det.dsumSql("(lf.v - c.c) * (lf.v - c.c)")} AS dist
+             FROM lf JOIN cents c USING (dim)
+             GROUP BY 1, 2, 3),
+      best AS (SELECT vec_id, label, clabel AS assigned_label FROM d2
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, clabel) = 1)
+      SELECT label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM best GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      val lf = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("v"))
+      val cents = lf.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(det.davg(col("v")).as("c"))
+      val dist = lf.join(broadcast(cents), Seq("dim"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(det.dsum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
+      val best = dist
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("clabel"))))
+        .filter(col("rn") === 1)
+      best.groupBy(col("label"), col("clabel").as("assigned_label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("label", "assigned_label")
+    })
+
+  // ---------------------------------------------------------------------
+  // q85 — robust outlier statistics (median / MAD)
+  // ---------------------------------------------------------------------
+
+  /** Median/MAD outlier accounting per event type — the robust form of
+    * z-score filtering (median and MAD are insensitive to the outliers
+    * being hunted, unlike mean/stddev). Two grouped exact percentiles
+    * with a broadcast-able per-group constant join between them; the
+    * outlier rule is the standard |x − med| > 3·1.4826·MAD. Both engines
+    * interpolate quantile_cont/percentile identically (q42 precedent);
+    * med/MAD are 4-dp rounded before the comparison so the outlier
+    * predicate evaluates identical doubles on both sides. At 100 TB
+    * exact per-group percentiles hold while groups fit a reducer;
+    * beyond that approx_percentile replaces them (same plan shape). */
+  private val q85 = QueryDef(
+    "q85_robust_outlier_stats",
+    "median/MAD robust outlier counts per event type (3-sigma-equivalent rule)",
+    Some("""
+      WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      med AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+              FROM v GROUP BY 1),
+      dev AS (SELECT v.event_type, ABS(v.value - m.med) AS ad
+              FROM v JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, ROUND(quantile_cont(ad, 0.5), 4) AS mad
+              FROM dev GROUP BY 1)
+      SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(md.med) AS med_value, MIN(ma.mad) AS mad,
+             CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * ma.mad THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+      FROM dev d JOIN med md USING (event_type) JOIN mad ma USING (event_type)
+      GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val v = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val med = v.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = v.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("med")).as("ad"))
+      val mad = dev.groupBy("event_type")
+        .agg(round(expr("percentile(ad, 0.5)"), 4).as("mad"))
+      dev.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("med")).as("med_value"),
+          min(col("mad")).as("mad"),
+          sum(when(col("ad") > lit(3) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    })
+
+  // ---------------------------------------------------------------------
+  // q86 — deterministic weighted sample (Efraimidis–Spirakis by hash)
+  // ---------------------------------------------------------------------
+
+  /** Weighted sampling without replacement, derandomized: the
+    * Efraimidis–Spirakis exponential-key trick (each record scores
+    * −ln(u)/w; the k smallest keys are a weight-proportional sample)
+    * with u drawn from the record's md5 hash instead of an RNG — the
+    * same reproducibility move as q57/q61, extended to BIASED sampling
+    * (here weight = document length, the "longer docs are worth more"
+    * curation heuristic; any per-doc quality score slots in). A pure
+    * per-row projection plus one top-k — no shuffle but the final
+    * TakeOrdered, identical on any partitioning at any scale. Keys are
+    * rounded to 6 dp (both engines' ln agree well past that) with
+    * doc_id as the total tiebreak. */
+  private val q86 = QueryDef(
+    "q86_weighted_hash_sample",
+    "deterministic weighted sample: top-20 Efraimidis-Spirakis hash keys (w = n_chars)",
+    Some(s"""
+      WITH k AS (SELECT doc_id, lang, n_chars,
+                        ROUND(-ln((CAST(${hkeySql("wsample:", "doc_id")} % 1000000
+                                        AS DOUBLE) + 1.0) / 1000001.0)
+                              / CAST(n_chars AS DOUBLE), 6) AS skey
+                 FROM documents)
+      SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rank,
+             doc_id, lang, n_chars, skey
+      FROM k ORDER BY skey, doc_id LIMIT 20"""),
+    (s, dir) => {
+      val u = (hkey("wsample:", col("doc_id")) % 1000000L).cast("double") + 1.0
+      val k = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(-log(u / 1000001.0) / col("n_chars").cast("double"), 6).as("skey"))
+      k.withColumn("rank",
+          row_number().over(Window.orderBy(col("skey"), col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"), col("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(20)
+    })
+
+  // ---------------------------------------------------------------------
+  // q87 — trigram conditional language-model table
+  // ---------------------------------------------------------------------
+
+  /** Conditional next-word probabilities P(w3 | w1 w2) = c(w1 w2 w3) /
+    * c(w1 w2) — the count table behind n-gram LM scoring and the
+    * perplexity-ish quality filters training pipelines run over raw
+    * corpora. Token arrays are materialized once per doc (q59's lesson:
+    * inline split() re-evaluates per lambda element); trigram and bigram
+    * counts are two grouped aggregations sharing that scan; the division
+    * is exact-integer-to-double (both counts < 2^53, one IEEE divide —
+    * bit-identical cross-engine). The bigram count table joins broadcast
+    * (|vocab|² bound); at 100 TB both count tables are partial+final
+    * aggregations and the join keys on (w1, w2). */
+  private val q87 = QueryDef(
+    "q87_trigram_conditional_lm",
+    "top-20 trigrams by count with conditional probability P(w3 | w1 w2)",
+    Some("""
+      WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+      tri AS (SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+                     i -> [t[i], t[i+1], t[i+2]])) AS g
+              FROM tok WHERE len(t) >= 3),
+      c3 AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS n3
+             FROM tri GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+      bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> [t[i], t[i+1]])) AS g
+             FROM tok WHERE len(t) >= 2),
+      c2 AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS n12
+             FROM bi GROUP BY 1, 2)
+      SELECT c3.w1 || ' ' || c3.w2 || ' ' || c3.w3 AS trigram, n3, n12,
+             ROUND(CAST(n3 AS DOUBLE) / CAST(n12 AS DOUBLE), 4) AS p_next
+      FROM c3 JOIN c2 USING (w1, w2)
+      ORDER BY n3 DESC, trigram LIMIT 20"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = split(col("text"), " ")
+      val tt = col("t")
+      def grams(n: Int) = docs.select(t.as("t"))
+        .select(explode(when(size(tt) >= n,
+          transform(sequence(lit(1), size(tt) - (n - 1)),
+            i => array((0 until n).map(j => element_at(tt, i + j)): _*)))
+          .otherwise(array().cast("array<array<string>>"))).as("g"))
+      val c3 = grams(3)
+        .select(col("g")(0).as("w1"), col("g")(1).as("w2"), col("g")(2).as("w3"))
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+        .filter(col("n3") >= 2)
+      val c2 = grams(2)
+        .select(col("g")(0).as("w1"), col("g")(1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      c3.join(broadcast(c2), Seq("w1", "w2"))
+        .select(
+          concat_ws(" ", col("w1"), col("w2"), col("w3")).as("trigram"),
+          col("n3"), col("n12"),
+          round(col("n3").cast("double") / col("n12").cast("double"), 4).as("p_next"))
+        .orderBy(col("n3").desc, col("trigram"))
+        .limit(20)
+    })
+
+  // ---------------------------------------------------------------------
+  // q88 — broadcast-centroid assignment (the scale form of q84)
+  // ---------------------------------------------------------------------
+
+  /** q84's assignment step in the shape a production Spark k-means runs
+    * it: centroids collapsed to k dense arrays (k·64 doubles — KB-sized),
+    * broadcast against the vector table, and the squared distance
+    * computed MAP-SIDE via the codegen dot identity
+    * ‖v−c‖² = v·v − 2·v·c + c·c — one pass over the vectors, no per-dim
+    * explode, no shuffle except the per-vector argmin window. The n·k·64
+    * long-form rows q84 shuffles become n·k broadcast-joined rows here;
+    * at 100 TB the centroid array rides the broadcast plan like q31's
+    * query vectors (bounded k is the declared contract, exactly like
+    * q31's bounded query set). Distances are fixed-order float folds
+    * (codegen [[graft.functions.DotProduct]] ↔ DuckDB list_sum — the
+    * q60/q74 parity precedent) rounded at 4 dp; centroid values are the
+    * same 4-dp decimal means q84 computes, so both engines fold
+    * identical doubles. CurationSpec asserts q88's confusion table
+    * equals q84's exactly — the map-side rewrite changes the plan, not
+    * one assignment. */
+  private val q88 = QueryDef(
+    "q88_kmeans_broadcast_assign",
+    "broadcast-centroid nearest assignment via dot identity (scale form of q84)",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT vec_id, label, dim, embedding[dim]::DOUBLE AS v
+             FROM embeddings, dims),
+      cents AS (SELECT label AS clabel, dim, ${det.davgSql("v")} AS c
+                FROM lf GROUP BY 1, 2),
+      carr AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM cents GROUP BY 1),
+      sc AS (SELECT clabel, cv,
+                    list_sum(list_transform(generate_series(1, 64),
+                      i -> cv[i] * cv[i])) AS sc
+             FROM carr),
+      d AS (SELECT e.vec_id, e.label, s.clabel,
+                   ROUND(list_sum(list_transform(generate_series(1, 64),
+                           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                         - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                             i -> e.embedding[i]::DOUBLE * s.cv[i]))
+                         + s.sc, 4) AS d2
+            FROM embeddings e, sc s),
+      best AS (SELECT vec_id, label, clabel AS assigned_label FROM d
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, clabel) = 1)
+      SELECT label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM best GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val lf = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("v"))
+      val cents = lf.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(det.davg(col("v")).as("c"))
+      val carr = cents.groupBy("clabel")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+        .withColumn("sc", dot(col("cv"), col("cv")))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val best = e.crossJoin(broadcast(carr))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + col("sc"), 4).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
+        .filter(col("rn") === 1)
+      best.groupBy(col("label"), col("clabel").as("assigned_label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("label", "assigned_label")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88)
+}

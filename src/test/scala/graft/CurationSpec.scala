@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Law-based assertions for the curation/learning operators (q84–q87)
+  * on sf0.001 — conservation, bounds, and bias properties that pin the
+  * semantics independently of the DuckDB oracle gate. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q84 confusion table conserves the corpus: every vector assigned exactly once") {
+    val rows = run("q84_kmeans_label_centroids").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == vecs, s"confusion total $total != corpus $vecs")
+    // per-label row sums equal that label's corpus count
+    import org.apache.spark.sql.functions._
+    val byLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy("label").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Number]("label").longValue -> r.getAs[Long]("n")).toMap
+    rows.groupBy(_.getAs[Number]("label").longValue).foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vecs")).sum == byLabel(l),
+        s"label $l row sum != corpus count")
+    }
+    // assigned labels come from the real label set
+    val labels = byLabel.keySet
+    rows.foreach(r =>
+      assert(labels.contains(r.getAs[Number]("assigned_label").longValue)))
+  }
+
+  test("q85 outlier counts are bounded and medians sit inside the value range") {
+    val rows = run("q85_robust_outlier_stats").collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val ranges = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n")))).toMap
+    rows.foreach { r =>
+      val (lo, hi, n) = ranges(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_outliers") >= 0 && r.getAs[Long]("n_outliers") < n,
+        "MAD rule must never reject a whole group")
+      val med = r.getAs[Double]("med_value")
+      assert(med >= lo && med <= hi)
+      assert(r.getAs[Double]("mad") >= 0.0)
+    }
+  }
+
+  test("q86 weighted sample is length-biased and rank-contiguous") {
+    val rows = run("q86_weighted_hash_sample").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val keys = rows.map(_.getAs[Double]("skey")).toSeq
+    assert(keys == keys.sorted, "rows must come back in key order")
+    // Efraimidis–Spirakis with w = n_chars must over-represent long docs:
+    // the sample's mean length should beat the corpus mean.
+    import org.apache.spark.sql.functions._
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
+  test("q88 broadcast assignment reproduces q84's confusion table exactly") {
+    // The map-side dot-identity rewrite is a PLAN change only: every
+    // vector must land on the same centroid as the exact-decimal q84.
+    def table(name: String) = run(name).collect().map { r =>
+      (r.getAs[Number]("label").longValue,
+        r.getAs[Number]("assigned_label").longValue,
+        r.getAs[Long]("n_vecs"))
+    }.toSet
+    val exact = table("q84_kmeans_label_centroids")
+    val mapSide = table("q88_kmeans_broadcast_assign")
+    assert(mapSide == exact,
+      s"rewrite moved assignments: ${mapSide.diff(exact)} vs ${exact.diff(mapSide)}")
+  }
+
+  test("q87 conditional probabilities are consistent with their counts") {
+    val rows = run("q87_trigram_conditional_lm").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (n3, n12) = (r.getAs[Long]("n3"), r.getAs[Long]("n12"))
+      assert(n3 >= 2 && n3 <= n12, s"trigram count $n3 exceeds bigram count $n12")
+      val p = r.getAs[Double]("p_next")
+      assert(p > 0.0 && p <= 1.0)
+      assert(math.abs(p - BigDecimal(n3.toDouble / n12.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    val counts = rows.map(_.getAs[Long]("n3")).toSeq
+    assert(counts == counts.sorted.reverse, "ordered by count desc")
+  }
+}

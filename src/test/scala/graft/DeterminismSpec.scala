@@ -26,7 +26,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q78_embedding_pair_topk_lsh", // probe-join candidates + float ranking
     "q80_equidepth_histogram_scale", // sampled percentile boundaries
     "q82_salted_skew_aggregation", // two-phase decimal partial merge
-    "q83_embedding_neardup_lsh") // hash-bucketed candidates + float threshold
+    "q83_embedding_neardup_lsh", // hash-bucketed candidates + float threshold
+    "q84_kmeans_label_centroids", // decimal centroid sums + distance ties
+    "q86_weighted_hash_sample", // hash-derived ln keys + rank ties
+    "q88_kmeans_broadcast_assign") // float distance folds + argmin ties
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

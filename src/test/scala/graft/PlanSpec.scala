@@ -92,6 +92,23 @@ class PlanSpec extends AnyFunSuite {
       "probe join must not shuffle on the probe key")
   }
 
+  test("q84: E-step joins broadcast the centroid table, no pair scan") {
+    val p = plan("q84_kmeans_label_centroids")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "distance computation must be the dim equi-join, not an all-pairs scan")
+    assert(p.contains("BroadcastHashJoin"), "k x 64 centroid rows must broadcast")
+  }
+
+  test("q88: map-side assignment broadcasts k centroid arrays, fact never shuffles on dim") {
+    val p = plan("q88_kmeans_broadcast_assign")
+    // the k-row centroid-array side broadcasts (bounded-k contract, like
+    // q31's query vectors); the vector table itself must not be exploded
+    // or hash-partitioned per dimension
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("hashpartitioning(dim"),
+      "the fact side must stay un-exploded; only centroid building may touch dim")
+  }
+
   test("events scan reads ns timestamps as bigint (nanosAsLong contract)") {
     val p = plan("q13_global_sort_events")
     assert(p.contains("ts:bigint"), "events.ts must surface as int64 nanos")
