@@ -308,5 +308,60 @@ object Curation {
         .orderBy("label", "assigned_label")
     })
 
-  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88)
+  // ---------------------------------------------------------------------
+  // q89 — count-min sketch heavy hitters (the counting twin of q56's HLL)
+  // ---------------------------------------------------------------------
+
+  /** Count-min sketch (d=4 rows × w=64 counters) over the corpus word
+    * stream, reported next to exact counts for the top-20 heavy hitters.
+    * Like q56's deterministic HLL, the sketch is plain relational
+    * algebra both engines run identically — md5-derived row hashes, no
+    * RNG, ALL-INTEGER arithmetic (no rounding discipline needed at all):
+    *
+    *   counter(i, b) = Σ n_word over words with h_i(word) = b
+    *   estimate(word) = min_i counter(i, h_i(word))  ≥ exact count
+    *
+    * Built scale-first: words are counted FIRST (the q11 partial+final
+    * aggregation), then the 4 hashes are computed per DISTINCT word
+    * (vocab-sized, not corpus-sized) and the 256-row counter table joins
+    * back broadcast — at 100 TB the sketch is d·w longs merged
+    * associatively, the same shape that lets CMS run inside one
+    * partial+final aggregate while exact heavy hitters need the full
+    * per-word shuffle. The overcount column makes the sketch's
+    * one-sided error visible (CurationSpec asserts est ≥ exact). */
+  private val q89 = QueryDef(
+    "q89_cms_heavy_hitters",
+    "count-min sketch (4x64) word-count estimates vs exact for the top-20 words",
+    Some(s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+      wb AS (SELECT w, n, i,
+                    ${text.md5Hash60Sql("'cms' || CAST(i AS VARCHAR) || ':' || w")}
+                      % 64 AS bucket
+             FROM wc, (SELECT unnest(generate_series(0, 3)) AS i)),
+      counters AS (SELECT i, bucket, CAST(SUM(n) AS BIGINT) AS c
+                   FROM wb GROUP BY 1, 2),
+      est AS (SELECT w, n, MIN(c) AS cms_est
+              FROM wb JOIN counters USING (i, bucket)
+              GROUP BY 1, 2)
+      SELECT w AS word, n AS n_exact, cms_est, cms_est - n AS overcount
+      FROM est ORDER BY n_exact DESC, word LIMIT 20"""),
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val wc = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      val wb = wc.select(col("w"), col("n"),
+          explode(array((0 until 4).map(i => struct(lit(i).as("i"),
+            (hkey(s"cms$i:", col("w")) % 64).as("bucket"))): _*)).as("s"))
+        .select(col("w"), col("n"), col("s.i").as("i"), col("s.bucket").as("bucket"))
+      val counters = wb.groupBy("i", "bucket").agg(sum(col("n")).as("c"))
+      wb.join(broadcast(counters), Seq("i", "bucket"))
+        .groupBy("w", "n").agg(min(col("c")).as("cms_est"))
+        .select(col("w").as("word"), col("n").as("n_exact"),
+          col("cms_est"), (col("cms_est") - col("n")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("word"))
+        .limit(20)
+    })
+
+  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89)
 }

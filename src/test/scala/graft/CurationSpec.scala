@@ -83,6 +83,25 @@ class CurationSpec extends AnyFunSuite {
       s"rewrite moved assignments: ${mapSide.diff(exact)} vs ${exact.diff(mapSide)}")
   }
 
+  test("q89 count-min estimates never undercount and match exact word counts") {
+    val rows = run("q89_cms_heavy_hitters").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    import org.apache.spark.sql.functions._
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val (w, n, est, over) = (r.getAs[String]("word"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("cms_est"), r.getAs[Long]("overcount"))
+      assert(n == exact(w), s"exact count drifted for $w")
+      assert(est >= n, s"CMS undercounted $w: $est < $n")
+      assert(over == est - n)
+    }
+    val ns = rows.map(_.getAs[Long]("n_exact")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

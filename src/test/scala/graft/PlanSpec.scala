@@ -109,6 +109,38 @@ class PlanSpec extends AnyFunSuite {
       "the fact side must stay un-exploded; only centroid building may touch dim")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // 100 TB posture check on Spark's own runtime filtering: when a
+    // shuffle join's build side carries a selective predicate, Catalyst
+    // injects a bloom filter that prunes the probe side BEFORE the
+    // shuffle. The fixture is far below the production size thresholds,
+    // so they are lowered to observe the mechanism; at scale the
+    // defaults trigger on exactly this plan shape.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_extendedprice")
+      val o = graft.sources.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter in:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("events scan reads ns timestamps as bigint (nanosAsLong contract)") {
     val p = plan("q13_global_sort_events")
     assert(p.contains("ts:bigint"), "events.ts must surface as int64 nanos")
