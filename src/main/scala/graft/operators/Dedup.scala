@@ -376,5 +376,86 @@ object Dedup {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q44, q45)
+  // ---------------------------------------------------------------------
+  // q90 — incremental dedup: new ingest batch vs the existing corpus
+  // ---------------------------------------------------------------------
+
+  /** Day-2 ingest dedup: a "new batch" (the deterministic 10% hash slice
+    * of documents — standing in for today's crawl) is checked for
+    * near-dups against the "existing corpus" (the other 90%) WITHOUT
+    * ever pairing corpus docs with each other — candidates come from the
+    * batch-shingles ⋈ corpus-shingles equi-join, so the work is
+    * O(batch × shingle-co-occurrence), proportional to the INGEST, not
+    * to corpus². That asymmetry is the whole point of incremental
+    * processing at 100 TB: the corpus side is a maintained index (here
+    * the shingle materialized view) and each day's cost scales with the
+    * day's data. Intra-batch duplicates are the ordinary batch-dedup
+    * problem (q22/q23) run on the batch alone — deliberately out of
+    * scope here. Every batch doc is reported with its best corpus match
+    * (ties broken by doc id), candidates floored at J ≥ 0.2, duplicate
+    * verdict at the q22 threshold J ≥ 0.5; docs too short to shingle
+    * surface with a NULL match and is_dup = 0. */
+  private val q90 = QueryDef(
+    "q90_incremental_batch_dedup",
+    "incremental dedup: best corpus match + dup verdict for a 10% ingest batch",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      hk AS (SELECT doc_id,
+                    ${text.md5Hash60Sql("'inc:' || CAST(doc_id AS VARCHAR)")}
+                      % 10 AS m
+             FROM documents),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      shb AS (SELECT s.doc_id, s.shingle FROM sh s JOIN hk USING (doc_id)
+              WHERE hk.m = 0),
+      shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN hk USING (doc_id)
+              WHERE hk.m != 0),
+      inter AS (SELECT b.doc_id AS doc_b, c.doc_id AS doc_c, COUNT(*) AS inter
+                FROM shb b JOIN shc c USING (shingle) GROUP BY 1, 2),
+      jac AS (SELECT doc_b, doc_c,
+                     ROUND(CAST(inter AS DOUBLE) / (zb.sz + zc.sz - inter), 4) AS j
+              FROM inter JOIN sz zb ON zb.doc_id = doc_b
+                         JOIN sz zc ON zc.doc_id = doc_c),
+      cand AS (SELECT * FROM jac WHERE j >= 0.2),
+      best AS (SELECT doc_b, doc_c, j FROM cand
+               QUALIFY row_number() OVER (PARTITION BY doc_b
+                                          ORDER BY j DESC, doc_c) = 1)
+      SELECT h.doc_id, b.doc_c AS best_match, b.j AS best_jaccard,
+             CASE WHEN b.j >= 0.5 THEN 1 ELSE 0 END AS is_dup
+      FROM hk h LEFT JOIN best b ON b.doc_b = h.doc_id
+      WHERE h.m = 0
+      ORDER BY h.doc_id"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def slice(c: Column): Column =
+        text.md5Hash60(concat(lit("inc:"), c.cast("string"))) % 10
+      val sh = shingleSet(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // the batch flag is derived map-side from the doc id — no join
+      // against a fact-sized flag table on either shingle stream
+      val shb = sh.filter(slice(col("doc_id")) === 0)
+        .select(col("doc_id").as("doc_b"), col("shingle"))
+      val shc = sh.filter(slice(col("doc_id")) =!= 0)
+        .select(col("doc_id").as("doc_c"), col("shingle"))
+      val inter = shb.join(shc, Seq("shingle"))
+        .groupBy("doc_b", "doc_c").agg(count(lit(1)).as("inter"))
+      val cand = inter
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .join(sz.select(col("doc_id").as("doc_c"), col("sz").as("sz_c")), Seq("doc_c"))
+        .select(col("doc_b"), col("doc_c"),
+          round(col("inter").cast("double")
+            / (col("sz_b") + col("sz_c") - col("inter")), 4).as("j"))
+        .filter(col("j") >= 0.2)
+      val best = cand.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_b").orderBy(col("j").desc, col("doc_c"))))
+        .filter(col("rn") === 1)
+      Tables.documents(s, dir).select(col("doc_id"))
+        .filter(slice(col("doc_id")) === 0)
+        .join(best.select(col("doc_b").as("doc_id"), col("doc_c").as("best_match"),
+          col("j").as("best_jaccard")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("best_match"), col("best_jaccard"),
+          when(col("best_jaccard") >= 0.5, 1).otherwise(0).as("is_dup"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q44, q45, q90)
 }

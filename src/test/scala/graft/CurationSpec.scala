@@ -102,6 +102,29 @@ class CurationSpec extends AnyFunSuite {
     assert(ns == ns.sorted.reverse)
   }
 
+  test("q90 incremental dedup covers the whole batch and only matches the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q90_incremental_batch_dedup").collect()
+    // every batch doc is reported exactly once
+    def slice(c: org.apache.spark.sql.Column) =
+      graft.functions.text.md5Hash60(concat(lit("inc:"), c.cast("string"))) % 10
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batchIds = docs.filter(slice(col("doc_id")) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == batchIds)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = Option(r.getAs[java.lang.Long]("best_match")).map(_.longValue)
+      val j = Option(r.getAs[java.lang.Double]("best_jaccard")).map(_.doubleValue)
+      assert(m.isDefined == j.isDefined)
+      // matches come from the corpus slice, never from the batch itself
+      m.foreach(id => assert(!batchIds.contains(id), s"matched a batch doc $id"))
+      j.foreach(v => assert(v >= 0.2))
+      val dup = r.getAs[Int]("is_dup")
+      assert(dup == (if (j.exists(_ >= 0.5)) 1 else 0))
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

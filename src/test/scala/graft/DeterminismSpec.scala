@@ -29,7 +29,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q83_embedding_neardup_lsh", // hash-bucketed candidates + float threshold
     "q84_kmeans_label_centroids", // decimal centroid sums + distance ties
     "q86_weighted_hash_sample", // hash-derived ln keys + rank ties
-    "q88_kmeans_broadcast_assign") // float distance folds + argmin ties
+    "q88_kmeans_broadcast_assign", // float distance folds + argmin ties
+    "q90_incremental_batch_dedup") // hash slice + best-match window ties
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
