@@ -144,5 +144,65 @@ object Analytics {
         .orderBy("n_name")
     })
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77)
+  /** Gini coefficient of customer revenue per market segment — the
+    * concentration statistic behind "how skewed is this key's load /
+    * this cohort's spend" questions (and a direct read on how much
+    * salting a key needs). Uses the rank formulation over ascending
+    * per-customer revenue, G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n:
+    * per-customer revenue is an exact-decimal sum rounded at 4 dp (so
+    * both engines rank identical values; ties break on custkey), and
+    * Σ(i·xᵢ)/Σx ride the decimal accumulator again — the only float
+    * ops are two final divisions of identical doubles. The rank window
+    * partitions by segment (bounded groups); at 100 TB the same shape
+    * runs per key-range with the merge trick any rank-sum statistic
+    * uses, or G is estimated from the q70/q80 quantile histogram. */
+  private val q91 = QueryDef(
+    "q91_revenue_gini_by_segment",
+    "Gini coefficient of per-customer revenue within each market segment",
+    Some {
+      // unrounded twin of det.dsumSql — the Gini numerator/denominator
+      // stay exact decimal until the single final ROUND
+      def exactSumSql(x: String) =
+        s"CAST(SUM(CAST($x AS DECIMAL(30,10))) AS DOUBLE)"
+      s"""
+      WITH rev AS (SELECT c.c_mktsegment, o.o_custkey,
+                          ${dsumSql("o.o_totalprice")} AS rev
+                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                   GROUP BY 1, 2),
+      ranked AS (SELECT c_mktsegment, rev,
+                        CAST(row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY rev, o_custkey) AS BIGINT) AS i
+                 FROM rev)
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             ${dsumSql("rev")} AS total_revenue,
+             ROUND(2.0 * ${exactSumSql("i * rev")}
+                   / (COUNT(*) * ${exactSumSql("rev")})
+                   - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+      FROM ranked
+      GROUP BY 1 ORDER BY 1"""
+    },
+    (s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val ranked = rev.withColumn("i", row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(col("rev"), col("o_custkey")))
+        .cast("long"))
+      import org.apache.spark.sql.types.DecimalType
+      def exactSum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(30, 10))).cast("double")
+      ranked.groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          dsum(col("rev")).as("total_revenue"),
+          round(lit(2.0) * exactSum(col("i") * col("rev"))
+              / (count(lit(1)) * exactSum(col("rev")))
+            - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+        .orderBy("c_mktsegment")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91)
 }

@@ -125,6 +125,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q91 Gini coefficients are in [0, 1-1/n) and customers are conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q91_revenue_gini_by_segment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_customers")
+      val g = r.getAs[Double]("gini")
+      assert(n > 1)
+      assert(g >= 0.0 && g < 1.0 - 1.0 / n,
+        s"${r.getAs[String]("c_mktsegment")}: gini $g out of range for n=$n")
+      assert(r.getAs[Double]("total_revenue") > 0.0)
+    }
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .select(count_distinct(col("o_custkey"))).head().getLong(0)
+    assert(total == expected, "every ordering customer appears in exactly one segment")
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -30,7 +30,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q84_kmeans_label_centroids", // decimal centroid sums + distance ties
     "q86_weighted_hash_sample", // hash-derived ln keys + rank ties
     "q88_kmeans_broadcast_assign", // float distance folds + argmin ties
-    "q90_incremental_batch_dedup") // hash slice + best-match window ties
+    "q90_incremental_batch_dedup", // hash slice + best-match window ties
+    "q91_revenue_gini_by_segment") // rank-over-rounded-revenue ties + decimal sums
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
