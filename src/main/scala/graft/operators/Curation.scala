@@ -367,5 +367,76 @@ object Curation {
         .limit(20)
     })
 
-  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89)
+  // ---------------------------------------------------------------------
+  // q92 — benchmark decontamination: n-gram overlap vs a held-out slice
+  // ---------------------------------------------------------------------
+
+  /** Pre-training decontamination: every corpus document is scored by how
+    * many of its distinct word 3-grams also appear in a held-out
+    * "benchmark" slice (the deterministic 5% hash slice standing in for
+    * an eval set), and flagged contaminated when the overlapping fraction
+    * of its own 3-grams reaches 0.08 — the n-gram-collision rule every
+    * LLM data pipeline runs before training so eval questions don't leak
+    * into the training set.
+    *
+    * Scale shape: the benchmark n-gram set is DISTINCT across all bench
+    * docs and tiny by construction (eval suites are MBs against a 100 TB
+    * corpus), so it broadcasts; the corpus side streams through one
+    * map-side equi-join on the gram — no corpus×corpus pairing anywhere,
+    * cost is one pass over corpus shingles. The shingle set itself is the
+    * shared materialized view ([[Dedup.shingleSet]]), so decontamination
+    * rides the same index dedup already paid for. Determinism: overlap
+    * and shingle counts are exact integers, the fraction is one IEEE
+    * divide rounded at 4 dp, and the 0.08 literal parses to the same
+    * double in both engines. */
+  private val q92 = QueryDef(
+    "q92_benchmark_decontamination",
+    "flag corpus docs sharing >=8% of their 3-grams with a held-out benchmark slice",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      hk AS (SELECT doc_id,
+                    ${text.md5Hash60Sql("'dec:' || CAST(doc_id AS VARCHAR)")}
+                      % 20 AS m
+             FROM documents),
+      bench AS (SELECT DISTINCT shingle FROM sh JOIN hk USING (doc_id)
+                WHERE hk.m = 0),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      corp AS (SELECT s.doc_id, s.shingle FROM sh s JOIN hk USING (doc_id)
+               WHERE hk.m != 0),
+      hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS o
+              FROM corp JOIN bench USING (shingle) GROUP BY 1),
+      scored AS (SELECT h.doc_id,
+                        COALESCE(o, 0) AS overlap_ngrams,
+                        COALESCE(ROUND(CAST(o AS DOUBLE) / sz.sz, 4), 0.0)
+                          AS overlap_frac
+                 FROM hk h LEFT JOIN sz ON sz.doc_id = h.doc_id
+                           LEFT JOIN hit ON hit.doc_id = h.doc_id
+                 WHERE h.m != 0)
+      SELECT doc_id, overlap_ngrams, overlap_frac,
+             CASE WHEN overlap_frac >= 0.08 THEN 1 ELSE 0 END AS contaminated
+      FROM scored ORDER BY doc_id"""),
+    (s, dir) => {
+      def slice(c: Column): Column = hkey("dec:", c) % 20
+      val sh = Dedup.shingleSet(s, dir)
+      val bench = sh.filter(slice(col("doc_id")) === 0)
+        .select(col("shingle")).distinct()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val corp = sh.filter(slice(col("doc_id")) =!= 0)
+      val hit = corp.join(broadcast(bench), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("o"))
+      val scored = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(slice(col("doc_id")) =!= 0)
+        .join(sz, Seq("doc_id"), "left")
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("o"), lit(0L)).as("overlap_ngrams"),
+          coalesce(round(col("o").cast("double") / col("sz"), 4), lit(0.0))
+            .as("overlap_frac"))
+      scored
+        .select(col("doc_id"), col("overlap_ngrams"), col("overlap_frac"),
+          when(col("overlap_frac") >= 0.08, 1).otherwise(0).as("contaminated"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89, q92)
 }

@@ -143,6 +143,31 @@ class CurationSpec extends AnyFunSuite {
     assert(total == expected, "every ordering customer appears in exactly one segment")
   }
 
+  test("q92 decontamination: benchmark docs excluded, fractions bounded, flag consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q92_benchmark_decontamination").collect()
+    assert(rows.nonEmpty)
+    // the output is exactly the non-benchmark slice of the corpus
+    val inBench = graft.functions.text
+      .md5Hash60(concat(lit("dec:"), col("doc_id").cast("string"))) % 20 === 0
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpusDocs = docs.filter(!inBench).count()
+    val benchIds = docs.filter(inBench).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.length.toLong == corpusDocs)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(!benchIds.contains(id), s"benchmark doc $id leaked into output")
+      val frac = r.getAs[Double]("overlap_frac")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id frac $frac out of range")
+      assert(r.getAs[Int]("contaminated") == (if (frac >= 0.08) 1 else 0))
+      assert(r.getAs[Long]("overlap_ngrams") >= 0L)
+    }
+    // the threshold is discriminative on the fixture: some of each
+    val flags = rows.map(_.getAs[Int]("contaminated")).toSet
+    assert(flags == Set(0, 1), "expected both contaminated and clean docs")
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

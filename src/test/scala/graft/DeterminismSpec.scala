@@ -31,7 +31,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q86_weighted_hash_sample", // hash-derived ln keys + rank ties
     "q88_kmeans_broadcast_assign", // float distance folds + argmin ties
     "q90_incremental_batch_dedup", // hash slice + best-match window ties
-    "q91_revenue_gini_by_segment") // rank-over-rounded-revenue ties + decimal sums
+    "q91_revenue_gini_by_segment", // rank-over-rounded-revenue ties + decimal sums
+    "q92_benchmark_decontamination") // hash slice + float threshold flag
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
