@@ -438,5 +438,69 @@ object Curation {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89, q92)
+  // ---------------------------------------------------------------------
+  // q93 — sequence packing: concat-and-chop docs into training windows
+  // ---------------------------------------------------------------------
+
+  /** Training-export sequence packing: within each source stream,
+    * documents are concatenated in doc_id order and chopped into
+    * fixed 512-token context windows; the output is the packing manifest
+    * — per (source, bin): how many documents start there, how many
+    * tokens they contribute, and how many of them span a bin boundary
+    * (the cross-document-attention / truncation cases a trainer cares
+    * about). This is the "pack sequences to context length" step between
+    * curation and the trainer's data loader.
+    *
+    * The prefix sum is a window SUM partitioned by source and ordered by
+    * doc_id — deterministic, all-integer arithmetic (bin indices via
+    * exact double FLOOR well under 2^53). Window partitions are
+    * source-bounded here; at 100 TB each source stream is further split
+    * by ingest shard/date (packing never needs bins to cross shard
+    * files), or the prefix sum runs as the classic two-phase scan:
+    * per-partition token totals, exclusive scan of the totals (driver-
+    * side, partition-count-sized), then per-partition local cumsum plus
+    * the broadcast offset — same manifest, no single-partition sort. */
+  private val q93 = QueryDef(
+    "q93_sequence_packing",
+    "pack docs into 512-token training bins per source; bin manifest with spans",
+    Some("""
+      WITH tok AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+      pos AS (SELECT doc_id, source, n_tok,
+                     SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok AS start
+              FROM tok),
+      binned AS (SELECT source,
+                        CAST(FLOOR(start / 512.0) AS BIGINT) AS bin,
+                        n_tok,
+                        CASE WHEN CAST(FLOOR((start + n_tok - 1) / 512.0) AS BIGINT)
+                               != CAST(FLOOR(start / 512.0) AS BIGINT)
+                             THEN 1 ELSE 0 END AS spans
+                 FROM pos)
+      SELECT source, bin,
+             CAST(COUNT(*) AS BIGINT) AS docs_started,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_started,
+             CAST(SUM(spans) AS BIGINT) AS spanning_docs
+      FROM binned GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pos = tok.withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      def bin(c: Column): Column = floor(c / lit(512.0)).cast("long")
+      val binned = pos.select(col("source"), bin(col("start")).as("bin"),
+        col("n_tok"),
+        when(bin(col("start") + col("n_tok") - 1) =!= bin(col("start")), 1)
+          .otherwise(0).as("spans"))
+      binned.groupBy("source", "bin")
+        .agg(count(lit(1)).as("docs_started"),
+          sum(col("n_tok")).as("tokens_started"),
+          sum(col("spans")).cast("long").as("spanning_docs"))
+        .orderBy("source", "bin")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89, q92, q93)
 }

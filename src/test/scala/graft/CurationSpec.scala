@@ -168,6 +168,33 @@ class CurationSpec extends AnyFunSuite {
     assert(flags == Set(0, 1), "expected both contaminated and clean docs")
   }
 
+  test("q93 packing manifest conserves docs and tokens and bins are contiguous") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q93_sequence_packing").collect()
+    assert(rows.nonEmpty)
+    val perSource = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(count(lit(1)).as("docs"), sum("n").as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val (docs, toks) = perSource(src)
+      assert(rs.map(_.getAs[Long]("docs_started")).sum == docs,
+        s"$src: docs not conserved")
+      assert(rs.map(_.getAs[Long]("tokens_started")).sum == toks,
+        s"$src: tokens not conserved")
+      // bins are 0..max with no gaps (concat-and-chop leaves no empty bin)
+      val bins = rs.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(bins.head == 0L && bins == (0L to bins.last).toSeq,
+        s"$src: bins not contiguous: $bins")
+      // a bin of 512 tokens can't start more than 512 docs; spans bounded
+      rs.foreach { r =>
+        assert(r.getAs[Long]("spanning_docs") <= r.getAs[Long]("docs_started"))
+      }
+      // total bins match ceil(tokens/512) when the last doc doesn't span
+      assert(bins.last <= (toks - 1) / 512, s"$src: bin index beyond token range")
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
