@@ -502,5 +502,88 @@ object Curation {
         .orderBy("source", "bin")
     })
 
-  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89, q92, q93)
+  // ---------------------------------------------------------------------
+  // q94 — LM-based document scoring under the q87 trigram model
+  // ---------------------------------------------------------------------
+
+  /** Model-based quality scoring: every document is scored under the
+    * corpus-trained trigram LM (the q87 table without its display
+    * cutoff) — per doc, the mean conditional probability of its trigram
+    * occurrences, the worst single trigram, and the fraction of
+    * occurrences with P(w3|w1 w2) ≤ 0.05. Low avg_p / high rare_frac
+    * marks statistically unusual documents — the cheap relational stand-
+    * in for the perplexity filter (CCNet-style) every pretraining
+    * pipeline runs.
+    *
+    * Deliberately probability-space, not log-space: P = n3/n12 is one
+    * IEEE divide of exact counts (bit-identical on both engines), and
+    * the per-doc mean rides the exact-decimal accumulator — whereas
+    * ln/log2 are libm calls with no cross-engine bit guarantee, which
+    * would break hash parity for zero analytical gain here (ranking by
+    * mean P and by mean log P agree on what's rare; the threshold count
+    * is monotone-invariant).
+    *
+    * Scale shape: trigram and bigram counts are vocab-bounded grouped
+    * aggregates; scoring is two equi-joins on gram keys (occurrence
+    * stream ⋈ counts) — no per-row UDF, no driver state, everything
+    * shuffles on bounded key spaces. Since the LM is trained on the
+    * corpus itself, every trigram has support ≥ 1 — no OOV branch; a
+    * held-out LM would add one COALESCE(p, floor_p). */
+  private val q94 = QueryDef(
+    "q94_lm_doc_score",
+    "per-doc mean trigram conditional probability + rare-trigram fraction",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tri AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> [t[i], t[i+1], t[i+2]])) AS g
+              FROM tok WHERE len(t) >= 3),
+      c3 AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS n3
+             FROM tri GROUP BY 1, 2, 3),
+      bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> [t[i], t[i+1]])) AS g
+             FROM tok WHERE len(t) >= 2),
+      c2 AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS n12
+             FROM bi GROUP BY 1, 2),
+      scored AS (SELECT t.doc_id,
+                        CAST(n3 AS DOUBLE) / CAST(n12 AS DOUBLE) AS p
+                 FROM tri t
+                 JOIN c3 ON t.g[1] = c3.w1 AND t.g[2] = c3.w2 AND t.g[3] = c3.w3
+                 JOIN c2 ON t.g[1] = c2.w1 AND t.g[2] = c2.w2)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             ${det.davgSql("p")} AS avg_p,
+             ROUND(MIN(p), 4) AS min_p,
+             ROUND(CAST(COUNT(*) FILTER (WHERE p <= 0.05) AS DOUBLE)
+                   / COUNT(*), 4) AS rare_frac
+      FROM scored GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tt = col("t")
+      def grams(n: Int) = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(when(size(tt) >= n,
+          transform(sequence(lit(1), size(tt) - (n - 1)),
+            i => array((0 until n).map(j => element_at(tt, i + j)): _*)))
+          .otherwise(array().cast("array<array<string>>"))).as("g"))
+      val tri = grams(3).select(col("doc_id"),
+        col("g")(0).as("w1"), col("g")(1).as("w2"), col("g")(2).as("w3"))
+      val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+      val c2 = grams(2)
+        .select(col("g")(0).as("w1"), col("g")(1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val scored = tri
+        .join(c3, Seq("w1", "w2", "w3"))
+        .join(c2, Seq("w1", "w2"))
+        .select(col("doc_id"),
+          (col("n3").cast("double") / col("n12").cast("double")).as("p"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          det.davg(col("p")).as("avg_p"),
+          round(min(col("p")), 4).as("min_p"),
+          round(sum(when(col("p") <= 0.05, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 4).as("rare_frac"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94)
 }

@@ -195,6 +195,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q94 LM scores cover the corpus with bounded probabilities") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q94_lm_doc_score").collect()
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == lens.count(_._2 >= 3), "every doc with >=3 tokens scored")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_trigrams") == lens(id) - 2,
+        s"doc $id trigram count != tokens-2 (every occurrence scored once)")
+      val avg = r.getAs[Double]("avg_p"); val min = r.getAs[Double]("min_p")
+      assert(min > 0.0 && min <= 1.0, s"doc $id min_p $min out of range")
+      assert(avg >= min - 1e-4 && avg <= 1.0, s"doc $id avg_p $avg < min_p $min")
+      val rare = r.getAs[Double]("rare_frac")
+      assert(rare >= 0.0 && rare <= 1.0)
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
