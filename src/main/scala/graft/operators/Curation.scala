@@ -585,5 +585,66 @@ object Curation {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94)
+  // ---------------------------------------------------------------------
+  // q95 — intra-document repetition (duplicate-n-gram quality rule)
+  // ---------------------------------------------------------------------
+
+  /** Gopher-style repetition filtering: per document, the fraction of
+    * bigram OCCURRENCES that are repeats of an earlier bigram in the same
+    * doc (1 − distinct/total), plus the share taken by the single most
+    * frequent bigram — the two "repetitious text" signals (boilerplate,
+    * keyword stuffing, decode loops) quality pipelines cut on. Flagged
+    * repetitive at dup_frac ≥ 0.05 (≈ top quintile of the fixture).
+    *
+    * One explode + two grouped aggregations, all keyed by doc_id — fully
+    * map-side-combinable, no joins, no windows; per-doc state is bounded
+    * by document length, so the operator is embarrassingly scalable.
+    * Arithmetic is exact integers until two final IEEE divides rounded
+    * at 4 dp. */
+  private val q95 = QueryDef(
+    "q95_doc_repetition",
+    "per-doc duplicate-bigram fraction + top-bigram share, repetitive flag",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bi AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])) AS g
+             FROM tok WHERE len(t) >= 2),
+      cnt AS (SELECT doc_id, g, COUNT(*) AS n FROM bi GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(MAX(n) AS BIGINT) AS top_n
+              FROM cnt GROUP BY 1),
+      scored AS (SELECT doc_id, total AS n_bigrams, n_distinct,
+                        ROUND(1.0 - CAST(n_distinct AS DOUBLE) / total, 4)
+                          AS dup_frac,
+                        ROUND(CAST(top_n AS DOUBLE) / total, 4) AS top_frac
+                 FROM agg)
+      SELECT doc_id, n_bigrams, n_distinct, dup_frac, top_frac,
+             CASE WHEN dup_frac >= 0.05 THEN 1 ELSE 0 END AS repetitive
+      FROM scored ORDER BY doc_id"""),
+    (s, dir) => {
+      val tt = col("t")
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(when(size(tt) >= 2,
+          transform(sequence(lit(1), size(tt) - 1),
+            i => concat_ws(" ", element_at(tt, i), element_at(tt, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val cnt = bi.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      val agg = cnt.groupBy("doc_id")
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_distinct"),
+          max(col("n")).as("top_n"))
+      agg.select(col("doc_id"), col("total").as("n_bigrams"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("total"), 4)
+            .as("dup_frac"),
+          round(col("top_n").cast("double") / col("total"), 4).as("top_frac"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("dup_frac"), col("top_frac"),
+          when(col("dup_frac") >= 0.05, 1).otherwise(0).as("repetitive"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95)
 }

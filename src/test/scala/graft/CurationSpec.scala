@@ -214,6 +214,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q95 repetition stats are internally consistent and flag a minority") {
+    val rows = run("q95_doc_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_bigrams")
+      val dis = r.getAs[Long]("n_distinct")
+      assert(dis >= 1 && dis <= total, "distinct bounded by total")
+      val dup = r.getAs[Double]("dup_frac")
+      val top = r.getAs[Double]("top_frac")
+      // dup_frac is exactly 1 - distinct/total at 4 dp
+      assert(math.abs(dup - (1.0 - dis.toDouble / total)) <= 5.001e-5)
+      assert(top > 0.0 && top <= 1.0)
+      // the most frequent bigram accounts for at least the mean multiplicity
+      assert(top >= 1.0 / dis - 1e-4)
+      assert(r.getAs[Int]("repetitive") == (if (dup >= 0.05) 1 else 0))
+    }
+    val flagged = rows.count(_.getAs[Int]("repetitive") == 1)
+    assert(flagged > 0 && flagged < rows.length,
+      s"threshold should split the corpus, flagged=$flagged/${rows.length}")
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
