@@ -457,5 +457,69 @@ object Dedup {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q44, q45, q90)
+  // ---------------------------------------------------------------------
+  // q96 — split-leakage audit: near-dup pairs crossing train/val/test
+  // ---------------------------------------------------------------------
+
+  /** Evaluation-leakage audit: every exact-Jaccard-verified near-dup
+    * pair (J ≥ 0.5, the shared [[verifiedPairs]] view) is labeled with
+    * the q57 hash split of each endpoint, and pairs whose endpoints land
+    * in DIFFERENT splits are the leaks — a val/test document with a
+    * training-set near-duplicate inflates eval scores, which is why
+    * every serious pipeline runs dedup-aware splitting or this audit
+    * after the fact. Output: per unordered split combination, the pair
+    * count, the distinct documents involved on each side, and the leak
+    * flag; within-split rows are the harmless baseline.
+    *
+    * Scale shape: the pair set is the maintained near-dup index (the
+    * same MV the kill-list/components/PageRank queries share), the split
+    * label is derived MAP-SIDE from the doc id hash — no membership
+    * table, no extra shuffle beyond the two id equi-joins; output is
+    * ≤ C(3,2)+3 rows. Counts are exact integers. */
+  private val q96 = QueryDef(
+    "q96_split_leakage_audit",
+    "near-dup pairs crossing the q57 train/val/test split, per split pair",
+    Some(s"""
+      WITH ${text.verifiedPairsCte},
+      sp AS (SELECT doc_id,
+                    CASE WHEN ${text.md5Hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                              % 100 < 80 THEN 'train'
+                         WHEN ${text.md5Hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                              % 100 < 90 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM documents),
+      lab AS (SELECT least(sa.split, sb.split) AS split_a,
+                     greatest(sa.split, sb.split) AS split_b,
+                     v.doc_a, v.doc_b
+              FROM ver v JOIN sp sa ON sa.doc_id = v.doc_a
+                         JOIN sp sb ON sb.doc_id = v.doc_b)
+      SELECT split_a, split_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+             CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b,
+             CASE WHEN split_a != split_b THEN 1 ELSE 0 END AS is_leak
+      FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      def split(c: Column): Column = {
+        val b = text.md5Hash60(concat(lit("split:"), c.cast("string"))) % 100
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      }
+      val ver = verifiedPairs(s, dir)
+      val lab = ver
+        .withColumn("sa", split(col("doc_a")))
+        .withColumn("sb", split(col("doc_b")))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"),
+          col("doc_a"), col("doc_b"))
+      lab.groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_a")).as("n_docs_a"),
+          countDistinct(col("doc_b")).as("n_docs_b"))
+        .select(col("split_a"), col("split_b"), col("n_pairs"),
+          col("n_docs_a"), col("n_docs_b"),
+          when(col("split_a") =!= col("split_b"), 1).otherwise(0).as("is_leak"))
+        .orderBy("split_a", "split_b")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q44, q45, q90, q96)
 }

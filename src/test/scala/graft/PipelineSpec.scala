@@ -11,6 +11,38 @@ class PipelineSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("q96 leakage audit conserves the verified pair set and labels leaks") {
+    val rows = run("q96_split_leakage_audit").collect()
+    assert(rows.nonEmpty)
+    val totalPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    // every audited pair row is consistent: flag <=> split mismatch,
+    // distinct-doc counts bounded by pair count, splits canonically ordered
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(a <= b, "split pair not canonically ordered")
+      assert(r.getAs[Int]("is_leak") == (if (a != b) 1 else 0))
+      assert(r.getAs[Long]("n_docs_a") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_docs_b") <= r.getAs[Long]("n_pairs"))
+    }
+    // pair conservation against the verified near-dup pair set (J >= 0.5),
+    // recomputed brute-force from the public shingle helper
+    import org.apache.spark.sql.functions._
+    val sh = graft.functions.text.shingles(
+      graft.sources.Tables.documents(spark, sf))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val expected = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sa")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sb")), Seq("doc_b"))
+      .filter(round(col("inter").cast("double")
+        / (col("sa") + col("sb") - col("inter")), 4) >= 0.5)
+      .count()
+    assert(totalPairs == expected,
+      s"audit covers $totalPairs pairs, verified set has $expected")
+  }
+
   test("q56 HLL estimate is within 20% of the exact distinct count") {
     run("q56_hll_distinct_sketch").collect().foreach { r =>
       val exact = r.getAs[Long]("exact_distinct").toDouble
