@@ -645,6 +645,98 @@ object Curation {
         .orderBy("doc_id")
     })
 
+  // ---------------------------------------------------------------------
+  // q97 — cluster quality: centroid silhouette per cluster
+  // ---------------------------------------------------------------------
+
+  /** Cluster-quality report: the simplified (centroid) silhouette — per
+    * vector, a = distance to its nearest centroid, b = distance to the
+    * second-nearest, s = (b−a)/b ∈ [0,1) — aggregated per assigned
+    * cluster. Near-0 means the cluster boundary cuts through data;
+    * near-1 means well-separated. This is the standard "are these
+    * clusters real" check run after q84/q88, at a cost of n·k distances
+    * instead of exact silhouette's n² pairs.
+    *
+    * Same scale shape as q88: centroids broadcast as k dense arrays,
+    * distances map-side via the codegen dot identity, one bounded
+    * k-row window per vector. Parity: squared distances ride the q88
+    * recipe (4-dp rounds of fixed-order folds), sqrt is IEEE
+    * correctly-rounded (bit-identical across engines — the reason this
+    * uses sqrt and never log/exp, which carry no such guarantee),
+    * negative-zero guards via GREATEST(·,0), and the per-cluster mean
+    * rides the exact-decimal accumulator. */
+  private val q97 = QueryDef(
+    "q97_cluster_silhouette",
+    "per-cluster centroid silhouette (nearest vs second-nearest centroid)",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT vec_id, label, dim, embedding[dim]::DOUBLE AS v
+             FROM embeddings, dims),
+      cents AS (SELECT label AS clabel, dim, ${det.davgSql("v")} AS c
+                FROM lf GROUP BY 1, 2),
+      carr AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM cents GROUP BY 1),
+      sc AS (SELECT clabel, cv,
+                    list_sum(list_transform(generate_series(1, 64),
+                      i -> cv[i] * cv[i])) AS sc
+             FROM carr),
+      d AS (SELECT e.vec_id, s.clabel,
+                   ROUND(list_sum(list_transform(generate_series(1, 64),
+                           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                         - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                             i -> e.embedding[i]::DOUBLE * s.cv[i]))
+                         + s.sc, 4) AS d2
+            FROM embeddings e, sc s),
+      rk AS (SELECT vec_id, clabel, d2,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, clabel) AS rn
+             FROM d),
+      ab AS (SELECT vec_id,
+                    MIN(CASE WHEN rn = 1 THEN clabel END) AS cluster,
+                    sqrt(GREATEST(MIN(CASE WHEN rn = 1 THEN d2 END), 0.0)) AS da,
+                    sqrt(GREATEST(MIN(CASE WHEN rn = 2 THEN d2 END), 0.0)) AS db
+             FROM rk WHERE rn <= 2 GROUP BY 1),
+      sil AS (SELECT cluster,
+                     CASE WHEN db > 0.0 THEN (db - da) / db ELSE 0.0 END AS s
+              FROM ab)
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             ${det.davgSql("s")} AS avg_silhouette,
+             ROUND(MIN(s), 4) AS min_silhouette
+      FROM sil GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val lf = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("v"))
+      val cents = lf.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(det.davg(col("v")).as("c"))
+      val carr = cents.groupBy("clabel")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+        .withColumn("sc", dot(col("cv"), col("cv")))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val rk = e.crossJoin(broadcast(carr))
+        .select(col("vec_id"), col("clabel"),
+          round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + col("sc"), 4).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
+        .filter(col("rn") <= 2)
+      val ab = rk.groupBy("vec_id")
+        .agg(min(when(col("rn") === 1, col("clabel"))).as("cluster"),
+          sqrt(greatest(min(when(col("rn") === 1, col("d2"))), lit(0.0))).as("da"),
+          sqrt(greatest(min(when(col("rn") === 2, col("d2"))), lit(0.0))).as("db"))
+      val sil = ab.select(col("cluster"),
+        when(col("db") > 0.0, (col("db") - col("da")) / col("db"))
+          .otherwise(0.0).as("s"))
+      sil.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          det.davg(col("s")).as("avg_silhouette"),
+          round(min(col("s")), 4).as("min_silhouette"))
+        .orderBy("cluster")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95)
+    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97)
 }

@@ -235,6 +235,28 @@ class CurationSpec extends AnyFunSuite {
       s"threshold should split the corpus, flagged=$flagged/${rows.length}")
   }
 
+  test("q97 silhouette conserves vectors, stays in [0,1), matches q88 assignment") {
+    val rows = run("q97_cluster_silhouette").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_silhouette")
+      val min = r.getAs[Double]("min_silhouette")
+      assert(min >= 0.0 && avg < 1.0 && avg >= min - 1e-4,
+        s"cluster ${r.get(0)}: avg $avg min $min out of range")
+    }
+    // per-cluster sizes equal q88's assigned-label column sums
+    val q88Sizes = run("q88_kmeans_broadcast_assign").collect()
+      .groupBy(_.getAs[Number]("assigned_label").longValue)
+      .view.mapValues(_.map(_.getAs[Long]("n_vecs")).sum).toMap
+    rows.foreach { r =>
+      val c = r.getAs[Number]("cluster").longValue
+      assert(r.getAs[Long]("n_vecs") == q88Sizes(c),
+        s"cluster $c size disagrees with q88 assignment")
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -33,7 +33,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q90_incremental_batch_dedup", // hash slice + best-match window ties
     "q91_revenue_gini_by_segment", // rank-over-rounded-revenue ties + decimal sums
     "q92_benchmark_decontamination", // hash slice + float threshold flag
-    "q94_lm_doc_score") // decimal prob means + float rare-threshold counts
+    "q94_lm_doc_score", // decimal prob means + float rare-threshold counts
+    "q97_cluster_silhouette") // float distance folds + rank ties + decimal means
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
