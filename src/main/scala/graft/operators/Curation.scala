@@ -737,6 +737,119 @@ object Curation {
         .orderBy("cluster")
     })
 
+  // ---------------------------------------------------------------------
+  // q98 — per-source curation scorecard (signal composition)
+  // ---------------------------------------------------------------------
+
+  /** The per-source curation report a pipeline publishes per crawl/domain:
+    * document and token volume, duplicate-bigram repetition share (q95's
+    * rule), mean LM probability (q94's score), and the share of docs
+    * entangled in verified near-dup pairs (the [[Dedup.verifiedPairs]]
+    * view) — the dashboard that decides which sources get up- or
+    * down-sampled in the q75 mixing step.
+    *
+    * Composition is the point: three per-doc profile tables (each the
+    * single-signal operator's own logic) joined on doc_id and aggregated
+    * per source in ONE plan — Catalyst pipelines the three aggregations
+    * and shares the documents scan; nothing is materialized driver-side.
+    * All per-source means ride the exact-decimal accumulator over per-doc
+    * doubles that are themselves 4-dp-parity values; the near-dup flag
+    * is an integer membership bit off the maintained pair view. */
+  private val q98 = QueryDef(
+    "q98_source_scorecard",
+    "per-source curation report: volume, repetition, LM score, near-dup rate",
+    Some(s"""
+      WITH ${text.verifiedPairsCte},
+      dup AS (SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM ver
+                UNION ALL SELECT doc_b FROM ver)),
+      dtok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      rep AS (SELECT doc_id,
+                     CASE WHEN ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE)
+                                          / COUNT(*), 4) >= 0.05
+                          THEN 1 ELSE 0 END AS repetitive
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])) AS g
+                    FROM dtok WHERE len(t) >= 2)
+              GROUP BY doc_id),
+      tri AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> [t[i], t[i+1], t[i+2]])) AS g
+              FROM dtok WHERE len(t) >= 3),
+      c3 AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS n3
+             FROM tri GROUP BY 1, 2, 3),
+      bi2 AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> [t[i], t[i+1]])) AS g
+              FROM dtok WHERE len(t) >= 2),
+      c2 AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS n12
+             FROM bi2 GROUP BY 1, 2),
+      lm AS (SELECT t.doc_id, ${det.davgSql("CAST(n3 AS DOUBLE) / CAST(n12 AS DOUBLE)")} AS avg_p
+             FROM tri t
+             JOIN c3 ON t.g[1] = c3.w1 AND t.g[2] = c3.w2 AND t.g[3] = c3.w3
+             JOIN c2 ON t.g[1] = c2.w1 AND t.g[2] = c2.w2
+             GROUP BY 1),
+      prof AS (SELECT d.source, len(t.t) AS n_tok, rep.repetitive, lm.avg_p,
+                      CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_dup
+               FROM documents d
+               JOIN dtok t ON t.doc_id = d.doc_id
+               JOIN rep ON rep.doc_id = d.doc_id
+               JOIN lm ON lm.doc_id = d.doc_id
+               LEFT JOIN dup ON dup.doc_id = d.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(repetitive) AS DOUBLE) / COUNT(*), 4) AS rep_frac,
+             ${det.davgSql("avg_p")} AS avg_lm_p,
+             ROUND(CAST(SUM(in_dup) AS DOUBLE) / COUNT(*), 4) AS neardup_frac
+      FROM prof GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val tt = col("t")
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      def ngrams(n: Int) = tok
+        .select(col("doc_id"), explode(when(size(tt) >= n,
+          transform(sequence(lit(1), size(tt) - (n - 1)),
+            i => array((0 until n).map(j => element_at(tt, i + j)): _*)))
+          .otherwise(array().cast("array<array<string>>"))).as("g"))
+      val rep = ngrams(2)
+        .select(col("doc_id"), concat_ws(" ", col("g")(0), col("g")(1)).as("g"))
+        .groupBy("doc_id")
+        .agg(when(round(lit(1.0)
+            - countDistinct(col("g")).cast("double") / count(lit(1)), 4) >= 0.05,
+          1).otherwise(0).as("repetitive"))
+      val tri = ngrams(3).select(col("doc_id"),
+        col("g")(0).as("w1"), col("g")(1).as("w2"), col("g")(2).as("w3"))
+      val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+      val c2 = ngrams(2)
+        .select(col("g")(0).as("w1"), col("g")(1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val lm = tri.join(c3, Seq("w1", "w2", "w3")).join(c2, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(det.davg(col("n3").cast("double") / col("n12").cast("double"))
+          .as("avg_p"))
+      val ver = Dedup.verifiedPairs(s, dir)
+      val dup = ver.select(col("doc_a").as("doc_id"))
+        .union(ver.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("in_dup_m", lit(1))
+      val prof = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(tok.select(col("doc_id"), size(tt).cast("long").as("n_tok")),
+          Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .join(lm, Seq("doc_id"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("source"), col("n_tok"), col("repetitive"), col("avg_p"),
+          coalesce(col("in_dup_m"), lit(0)).as("in_dup"))
+      prof.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          round(sum(col("repetitive")).cast("double") / count(lit(1)), 4)
+            .as("rep_frac"),
+          det.davg(col("avg_p")).as("avg_lm_p"),
+          round(sum(col("in_dup")).cast("double") / count(lit(1)), 4)
+            .as("neardup_frac"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97)
+    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98)
 }

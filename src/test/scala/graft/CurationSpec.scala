@@ -257,6 +257,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q98 scorecard conserves docs and agrees with q95's repetition flags") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q98_source_scorecard").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach { r =>
+      Seq("rep_frac", "neardup_frac").foreach { c =>
+        val f = r.getAs[Double](c)
+        assert(f >= 0.0 && f <= 1.0, s"${r.getString(0)}.$c $f out of range")
+      }
+      val p = r.getAs[Double]("avg_lm_p")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // per-source repetitive counts reconstruct q95's flags exactly
+    val q95BySource = run("q95_doc_repetition")
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source"),
+        Seq("doc_id"))
+      .groupBy("source").agg(sum("repetitive").as("n_rep"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_rep")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val nRep = math.round(r.getAs[Double]("rep_frac") * r.getAs[Long]("n_docs"))
+      assert(nRep == q95BySource(src),
+        s"$src: scorecard rep count $nRep != q95 flags ${q95BySource(src)}")
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

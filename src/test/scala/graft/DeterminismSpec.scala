@@ -34,7 +34,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q91_revenue_gini_by_segment", // rank-over-rounded-revenue ties + decimal sums
     "q92_benchmark_decontamination", // hash slice + float threshold flag
     "q94_lm_doc_score", // decimal prob means + float rare-threshold counts
-    "q97_cluster_silhouette") // float distance folds + rank ties + decimal means
+    "q97_cluster_silhouette", // float distance folds + rank ties + decimal means
+    "q98_source_scorecard") // composed per-doc doubles + decimal means
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
