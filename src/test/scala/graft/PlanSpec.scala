@@ -162,4 +162,22 @@ class PlanSpec extends AnyFunSuite {
       "bucket join must not shuffle on bucket")
     assert(p.contains("WindowGroupLimit"), "per-query top-3 should rank-limit early")
   }
+
+  test("q92: the benchmark gram set broadcasts; the corpus never nested-loops") {
+    val p = plan("q92_benchmark_decontamination")
+    // the held-out gram set is tiny by construction — the overlap join
+    // must be a broadcast hash join on the gram, and nothing all-pairs
+    assert(p.contains("BroadcastHashJoin"), "bench gram set should broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decontamination must stay an equi-join on the gram")
+  }
+
+  test("q93: the packing prefix sum is partitioned by source (no global window)") {
+    val p = plan("q93_sequence_packing")
+    // a single-partition window over the fact table is the scale killer
+    // this operator is designed to avoid
+    assert(p.contains("Window"), "packing uses a window cumsum")
+    assert(!p.contains("SinglePartition"),
+      "the cumsum window must ride source partitions, never one partition")
+  }
 }
