@@ -229,5 +229,98 @@ object TextPipeline {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30)
+  // ---------------------------------------------------------------------
+  // q99 — sparse tf-idf cosine retrieval over an inverted index
+  // ---------------------------------------------------------------------
+
+  /** Sparse retrieval: a deterministic 2% hash slice of documents plays
+    * the query set, and each query retrieves its top-3 most similar
+    * corpus docs by tf-idf cosine — computed through the INVERTED INDEX
+    * ((term, doc, weight) posting lists joined on term), the sparse
+    * sibling of the dense ANN family (q31/q32/q65/q72): only documents
+    * sharing a term with the query ever pair, so cost is bounded by
+    * posting-list co-occurrence, not |Q|·N. At 100 TB the same plan
+    * takes the standard retrieval refinements — df-threshold stopword
+    * pruning and champion (top-weight) lists per term — which are
+    * no-ops on this 31-word fixture vocabulary and therefore omitted
+    * rather than pretended.
+    *
+    * Weights are the rational idf form w = tf·N/df (exact integers into
+    * one IEEE divide — deliberately not ln-based: cosine ORDERING is
+    * idf-monotone either way, and N/df keeps every intermediate
+    * bit-identical across engines). Dots and squared norms ride the
+    * exact-decimal accumulator rounded at 4 dp; norms go through
+    * IEEE-exact sqrt; ties break on candidate doc id. */
+  private val q99 = QueryDef(
+    "q99_tfidf_cosine_retrieval",
+    "top-3 tf-idf cosine matches per hash-sliced query doc via inverted index",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      idx AS (SELECT tf.doc_id, tf.w,
+                     CAST(tf.tf * n.n AS DOUBLE) / df.df AS wt
+              FROM tf JOIN df USING (w) CROSS JOIN n),
+      nrm AS (SELECT doc_id, sqrt(${graft.functions.det.dsumSql("wt * wt")}) AS nrm
+              FROM idx GROUP BY 1),
+      q AS (SELECT doc_id, w, wt FROM idx
+            WHERE ${graft.functions.text.md5Hash60Sql("'ret:' || CAST(doc_id AS VARCHAR)")}
+                  % 50 = 0),
+      dots AS (SELECT q.doc_id AS query_doc, c.doc_id AS match_doc,
+                      ${graft.functions.det.dsumSql("q.wt * c.wt")} AS dot
+               FROM q JOIN idx c USING (w)
+               WHERE c.doc_id != q.doc_id
+               GROUP BY 1, 2),
+      cos AS (SELECT query_doc, match_doc,
+                     ROUND(dot / (nq.nrm * nc.nrm), 4) AS cosine
+              FROM dots JOIN nrm nq ON nq.doc_id = query_doc
+                        JOIN nrm nc ON nc.doc_id = match_doc)
+      SELECT query_doc, match_doc, cosine,
+             CAST(rk AS BIGINT) AS rank
+      FROM (SELECT query_doc, match_doc, cosine,
+                   row_number() OVER (PARTITION BY query_doc
+                                      ORDER BY cosine DESC, match_doc) AS rk
+            FROM cos)
+      WHERE rk <= 3 ORDER BY query_doc, rank"""),
+    (s, dir) => {
+      import graft.functions.{det, text}
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val nDocs = docs.select(count(lit(1)).as("n"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val idx = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("w"),
+          ((col("tf") * col("n")).cast("double") / col("df")).as("wt"))
+      val nrm = idx.groupBy("doc_id")
+        .agg(sqrt(det.dsum(col("wt") * col("wt"))).as("nrm"))
+      val q = idx
+        .filter(text.md5Hash60(concat(lit("ret:"), col("doc_id").cast("string")))
+          % 50 === 0)
+        .select(col("doc_id").as("query_doc"), col("w"), col("wt").as("qwt"))
+      val dots = q.join(idx.select(col("doc_id").as("match_doc"), col("w"),
+          col("wt").as("cwt")), Seq("w"))
+        .filter(col("match_doc") =!= col("query_doc"))
+        .groupBy("query_doc", "match_doc")
+        .agg(det.dsum(col("qwt") * col("cwt")).as("dot"))
+      val cos = dots
+        .join(nrm.select(col("doc_id").as("query_doc"), col("nrm").as("nq")),
+          Seq("query_doc"))
+        .join(nrm.select(col("doc_id").as("match_doc"), col("nrm").as("nc")),
+          Seq("match_doc"))
+        .select(col("query_doc"), col("match_doc"),
+          round(col("dot") / (col("nq") * col("nc")), 4).as("cosine"))
+      cos.withColumn("rank", row_number().over(
+          Window.partitionBy("query_doc")
+            .orderBy(col("cosine").desc, col("match_doc"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_doc", "match_doc", "cosine", "rank")
+        .orderBy("query_doc", "rank")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q99)
 }

@@ -35,7 +35,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q92_benchmark_decontamination", // hash slice + float threshold flag
     "q94_lm_doc_score", // decimal prob means + float rare-threshold counts
     "q97_cluster_silhouette", // float distance folds + rank ties + decimal means
-    "q98_source_scorecard") // composed per-doc doubles + decimal means
+    "q98_source_scorecard", // composed per-doc doubles + decimal means
+    "q99_tfidf_cosine_retrieval") // decimal dots + float rank ties + hash slice
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -43,6 +43,27 @@ class PipelineSpec extends AnyFunSuite {
       s"audit covers $totalPairs pairs, verified set has $expected")
   }
 
+  test("q99 retrieval returns ranked top-3 per slice query, no self-matches") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q99_tfidf_cosine_retrieval").collect()
+    assert(rows.nonEmpty)
+    val sliceIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(graft.functions.text
+        .md5Hash60(concat(lit("ret:"), col("doc_id").cast("string"))) % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byQuery = rows.groupBy(_.getAs[Long]("query_doc"))
+    assert(byQuery.keySet == sliceIds, "every slice doc retrieves, nothing else")
+    byQuery.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L),
+        s"query $q: ranks not 1..3")
+      sorted.foreach(r => assert(r.getAs[Long]("match_doc") != q, "self-match"))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse, s"query $q: cosine not ranked")
+      cosines.foreach(c => assert(c > 0.0 && c <= 1.0001, s"cosine $c out of range"))
+    }
+  }
+
   test("q56 HLL estimate is within 20% of the exact distinct count") {
     run("q56_hll_distinct_sketch").collect().foreach { r =>
       val exact = r.getAs[Long]("exact_distinct").toDouble
