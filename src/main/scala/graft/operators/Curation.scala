@@ -850,6 +850,100 @@ object Curation {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q100 — token-budget allocation: scorecard → per-source sampling quota
+  // ---------------------------------------------------------------------
+
+  /** The planning step between the q98 scorecard and the q75 sampling
+    * mix: a global token budget (half the corpus) is allocated across
+    * sources proportionally to quality×volume — quality = the share of
+    * docs passing the q95 repetition rule — with each source CAPPED at
+    * its available tokens (you cannot sample more than exists without
+    * repeating data). Single-pass waterfilling: the capped surplus is
+    * surfaced per row (`capped`, `utilization`) rather than silently
+    * redistributed — rerunning with the leftover is the caller's loop,
+    * exactly like q73 owns its PageRank iterations.
+    *
+    * Global scalars (budget, weight normalizer) are one-row aggregates
+    * cross-joined broadcast — no driver-side collect. Weights are
+    * single-IEEE-op products of exact ratios; the normalizer rides the
+    * exact-decimal accumulator; every output double is one arithmetic
+    * expression over those identical bits, rounded at 4 dp. */
+  private val q100 = QueryDef(
+    "q100_token_budget_allocation",
+    "quality-weighted per-source token quotas for a half-corpus budget, capped",
+    Some(s"""
+      WITH dtok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents),
+      rep AS (SELECT doc_id,
+                     CASE WHEN ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE)
+                                          / COUNT(*), 4) >= 0.05
+                          THEN 1 ELSE 0 END AS repetitive
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])) AS g
+                    FROM dtok WHERE len(t) >= 2)
+              GROUP BY doc_id),
+      src AS (SELECT d.source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(d.t)) AS BIGINT) AS n_tokens,
+                     CAST(SUM(r.repetitive) AS BIGINT) AS n_rep
+              FROM dtok d JOIN rep r ON r.doc_id = d.doc_id
+              GROUP BY 1),
+      wsrc AS (SELECT source, n_tokens,
+                      CAST(n_docs - n_rep AS DOUBLE) / n_docs AS quality,
+                      (CAST(n_docs - n_rep AS DOUBLE) / n_docs) * n_tokens AS w
+               FROM src),
+      tot AS (SELECT ${det.dsumSql("w")} AS sw,
+                     CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) * 0.5) AS BIGINT)
+                       AS budget
+              FROM wsrc)
+      SELECT source, n_tokens, ROUND(quality, 4) AS quality,
+             ROUND(CAST(budget AS DOUBLE) * w / sw, 4) AS target_tokens,
+             LEAST(CAST(n_tokens AS DOUBLE),
+                   ROUND(CAST(budget AS DOUBLE) * w / sw, 4)) AS alloc_tokens,
+             CASE WHEN ROUND(CAST(budget AS DOUBLE) * w / sw, 4)
+                       > CAST(n_tokens AS DOUBLE) THEN 1 ELSE 0 END AS capped,
+             ROUND(LEAST(CAST(n_tokens AS DOUBLE),
+                         ROUND(CAST(budget AS DOUBLE) * w / sw, 4))
+                   / n_tokens, 4) AS utilization
+      FROM wsrc CROSS JOIN tot ORDER BY source"""),
+    (s, dir) => {
+      val tt = col("t")
+      val dtok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      val rep = dtok
+        .select(col("doc_id"), explode(when(size(tt) >= 2,
+          transform(sequence(lit(1), size(tt) - 1),
+            i => concat_ws(" ", element_at(tt, i), element_at(tt, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy("doc_id")
+        .agg(when(round(lit(1.0)
+            - countDistinct(col("g")).cast("double") / count(lit(1)), 4) >= 0.05,
+          1).otherwise(0).as("repetitive"))
+      val src = dtok.join(rep, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(size(tt)).cast("long").as("n_tokens"),
+          sum(col("repetitive")).cast("long").as("n_rep"))
+      val wsrc = src.select(col("source"), col("n_tokens"),
+        ((col("n_docs") - col("n_rep")).cast("double") / col("n_docs"))
+          .as("quality"))
+        .withColumn("w", col("quality") * col("n_tokens"))
+      val tot = wsrc.agg(det.dsum(col("w")).as("sw"),
+        floor(sum(col("n_tokens")).cast("double") * 0.5).cast("long").as("budget"))
+      val target = round(col("budget").cast("double") * col("w") / col("sw"), 4)
+      val alloc = least(col("n_tokens").cast("double"), target)
+      wsrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("quality"), 4).as("quality"),
+          target.as("target_tokens"),
+          alloc.as("alloc_tokens"),
+          when(target > col("n_tokens").cast("double"), 1).otherwise(0)
+            .as("capped"),
+          round(alloc / col("n_tokens"), 4).as("utilization"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98)
+    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100)
 }

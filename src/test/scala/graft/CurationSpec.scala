@@ -285,6 +285,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 allocation respects caps, budget, and quality monotonicity") {
+    val rows = run("q100_token_budget_allocation").collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = math.floor(totalTokens * 0.5)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_tokens").toDouble
+      val target = r.getAs[Double]("target_tokens")
+      val alloc = r.getAs[Double]("alloc_tokens")
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(alloc <= t + 1e-6, s"${r.getString(0)}: alloc $alloc exceeds $t")
+      assert(alloc <= target + 1e-6, "alloc never exceeds target")
+      assert(r.getAs[Int]("capped") == (if (target > t) 1 else 0))
+      val util = r.getAs[Double]("utilization")
+      assert(util >= 0.0 && util <= 1.0001)
+    }
+    // allocations never over-spend the budget (capping only removes tokens)
+    val spent = rows.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(spent <= budget + 1.0, s"spent $spent over budget $budget")
+    // targets sum back to the budget before capping (proportional split)
+    val targetSum = rows.map(_.getAs[Double]("target_tokens")).sum
+    assert(math.abs(targetSum - budget) < 1.0,
+      s"targets sum $targetSum != budget $budget")
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

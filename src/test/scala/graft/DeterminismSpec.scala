@@ -36,7 +36,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q94_lm_doc_score", // decimal prob means + float rare-threshold counts
     "q97_cluster_silhouette", // float distance folds + rank ties + decimal means
     "q98_source_scorecard", // composed per-doc doubles + decimal means
-    "q99_tfidf_cosine_retrieval") // decimal dots + float rank ties + hash slice
+    "q99_tfidf_cosine_retrieval", // decimal dots + float rank ties + hash slice
+    "q100_token_budget_allocation") // decimal normalizer + float quota arithmetic
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
