@@ -28,6 +28,36 @@ object Curation {
   private def hkeySql(prefix: String, x: String): String =
     text.md5Hash60Sql(s"'$prefix' || CAST($x AS VARCHAR)")
 
+  /** Word n-gram occurrence stream: (doc_id, w1..wn), one row per
+    * occurrence (duplicates kept — these feed counts, unlike the
+    * distinct-shingle set the dedup family shares). */
+  private def docGrams(s: SparkSession, dir: String, n: Int) = {
+    val tt = col("t")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(when(size(tt) >= n,
+        transform(sequence(lit(1), size(tt) - (n - 1)),
+          i => array((0 until n).map(j => element_at(tt, i + j)): _*)))
+        .otherwise(array().cast("array<array<string>>"))).as("g"))
+      .select(col("doc_id") +:
+        (0 until n).map(j => col("g")(j).as(s"w${j + 1}")): _*)
+  }
+
+  /** Corpus trigram counts (w1, w2, w3, n3) as a materialized view —
+    * the LM table is vocab³-bounded and shared by q87 (the LM report),
+    * q94 (doc scoring), and q98 (the scorecard), so it's built once per
+    * dataset like the dedup family's shingle set. */
+  private def trigramCounts(s: SparkSession, dir: String) =
+    graft.sources.MaterializedViews.cached(s, dir, "trigram_counts") {
+      docGrams(s, dir, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+    }
+
+  /** Corpus bigram counts (w1, w2, n12) — the LM denominator view. */
+  private def bigramCounts(s: SparkSession, dir: String) =
+    graft.sources.MaterializedViews.cached(s, dir, "bigram_counts") {
+      docGrams(s, dir, 2).groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    }
+
   // ---------------------------------------------------------------------
   // q84 — k-means E-step: label centroids + nearest-centroid assignment
   // ---------------------------------------------------------------------
@@ -215,21 +245,8 @@ object Curation {
       FROM c3 JOIN c2 USING (w1, w2)
       ORDER BY n3 DESC, trigram LIMIT 20"""),
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val t = split(col("text"), " ")
-      val tt = col("t")
-      def grams(n: Int) = docs.select(t.as("t"))
-        .select(explode(when(size(tt) >= n,
-          transform(sequence(lit(1), size(tt) - (n - 1)),
-            i => array((0 until n).map(j => element_at(tt, i + j)): _*)))
-          .otherwise(array().cast("array<array<string>>"))).as("g"))
-      val c3 = grams(3)
-        .select(col("g")(0).as("w1"), col("g")(1).as("w2"), col("g")(2).as("w3"))
-        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
-        .filter(col("n3") >= 2)
-      val c2 = grams(2)
-        .select(col("g")(0).as("w1"), col("g")(1).as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val c3 = trigramCounts(s, dir).filter(col("n3") >= 2)
+      val c2 = bigramCounts(s, dir)
       c3.join(broadcast(c2), Seq("w1", "w2"))
         .select(
           concat_ws(" ", col("w1"), col("w2"), col("w3")).as("trigram"),
@@ -557,23 +574,12 @@ object Curation {
                    / COUNT(*), 4) AS rare_frac
       FROM scored GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val tt = col("t")
-      def grams(n: Int) = docs
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), explode(when(size(tt) >= n,
-          transform(sequence(lit(1), size(tt) - (n - 1)),
-            i => array((0 until n).map(j => element_at(tt, i + j)): _*)))
-          .otherwise(array().cast("array<array<string>>"))).as("g"))
-      val tri = grams(3).select(col("doc_id"),
-        col("g")(0).as("w1"), col("g")(1).as("w2"), col("g")(2).as("w3"))
-      val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
-      val c2 = grams(2)
-        .select(col("g")(0).as("w1"), col("g")(1).as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val tri = docGrams(s, dir, 3)
+      val c3 = trigramCounts(s, dir)
+      val c2 = bigramCounts(s, dir)
       val scored = tri
-        .join(c3, Seq("w1", "w2", "w3"))
-        .join(c2, Seq("w1", "w2"))
+        .join(broadcast(c3), Seq("w1", "w2", "w3"))
+        .join(broadcast(c2), Seq("w1", "w2"))
         .select(col("doc_id"),
           (col("n3").cast("double") / col("n12").cast("double")).as("p"))
       scored.groupBy("doc_id")
