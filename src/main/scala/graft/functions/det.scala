@@ -26,6 +26,13 @@ object det {
   def davg(c: Column): Column =
     round(sum(c.cast(DecimalType(30, 10))).cast("double") / count(lit(1)), 4)
 
+  /** Order-independent NULL-excluded mean: exact decimal sum over non-null
+    * inputs / count of non-null inputs, rounded to 4 dp. Matches SQL AVG
+    * null semantics (davg divides by COUNT(*), which differs when the
+    * input is nullable — e.g. a LEFT-JOINed per-doc signal). */
+  def davgNN(c: Column): Column =
+    round(sum(c.cast(DecimalType(30, 10))).cast("double") / count(c), 4)
+
   /** Round any double expression to 4 dp (for per-row or small-window math
     * where both engines compute bit-identical doubles). */
   def d4(c: Column): Column = round(c, 4)
@@ -37,4 +44,8 @@ object det {
   /** DuckDB oracle twin of [[davg]]. */
   def davgSql(x: String): String =
     s"ROUND(CAST(SUM(CAST($x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4)"
+
+  /** DuckDB oracle twin of [[davgNN]]. */
+  def davgNNSql(x: String): String =
+    s"ROUND(CAST(SUM(CAST($x AS DECIMAL(30,10))) AS DOUBLE) / COUNT($x), 4)"
 }

@@ -760,7 +760,14 @@ object Curation {
     * and shares the documents scan; nothing is materialized driver-side.
     * All per-source means ride the exact-decimal accumulator over per-doc
     * doubles that are themselves 4-dp-parity values; the near-dup flag
-    * is an integer membership bit off the maintained pair view. */
+    * is an integer membership bit off the maintained pair view.
+    *
+    * Every document counts in n_docs/n_tokens: the per-doc signal tables
+    * only exist for docs long enough to produce them (bigrams need ≥2
+    * tokens, trigram LM ≥3), so they are LEFT-joined — a short doc
+    * scores repetitive=0 and is simply excluded from the LM mean
+    * (null-excluded [[det.davgNN]]), instead of silently vanishing from
+    * the source's volume totals. */
   private val q98 = QueryDef(
     "q98_source_scorecard",
     "per-source curation report: volume, repetition, LM score, near-dup rate",
@@ -795,17 +802,18 @@ object Curation {
              JOIN c3 ON t.g[1] = c3.w1 AND t.g[2] = c3.w2 AND t.g[3] = c3.w3
              JOIN c2 ON t.g[1] = c2.w1 AND t.g[2] = c2.w2
              GROUP BY 1),
-      prof AS (SELECT d.source, len(t.t) AS n_tok, rep.repetitive, lm.avg_p,
+      prof AS (SELECT d.source, len(t.t) AS n_tok,
+                      COALESCE(rep.repetitive, 0) AS repetitive, lm.avg_p,
                       CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_dup
                FROM documents d
                JOIN dtok t ON t.doc_id = d.doc_id
-               JOIN rep ON rep.doc_id = d.doc_id
-               JOIN lm ON lm.doc_id = d.doc_id
+               LEFT JOIN rep ON rep.doc_id = d.doc_id
+               LEFT JOIN lm ON lm.doc_id = d.doc_id
                LEFT JOIN dup ON dup.doc_id = d.doc_id)
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
              ROUND(CAST(SUM(repetitive) AS DOUBLE) / COUNT(*), 4) AS rep_frac,
-             ${det.davgSql("avg_p")} AS avg_lm_p,
+             ${det.davgNNSql("avg_p")} AS avg_lm_p,
              ROUND(CAST(SUM(in_dup) AS DOUBLE) / COUNT(*), 4) AS neardup_frac
       FROM prof GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
@@ -840,17 +848,18 @@ object Curation {
       val prof = Tables.documents(s, dir).select(col("doc_id"), col("source"))
         .join(tok.select(col("doc_id"), size(tt).cast("long").as("n_tok")),
           Seq("doc_id"))
-        .join(rep, Seq("doc_id"))
-        .join(lm, Seq("doc_id"))
+        .join(rep, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
         .join(dup, Seq("doc_id"), "left")
-        .select(col("source"), col("n_tok"), col("repetitive"), col("avg_p"),
+        .select(col("source"), col("n_tok"),
+          coalesce(col("repetitive"), lit(0)).as("repetitive"), col("avg_p"),
           coalesce(col("in_dup_m"), lit(0)).as("in_dup"))
       prof.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),
           round(sum(col("repetitive")).cast("double") / count(lit(1)), 4)
             .as("rep_frac"),
-          det.davg(col("avg_p")).as("avg_lm_p"),
+          det.davgNN(col("avg_p")).as("avg_lm_p"),
           round(sum(col("in_dup")).cast("double") / count(lit(1)), 4)
             .as("neardup_frac"))
         .orderBy("source")
@@ -863,7 +872,9 @@ object Curation {
   /** The planning step between the q98 scorecard and the q75 sampling
     * mix: a global token budget (half the corpus) is allocated across
     * sources proportionally to quality×volume — quality = the share of
-    * docs passing the q95 repetition rule — with each source CAPPED at
+    * docs passing the q95 repetition rule (short docs with no bigrams
+    * LEFT-join in as non-repetitive, so every doc counts toward volume
+    * and quality) — with each source CAPPED at
     * its available tokens (you cannot sample more than exists without
     * repeating data). Single-pass waterfilling: the capped surplus is
     * surfaced per row (`capped`, `utilization`) rather than silently
@@ -893,8 +904,8 @@ object Curation {
       src AS (SELECT d.source,
                      CAST(COUNT(*) AS BIGINT) AS n_docs,
                      CAST(SUM(len(d.t)) AS BIGINT) AS n_tokens,
-                     CAST(SUM(r.repetitive) AS BIGINT) AS n_rep
-              FROM dtok d JOIN rep r ON r.doc_id = d.doc_id
+                     CAST(SUM(COALESCE(r.repetitive, 0)) AS BIGINT) AS n_rep
+              FROM dtok d LEFT JOIN rep r ON r.doc_id = d.doc_id
               GROUP BY 1),
       wsrc AS (SELECT source, n_tokens,
                       CAST(n_docs - n_rep AS DOUBLE) / n_docs AS quality,
@@ -927,10 +938,10 @@ object Curation {
         .agg(when(round(lit(1.0)
             - countDistinct(col("g")).cast("double") / count(lit(1)), 4) >= 0.05,
           1).otherwise(0).as("repetitive"))
-      val src = dtok.join(rep, Seq("doc_id"))
+      val src = dtok.join(rep, Seq("doc_id"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(size(tt)).cast("long").as("n_tokens"),
-          sum(col("repetitive")).cast("long").as("n_rep"))
+          sum(coalesce(col("repetitive"), lit(0))).cast("long").as("n_rep"))
       val wsrc = src.select(col("source"), col("n_tokens"),
         ((col("n_docs") - col("n_rep")).cast("double") / col("n_docs"))
           .as("quality"))

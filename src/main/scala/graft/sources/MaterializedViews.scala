@@ -60,19 +60,32 @@ object MaterializedViews {
         // each build a complete view; the loser's rename fails against
         // the winner's (identical, deterministic) published dir and its
         // temp is discarded — no reader can observe a partial write.
+        // A target dir WITHOUT _SUCCESS (a crash mid-publish under the
+        // old in-place path, or a killed process) is garbage: delete it
+        // and retry the rename once, so one stale dir can't make the
+        // view permanently unbuildable. try/finally removes the temp on
+        // any failure path so aborted builds don't leak under /tmp.
         val tmp = new File(out.getParentFile,
           s"$name.tmp-${java.lang.ProcessHandle.current.pid}")
-        build.write.mode("overwrite").parquet(tmp.getPath)
-        try
-          java.nio.file.Files.move(tmp.toPath, out.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException
-               | _: java.nio.file.FileSystemException
-            if new File(out, "_SUCCESS").isFile =>
-            // lost the race to an equivalent view — discard ours
-            deleteRecursively(tmp)
-        }
+        try {
+          build.write.mode("overwrite").parquet(tmp.getPath)
+          def move(): Unit =
+            java.nio.file.Files.move(tmp.toPath, out.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          try move()
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException
+                 | _: java.nio.file.FileSystemException
+              if new File(out, "_SUCCESS").isFile =>
+              // lost the race to an equivalent view — discard ours
+            case _: java.nio.file.FileAlreadyExistsException
+                 | _: java.nio.file.DirectoryNotEmptyException
+                 | _: java.nio.file.FileSystemException =>
+              // stale incomplete target (no _SUCCESS): evict and retry
+              deleteRecursively(out)
+              move()
+          }
+        } finally if (tmp.exists()) deleteRecursively(tmp)
       }
       s.read.parquet(out.getPath)
     }

@@ -311,6 +311,52 @@ class CurationSpec extends AnyFunSuite {
       s"targets sum $targetSum != budget $budget")
   }
 
+  test("q98/q100 count short docs (<3 tokens) toward per-source volumes") {
+    // The sf fixtures have no docs under 3 tokens, so the LEFT-join
+    // semantics (short docs score repetitive=0 and drop out of the LM
+    // mean instead of vanishing from n_docs/n_tokens) need a synthetic
+    // fixture to be exercised at all.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shortdoc").toFile
+    try {
+      val docs = Seq(
+        (0L, "one", "en", "srcA", 3L),
+        (1L, "two tokens", "en", "srcA", 10L),
+        (2L, "alpha beta gamma alpha beta gamma alpha beta gamma", "en", "srcA", 49L),
+        (3L, "x", "en", "srcB", 1L),
+        (4L, "the quick brown fox jumps over the lazy dog", "en", "srcB", 43L),
+        (5L, "pack my box with five dozen liquor jugs", "en", "srcB", 39L))
+      spark.createDataFrame(docs)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "documents.parquet").getPath)
+      val dir = tmp.getPath
+      val sc = run2("q98_source_scorecard", dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(sc.keySet == Set("srcA", "srcB"))
+      assert(sc("srcA").getAs[Long]("n_docs") == 3, "1-token doc must count")
+      assert(sc("srcB").getAs[Long]("n_docs") == 3)
+      assert(sc("srcA").getAs[Long]("n_tokens") == 1 + 2 + 9)
+      assert(sc("srcB").getAs[Long]("n_tokens") == 1 + 9 + 8)
+      // srcA: only the repeated alpha-beta-gamma doc is repetitive (1/3);
+      // the short docs joined in as repetitive=0, not as missing rows
+      assert(sc("srcA").getAs[Double]("rep_frac") == 0.3333)
+      assert(sc("srcB").getAs[Double]("rep_frac") == 0.0)
+      val al = run2("q100_token_budget_allocation", dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(al("srcA").getAs[Long]("n_tokens") == 12, "short-doc tokens in budget base")
+      assert(al("srcB").getAs[Long]("n_tokens") == 18)
+      assert(al("srcA").getAs[Double]("quality") == 0.6667)
+      assert(al("srcB").getAs[Double]("quality") == 1.0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
+  private def run2(name: String, dir: String) = SparkEntry.queries(name)(spark, dir)
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

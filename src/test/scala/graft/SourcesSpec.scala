@@ -71,6 +71,33 @@ class SourcesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("MV publish recovers from a stale target dir without _SUCCESS") {
+    // Simulates a crash mid-publish (target dir exists, no _SUCCESS):
+    // cached() must evict the garbage and publish a fresh view rather
+    // than fail forever on ATOMIC_MOVE into a non-empty dir.
+    val viewName = "spec_stale_recovery"
+    val src = new java.io.File(sf, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sf|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val out = new java.io.File(new java.io.File(new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-mv"), fp), viewName)
+    out.mkdirs()
+    Files.write(new java.io.File(out, "part-00000-stale").toPath,
+      "garbage".getBytes("UTF-8"))
+    assert(!new java.io.File(out, "_SUCCESS").isFile)
+    val df = graft.sources.MaterializedViews.cached(spark, sf, viewName) {
+      spark.range(5).toDF("id")
+    }
+    assert(df.count() == 5)
+    assert(new java.io.File(out, "_SUCCESS").isFile, "fresh view published")
+    assert(!new java.io.File(out, "part-00000-stale").exists(), "garbage evicted")
+    // no leaked temp siblings
+    val leftovers = Option(out.getParentFile.listFiles).get
+      .filter(_.getName.startsWith(s"$viewName.tmp-"))
+    assert(leftovers.isEmpty, s"leaked temp dirs: ${leftovers.mkString(",")}")
+  }
+
   test("results are partition-count independent (4 vs 13 shuffle partitions)") {
     val names = Seq("q01_pricing_summary", "q22_neardup_jaccard",
       "q20_session_windows")
