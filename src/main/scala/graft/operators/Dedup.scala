@@ -296,35 +296,16 @@ object Dedup {
         .orderBy("lang")
     })
 
-  /** Connected components over the verified near-dup graph: the full
-    * canonical-assignment semantic (transitive closure of near-dup
-    * pairs; every doc in a dup cluster maps to the cluster's min
-    * doc_id). Iterative min-label propagation on DataFrames — each
-    * round one join + one aggregate, converging in graph-diameter
-    * rounds (near-dup clusters are shallow; capped at 20). At 100 TB
-    * this is the same alternating join/min loop, with the label table
-    * hash-partitioned once and reused. Oracle: DuckDB recursive CTE
-    * computing min reachable label. */
-  private val q45 = QueryDef(
-    "q45_neardup_components",
-    "connected components of the near-dup pair graph (canonical per cluster)",
-    Some(s"""
-      WITH RECURSIVE ${text.verifiedPairsCte},
-      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
-                UNION ALL SELECT doc_b, doc_a FROM ver),
-      nodes AS (SELECT DISTINCT s AS node FROM edges),
-      reach(node, lbl) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
-      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node)
-      SELECT c.node AS doc_id, c.component_id,
-             CAST(cs.n AS BIGINT) AS component_size
-      FROM comp c
-      JOIN (SELECT component_id, COUNT(*) AS n FROM comp GROUP BY 1) cs
-        USING (component_id)
-      ORDER BY doc_id"""),
-    (s, dir) => {
+  /** Connected components (node → component_id = min reachable doc_id)
+    * of the verified near-dup graph, as a materialized view: the
+    * iterative min-label propagation runs ONCE per dataset (each round
+    * one join + one aggregate, converging in graph-diameter rounds —
+    * near-dup clusters are shallow; capped at 20) and both q45 and the
+    * canonical-representative compaction (q101) read the parquet. At
+    * 100 TB this is the maintained cluster-assignment table a dedup
+    * pipeline keeps next to the pair set, rebuilt per corpus version. */
+  private[operators] def components(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "components_j05") {
       val pairs = verifiedPairs(s, dir)
       val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -363,15 +344,43 @@ object Dedup {
         converged = nChanged == 0
         iter += 1
       }
-      // CACHE CONTRACT: the final iteration's persist stays live because
-      // the returned plan reads it (unpersisting here would recompute the
-      // whole loop at execution). Callers that execute query plans are
-      // expected to clearCache() afterwards — the harness (Verify/Bench)
-      // and the test session both do; long-lived embedders should too.
-      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
-      labels
-        .join(sizes, Seq("lbl"))
-        .select(col("node").as("doc_id"), col("lbl").as("component_id"),
+      // The final iteration's persist stays live through the MV's
+      // parquet write (which executes this plan exactly once); the
+      // harness and tests clearCache() between queries.
+      labels.select(col("node"), col("lbl").as("component_id"))
+    }
+
+  /** Connected components over the verified near-dup graph: the full
+    * canonical-assignment semantic (transitive closure of near-dup
+    * pairs; every doc in a dup cluster maps to the cluster's min
+    * doc_id). Reads the [[components]] materialized view. Oracle:
+    * DuckDB recursive CTE computing min reachable label. */
+  private val q45 = QueryDef(
+    "q45_neardup_components",
+    "connected components of the near-dup pair graph (canonical per cluster)",
+    Some(s"""
+      WITH RECURSIVE ${text.verifiedPairsCte},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node)
+      SELECT c.node AS doc_id, c.component_id,
+             CAST(cs.n AS BIGINT) AS component_size
+      FROM comp c
+      JOIN (SELECT component_id, COUNT(*) AS n FROM comp GROUP BY 1) cs
+        USING (component_id)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val comp = components(s, dir)
+      val sizes = comp.groupBy(col("component_id"))
+        .agg(count(lit(1)).as("component_size"))
+      comp
+        .join(sizes, Seq("component_id"))
+        .select(col("node").as("doc_id"), col("component_id"),
           col("component_size"))
         .orderBy("doc_id")
     })
@@ -521,5 +530,82 @@ object Dedup {
         .orderBy("split_a", "split_b")
     })
 
-  def defs: Seq[QueryDef] = Seq(q21, q22, q23, q24, q44, q45, q90, q96)
+  // ---------------------------------------------------------------------
+  // q101 — canonical-representative compaction (quality-aware dedup apply)
+  // ---------------------------------------------------------------------
+
+  /** Corpus compaction with quality-aware representative selection: in
+    * each near-dup component, KEEP the longest document (n_chars desc,
+    * doc_id asc tie-break) and remove the rest — unlike q44's kill-list
+    * (which keeps the pairwise min-id side), this is the production
+    * "keep the best copy per cluster" rule, and it needs the transitive
+    * closure, not just pairs: a chain a~b~c must yield ONE survivor.
+    * Per-source report of what compaction does to volume: doc counts
+    * and the surviving token share.
+    *
+    * Scale: reads the [[components]] materialized view (the maintained
+    * cluster-assignment table); the representative window partitions by
+    * component_id — millions of tiny partitions, never a global window;
+    * the removal set is cluster-membership-sized (tiny vs corpus) and
+    * broadcast into the left join against documents. */
+  private val q101 = QueryDef(
+    "q101_canonical_compaction",
+    "per-source doc/token survival after keep-longest-per-component dedup",
+    Some(s"""
+      WITH RECURSIVE ${text.verifiedPairsCte},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node),
+      mem AS (SELECT c.node AS doc_id, c.component_id, d.n_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.node),
+      rk AS (SELECT doc_id, ROW_NUMBER() OVER (
+               PARTITION BY component_id
+               ORDER BY n_chars DESC, doc_id) AS rn FROM mem),
+      removed AS (SELECT doc_id FROM rk WHERE rn > 1),
+      base AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok,
+                      CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rm
+               FROM documents d LEFT JOIN removed r USING (doc_id))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(1 - rm) AS BIGINT) AS n_kept,
+             CAST(SUM(rm) AS BIGINT) AS n_removed,
+             CAST(SUM(CASE WHEN rm = 0 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+             ROUND(CAST(SUM(CASE WHEN rm = 0 THEN n_tok ELSE 0 END) AS DOUBLE)
+                   / SUM(n_tok), 4) AS kept_token_frac
+      FROM base GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val mem = components(s, dir)
+        .join(docs.select(col("doc_id"), col("n_chars")),
+          col("node") === col("doc_id"))
+      val removed = mem
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("component_id")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), lit(1).as("rm_m"))
+      docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(broadcast(removed), Seq("doc_id"), "left")
+        .select(col("source"), col("n_tok"),
+          coalesce(col("rm_m"), lit(0)).as("rm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(lit(1) - col("rm")).cast("long").as("n_kept"),
+          sum(col("rm")).cast("long").as("n_removed"),
+          sum(when(col("rm") === 0, col("n_tok")).otherwise(0L)).as("kept_tokens"),
+          round(sum(when(col("rm") === 0, col("n_tok")).otherwise(0L))
+            .cast("double") / sum(col("n_tok")), 4).as("kept_token_frac"))
+        .orderBy("source")
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101)
 }

@@ -795,6 +795,85 @@ object Pipeline {
     })
 
   // ---------------------------------------------------------------------
+  // q103 — hard-negative mining (cross-label nearest neighbor via LSH)
+  // ---------------------------------------------------------------------
+
+  /** Contrastive-training data prep: for EVERY vector, the most similar
+    * vector carrying a DIFFERENT label — the "hard negative" that makes
+    * embedding/reranker training batches informative. Candidates come
+    * from the q72 multi-probe hyperplane buckets (own bucket + 6 one-bit
+    * flips), so mining is an EQUI-join on the bucket key, never an
+    * all-pairs scan; probe values are distinct so a candidate pair
+    * collides on exactly one probe and needs no dedup. Anchors with no
+    * cross-label candidate in their probed buckets simply emit no row
+    * (the recall dial is bits/probes, as in q72).
+    *
+    * Scale: unlike q65/q72 (10 broadcast queries), the anchor side here
+    * is the FULL corpus × 7 probes — both sides shuffle-partition on the
+    * bucket key (the join key IS the partition key at 100 TB), and the
+    * top-1 window partitions per anchor. No global window, no driver
+    * state, no nested loop. */
+  private val q103 = QueryDef(
+    "q103_hard_negative_mining",
+    "per-anchor most-similar different-label vector via multi-probe LSH buckets",
+    Some {
+      val bucketExpr = (col: String) => hyperplanes.zipWithIndex.map { case (w, j) =>
+        val lst = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $col[i]::DOUBLE * ($lst)[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val flips = (0 until 6).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+      s"""
+      WITH b AS (SELECT vec_id, label, embedding,
+                        ${bucketExpr("embedding")} AS bucket
+                 FROM embeddings),
+      a AS (SELECT vec_id, label, embedding,
+                   unnest([bucket, $flips]) AS probe
+            FROM b)
+      SELECT anchor_id, anchor_label, negative_id, negative_label, sim FROM (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               e.vec_id AS negative_id, e.label AS negative_label,
+               ROUND(list_sum(list_transform(generate_series(1, 64),
+                 i -> a.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) AS sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                   i -> a.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) DESC,
+                   e.vec_id) AS rn
+        FROM a JOIN b e ON a.probe = e.bucket AND a.label != e.label)
+      WHERE rn = 1
+      ORDER BY anchor_id"""
+    },
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
+        when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val b = e.withColumn("bucket", bucket)
+      val probes = array(col("bucket") +:
+        (0 until 6).map(j => col("bucket").bitwiseXOR(1 << j)): _*)
+      val a = b.select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"), col("v").as("av"),
+        explode(probes).as("probe"))
+      val cand = a
+        .join(b.select(col("vec_id").as("negative_id"),
+          col("label").as("negative_label"), col("v"),
+          col("bucket").as("probe")), Seq("probe"))
+        .filter(col("anchor_label") =!= col("negative_label"))
+        .select(col("anchor_id"), col("anchor_label"),
+          col("negative_id"), col("negative_label"),
+          round(dot(col("av"), col("v")), 4).as("sim"))
+      cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("anchor_id")
+            .orderBy(col("sim").desc, col("negative_id"))))
+        .filter(col("rn") === 1)
+        .select("anchor_id", "anchor_label", "negative_id", "negative_label", "sim")
+        .orderBy("anchor_id")
+    })
+
+  // ---------------------------------------------------------------------
   // q75 — per-source importance sampling (data mixing)
   // ---------------------------------------------------------------------
 
@@ -1010,5 +1089,5 @@ object Pipeline {
 
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75, q76, q78, q80, q83)
+      q72, q75, q76, q78, q80, q83, q103)
 }

@@ -189,5 +189,62 @@ object Similarity {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35)
+  // ---------------------------------------------------------------------
+  // q102 — int8 scalar quantization error (vector-compression audit)
+  // ---------------------------------------------------------------------
+
+  /** Per-label error profile of int8 scalar quantization — the audit a
+    * pipeline runs before switching its ANN index to compressed vectors
+    * (8× smaller, the standard memory/recall trade at 100 TB). Each
+    * vector gets a per-vector scale 127/max|v_i|; elements quantize to
+    * round(v·s) and reconstruct as that integer /s; the report is
+    * per-label MSE (in ppm), worst absolute element error, and mean
+    * scale.
+    *
+    * Single pass, no self-join: the per-vector scale is computed with
+    * higher-order array functions in one projection (materialized as an
+    * attribute first — an inlined array_max would re-evaluate per
+    * element under the interpreted lambda), then the error array is
+    * exploded straight into a partial+final aggregate keyed by the
+    * 10-value label — the shuffle carries only label×partials.
+    * Determinism: quantize/reconstruct are single IEEE ops on identical
+    * parquet bits with round-half-away-from-zero agreeing in both
+    * engines; the MSE mean rides the exact-decimal accumulator. */
+  private val q102 = QueryDef(
+    "q102_embedding_quantization_error",
+    "int8 scalar-quantization error stats (mse ppm, max err, scale) per label",
+    Some(s"""
+      WITH b AS (SELECT vec_id, label,
+                        127.0 / list_aggregate(list_transform(embedding,
+                          x -> ABS(CAST(x AS DOUBLE))), 'max') AS scale,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      e AS (SELECT vec_id, label, scale, unnest(v) AS x FROM b),
+      err AS (SELECT vec_id, label, scale,
+                     x - ROUND(x * scale) / scale AS err FROM e)
+      SELECT label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+             ${graft.functions.det.davgSql("err * err * 1e6")} AS mse_ppm,
+             ROUND(MAX(ABS(err)), 6) AS max_abs_err,
+             ${graft.functions.det.davgSql("scale")} AS avg_scale
+      FROM err GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      import graft.functions.det
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("label"), col("v"),
+          (lit(127.0) / array_max(transform(col("v"), x => abs(x)))).as("scale"))
+      val err = b
+        .select(col("vec_id"), col("label"), col("scale"),
+          explode(transform(col("v"),
+            x => x - round(x * col("scale"), 0) / col("scale"))).as("err"))
+      err.groupBy("label")
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+          det.davg(col("err") * col("err") * lit(1e6)).as("mse_ppm"),
+          round(max(abs(col("err"))), 6).as("max_abs_err"),
+          det.davg(col("scale")).as("avg_scale"))
+        .orderBy("label")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102)
 }

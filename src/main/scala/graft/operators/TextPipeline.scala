@@ -322,5 +322,74 @@ object TextPipeline {
         .orderBy("query_doc", "rank")
     })
 
-  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q99)
+  // ---------------------------------------------------------------------
+  // q104 — per-source vocabulary drift (chi-square vs corpus distribution)
+  // ---------------------------------------------------------------------
+
+  /** Domain-shift monitor: how far each source's token distribution sits
+    * from the corpus-wide distribution, as the chi-square divergence
+    * Σ_w (q_s(w) − p(w))² / p(w) over the corpus vocabulary (q_s(w)=0
+    * when the source never emits w). The curation dashboard uses this to
+    * spot sources whose language drifted (a crawler gone wrong, a new
+    * domain) before they pollute the mix. Chi-square instead of KL: every
+    * term is rational arithmetic over exact counts — no libm ln, so
+    * cross-engine parity is by construction, not by libm agreement
+    * (contrast q86's documented ln risk). Reported in ppm (terms are
+    * ~1e-5) with the sum on the exact-decimal accumulator.
+    *
+    * Scale: token counts are map-side-combined aggregates; the
+    * (source × vocab) grid joins the per-source totals against the
+    * BROADCAST vocabulary dimension (the corpus side collapses to
+    * |vocab| rows + a one-row total, never re-shuffling the corpus).
+    * With an open vocabulary at 100 TB, cap the dimension to the top-V
+    * corpus terms first (one TakeOrdered) — same plan shape. */
+  private val q104 = QueryDef(
+    "q104_vocab_drift_by_source",
+    "per-source chi-square divergence (ppm) of token distribution vs corpus",
+    Some(s"""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_sw
+             FROM tok GROUP BY 1, 2),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s FROM tok GROUP BY 1),
+      cc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM tok GROUP BY 1),
+      ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+      term AS (SELECT st.source, st.t_s,
+                      COALESCE(sc.n_sw, 0) AS n_sw, cc.n_w, ct.t
+               FROM st CROSS JOIN cc CROSS JOIN ct
+               LEFT JOIN sc ON sc.source = st.source AND sc.w = cc.w),
+      x AS (SELECT source, t_s, n_sw,
+                   (CAST(n_sw AS DOUBLE) / t_s - CAST(n_w AS DOUBLE) / t)
+                 * (CAST(n_sw AS DOUBLE) / t_s - CAST(n_w AS DOUBLE) / t)
+                 / (CAST(n_w AS DOUBLE) / t) * 1e6 AS chi
+            FROM term)
+      SELECT source, MAX(t_s) AS n_tokens,
+             CAST(SUM(CASE WHEN n_sw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_vocab_used,
+             ${dsumSql("chi")} AS chi2_ppm
+      FROM x GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val sc = tok.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+      val st = tok.groupBy("source").agg(count(lit(1)).as("t_s"))
+      val cc = tok.groupBy("w").agg(count(lit(1)).as("n_w"))
+      val ct = tok.agg(count(lit(1)).as("t"))
+      val qs = col("n_sw").cast("double") / col("t_s")
+      val p = col("n_w").cast("double") / col("t")
+      val x = st.crossJoin(broadcast(cc)).crossJoin(broadcast(ct))
+        .join(broadcast(sc), Seq("source", "w"), "left")
+        .select(col("source"), col("t_s"),
+          coalesce(col("n_sw"), lit(0L)).as("n_sw"), col("n_w"), col("t"))
+        .select(col("source"), col("t_s"), col("n_sw"),
+          ((qs - p) * (qs - p) / p * lit(1e6)).as("chi"))
+      x.groupBy("source")
+        .agg(max(col("t_s")).as("n_tokens"),
+          sum(when(col("n_sw") > 0, 1).otherwise(0)).cast("long")
+            .as("n_vocab_used"),
+          dsum(col("chi")).as("chi2_ppm"))
+        .orderBy("source")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q99, q104)
 }

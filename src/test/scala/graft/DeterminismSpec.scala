@@ -37,7 +37,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q97_cluster_silhouette", // float distance folds + rank ties + decimal means
     "q98_source_scorecard", // composed per-doc doubles + decimal means
     "q99_tfidf_cosine_retrieval", // decimal dots + float rank ties + hash slice
-    "q100_token_budget_allocation") // decimal normalizer + float quota arithmetic
+    "q100_token_budget_allocation", // decimal normalizer + float quota arithmetic
+    "q101_canonical_compaction", // fixpoint MV + per-component rank ties
+    "q102_embedding_quantization_error", // float quantize/reconstruct + decimal means
+    "q103_hard_negative_mining", // hash-bucketed candidates + float ranking ties
+    "q104_vocab_drift_by_source") // decimal chi-square sums over count ratios
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

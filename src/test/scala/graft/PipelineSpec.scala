@@ -270,4 +270,77 @@ class PipelineSpec extends AnyFunSuite {
       assert(chain == chain.sorted.reverse)
     }
   }
+
+  test("q101 compaction keeps exactly one doc per component plus all unpaired docs") {
+    val rows = run("q101_canonical_compaction").collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs, "every doc counted")
+    val comp = run("q45_neardup_components").collect()
+    val nComponents = comp.map(_.getAs[Long]("component_id")).distinct.length
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == comp.length - nComponents,
+      "removed = members - one survivor per component")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+        == r.getAs[Long]("n_docs"))
+      val f = r.getAs[Double]("kept_token_frac")
+      assert(f > 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q102 quantization errors respect the int8 bound; vectors conserved") {
+    val rows = run("q102_embedding_quantization_error").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+    rows.foreach { r =>
+      // unit-norm vectors: max|v_i| <= 1 so scale = 127/max|v_i| >= 127,
+      // and |err| <= 0.5/scale <= 0.5/127
+      assert(r.getAs[Double]("avg_scale") >= 127.0)
+      val maxErr = r.getAs[Double]("max_abs_err")
+      assert(maxErr >= 0.0 && maxErr <= 0.5 / 127.0 + 1e-9,
+        s"int8 reconstruction error bound violated: $maxErr")
+      assert(r.getAs[Double]("mse_ppm") >= 0.0)
+    }
+  }
+
+  test("q103 hard negatives are cross-label and bounded by the exact best") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q103_hard_negative_mining").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Int]("anchor_label") != r.getAs[Int]("negative_label")))
+    // the LSH-mined negative can never beat the brute-force best
+    // cross-label similarity (it IS it whenever the best pair shares a
+    // probed bucket — the recall dial, not a correctness bound)
+    val dot = graft.functions.DotProduct.dot _
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val best = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.label") =!= col("b.label"))
+      .groupBy(col("a.vec_id").as("anchor_id"))
+      .agg(max(round(dot(col("a.v"), col("b.v")), 4)).as("best"))
+      .collect()
+      .map(r => r.getAs[Long]("anchor_id") -> r.getAs[Double]("best")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sim") <= best(r.getAs[Long]("anchor_id")) + 1e-9)
+    }
+  }
+
+  test("q104 drift is non-negative and token volumes conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q104_vocab_drift_by_source").collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val totalTok = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTok)
+    val vocab = docs.select(explode(split(col("text"), " "))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_ppm") >= 0.0)
+      assert(r.getAs[Long]("n_vocab_used") >= 1 &&
+        r.getAs[Long]("n_vocab_used") <= vocab)
+    }
+  }
 }

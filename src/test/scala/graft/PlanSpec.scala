@@ -180,4 +180,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       "the cumsum window must ride source partitions, never one partition")
   }
+
+  test("q101: removal set broadcasts against documents; no pair scan") {
+    val p = plan("q101_canonical_compaction")
+    assert(p.contains("BroadcastHashJoin"),
+      "the cluster-membership-sized removal set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the representative window partitions by component, never globally
+    assert(!p.contains("SinglePartition"),
+      "per-component rank must not collapse to one partition")
+  }
+
+  test("q102: quantization audit is a single pass — no join of any kind") {
+    val p = plan("q102_embedding_quantization_error")
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"per-vector scale must not require a self-join ($j)"))
+    assert(p.contains("partial_"), "label aggregate should map-side combine")
+  }
+
+  test("q103: hard-negative mining is the probe equi-join, no nested loop") {
+    val p = plan("q103_hard_negative_mining")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidates must come from the probe equi-join, not an all-pairs scan")
+    assert(p.contains("WindowGroupLimit"), "per-anchor top-1 should rank-limit early")
+  }
+
+  test("q104: drift grid joins broadcast the vocab dims; corpus never sort-merges") {
+    val p = plan("q104_vocab_drift_by_source")
+    assert(p.contains("BroadcastHashJoin"), "per-source counts should broadcast-join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
