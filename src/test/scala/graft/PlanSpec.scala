@@ -181,6 +181,15 @@ class PlanSpec extends AnyFunSuite {
       "the cumsum window must ride source partitions, never one partition")
   }
 
+  test("q99: query postings broadcast; the index never shuffles on the term key") {
+    val p = plan("q99_tfidf_cosine_retrieval")
+    assert(p.contains("BroadcastHashJoin"), "the query slice must broadcast")
+    assert(!p.contains("hashpartitioning(w#"),
+      "posting probe must not shuffle on the |vocab|-sized term key")
+    assert("hashpartitioning\\(doc_id#\\d+L?, \\d+".r.findFirstIn(p).isDefined,
+      "index repartitioned by doc_id so per-pair partials combine map-side")
+  }
+
   test("q101: removal set broadcasts against documents; no pair scan") {
     val p = plan("q101_canonical_compaction")
     assert(p.contains("BroadcastHashJoin"),
