@@ -961,6 +961,65 @@ object Curation {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q106 — incremental aggregate maintenance (base MV + delta merge)
+  // ---------------------------------------------------------------------
+
+  /** Day-2 statistics maintenance, the aggregate sibling of q90's
+    * incremental dedup (SAME 10% 'inc:' hash slice plays the new ingest
+    * batch): per-source doc/token counts are kept as a MAINTAINED
+    * aggregate table over the existing corpus (a materialized view — at
+    * 100 TB you never rescan the corpus to refresh a dashboard), and
+    * the day's batch is aggregated alone and MERGED (union + re-sum:
+    * counts are commutative monoids, so merge ≡ full recompute by
+    * construction). The oracle computes the per-source totals by FULL
+    * SCAN — the hash gate therefore PROVES the incremental merge equals
+    * the recompute, rather than assuming it. */
+  private val q106 = QueryDef(
+    "q106_incremental_source_counts",
+    "per-source doc/token counts as maintained base MV + ingest-batch delta merge",
+    Some(s"""
+      WITH d AS (SELECT source, len(string_split(text, ' ')) AS n_tok,
+                        CASE WHEN ${graft.functions.text.md5Hash60Sql(
+                          "'inc:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+                             THEN 1 ELSE 0 END AS is_batch
+                 FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(1 - is_batch) AS BIGINT) AS docs_from_base,
+             CAST(SUM(is_batch) AS BIGINT) AS docs_from_delta
+      FROM d GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      import graft.functions.text
+      def sliced = Tables.documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          (text.md5Hash60(concat(lit("inc:"), col("doc_id").cast("string")))
+            % 10 === 0).as("is_batch"))
+      // the maintained aggregate over the EXISTING corpus (90% slice),
+      // built once per dataset version and read as parquet thereafter
+      val base = graft.sources.MaterializedViews.cached(
+          s, dir, "source_counts_base") {
+        sliced.filter(!col("is_batch"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      }.select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_docs").as("docs_from_base"), lit(0L).as("docs_from_delta"))
+      // today's ingest, aggregated alone: cost scales with the BATCH
+      val delta = sliced.filter(col("is_batch"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          lit(0L).as("docs_from_base"), col("n_docs").as("docs_from_delta"))
+      base.union(delta)
+        .groupBy("source")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(col("docs_from_base")).cast("long").as("docs_from_base"),
+          sum(col("docs_from_delta")).cast("long").as("docs_from_delta"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100)
+    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100, q106)
 }

@@ -874,6 +874,71 @@ object Pipeline {
     })
 
   // ---------------------------------------------------------------------
+  // q105 — deterministic interleaved shuffle order (epoch data ordering)
+  // ---------------------------------------------------------------------
+
+  /** The training-epoch data order: every document gets a reproducible
+    * global position that (a) shuffles within each source by hash and
+    * (b) round-robin INTERLEAVES the sources (order key = (within-source
+    * hash rank, source)), so consecutive training batches mix sources
+    * instead of draining them one at a time. Reported per source: count,
+    * first/last position, and mean normalized position (≈0.5 for every
+    * source ⇔ well mixed; a source clustering late would drift high).
+    *
+    * The scale point: the global position is a CLOSED FORM, not a global
+    * sort — a doc at within-source rank r in source s sits at
+    * Σ_s' min(|s'|, r−1) + |{s' < s : |s'| ≥ r}| + 1, computed per row
+    * against the BROADCAST source-size table (|sources| rows). The only
+    * windows partition by source; no single-partition operator exists at
+    * any scale (PlanSpec-asserted), which is what lets a 100 TB corpus
+    * be epoch-shuffled without ever total-ordering it. */
+  private val q105 = QueryDef(
+    "q105_interleave_shuffle_order",
+    "per-source stats of the deterministic interleaved epoch shuffle order",
+    Some(s"""
+      WITH h AS (SELECT doc_id, source,
+                        ${graft.functions.text.md5Hash60Sql("'ilv:' || CAST(doc_id AS VARCHAR)")} AS hk
+                 FROM documents),
+      r AS (SELECT doc_id, source, CAST(row_number() OVER (
+              PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk
+            FROM h),
+      sz AS (SELECT source AS s2, CAST(COUNT(*) AS BIGINT) AS n2
+             FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+      pos AS (SELECT r.doc_id, r.source,
+                     CAST(SUM(LEAST(sz.n2, r.rk - 1))
+                        + SUM(CASE WHEN sz.s2 < r.source AND sz.n2 >= r.rk
+                                   THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p
+              FROM r CROSS JOIN sz GROUP BY 1, 2)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(p) AS min_pos, MAX(p) AS max_pos,
+             ${graft.functions.det.davgSql("CAST(p AS DOUBLE) / t")} AS avg_pos_frac
+      FROM pos CROSS JOIN tot GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      import graft.functions.{det, text}
+      val docs = Tables.documents(s, dir)
+      val r = docs
+        .select(col("doc_id"), col("source"),
+          text.md5Hash60(concat(lit("ilv:"), col("doc_id").cast("string")))
+            .as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("hk", "doc_id")).cast("long"))
+      val sz = docs.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n2"))
+      val tot = docs.agg(count(lit(1)).as("t"))
+      val pos = r.crossJoin(broadcast(sz))
+        .groupBy("doc_id", "source")
+        .agg((sum(least(col("n2"), col("rk") - 1))
+          + sum(when(col("s2") < col("source") && col("n2") >= col("rk"), 1L)
+            .otherwise(0L)) + 1).cast("long").as("p"))
+      pos.crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("p")).as("min_pos"), max(col("p")).as("max_pos"),
+          det.davg(col("p").cast("double") / col("t")).as("avg_pos_frac"))
+        .orderBy("source")
+    })
+
+  // ---------------------------------------------------------------------
   // q75 — per-source importance sampling (data mixing)
   // ---------------------------------------------------------------------
 
@@ -1089,5 +1154,5 @@ object Pipeline {
 
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75, q76, q78, q80, q83, q103)
+      q72, q75, q76, q78, q80, q83, q103, q105)
 }

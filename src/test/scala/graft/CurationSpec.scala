@@ -357,6 +357,28 @@ class CurationSpec extends AnyFunSuite {
 
   private def run2(name: String, dir: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("q106 incremental merge equals the full recompute; partitions sum") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q106_incremental_source_counts").collect()
+    assert(rows.nonEmpty)
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("t")))).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == full.keySet,
+      "every source present after the merge")
+    rows.foreach { r =>
+      val (n, t) = full(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n, s"${r.getString(0)} doc count")
+      assert(r.getAs[Long]("n_tokens") == t, s"${r.getString(0)} token count")
+      assert(r.getAs[Long]("docs_from_base") + r.getAs[Long]("docs_from_delta") == n)
+      assert(r.getAs[Long]("docs_from_delta") >= 0)
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

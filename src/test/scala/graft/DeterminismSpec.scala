@@ -41,7 +41,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q101_canonical_compaction", // fixpoint MV + per-component rank ties
     "q102_embedding_quantization_error", // float quantize/reconstruct + decimal means
     "q103_hard_negative_mining", // hash-bucketed candidates + float ranking ties
-    "q104_vocab_drift_by_source") // decimal chi-square sums over count ratios
+    "q104_vocab_drift_by_source", // decimal chi-square sums over count ratios
+    "q105_interleave_shuffle_order", // hash-rank windows + closed-form positions
+    "q106_incremental_source_counts") // MV base + delta union re-aggregation
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

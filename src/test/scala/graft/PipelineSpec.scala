@@ -328,6 +328,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 closed-form interleave positions equal the global-sort definition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // recompute the order the slow way — one global window — and check
+    // the closed form reproduces it exactly (only viable at test scale;
+    // the query itself never total-orders)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val r = docs.select(col("doc_id"), col("source"),
+        graft.functions.text.md5Hash60(
+          concat(lit("ilv:"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("hk", "doc_id")).cast("long"))
+    val expected = r.withColumn("p",
+        row_number().over(Window.orderBy(col("rk"), col("source"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("p").as("mn"), max("p").as("mx"))
+      .collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("mn"), x.getAs[Long]("mx")))).toMap
+    val rows = run("q105_interleave_shuffle_order").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(rows.map(_.getAs[Long]("min_pos")).min == 1L)
+    assert(rows.map(_.getAs[Long]("max_pos")).max == total)
+    rows.foreach { row =>
+      val (n, mn, mx) = expected(row.getAs[String]("source"))
+      assert(row.getAs[Long]("n_docs") == n)
+      assert(row.getAs[Long]("min_pos") == mn, s"${row.getString(0)} min_pos")
+      assert(row.getAs[Long]("max_pos") == mx, s"${row.getString(0)} max_pos")
+      val f = row.getAs[Double]("avg_pos_frac")
+      assert(f > 0.3 && f < 0.7, s"interleave should mix sources, got $f")
+    }
+  }
+
   test("q104 drift is non-negative and token volumes conserve") {
     import org.apache.spark.sql.functions._
     val rows = run("q104_vocab_drift_by_source").collect()

@@ -190,6 +190,18 @@ class PlanSpec extends AnyFunSuite {
       "index repartitioned by doc_id so per-pair partials combine map-side")
   }
 
+  test("q105: every window in the epoch shuffle order partitions by source") {
+    val p = plan("q105_interleave_shuffle_order")
+    // the one-row corpus total legitimately aggregates on a single
+    // partition; what must NOT exist is a global (unpartitioned) window
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty, "expected the within-source rank window")
+    assert(ws.forall(_.contains("windowspecdefinition(source")),
+      s"positions must come from the closed form, never a global window:\n${ws.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the source-size table should broadcast")
+  }
+
   test("q101: removal set broadcasts against documents; no pair scan") {
     val p = plan("q101_canonical_compaction")
     assert(p.contains("BroadcastHashJoin"),

@@ -82,6 +82,12 @@ class SourcesSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     val out = new java.io.File(new java.io.File(new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-mv"), fp), viewName)
+    // idempotence: a previous run of this test published the view; start
+    // from the simulated-crash state every time
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(): Unit
+    }
+    rmr(out)
     out.mkdirs()
     Files.write(new java.io.File(out, "part-00000-stale").toPath,
       "garbage".getBytes("UTF-8"))
