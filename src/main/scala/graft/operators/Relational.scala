@@ -386,6 +386,78 @@ object Relational {
         .orderBy("c_custkey")
     })
 
+  // ---------------------------------------------------------------------
+  // q107 — cascading delete propagation audit (right-to-be-forgotten)
+  // ---------------------------------------------------------------------
+
+  /** The erasure-request dry run: a deterministic 2% hash slice of
+    * customers plays the delete list, and the audit reports — per table
+    * along the FK chain customer → orders → lineitem → events — how many
+    * rows the cascade removes and how many survive. This is the
+    * accounting a pipeline publishes BEFORE applying a privacy purge,
+    * and the shape matters at 100 TB: each fact table is touched ONCE,
+    * with the kill set (always request-sized, tiny vs the corpus)
+    * reduced to the join keys it needs and BROADCAST into semi-join
+    * probes — orders resolves the doomed o_orderkey set (itself still
+    * request-sized) for lineitem, so the cascade never shuffles a fact
+    * table. Counts are exact longs; the final union is 4 rows. */
+  private val q107 = QueryDef(
+    "q107_delete_cascade_audit",
+    "per-table removed/surviving row counts for a 2% customer erasure cascade",
+    Some(s"""
+      WITH kill AS (SELECT c_custkey FROM customer
+                    WHERE ${graft.functions.text.md5Hash60Sql(
+                      "'del:' || CAST(c_custkey AS VARCHAR)")} % 50 = 0),
+      ord AS (SELECT o_orderkey, o_custkey FROM orders),
+      okill AS (SELECT o_orderkey FROM ord
+                JOIN kill ON o_custkey = c_custkey),
+      t AS (
+        SELECT 'customer' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM kill) AS n_removed
+        UNION ALL
+        SELECT 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ord),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM okill)
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                JOIN okill ON l_orderkey = o_orderkey)
+        UNION ALL
+        SELECT 'events',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                JOIN kill ON user_id = c_custkey))
+      SELECT table_name, n_rows, n_removed,
+             n_rows - n_removed AS n_surviving
+      FROM t ORDER BY table_name"""),
+    (s, dir) => {
+      import graft.functions.text
+      val kill = Tables.customer(s, dir)
+        .filter(text.md5Hash60(concat(lit("del:"),
+          col("c_custkey").cast("string"))) % 50 === 0)
+        .select("c_custkey")
+      val okill = Tables.orders(s, dir)
+        .join(broadcast(kill), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey")
+      def audit(name: String, full: DataFrame, removed: DataFrame) =
+        full.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+          .select(lit(name).as("table_name"), col("n_rows"), col("n_removed"))
+      audit("customer", Tables.customer(s, dir), kill)
+        .union(audit("orders", Tables.orders(s, dir), okill))
+        .union(audit("lineitem", Tables.lineitem(s, dir),
+          Tables.lineitem(s, dir).join(broadcast(okill),
+            col("l_orderkey") === col("o_orderkey"))))
+        .union(audit("events", Tables.events(s, dir),
+          Tables.events(s, dir).join(broadcast(kill),
+            col("user_id") === col("c_custkey"))))
+        .select(col("table_name"), col("n_rows"), col("n_removed"),
+          (col("n_rows") - col("n_removed")).as("n_surviving"))
+        .orderBy("table_name")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107)
 }

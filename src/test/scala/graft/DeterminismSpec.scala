@@ -43,7 +43,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q103_hard_negative_mining", // hash-bucketed candidates + float ranking ties
     "q104_vocab_drift_by_source", // decimal chi-square sums over count ratios
     "q105_interleave_shuffle_order", // hash-rank windows + closed-form positions
-    "q106_incremental_source_counts") // MV base + delta union re-aggregation
+    "q106_incremental_source_counts", // MV base + delta union re-aggregation
+    "q107_delete_cascade_audit") // hash kill-slice + multi-table semi-join counts
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -328,6 +328,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 delete cascade reconciles and leaves no surviving orphans") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q107_delete_cascade_audit").collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem", "events"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows")
+        == r.getAs[Long]("n_removed") + r.getAs[Long]("n_surviving"))
+      assert(r.getAs[Long]("n_removed") >= 0)
+    }
+    assert(rows("customer").getAs[Long]("n_removed") > 0,
+      "the 2% slice must select at least one customer")
+    // independent recompute via anti-joins: after the cascade, no
+    // surviving order references a killed customer, no surviving
+    // lineitem references a removed order, no surviving event a killed user
+    val kill = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(graft.functions.text.md5Hash60(
+        concat(lit("del:"), col("c_custkey").cast("string"))) % 50 === 0)
+      .select("c_custkey")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val survOrders = orders.join(kill,
+      orders("o_custkey") === kill("c_custkey"), "left_anti")
+    assert(survOrders.count() == rows("orders").getAs[Long]("n_surviving"))
+    val okill = orders.join(kill,
+      orders("o_custkey") === kill("c_custkey"), "left_semi").select("o_orderkey")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(li.join(okill, li("l_orderkey") === okill("o_orderkey"), "left_anti")
+      .count() == rows("lineitem").getAs[Long]("n_surviving"))
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(ev.join(kill, ev("user_id") === kill("c_custkey"), "left_anti")
+      .count() == rows("events").getAs[Long]("n_surviving"))
+  }
+
   test("q105 closed-form interleave positions equal the global-sort definition") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
