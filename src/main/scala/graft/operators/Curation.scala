@@ -1020,6 +1020,500 @@ object Curation {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q108 — cross-source duplication matrix (which sources mirror which)
+  // ---------------------------------------------------------------------
+
+  /** Near-dup pair counts per unordered source pair — the audit that
+    * tells a corpus owner WHICH feeds mirror each other (two crawls of
+    * the same site, a dataset re-hosted under a new name) versus which
+    * merely self-duplicate. Reads the verified-pair materialized view
+    * ([[Dedup.verifiedPairs]], J ≥ 0.5) and labels each endpoint with
+    * its source via two joins in which the PAIR side — request-sized,
+    * candidate-bounded, always ≪ corpus — is BROADCAST into the
+    * (doc_id, source) projection of the documents scan, so at 100 TB
+    * the fact table is read once per join with two columns and never
+    * shuffles. Sources are ordered (least, greatest) per pair so the
+    * matrix is upper-triangular; counts are exact longs. */
+  private val q108 = QueryDef(
+    "q108_source_overlap_matrix",
+    "near-dup pair counts per unordered source pair, cross-source flagged",
+    Some(s"""
+      WITH ${text.verifiedPairsCte},
+      srcs AS (SELECT doc_id, source FROM documents),
+      lab AS (SELECT LEAST(a.source, b.source) AS source_a,
+                     GREATEST(a.source, b.source) AS source_b
+              FROM ver JOIN srcs a ON a.doc_id = ver.doc_a
+                       JOIN srcs b ON b.doc_id = ver.doc_b)
+      SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CASE WHEN source_a = source_b THEN 0 ELSE 1 END AS cross_source
+      FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      val srcs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val withA = srcs.join(broadcast(Dedup.verifiedPairs(s, dir)),
+          col("doc_id") === col("doc_a"))
+        .select(col("doc_b"), col("source").as("sa"))
+      val lab = srcs.join(broadcast(withA), col("doc_id") === col("doc_b"))
+        .select(least(col("sa"), col("source")).as("source_a"),
+          greatest(col("sa"), col("source")).as("source_b"))
+      lab.groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          when(col("source_a") === col("source_b"), 0).otherwise(1)
+            .as("cross_source"))
+        .orderBy("source_a", "source_b")
+    })
+
+  // ---------------------------------------------------------------------
+  // q109 — label-centroid cosine matrix (cluster confusability audit)
+  // ---------------------------------------------------------------------
+
+  /** The k×k upper triangle of cosine similarities between per-label
+    * embedding centroids — the "which clusters are confusable / merge
+    * candidates" audit run before trusting labels for stratified
+    * sampling. One corpus pass (the q84 long-form explode + exact-
+    * decimal [[det.davg]] centroid aggregate) reduces everything to a
+    * k·d = 640-row table; the matrix itself — norms, pairwise dots via
+    * a dim equi-join, k(k−1)/2 = 45 output rows — is constant-size
+    * work independent of corpus scale, so at 100 TB this costs exactly
+    * one scan. Parity discipline: centroids are 4-dp decimal means
+    * (identical bits both engines), per-dim products are single IEEE
+    * multiplies, sums ride [[det.dsum]], and sqrt is IEEE
+    * correctly-rounded (the q97 precedent — sqrt, never log). */
+  private val q109 = QueryDef(
+    "q109_centroid_similarity",
+    "k x k label-centroid cosine upper triangle over embeddings",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT label, dim, embedding[dim]::DOUBLE AS v
+             FROM embeddings, dims),
+      cents AS (SELECT label, dim, ${det.davgSql("v")} AS c
+                FROM lf GROUP BY 1, 2),
+      norms AS (SELECT label, ${det.dsumSql("c * c")} AS n2
+                FROM cents GROUP BY 1),
+      dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                      ${det.dsumSql("a.c * b.c")} AS dot
+               FROM cents a JOIN cents b
+                 ON a.dim = b.dim AND a.label < b.label
+               GROUP BY 1, 2)
+      SELECT label_a, label_b,
+             (ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 4) + 0.0) AS cos_sim
+      FROM dots JOIN norms na ON na.label = label_a
+                JOIN norms nb ON nb.label = label_b
+      ORDER BY label_a, label_b"""),
+    (s, dir) => {
+      val lf = Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("v"))
+      val cents = lf.groupBy("label", "dim").agg(det.davg(col("v")).as("c"))
+      val norms = cents.groupBy("label").agg(det.dsum(col("c") * col("c")).as("n2"))
+      val a = cents.select(col("label").as("label_a"), col("dim"), col("c").as("ca"))
+      val b = cents.select(col("label").as("label_b"),
+        col("dim").as("dim2"), col("c").as("cb"))
+      val dots = a.join(b,
+          col("dim") === col("dim2") && col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(det.dsum(col("ca") * col("cb")).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("label").as("label_a"),
+          col("n2").as("n2a"))), Seq("label_a"))
+        .join(broadcast(norms.select(col("label").as("label_b"),
+          col("n2").as("n2b"))), Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          (round(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b"))), 4) + 0.0)
+            .as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    })
+
+  // ---------------------------------------------------------------------
+  // q110 — dup-cluster size profile (dedup yield forecast)
+  // ---------------------------------------------------------------------
+
+  /** Histogram of near-dup component sizes, including the singleton
+    * mass — the "how much will dedup actually remove" forecast a
+    * pipeline publishes before committing to a compaction (q101 keeps
+    * one doc per component, so removal = Σ (size−1)·n_components).
+    * Reads the [[Dedup.components]] materialized view (built once per
+    * dataset version); the two grouped counts after it are over the
+    * component table (≪ corpus) and the singleton row is the
+    * difference of two one-row count aggregates cross-joined — no
+    * driver-side collect, no re-derivation of the pair graph. Every
+    * column is an exact long. */
+  private val q110 = QueryDef(
+    "q110_dup_cluster_profile",
+    "near-dup component size histogram including singleton documents",
+    Some(s"""
+      WITH RECURSIVE ${text.verifiedPairsCte},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node),
+      sizes AS (SELECT component_id, COUNT(*) AS csize FROM comp GROUP BY 1),
+      hist AS (SELECT CAST(csize AS BIGINT) AS component_size,
+                      CAST(COUNT(*) AS BIGINT) AS n_components,
+                      CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+               FROM sizes GROUP BY csize),
+      single AS (SELECT CAST(1 AS BIGINT) AS component_size,
+                        CAST((SELECT COUNT(*) FROM documents)
+                             - (SELECT COUNT(*) FROM comp) AS BIGINT)
+                          AS n_components,
+                        CAST((SELECT COUNT(*) FROM documents)
+                             - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_docs)
+      SELECT * FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
+      ORDER BY component_size"""),
+    (s, dir) => {
+      val comp = Dedup.components(s, dir)
+      val hist = comp.groupBy("component_id").agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .select(col("component_size"), col("n_components"),
+          (col("component_size") * col("n_components")).as("n_docs"))
+      val single = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+        .crossJoin(comp.agg(count(lit(1)).as("nc")))
+        .select(lit(1L).as("component_size"),
+          (col("nd") - col("nc")).as("n_components"),
+          (col("nd") - col("nc")).as("n_docs"))
+      hist.union(single).orderBy("component_size")
+    })
+
+  // ---------------------------------------------------------------------
+  // q111 — curriculum phase buckets by lexical-diversity difficulty
+  // ---------------------------------------------------------------------
+
+  /** Curriculum-learning export plan: within each source, documents are
+    * ranked by a difficulty score — lexical diversity in ppm,
+    * ⌊distinct-tokens · 10⁶ / tokens⌋, all-integer so parity is exact
+    * arithmetic, not libm — and split into 4 contiguous NTILE phases
+    * (easy → hard); the manifest reports per-(source, phase) doc/token
+    * mass and the difficulty range, which is what a trainer consumes
+    * to schedule data order. The only window partitions by source
+    * (the q93/q105 discipline — never a global sort); ties break on
+    * doc_id so the phase assignment is total-order deterministic. At
+    * 100 TB the per-source sort is the standard shuffle-by-source
+    * window; the closed-form alternative (derive phase boundaries from
+    * a per-source difficulty histogram, q105-style) is the documented
+    * upgrade if a single source outgrows a partition group. */
+  private val q111 = QueryDef(
+    "q111_curriculum_phases",
+    "per-source 4-phase curriculum manifest by integer lexical-diversity score",
+    Some(s"""
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                 FROM documents),
+      sc AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok,
+                    CAST(FLOOR(CAST(len(list_distinct(t)) AS DOUBLE) * 1000000
+                               / len(t)) AS BIGINT) AS difficulty
+             FROM d),
+      ph AS (SELECT source, n_tok, difficulty,
+                    NTILE(4) OVER (PARTITION BY source
+                                   ORDER BY difficulty, doc_id) AS phase
+             FROM sc)
+      SELECT source, phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             MIN(difficulty) AS min_difficulty,
+             MAX(difficulty) AS max_difficulty
+      FROM ph GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, dir) => {
+      val tt = col("t")
+      val sc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("source"), size(tt).cast("long").as("n_tok"),
+          floor(size(array_distinct(tt)).cast("double") * 1000000 / size(tt))
+            .cast("long").as("difficulty"))
+      sc.withColumn("phase", ntile(4).over(
+          Window.partitionBy("source").orderBy("difficulty", "doc_id")))
+        .groupBy("source", "phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          min(col("difficulty")).as("min_difficulty"),
+          max(col("difficulty")).as("max_difficulty"))
+        .orderBy("source", "phase")
+    })
+
+  // ---------------------------------------------------------------------
+  // q112 — per-dimension whitening statistics over the embedding corpus
+  // ---------------------------------------------------------------------
+
+  /** The whitening / normalization table every embedding pipeline fits
+    * before quantization (q102) or ANN bucketing: per-dimension count,
+    * mean, variance, min, max — 64 output rows from ONE corpus pass of
+    * partial+final aggregation (the explode feeds the hash aggregate
+    * directly; nothing joins, nothing shuffles un-combined). Variance
+    * uses the two-moment identity Var = Σv²/n − mean², with both
+    * moments riding the exact-decimal accumulator and rounded at 4 dp
+    * BEFORE the identity — the final value is three IEEE ops over
+    * bit-identical doubles on both engines, the q97 discipline. At
+    * 100 TB this is the cheapest query in the family: output size is
+    * the embedding dimension, independent of corpus scale. */
+  private val q112 = QueryDef(
+    "q112_embedding_dim_stats",
+    "per-dimension mean/variance/min/max whitening table over embeddings",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT dim, embedding[dim]::DOUBLE AS v FROM embeddings, dims),
+      agg AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     ${det.davgSql("v")} AS mean_v,
+                     ${det.dsumSql("v * v")} AS s2,
+                     MIN(v) AS min_v, MAX(v) AS max_v
+              FROM lf GROUP BY dim)
+      SELECT dim, n_vecs, mean_v,
+             (ROUND(s2 / n_vecs - mean_v * mean_v, 4) + 0.0) AS var_v,
+             min_v, max_v
+      FROM agg ORDER BY dim"""),
+    (s, dir) => {
+      val lf = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).as("dim"), col("v"))
+      lf.groupBy("dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          det.davg(col("v")).as("mean_v"),
+          det.dsum(col("v") * col("v")).as("s2"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .select(col("dim"), col("n_vecs"), col("mean_v"),
+          (round(col("s2") / col("n_vecs") - col("mean_v") * col("mean_v"), 4)
+            + 0.0).as("var_v"),
+          col("min_v"), col("max_v"))
+        .orderBy("dim")
+    })
+
+  // ---------------------------------------------------------------------
+  // q113 — per-label centroid-distance outlier audit (mislabel sweep)
+  // ---------------------------------------------------------------------
+
+  /** The mislabeled-vector sweep run before trusting labels for
+    * stratified work: each vector's squared distance to its OWN label
+    * centroid (q88's broadcast dot identity — one map-side pass, the
+    * centroid arrays are k·64 doubles riding the broadcast), then per
+    * label the mean distance, the worst offender (max distance, vec_id
+    * tiebreak), and how many vectors sit beyond 2× the label mean —
+    * the candidates a curation loop re-labels or drops. All joins
+    * after the distance pass are on the k-row per-label stats table,
+    * broadcast by construction; at 100 TB the cost is one vector scan,
+    * like q88. Distances are 4-dp rounded fixed-order folds (the
+    * q60/q74 parity precedent); the outlier threshold compares
+    * bit-identical doubles on both engines. */
+  private val q113 = QueryDef(
+    "q113_centroid_outlier_audit",
+    "per-label mean/max own-centroid distance, worst vector, 2x-mean outlier count",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT vec_id, label, dim, embedding[dim]::DOUBLE AS v
+             FROM embeddings, dims),
+      cents AS (SELECT label AS clabel, dim, ${det.davgSql("v")} AS c
+                FROM lf GROUP BY 1, 2),
+      carr AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM cents GROUP BY 1),
+      sc AS (SELECT clabel, cv,
+                    list_sum(list_transform(generate_series(1, 64),
+                      i -> cv[i] * cv[i])) AS sc
+             FROM carr),
+      d AS (SELECT e.vec_id, e.label,
+                   ROUND(list_sum(list_transform(generate_series(1, 64),
+                           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                         - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                             i -> e.embedding[i]::DOUBLE * s.cv[i]))
+                         + s.sc, 4) + 0.0 AS d2
+            FROM embeddings e JOIN sc s ON s.clabel = e.label),
+      st AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                    ${det.davgSql("d2")} AS avg_d2
+             FROM d GROUP BY label),
+      worst AS (SELECT label, vec_id AS worst_vec_id, d2 AS max_d2 FROM d
+                QUALIFY row_number() OVER (PARTITION BY label
+                                           ORDER BY d2 DESC, vec_id) = 1),
+      outs AS (SELECT d.label,
+                      CAST(COUNT(*) FILTER (WHERE d.d2 > 2.0 * st.avg_d2)
+                        AS BIGINT) AS n_outliers
+               FROM d JOIN st USING (label) GROUP BY d.label)
+      SELECT label, n_vecs, avg_d2, max_d2, worst_vec_id, n_outliers
+      FROM st JOIN worst USING (label) JOIN outs USING (label)
+      ORDER BY label"""),
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val lf = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("v"))
+      val carr = lf.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(det.davg(col("v")).as("c"))
+        .groupBy("clabel")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+        .withColumn("sc", dot(col("cv"), col("cv")))
+      val d = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(broadcast(carr), col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"),
+          (round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + col("sc"), 4) + 0.0).as("d2"))
+      val st = d.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), det.davg(col("d2")).as("avg_d2"))
+      val worst = d.withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(col("d2").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("vec_id").as("worst_vec_id"),
+          col("d2").as("max_d2"))
+      val outs = d.join(broadcast(st.select(col("label"), col("avg_d2"))),
+          Seq("label"))
+        .groupBy("label")
+        .agg(sum(when(col("d2") > lit(2.0) * col("avg_d2"), 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+      st.join(worst, Seq("label")).join(outs, Seq("label"))
+        .select(col("label"), col("n_vecs"), col("avg_d2"), col("max_d2"),
+          col("worst_vec_id"), col("n_outliers"))
+        .orderBy("label")
+    })
+
+  // ---------------------------------------------------------------------
+  // q114 — corpus snapshot diff (version-to-version membership delta)
+  // ---------------------------------------------------------------------
+
+  /** The dataset-versioning diff a pipeline publishes when a corpus
+    * rolls from v1 to v2: per source, how many docs each version holds
+    * and how many were kept / added / removed. Versions are two
+    * deterministic 95% hash slices (md5 'v1:'/'v2:' keys — different
+    * slices of the same store, the q57 discipline). Because membership
+    * is derivable per row, the diff FUSES into one scan: both flags are
+    * computed map-side and the four counts are conditional aggregates —
+    * no join of any kind (plan-asserted). When the two versions live in
+    * separate manifests, the same semantics is the doc_id FULL OUTER
+    * JOIN of the two manifests — the scaladoc-documented upgrade; the
+    * fused form is what you run when v2 derives from the same store,
+    * and at 100 TB it reads each row exactly once. */
+  private val q114 = QueryDef(
+    "q114_snapshot_diff",
+    "per-source kept/added/removed doc counts between two 95% version slices",
+    Some(s"""
+      WITH d AS (SELECT source,
+                        CASE WHEN ${hkeySql("v1:", "doc_id")} % 20 != 0
+                             THEN 1 ELSE 0 END AS in_v1,
+                        CASE WHEN ${hkeySql("v2:", "doc_id")} % 20 != 0
+                             THEN 1 ELSE 0 END AS in_v2
+                 FROM documents)
+      SELECT source,
+             CAST(SUM(in_v1) AS BIGINT) AS n_v1,
+             CAST(SUM(in_v2) AS BIGINT) AS n_v2,
+             CAST(SUM(in_v1 * in_v2) AS BIGINT) AS n_kept,
+             CAST(SUM((1 - in_v1) * in_v2) AS BIGINT) AS n_added,
+             CAST(SUM(in_v1 * (1 - in_v2)) AS BIGINT) AS n_removed
+      FROM d GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"),
+          when(hkey("v1:", col("doc_id")) % 20 =!= 0, 1).otherwise(0).as("in_v1"),
+          when(hkey("v2:", col("doc_id")) % 20 =!= 0, 1).otherwise(0).as("in_v2"))
+      d.groupBy("source")
+        .agg(sum(col("in_v1")).cast("long").as("n_v1"),
+          sum(col("in_v2")).cast("long").as("n_v2"),
+          sum(col("in_v1") * col("in_v2")).cast("long").as("n_kept"),
+          sum((lit(1) - col("in_v1")) * col("in_v2")).cast("long").as("n_added"),
+          sum(col("in_v1") * (lit(1) - col("in_v2"))).cast("long").as("n_removed"))
+        .orderBy("source")
+    })
+
+  // ---------------------------------------------------------------------
+  // q117 — training export manifest (the end-to-end curation capstone)
+  // ---------------------------------------------------------------------
+
+  /** The manifest an export job hands the trainer, composing the whole
+    * curation pipeline in ONE plan: documents survive canonical
+    * compaction (q101's keep-longest-per-near-dup-component rule off
+    * the components MV), pass the q95 repetition filter, land in the
+    * q57 80% train split, and are hash-sharded 8 ways — per shard:
+    * doc/token mass and source coverage. Every stage keeps its
+    * at-scale shape: the removal set is cluster-membership-sized and
+    * BROADCAST; the repetition flag is a doc-keyed aggregate LEFT-
+    * joined back (short docs non-repetitive, the q98/q100 rule); split
+    * and shard are map-side md5 arithmetic — so the composed plan
+    * reads documents twice (flags + bigrams), never shuffles a fact
+    * table on anything but doc_id, and contains no window wider than a
+    * component. The funnel accounting lives in q64/q101/q57; this is
+    * the artifact that ships. */
+  private val q117 = QueryDef(
+    "q117_training_export_manifest",
+    "per-shard doc/token/source manifest after compaction + quality + train split",
+    Some(s"""
+      WITH RECURSIVE ${text.verifiedPairsCte},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node),
+      mem AS (SELECT c.node AS doc_id, c.component_id, d.n_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.node),
+      rk AS (SELECT doc_id, ROW_NUMBER() OVER (
+               PARTITION BY component_id
+               ORDER BY n_chars DESC, doc_id) AS rn FROM mem),
+      removed AS (SELECT doc_id FROM rk WHERE rn > 1),
+      dtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      rep AS (SELECT doc_id,
+                     CASE WHEN ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE)
+                                          / COUNT(*), 4) >= 0.05
+                          THEN 1 ELSE 0 END AS repetitive
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])) AS g
+                    FROM dtok WHERE len(t) >= 2)
+              GROUP BY doc_id),
+      base AS (SELECT d.doc_id, d.source,
+                      len(string_split(d.text, ' ')) AS n_tok,
+                      CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rm,
+                      COALESCE(p.repetitive, 0) AS repetitive,
+                      CASE WHEN ${hkeySql("split:", "d.doc_id")} % 100 < 80
+                           THEN 1 ELSE 0 END AS in_train,
+                      ${hkeySql("shard:", "d.doc_id")} % 8 AS shard
+               FROM documents d LEFT JOIN removed r ON r.doc_id = d.doc_id
+                    LEFT JOIN rep p ON p.doc_id = d.doc_id)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM base WHERE rm = 0 AND repetitive = 0 AND in_train = 1
+      GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val removed = Dedup.components(s, dir)
+        .join(docs.select(col("doc_id"), col("n_chars")),
+          col("node") === col("doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("component_id")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"), lit(1).as("rm_m"))
+      val tt = col("t")
+      val rep = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(when(size(tt) >= 2,
+          transform(sequence(lit(1), size(tt) - 1),
+            i => concat_ws(" ", element_at(tt, i), element_at(tt, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy("doc_id")
+        .agg(when(round(lit(1.0)
+            - countDistinct(col("g")).cast("double") / count(lit(1)), 4) >= 0.05,
+          1).otherwise(0).as("repetitive"))
+      docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          (hkey("split:", col("doc_id")) % 100 < 80).as("in_train"),
+          (hkey("shard:", col("doc_id")) % 8).as("shard"))
+        .join(broadcast(removed), Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .filter(col("rm_m").isNull && coalesce(col("repetitive"), lit(0)) === 0
+          && col("in_train"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          countDistinct(col("source")).cast("long").as("n_sources"))
+        .orderBy("shard")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100, q106)
+    Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
+      q106, q108, q109, q110, q111, q112, q113, q114, q117)
 }

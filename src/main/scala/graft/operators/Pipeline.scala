@@ -1152,7 +1152,114 @@ object Pipeline {
         .orderBy("vec_a", "vec_b")
     })
 
+  // ---------------------------------------------------------------------
+  // q115 — user journey paths (ordered event-type prefixes)
+  // ---------------------------------------------------------------------
+
+  /** The journey-path report behind every funnel design review: each
+    * user's first 5 events in event-time order collapsed to an ordered
+    * `a>b>c` path string, then the top-20 paths by user count. The
+    * rank ≤ 5 predicate pushes into WindowGroupLimit (plan-asserted
+    * like q04), so at 100 TB each user group stops after 5 rows
+    * instead of sorting its whole history; the per-user window
+    * partitions by user_id — never a global sort — and the path
+    * assembly is an array sort of ≤ 5-element structs, constant work
+    * per user. Ordering is total (ts_us, event_id tiebreak), so the
+    * path strings are deterministic; the final top-20 breaks count
+    * ties on the path string. */
+  private val q115 = QueryDef(
+    "q115_user_journey_paths",
+    "top-20 ordered first-5-event journey paths by user count",
+    Some(s"""
+      WITH r AS (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                          AS rn
+                 FROM events QUALIFY rn <= 5),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r GROUP BY user_id)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20"""),
+    (s, dir) => {
+      val r = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))))
+        .filter(col("rn") <= 5)
+      val p = r.groupBy("user_id")
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+      p.groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
+    })
+
+  // ---------------------------------------------------------------------
+  // q116 — export shard plan (deterministic sharding off the epoch order)
+  // ---------------------------------------------------------------------
+
+  /** The export sharding planner: the corpus is cut into 8 training
+    * shards by `shard = (pos − 1) mod 8` over q105's deterministic
+    * interleaved epoch positions, and the plan reports per-shard
+    * doc/token mass, source coverage, and the position range. Because
+    * the positions are a permutation of 1..N, mod-8 sharding balances
+    * doc counts to within ONE document by construction (spec-asserted),
+    * and because the positions interleave sources round-robin, every
+    * shard sees every large-enough source — the two properties a
+    * trainer wants from shards, obtained WITHOUT a global sort: the
+    * position stays the q105 closed form against the broadcast
+    * source-size table, so the plan's only windows partition by source
+    * and the shard key is map-side arithmetic. At 100 TB this is the
+    * manifest an export job writes before laying out shard files. */
+  private val q116 = QueryDef(
+    "q116_export_shard_plan",
+    "8-way mod-shard plan over the interleaved epoch order: balance + coverage",
+    Some(s"""
+      WITH h AS (SELECT doc_id, source,
+                        len(string_split(text, ' ')) AS n_tok,
+                        ${graft.functions.text.md5Hash60Sql("'ilv:' || CAST(doc_id AS VARCHAR)")} AS hk
+                 FROM documents),
+      r AS (SELECT doc_id, source, n_tok, CAST(row_number() OVER (
+              PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk
+            FROM h),
+      sz AS (SELECT source AS s2, CAST(COUNT(*) AS BIGINT) AS n2
+             FROM documents GROUP BY 1),
+      pos AS (SELECT r.doc_id, r.source, r.n_tok,
+                     CAST(SUM(LEAST(sz.n2, r.rk - 1))
+                        + SUM(CASE WHEN sz.s2 < r.source AND sz.n2 >= r.rk
+                                   THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p
+              FROM r CROSS JOIN sz GROUP BY 1, 2, 3)
+      SELECT CAST((p - 1) % 8 AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             MIN(p) AS min_pos, MAX(p) AS max_pos
+      FROM pos GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      import graft.functions.text
+      val docs = Tables.documents(s, dir)
+      val r = docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          text.md5Hash60(concat(lit("ilv:"), col("doc_id").cast("string")))
+            .as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("hk", "doc_id")).cast("long"))
+      val sz = docs.groupBy(col("source").as("s2")).agg(count(lit(1)).as("n2"))
+      val pos = r.crossJoin(broadcast(sz))
+        .groupBy("doc_id", "source", "n_tok")
+        .agg((sum(least(col("n2"), col("rk") - 1))
+          + sum(when(col("s2") < col("source") && col("n2") >= col("rk"), 1L)
+            .otherwise(0L)) + 1).cast("long").as("p"))
+      pos.groupBy(((col("p") - 1) % 8).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          countDistinct(col("source")).cast("long").as("n_sources"),
+          min(col("p")).as("min_pos"), max(col("p")).as("max_pos"))
+        .orderBy("shard")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75, q76, q78, q80, q83, q103, q105)
+      q72, q75, q76, q78, q80, q83, q103, q105, q115, q116)
 }

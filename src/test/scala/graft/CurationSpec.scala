@@ -379,6 +379,157 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 overlap matrix conserves the verified pair set") {
+    val rows = run("q108_source_overlap_matrix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a <= b, s"matrix must be upper-triangular: ($a, $b)")
+      assert(r.getAs[Int]("cross_source") == (if (a == b) 0 else 1))
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+    // pair conservation: every verified near-dup pair (the q22 J >= 0.5
+    // set, which equals the shared verified-pair view) lands in exactly
+    // one matrix cell
+    val expected = run("q22_neardup_jaccard").count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == expected,
+      s"matrix total != verified pair count $expected")
+  }
+
+  test("q109 centroid similarity is the full k-choose-2 upper triangle in [-1, 1]") {
+    val rows = run("q109_centroid_similarity").collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getAs[Int]("label")).sorted
+    val k = labels.length
+    assert(rows.length == k * (k - 1) / 2, s"expected C($k,2) rows")
+    val seen = rows.map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")))
+    assert(seen.toSet == (for { a <- labels; b <- labels if a < b } yield (a, b)).toSet)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cosine out of range: $c")
+    }
+  }
+
+  test("q110 cluster profile conserves the corpus and agrees with the component view") {
+    val rows = run("q110_dup_cluster_profile").collect()
+    assert(rows.nonEmpty)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "histogram mass must equal the corpus")
+    rows.foreach { r =>
+      val size = r.getAs[Long]("component_size")
+      assert(size >= 1)
+      assert(r.getAs[Long]("n_docs") == size * r.getAs[Long]("n_components"))
+      if (size > 1) assert(r.getAs[Long]("n_components") >= 1)
+    }
+    val sizes = rows.map(_.getAs[Long]("component_size")).toSeq
+    assert(sizes == sizes.sorted, "ordered by component_size")
+  }
+
+  test("q111 curriculum phases partition each source with non-decreasing difficulty") {
+    val rows = run("q111_curriculum_phases").collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val bySource = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("t")))).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val (n, t) = bySource(src)
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == n, s"$src doc conservation")
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum == t, s"$src token conservation")
+      val byPhase = rs.sortBy(_.getAs[Int]("phase"))
+      assert(byPhase.map(_.getAs[Int]("phase")).toSeq == (1 to byPhase.length),
+        s"$src phases must be contiguous from 1")
+      byPhase.sliding(2).foreach {
+        case Array(p, q) =>
+          assert(p.getAs[Long]("max_difficulty") <= q.getAs[Long]("min_difficulty"),
+            s"$src difficulty must not decrease across phases")
+        case _ => ()
+      }
+      byPhase.foreach(r =>
+        assert(r.getAs[Long]("min_difficulty") <= r.getAs[Long]("max_difficulty")))
+    }
+  }
+
+  test("q112 dimension stats cover all 64 dims with consistent moments") {
+    val rows = run("q112_embedding_dim_stats").collect()
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == (1 to 64))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == nVecs)
+      val (mean, v) = (r.getAs[Double]("mean_v"), r.getAs[Double]("var_v"))
+      val (lo, hi) = (r.getAs[Double]("min_v"), r.getAs[Double]("max_v"))
+      assert(lo <= hi)
+      assert(mean >= lo - 1e-4 && mean <= hi + 1e-4,
+        s"dim ${r.getAs[Int]("dim")}: mean $mean outside [$lo, $hi]")
+      // rounding the moments at 4 dp before the identity can push a
+      // tiny true variance slightly negative — bounded by the rounding
+      assert(v >= -1e-3, s"variance $v below rounding floor")
+      assert(v <= (hi - lo) * (hi - lo) / 4 + 1e-3, "popoviciu bound")
+    }
+  }
+
+  test("q113 outlier audit is label-complete with max >= mean and bounded outliers") {
+    val rows = run("q113_centroid_outlier_audit").collect()
+    import org.apache.spark.sql.functions._
+    val byLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy("label").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("n")).toMap
+    assert(rows.map(_.getAs[Int]("label")).toSet == byLabel.keySet)
+    rows.foreach { r =>
+      val n = byLabel(r.getAs[Int]("label"))
+      assert(r.getAs[Long]("n_vecs") == n)
+      val (avg, mx) = (r.getAs[Double]("avg_d2"), r.getAs[Double]("max_d2"))
+      assert(avg >= 0.0 && mx >= avg - 1e-9, s"max $mx < mean $avg")
+      val out = r.getAs[Long]("n_outliers")
+      // mean distance bounds the >2x-mean mass at strictly under half
+      assert(out >= 0 && out < n / 2 + 1, s"$out outliers of $n")
+    }
+  }
+
+  test("q114 snapshot diff satisfies the kept/added/removed identities per source") {
+    val rows = run("q114_snapshot_diff").collect()
+    import org.apache.spark.sql.functions._
+    val bySource = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val n = bySource(r.getAs[String]("source"))
+      val (v1, v2) = (r.getAs[Long]("n_v1"), r.getAs[Long]("n_v2"))
+      val (kept, added, removed) =
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"))
+      assert(v1 == kept + removed, "v1 partitions into kept + removed")
+      assert(v2 == kept + added, "v2 partitions into kept + added")
+      assert(v1 <= n && v2 <= n)
+      assert(kept + added + removed <= n, "diff classes are disjoint doc sets")
+    }
+  }
+
+  test("q117 export manifest is consistent with its upstream stage queries") {
+    val rows = run("q117_training_export_manifest").collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val shards = rows.map(_.getAs[Long]("shard")).toSeq
+    assert(shards == shards.sorted && shards.forall(sh => sh >= 0 && sh < 8))
+    val exported = rows.map(_.getAs[Long]("n_docs")).sum
+    // bounded above by each upstream stage alone
+    val kept = run("q101_canonical_compaction").collect()
+      .map(_.getAs[Long]("n_kept")).sum
+    val train = run("q57_hash_split_train_val_test").collect()
+      .filter(_.getAs[String]("split") == "train").map(_.getAs[Long]("n_docs")).sum
+    assert(exported <= kept, "manifest cannot exceed compaction survivors")
+    assert(exported <= train, "manifest cannot exceed the train split")
+    assert(exported > 0, "the composed filter must not annihilate the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      assert(r.getAs[Long]("n_sources") >= 1 && r.getAs[Long]("n_sources") <= 20)
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -44,7 +44,17 @@ class DeterminismSpec extends AnyFunSuite {
     "q104_vocab_drift_by_source", // decimal chi-square sums over count ratios
     "q105_interleave_shuffle_order", // hash-rank windows + closed-form positions
     "q106_incremental_source_counts", // MV base + delta union re-aggregation
-    "q107_delete_cascade_audit") // hash kill-slice + multi-table semi-join counts
+    "q107_delete_cascade_audit", // hash kill-slice + multi-table semi-join counts
+    "q108_source_overlap_matrix", // hash-candidate pair view + grouped counts
+    "q109_centroid_similarity", // decimal centroid sums + float dot/norm folds
+    "q110_dup_cluster_profile", // iterative fixpoint MV + two-level counts
+    "q111_curriculum_phases", // ntile over per-source ties
+    "q112_embedding_dim_stats", // two-moment decimal sums per dim
+    "q113_centroid_outlier_audit", // float distance folds + desc-rank ties
+    "q114_snapshot_diff", // dual hash-slice membership flags
+    "q115_user_journey_paths", // per-user window ties + path-count ties
+    "q116_export_shard_plan", // hash-rank closed-form positions + mod sharding
+    "q117_training_export_manifest") // MV fixpoint + rank ties + hash split/shard
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -394,6 +394,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q115 journey paths are bounded 5-step prefixes over the event-type domain") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q115_user_journey_paths").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_users")).toSeq
+    assert(counts == counts.sorted.reverse, "ordered by user count desc")
+    val types = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().collect()
+      .map(_.getAs[String]("event_type")).toSet
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.length >= 1 && steps.length <= 5)
+      steps.foreach(t => assert(types.contains(t), s"unknown event type $t"))
+    }
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(counts.sum <= nUsers, "each user contributes at most one path")
+  }
+
+  test("q116 shard plan balances docs within one and covers positions exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q116_export_shard_plan").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("shard")).toSeq == (0L until math.min(8L, nDocs)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "every doc lands in a shard")
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1,
+      s"mod-sharding a permutation must balance within one doc: ${sizes.toSeq}")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val totalTok = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTok)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_pos") >= 1 && r.getAs[Long]("max_pos") <= nDocs)
+      assert(r.getAs[Long]("n_sources") >= 1)
+    }
+  }
+
   test("q104 drift is non-negative and token volumes conserve") {
     import org.apache.spark.sql.functions._
     val rows = run("q104_vocab_drift_by_source").collect()

@@ -212,6 +212,58 @@ class PlanSpec extends AnyFunSuite {
       "per-component rank must not collapse to one partition")
   }
 
+  test("q108: the pair side broadcasts into both source lookups; documents never shuffles") {
+    val p = plan("q108_source_overlap_matrix")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both endpoint-labeling joins must broadcast the pair side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the documents scan must never shuffle on doc_id")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q112: whitening stats are one pass — no join, map-side combine") {
+    val p = plan("q112_embedding_dim_stats")
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"per-dim moments must not require a join ($j)"))
+    assert(p.contains("partial_"), "dim aggregate should map-side combine")
+  }
+
+  test("q113: centroid arrays broadcast; the vector table never sort-merges") {
+    val p = plan("q113_centroid_outlier_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k-row centroid/stat tables must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the vector scan must never shuffle for a k-row join side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q116: shard plan windows partition by source; positions stay closed-form") {
+    val p = plan("q116_export_shard_plan")
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty, "expected the within-source rank window")
+    assert(ws.forall(_.contains("windowspecdefinition(source")),
+      s"sharding must never global-sort:\n${ws.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the source-size table should broadcast")
+  }
+
+  test("q114: snapshot diff fuses to one scan — no join of any kind") {
+    val p = plan("q114_snapshot_diff")
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"derivable membership must not join ($j)"))
+    assert(p.contains("partial_"), "diff counts should map-side combine")
+  }
+
+  test("q115: the first-5 predicate pushes into WindowGroupLimit per user") {
+    val p = plan("q115_user_journey_paths")
+    assert(p.contains("WindowGroupLimit"),
+      "rank <= 5 must stop each user group early, not sort full histories")
+    assert(!p.contains("SinglePartition"),
+      "the journey window must partition by user, never globally")
+  }
+
   test("q102: quantization audit is a single pass — no join of any kind") {
     val p = plan("q102_embedding_quantization_error")
     Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
