@@ -215,5 +215,42 @@ object Classics {
         .orderBy("event_type")
     })
 
-  def defs: Seq[QueryDef] = Seq(q11, q12, q13, q14, q15, q16, q17, q46)
+  /** Semi-structured processing on Spark 4's VARIANT type: props parsed
+    * once with parse_json into the shredded binary encoding, fields
+    * extracted with variant_get — the engine-native path that replaces
+    * per-access string re-parsing (q14's get_json_object re-parses the
+    * JSON text on every extraction; a variant column parses once and
+    * serves every field access from the encoded form, the difference
+    * that matters when a 100 TB events table carries kilobyte props
+    * documents read by many fields). Distinct-count + conditional
+    * aggregate keep it disjoint from q14's min/max/sum surface; all
+    * arithmetic is integer-exact. */
+  private val q118 = QueryDef(
+    "q118_variant_json_stats",
+    "VARIANT parse_json/variant_get over props: distinct + parity counts per type",
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+             CAST(SUM(k) AS BIGINT) AS sum_k,
+             CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even_k
+      FROM (SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("k")).cast("long").as("n_distinct_k"),
+          sum(col("k")).as("sum_k"),
+          sum(when(col("k") % 2 === 0, 1).otherwise(0)).cast("long")
+            .as("n_even_k"))
+        .orderBy("event_type"))
+
+  def defs: Seq[QueryDef] = Seq(q11, q12, q13, q14, q15, q16, q17, q46, q118)
 }

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event record for the streaming API (mirrors the events table;
   * ts is an epoch-µs long exactly like Tables.events.ts_us). */
@@ -164,6 +165,43 @@ object EventStream {
           col("c_ts") <= col("p_ts"))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (col("p_us") - col("c_us")).as("gap_us"))
+  }
+
+  /** [[runningUserCounts]] on the arbitrary-state v2 API
+    * (`transformWithState`, new in Spark 4): identical semantics, but
+    * state lives in NAMED typed handles (`ValueState`) on the RocksDB
+    * state store, with per-state TTL available via [[TTLConfig]] — the
+    * API a production pipeline uses when one operator needs several
+    * independent state variables (counters, timers, seen-sets) with
+    * different retention, which mapGroupsWithState can only fake by
+    * packing everything into one case class. StreamingSpec asserts
+    * batch-for-batch equality with the v1 operator. */
+  class RunningCountsProcessor
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var running: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      running = getHandle.getValueState[UserRunning]("running",
+        org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = Option(running.get()).getOrElse(UserRunning(key, 0L, 0.0))
+      val (n, sv) = rows.foldLeft((prev.n_events, prev.sum_value)) {
+        case ((c, s), e) => (c + 1, s + e.value)
+      }
+      val next = UserRunning(key, n, sv)
+      running.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** The v2-API twin of [[runningUserCounts]]; requires the RocksDB
+    * state store provider (transformWithState's backing contract). */
+  def runningUserCountsV2(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming session windows via the built-in session_window generator

@@ -42,6 +42,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 arbitrary-state API) matches the v1 running counts") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStream.runningUserCountsV2(stream.toDS())
+        .writeStream.format("memory").queryName("running_v2")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        stream.addData(batch1); q.processAllAvailable()
+        val afterB1 = spark.table("running_v2").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(afterB1 == Set((10L, 3L, 6.0), (11L, 1L, 10.0)))
+        stream.addData(batch2); q.processAllAvailable()
+        val latest = spark.table("running_v2").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+        assert(latest == Set((10L, 4L, 10.0), (11L, 2L, 30.0)),
+          "v2 state must accumulate across triggers exactly like v1")
+      } finally q.stop()
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful running user counts accumulate across triggers") {
     val stream = MemoryStream[Event]
     val q = EventStream.runningUserCounts(stream.toDS())
