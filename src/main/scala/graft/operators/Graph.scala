@@ -83,5 +83,62 @@ object Graph {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q73)
+  /** Global structure metrics of the near-dup graph — node/edge counts,
+    * triangle count, wedge count, and the global clustering coefficient
+    * 3·T/W — the "is this dup graph clique-like or chain-like" health
+    * check that decides whether keep-one-per-component compaction
+    * (q101, clique-like ⇒ safe) or pairwise review (chain-like ⇒ risky
+    * transitive merges) is appropriate. Triangles are enumerated by the
+    * standard two-hop edge join over the CANONICAL (doc_a < doc_b) pair
+    * table — the a<b ordering IS the orientation that counts each
+    * triangle exactly once, and at scale the same join runs
+    * degree-ordered (low→high per edge) to bound fan-out; the pair
+    * table is the materialized view, ≪ corpus. Wedges are Σ d(d−1)/2
+    * over symmetric degrees — exact integer (d(d−1) is even). Every
+    * count is a long; the coefficient is one rounded IEEE divide. */
+  private val q119 = QueryDef(
+    "q119_neardup_graph_metrics",
+    "near-dup graph triangles, wedges, and global clustering coefficient",
+    Some(s"""
+      WITH ${text.verifiedPairsCte},
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+            UNION ALL SELECT doc_b, doc_a FROM ver),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e GROUP BY src),
+      tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM ver e1
+              JOIN ver e2 ON e2.doc_a = e1.doc_b
+              JOIN ver e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                     CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+              FROM deg),
+      ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ver)
+      SELECT a.n_nodes, ec.n_edges, tri.t AS n_triangles, a.n_wedges,
+             CASE WHEN a.n_wedges = 0 THEN 0.0
+                  ELSE ROUND(3.0 * tri.t / a.n_wedges, 4) + 0.0
+             END AS clustering_coeff
+      FROM agg a CROSS JOIN ec CROSS JOIN tri"""),
+    (s, dir) => {
+      val pairs = Dedup.verifiedPairs(s, dir)
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val agg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+      val ec = pairs.agg(count(lit(1)).as("n_edges"))
+      val tri = pairs.select(col("doc_a").as("a1"), col("doc_b").as("b1"))
+        .join(pairs.select(col("doc_a").as("a2"), col("doc_b").as("b2")),
+          col("b1") === col("a2"))
+        .join(pairs.select(col("doc_a").as("a3"), col("doc_b").as("b3")),
+          col("a3") === col("a1") && col("b3") === col("b2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      agg.crossJoin(ec).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
+              + 0.0).as("clustering_coeff"))
+    })
+
+  def defs: Seq[QueryDef] = Seq(q73, q119)
 }

@@ -432,6 +432,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 graph metrics satisfy the triangle/wedge laws and agree with q45") {
+    val rows = run("q119_neardup_graph_metrics").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nodes, edges) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
+    val (tri, wedges) = (r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"))
+    assert(nodes == run("q45_neardup_components").count(),
+      "metric node count must equal the component view")
+    assert(edges == run("q22_neardup_jaccard").count(),
+      "metric edge count must equal the verified pair set")
+    assert(tri >= 0 && wedges >= 0)
+    assert(3 * tri <= wedges, "every triangle closes exactly 3 wedges")
+    val cc = r.getAs[Double]("clustering_coeff")
+    assert(cc >= 0.0 && cc <= 1.0)
+    if (wedges > 0)
+      assert(math.abs(cc - BigDecimal(3.0 * tri / wedges)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("q104 drift is non-negative and token volumes conserve") {
     import org.apache.spark.sql.functions._
     val rows = run("q104_vocab_drift_by_source").collect()
