@@ -248,6 +248,26 @@ class PlanSpec extends AnyFunSuite {
       "the source-size table should broadcast")
   }
 
+  test("q111: curriculum windows partition by source — never a global sort") {
+    val p = plan("q111_curriculum_phases")
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty, "expected the per-source ntile window")
+    assert(ws.forall(_.contains("windowspecdefinition(source")),
+      s"phase assignment must stay within source partitions:\n${ws.mkString("\n")}")
+    assert(!p.contains("SinglePartition"),
+      "no operator may collapse the corpus to one partition")
+  }
+
+  test("q117: export manifest broadcasts the removal set; windows stay per-component") {
+    val p = plan("q117_training_export_manifest")
+    assert(p.contains("BroadcastHashJoin"),
+      "the cluster-membership-sized removal set must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("windowspecdefinition(component_id")),
+      "the representative rank must partition by component, never globally")
+  }
+
   test("q114: snapshot diff fuses to one scan — no join of any kind") {
     val p = plan("q114_snapshot_diff")
     Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
