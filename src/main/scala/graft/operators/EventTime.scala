@@ -187,5 +187,74 @@ object EventTime {
         .limit(20)
     })
 
-  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q74)
+  /** Daily event-volume anomaly detection — the batch form of the
+    * metric monitor every ingestion pipeline runs: per (event_type,
+    * day), today's count z-scored against the TRAILING 7 days
+    * (ROWS 7 PRECEDING..1 PRECEDING — the current day never pollutes
+    * its own baseline), flagged at |z| ≥ 2. The baseline moments are
+    * integer window sums (Σn, Σn² over ≤7 longs — exact), so z is a
+    * fixed sequence of IEEE ops over identical bits on both engines
+    * with one correctly-rounded sqrt (the q97 discipline); z is NULL
+    * until a full 7-day baseline exists or when the baseline is
+    * constant (zero variance), surfacing warm-up honestly instead of
+    * dividing by zero. The window partitions by event_type — bounded
+    * cardinality, the same per-key shape a streaming deployment gives
+    * the operator for free via watermarked state. */
+  private val q120 = QueryDef(
+    "q120_daily_volume_anomaly",
+    "per-type daily counts z-scored against the trailing 7 days, |z| >= 2 flagged",
+    Some(s"""
+      WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day, n,
+                   COUNT(*) OVER fr AS cnt,
+                   CAST(COALESCE(SUM(n) OVER fr, 0) AS BIGINT) AS s1,
+                   CAST(COALESCE(SUM(n * n) OVER fr, 0) AS BIGINT) AS s2
+            FROM d WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT event_type, day, n, cnt, s1,
+                   CASE WHEN cnt = 7 AND s2 * cnt > s1 * s1
+                        THEN ROUND((n - CAST(s1 AS DOUBLE) / cnt)
+                               / SQRT((CAST(s2 AS DOUBLE)
+                                       - CAST(s1 AS DOUBLE) * s1 / cnt) / cnt),
+                               4) + 0.0
+                   END AS z
+            FROM w)
+      SELECT event_type, day, n,
+             CASE WHEN cnt > 0
+                  THEN ROUND(CAST(s1 AS DOUBLE) / cnt, 4) + 0.0
+             END AS baseline_mean,
+             z,
+             CASE WHEN z IS NOT NULL AND ABS(z) >= 2.0 THEN 1 ELSE 0 END
+               AS anomaly
+      FROM z ORDER BY event_type, day"""),
+    (s, dir) => {
+      val d = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(timestamp_micros(col("ts_us"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val fr = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      val w = d
+        .withColumn("cnt", count(lit(1)).over(fr))
+        .withColumn("s1", coalesce(sum(col("n")).over(fr), lit(0L)))
+        .withColumn("s2", coalesce(sum(col("n") * col("n")).over(fr), lit(0L)))
+      val zc = when(col("cnt") === 7 && col("s2") * col("cnt") > col("s1") * col("s1"),
+        round((col("n") - col("s1").cast("double") / col("cnt"))
+          / sqrt((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1") / col("cnt")) / col("cnt")),
+          4) + 0.0)
+      w.withColumn("z", zc)
+        .select(col("event_type"), col("day"), col("n"),
+          when(col("cnt") > 0,
+            round(col("s1").cast("double") / col("cnt"), 4) + 0.0)
+            .as("baseline_mean"),
+          col("z"),
+          when(col("z").isNotNull && abs(col("z")) >= 2.0, 1).otherwise(0)
+            .as("anomaly"))
+        .orderBy("event_type", "day")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q18, q19, q20, q74, q120)
 }

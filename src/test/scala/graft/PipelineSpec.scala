@@ -451,6 +451,28 @@ class PipelineSpec extends AnyFunSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("q120 anomaly z-scores honor warm-up and conserve event counts") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q120_daily_volume_anomaly").collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total,
+      "daily counts must partition the event stream")
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val byDay = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // the first 7 days per type can have no full trailing baseline
+      byDay.take(math.min(7, byDay.length)).foreach(r =>
+        assert(r.isNullAt(r.fieldIndex("z")), s"$t: z must be NULL in warm-up"))
+      byDay.foreach { r =>
+        val a = r.getAs[Int]("anomaly")
+        assert(a == 0 || a == 1)
+        if (a == 1) assert(math.abs(r.getAs[Double]("z")) >= 2.0)
+        if (!r.isNullAt(r.fieldIndex("z")))
+          assert(r.getAs[Long]("n") >= 0 && r.getAs[Double]("baseline_mean") > 0)
+      }
+    }
+  }
+
   test("q104 drift is non-negative and token volumes conserve") {
     import org.apache.spark.sql.functions._
     val rows = run("q104_vocab_drift_by_source").collect()
