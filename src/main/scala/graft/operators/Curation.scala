@@ -1513,7 +1513,69 @@ object Curation {
         .orderBy("shard")
     })
 
+  // ---------------------------------------------------------------------
+  // q121 — incremental sketch maintenance (HLL registers as base + delta)
+  // ---------------------------------------------------------------------
+
+  /** The sketch-maintenance pattern that makes approximate distinct
+    * counts work at 100 TB: q56's deterministic 64-register HLL is kept
+    * as a MAINTAINED register table (max-rho per (event_type, bucket))
+    * over the existing stream, today's 10% 'hinc:' event slice is
+    * sketched ALONE, and the two register sets MERGE by per-register
+    * max — registers are max-monoids, so merge ≡ full recompute by
+    * algebra, and the oracle PROVES it by computing the registers with
+    * a FULL SCAN (the q106 discipline, applied to a sketch instead of
+    * counts). Everything is integer (md5 hash, bucket, rho, integer
+    * checksums) — no estimator ln, no rounding discipline at all; the
+    * estimate itself is q56's job. Cost scales with the DELTA: the
+    * corpus is never rescanned to refresh the sketch table. */
+  private val q121 = QueryDef(
+    "q121_incremental_hll_registers",
+    "maintained HLL register table (base MV + delta slice merge) vs full recompute",
+    Some(s"""
+      WITH h AS (SELECT event_type,
+                        ${text.md5Hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+                 FROM events),
+      b AS (SELECT event_type, h % 64 AS bucket,
+                   CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END AS rho
+            FROM h),
+      reg AS (SELECT event_type, bucket, MAX(rho) AS r FROM b GROUP BY 1, 2)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
+             CAST(SUM(r) AS BIGINT) AS sum_rho,
+             CAST(SUM((bucket + 1) * r) AS BIGINT) AS checksum
+      FROM reg GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      def registers(ev: org.apache.spark.sql.DataFrame) = {
+        val h = ev.select(col("event_type"),
+          text.md5Hash60(col("user_id").cast("string")).as("h"))
+        h.select(col("event_type"), (col("h") % 64).as("bucket"),
+            when(expr("h DIV 64") === 0, 55)
+              .otherwise(lit(55) - length(bin(expr("h DIV 64")))).as("rho"))
+          .groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
+      }
+      def sliced(batch: Boolean) = {
+        val flag = hkey("hinc:", col("event_id")) % 10 === 0
+        Tables.events(s, dir).filter(if (batch) flag else !flag)
+      }
+      // the maintained sketch over the EXISTING stream (90%), built once
+      // per dataset version and read as parquet thereafter
+      val base = graft.sources.MaterializedViews.cached(
+          s, dir, "hll_registers_base", srcFile = "events.parquet") {
+        registers(sliced(batch = false))
+      }
+      // today's slice sketched alone — cost scales with the delta
+      val delta = registers(sliced(batch = true))
+      base.union(delta)
+        .groupBy("event_type", "bucket").agg(max(col("r")).as("r"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_regs"),
+          sum(col("r")).cast("long").as("sum_rho"),
+          sum((col("bucket") + 1) * col("r")).cast("long").as("checksum"))
+        .orderBy("event_type")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
-      q106, q108, q109, q110, q111, q112, q113, q114, q117)
+      q106, q108, q109, q110, q111, q112, q113, q114, q117, q121)
 }

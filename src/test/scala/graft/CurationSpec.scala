@@ -530,6 +530,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 register merge equals a direct full recompute (max-monoid law)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.text
+    val rows = run("q121_incremental_hll_registers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_regs") >= 1 && r.getAs[Long]("n_regs") <= 64)
+      assert(r.getAs[Long]("sum_rho") >= 0)
+    }
+    // independent full-scan register table (no slice, no MV)
+    val full = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        text.md5Hash60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), (col("h") % 64).as("bucket"),
+        when(expr("h DIV 64") === 0, 55)
+          .otherwise(lit(55) - length(bin(expr("h DIV 64")))).as("rho"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_regs"), sum(col("r")).cast("long").as("sum_rho"),
+        sum((col("bucket") + 1) * col("r")).cast("long").as("checksum"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_regs"), r.getAs[Long]("sum_rho"),
+          r.getAs[Long]("checksum")))).toMap
+    rows.foreach { r =>
+      val (n, sr, ck) = full(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_regs") == n && r.getAs[Long]("sum_rho") == sr
+        && r.getAs[Long]("checksum") == ck,
+        s"${r.getString(0)}: merged registers != full recompute")
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -54,7 +54,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q114_snapshot_diff", // dual hash-slice membership flags
     "q115_user_journey_paths", // per-user window ties + path-count ties
     "q116_export_shard_plan", // hash-rank closed-form positions + mod sharding
-    "q117_training_export_manifest") // MV fixpoint + rank ties + hash split/shard
+    "q117_training_export_manifest", // MV fixpoint + rank ties + hash split/shard
+    "q121_incremental_hll_registers") // MV register base + delta max-merge
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
