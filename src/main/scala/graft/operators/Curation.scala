@@ -1575,7 +1575,66 @@ object Curation {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------------
+  // q122 — source shingle-vocabulary overlap matrix (corpus redundancy)
+  // ---------------------------------------------------------------------
+
+  /** Pairwise source-level content overlap: each source reduced to its
+    * distinct 3-shingle set (off the SHARED shingle MV — the dedup
+    * family's explosion is never recomputed), then Jaccard for every
+    * unordered source pair — the matrix that says which feeds carry
+    * the same CONTENT even when no individual document pair crosses
+    * the near-dup threshold (q108 sees only verified pairs; this sees
+    * distributional redundancy). The equi-join key is the shingle —
+    * vocabulary-sized, not corpus-sized — and the source dimension is
+    * bounded, so candidate rows per shingle are ≤ \|sources\|² and the
+    * aggregation map-side combines; at 100 TB the per-source shingle
+    * sets are themselves maintainable as a grouped view next to the
+    * shingle MV. Jaccard = inter/(\|a\|+\|b\|−inter) on exact longs,
+    * one rounded IEEE divide. */
+  private val q122 = QueryDef(
+    "q122_source_shingle_overlap",
+    "pairwise source 3-shingle Jaccard matrix off the shared shingle MV",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      ss AS (SELECT DISTINCT d.source, s.shingle
+             FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+      sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+      inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_inter
+                FROM ss a JOIN ss b
+                  ON a.shingle = b.shingle AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT source_a, source_b, n_inter,
+             ROUND(CAST(n_inter AS DOUBLE)
+                   / (sa.n + sb.n - n_inter), 4) + 0.0 AS jaccard
+      FROM inter JOIN sz sa ON sa.source = source_a
+                 JOIN sz sb ON sb.source = source_b
+      ORDER BY source_a, source_b"""),
+    (s, dir) => {
+      val ss = Dedup.shingleSet(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), col("shingle")).distinct()
+      val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ss.select(col("source").as("source_a"), col("shingle"))
+        .join(ss.select(col("source").as("source_b"),
+          col("shingle").as("shingle2")),
+          col("shingle") === col("shingle2") && col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sz.select(col("source").as("source_a"),
+          col("n").as("na"))), Seq("source_a"))
+        .join(broadcast(sz.select(col("source").as("source_b"),
+          col("n").as("nb"))), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          (round(col("n_inter").cast("double")
+            / (col("na") + col("nb") - col("n_inter")), 4) + 0.0).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
-      q106, q108, q109, q110, q111, q112, q113, q114, q117, q121)
+      q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122)
 }

@@ -562,6 +562,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 source overlap matrix is the full triangle with Jaccard laws intact") {
+    val rows = run("q122_source_shingle_overlap").collect()
+    val sources = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    // pairs with zero shingle intersection legitimately drop out of the
+    // inner join; the fixture vocabulary makes that rare but possible
+    assert(rows.length <= sources * (sources - 1) / 2 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_inter") >= 1)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j")
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
