@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
@@ -204,5 +204,85 @@ object Analytics {
         .orderBy("c_mktsegment")
     })
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91)
+  /** RFM customer segmentation WITHOUT a global window — the scale form
+    * of the textbook `ntile(4)`-per-axis formulation: per-customer
+    * recency (epoch-day of last order) / frequency (order count) /
+    * monetary (exact-decimal revenue) reduce once, the nine quartile
+    * boundaries are ONE one-row aggregate (exact interpolated
+    * percentile — the q42 pairing) broadcast back, and each customer's
+    * 1–4 score per axis is map-side comparison arithmetic. Where
+    * `ntile` would shuffle every customer into one ordered partition
+    * per axis, this is two passes over the customer aggregate and
+    * nothing wider — at 100 TB the boundary row is bytes. Boundary
+    * ties land deterministically (score counts customers strictly
+    * above each boundary on bit-identical doubles). Output: the
+    * populated cells of the 4×4×4 segment lattice with doc mass and
+    * per-segment revenue. */
+  private val q123 = QueryDef(
+    "q123_rfm_segmentation",
+    "RFM 4x4x4 segment lattice via broadcast quartile boundaries (no global sort)",
+    Some(s"""
+      WITH c AS (SELECT o_custkey,
+                        CAST(MAX(CAST(o_orderdate AS DATE))
+                             - DATE '1970-01-01' AS BIGINT) AS r,
+                        CAST(COUNT(*) AS BIGINT) AS f,
+                        ${dsumSql("o_totalprice")} AS m
+                 FROM orders GROUP BY 1),
+      b AS (SELECT quantile_cont(CAST(r AS DOUBLE), 0.25) AS r1,
+                   quantile_cont(CAST(r AS DOUBLE), 0.50) AS r2,
+                   quantile_cont(CAST(r AS DOUBLE), 0.75) AS r3,
+                   quantile_cont(CAST(f AS DOUBLE), 0.25) AS f1,
+                   quantile_cont(CAST(f AS DOUBLE), 0.50) AS f2,
+                   quantile_cont(CAST(f AS DOUBLE), 0.75) AS f3,
+                   quantile_cont(m, 0.25) AS m1,
+                   quantile_cont(m, 0.50) AS m2,
+                   quantile_cont(m, 0.75) AS m3
+            FROM c),
+      sc AS (SELECT 1 + (CASE WHEN r > r1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r > r2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r > r3 THEN 1 ELSE 0 END) AS score_r,
+                    1 + (CASE WHEN f > f1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN f > f2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN f > f3 THEN 1 ELSE 0 END) AS score_f,
+                    1 + (CASE WHEN m > m1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN m > m2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN m > m3 THEN 1 ELSE 0 END) AS score_m,
+                    m
+             FROM c CROSS JOIN b)
+      SELECT score_r, score_f, score_m,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             ${dsumSql("m")} AS segment_revenue
+      FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    (s, dir) => {
+      val c = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(datediff(max(to_date(col("o_orderdate"))),
+            lit("1970-01-01").cast("date")).cast("long").as("r"),
+          count(lit(1)).as("f"),
+          dsum(col("o_totalprice")).as("m"))
+      val b = c.agg(
+        expr("percentile(CAST(r AS DOUBLE), 0.25)").as("r1"),
+        expr("percentile(CAST(r AS DOUBLE), 0.50)").as("r2"),
+        expr("percentile(CAST(r AS DOUBLE), 0.75)").as("r3"),
+        expr("percentile(CAST(f AS DOUBLE), 0.25)").as("f1"),
+        expr("percentile(CAST(f AS DOUBLE), 0.50)").as("f2"),
+        expr("percentile(CAST(f AS DOUBLE), 0.75)").as("f3"),
+        expr("percentile(m, 0.25)").as("m1"),
+        expr("percentile(m, 0.50)").as("m2"),
+        expr("percentile(m, 0.75)").as("m3"))
+      def score(v: Column, b1: Column, b2: Column, b3: Column) =
+        lit(1) + when(v > b1, 1).otherwise(0) + when(v > b2, 1).otherwise(0) +
+          when(v > b3, 1).otherwise(0)
+      c.crossJoin(broadcast(b))
+        .select(score(col("r"), col("r1"), col("r2"), col("r3")).as("score_r"),
+          score(col("f"), col("f1"), col("f2"), col("f3")).as("score_f"),
+          score(col("m"), col("m1"), col("m2"), col("m3")).as("score_m"),
+          col("m"))
+        .groupBy("score_r", "score_f", "score_m")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("m")).as("segment_revenue"))
+        .orderBy("score_r", "score_f", "score_m")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91, q123)
 }

@@ -577,6 +577,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q123 RFM lattice conserves customers with quartile-balanced marginals") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q123_rfm_segmentation").collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val nCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust,
+      "every customer lands in exactly one segment")
+    rows.foreach { r =>
+      Seq("score_r", "score_f", "score_m").foreach { c =>
+        val v = r.getAs[Int](c)
+        assert(v >= 1 && v <= 4, s"$c out of range: $v")
+      }
+      assert(r.getAs[Double]("segment_revenue") > 0.0)
+    }
+    // each axis marginal: no quartile bucket may hold more than ~60% of
+    // customers (quartile boundaries of interpolated percentiles cannot
+    // concentrate mass except under extreme ties; frequency is discrete
+    // so allow the slack)
+    Seq("score_r", "score_f", "score_m").foreach { axis =>
+      val marg = rows.groupBy(_.getAs[Int](axis))
+        .map { case (_, rs) => rs.map(_.getAs[Long]("n_customers")).sum }
+      assert(marg.max <= (nCust * 6) / 10 + 1, s"$axis marginal too skewed")
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
