@@ -284,5 +284,69 @@ object Analytics {
         .orderBy("score_r", "score_f", "score_m")
     })
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91, q123)
+  /** Market-basket affinity over order line items — the pairwise core
+    * of association-rule mining (frequent itemsets, support /
+    * confidence / lift): which parts are bought TOGETHER more than
+    * their popularity predicts. The basket self-join is an equi-join
+    * on the order key — co-partitioned, never a cross product — with
+    * per-order fan-out bounded by basket size (pairs per order =
+    * C(items, 2)), and the pair counts feed partial aggregation
+    * map-side; top-20 by the total (count, part_a, part_b) order rides
+    * TakeOrdered, and the part-popularity and order-total factors join
+    * back broadcast. At 100 TB this is the standard first pass of
+    * distributed frequent-itemset mining (the candidate pairs an
+    * FP-growth or a-priori round would prune further). All counts are
+    * exact longs; the three ratios are single rounded IEEE ops. */
+  private val q124 = QueryDef(
+    "q124_part_affinity",
+    "top-20 co-purchased part pairs with support, confidence, and lift",
+    Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+      pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS np FROM op GROUP BY 1),
+      pairs AS (SELECT a.p AS part_a, b.p AS part_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2),
+      top AS (SELECT part_a, part_b, n_ab FROM pairs
+              ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
+      SELECT t.part_a, t.part_b, t.n_ab,
+             ROUND(CAST(t.n_ab AS DOUBLE) / n.n_orders, 4) + 0.0 AS support,
+             ROUND(CAST(t.n_ab AS DOUBLE) / pa.np, 4) + 0.0 AS confidence,
+             ROUND(CAST(t.n_ab AS DOUBLE) * n.n_orders / (pa.np * pb.np), 4)
+               + 0.0 AS lift
+      FROM top t JOIN pc pa ON pa.p = t.part_a
+                 JOIN pc pb ON pb.p = t.part_b
+           CROSS JOIN n
+      ORDER BY t.n_ab DESC, t.part_a, t.part_b"""),
+    (s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val n = op.agg(count_distinct(col("o")).cast("long").as("n_orders"))
+      val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
+      val pairs = op.select(col("o"), col("p").as("part_a"))
+        .join(op.select(col("o").as("o2"), col("p").as("part_b")),
+          col("o") === col("o2") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_ab"))
+      val top = pairs
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
+      top
+        .join(broadcast(pc.select(col("p").as("part_a"), col("np").as("npa"))),
+          Seq("part_a"))
+        .join(broadcast(pc.select(col("p").as("part_b"), col("np").as("npb"))),
+          Seq("part_b"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          (round(col("n_ab").cast("double") / col("n_orders"), 4) + 0.0)
+            .as("support"),
+          (round(col("n_ab").cast("double") / col("npa"), 4) + 0.0)
+            .as("confidence"),
+          (round(col("n_ab").cast("double") * col("n_orders")
+            / (col("npa") * col("npb")), 4) + 0.0).as("lift"))
+        .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+    })
+
+  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91, q123, q124)
 }

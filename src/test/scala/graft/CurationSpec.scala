@@ -603,6 +603,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 affinity rules satisfy the support/confidence/lift identities") {
+    val rows = run("q124_part_affinity").collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getAs[Long]("n_ab")).toSeq
+    assert(counts == counts.sorted.reverse, "ordered by pair count desc")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      assert(r.getAs[Long]("n_ab") >= 1)
+      val (sup, conf, lift) = (r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift"))
+      assert(sup > 0.0 && sup <= 1.0)
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(conf >= sup - 1e-9, "confidence = support / P(a) >= support")
+      assert(lift > 0.0)
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
