@@ -1634,7 +1634,80 @@ object Curation {
         .orderBy("source_a", "source_b")
     })
 
+  // ---------------------------------------------------------------------
+  // q125 — dup-signal agreement audit (text shingles vs embeddings)
+  // ---------------------------------------------------------------------
+
+  /** Cross-signal validation of the dedup stack: the verified text
+    * near-dup pair set (3-shingle Jaccard ≥ 0.5, the shared MV) and
+    * the embedding near-dup pair set (cosine ≥ 0.4, q60's semantics
+    * over the doc_id = vec_id correspondence q33 established) compared
+    * as SETS — intersection, set Jaccard, and each signal's recall of
+    * the other. This is the audit that justifies (or refutes) using
+    * the cheap signal as a prefilter for the expensive one; a pipeline
+    * runs it per corpus version before wiring q83's buckets in front
+    * of an exact verify. The text side reads the pair MV; the
+    * embedding side is q60's exact pair scan (its LSH-bucketed q83
+    * form is the at-scale swap-in); the set intersection is an
+    * equi-join on the pair key and the five counts reduce to one row.
+    * Ratios are single rounded IEEE divides, NULL when a side is
+    * empty rather than a fake zero. */
+  private val q125 = QueryDef(
+    "q125_dup_signal_agreement",
+    "text-shingle vs embedding near-dup pair sets: overlap, Jaccard, recalls",
+    Some(s"""
+      WITH ${text.verifiedPairsCte},
+      ep AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE ROUND(list_sum(list_transform(
+                     generate_series(1, len(a.embedding)),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), 4)
+                   >= 0.4),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_text FROM ver),
+      ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_embed FROM ep),
+      nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+             FROM ver JOIN ep ON doc_a = vec_a AND doc_b = vec_b)
+      SELECT n_text AS n_text_pairs, n_embed AS n_embed_pairs, n_both,
+             CASE WHEN n_text + n_embed - n_both > 0
+                  THEN ROUND(CAST(n_both AS DOUBLE)
+                             / (n_text + n_embed - n_both), 4) + 0.0
+             END AS set_jaccard,
+             CASE WHEN n_text > 0
+                  THEN ROUND(CAST(n_both AS DOUBLE) / n_text, 4) + 0.0
+             END AS embed_recall_of_text,
+             CASE WHEN n_embed > 0
+                  THEN ROUND(CAST(n_both AS DOUBLE) / n_embed, 4) + 0.0
+             END AS text_recall_of_embed
+      FROM nt CROSS JOIN ne CROSS JOIN nb"""),
+    (s, dir) => {
+      val ver = Dedup.verifiedPairs(s, dir)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val ep = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+          col("vec_a") < col("vec_b") &&
+            round(graft.functions.DotProduct.dot(col("va"), col("vb")), 4) >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
+      val nt = ver.agg(count(lit(1)).as("n_text_pairs"))
+      val ne = ep.agg(count(lit(1)).as("n_embed_pairs"))
+      val nb = ver.join(ep,
+          col("doc_a") === col("vec_a") && col("doc_b") === col("vec_b"))
+        .agg(count(lit(1)).as("n_both"))
+      nt.crossJoin(ne).crossJoin(nb)
+        .select(col("n_text_pairs"), col("n_embed_pairs"), col("n_both"),
+          when(col("n_text_pairs") + col("n_embed_pairs") - col("n_both") > 0,
+            round(col("n_both").cast("double")
+              / (col("n_text_pairs") + col("n_embed_pairs") - col("n_both")), 4)
+              + 0.0).as("set_jaccard"),
+          when(col("n_text_pairs") > 0,
+            round(col("n_both").cast("double") / col("n_text_pairs"), 4) + 0.0)
+            .as("embed_recall_of_text"),
+          when(col("n_embed_pairs") > 0,
+            round(col("n_both").cast("double") / col("n_embed_pairs"), 4) + 0.0)
+            .as("text_recall_of_embed"))
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
-      q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122)
+      q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125)
 }

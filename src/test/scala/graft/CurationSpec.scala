@@ -620,6 +620,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 signal agreement counts are consistent with the standalone pair queries") {
+    val rows = run("q125_dup_signal_agreement").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nt, ne, nb) = (r.getAs[Long]("n_text_pairs"),
+      r.getAs[Long]("n_embed_pairs"), r.getAs[Long]("n_both"))
+    assert(nb <= math.min(nt, ne), "intersection bounded by both sides")
+    assert(nt == run("q22_neardup_jaccard").count(),
+      "text side must equal the verified pair set")
+    assert(ne == run("q60_embedding_neardup_pairs").count(),
+      "embedding side must equal q60's pair set")
+    if (nt + ne - nb > 0) {
+      val j = r.getAs[Double]("set_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
