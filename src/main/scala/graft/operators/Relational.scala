@@ -459,5 +459,147 @@ object Relational {
     })
 
   def defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
+      q126, q127)
+
+  // ---------------------------------------------------------------------
+  // q127 — column profile (the schema-drift / ingestion-health report)
+  // ---------------------------------------------------------------------
+
+  /** Data profiling over the events table: per column, NULL count and
+    * exact distinct count — the per-ingest report that catches schema
+    * drift (a column suddenly all-NULL, a key column's cardinality
+    * collapsing) before any downstream query does. ONE pass: all six
+    * (count, distinct) pairs ride a single aggregate (Spark plans the
+    * multi-distinct via Expand — one scan, |columns| streams), and the
+    * wide one-row result is unpivoted to the long report shape
+    * map-side. At 100 TB exact distincts per column are the expensive
+    * honest form; the sketched swap-in is q56's HLL registers per
+    * column (q121 maintains them incrementally). Exact longs only. */
+  private val q127 = QueryDef(
+    "q127_column_profile",
+    "per-column null and exact distinct counts over events, one pass",
+    Some("""
+      WITH a AS (SELECT COUNT(*) AS n,
+                        COUNT(event_id) AS c1,
+                        COUNT(DISTINCT event_id) AS d1,
+                        COUNT(epoch_us(ts)) AS c2,
+                        COUNT(DISTINCT epoch_us(ts)) AS d2,
+                        COUNT(user_id) AS c3, COUNT(DISTINCT user_id) AS d3,
+                        COUNT(event_type) AS c4,
+                        COUNT(DISTINCT event_type) AS d4,
+                        COUNT(value) AS c5, COUNT(DISTINCT value) AS d5,
+                        COUNT(props) AS c6, COUNT(DISTINCT props) AS d6
+                 FROM events)
+      SELECT column_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+             CAST(n_distinct AS BIGINT) AS n_distinct
+      FROM (SELECT 'event_id' AS column_name, n - c1 AS n_nulls,
+                   d1 AS n_distinct FROM a
+            UNION ALL SELECT 'ts_us', n - c2, d2 FROM a
+            UNION ALL SELECT 'user_id', n - c3, d3 FROM a
+            UNION ALL SELECT 'event_type', n - c4, d4 FROM a
+            UNION ALL SELECT 'value', n - c5, d5 FROM a
+            UNION ALL SELECT 'props', n - c6, d6 FROM a)
+      ORDER BY column_name"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.agg(count(lit(1)).as("n"),
+        count(col("event_id")).as("c1"),
+        count_distinct(col("event_id")).as("d1"),
+        count(col("ts_us")).as("c2"), count_distinct(col("ts_us")).as("d2"),
+        count(col("user_id")).as("c3"), count_distinct(col("user_id")).as("d3"),
+        count(col("event_type")).as("c4"),
+        count_distinct(col("event_type")).as("d4"),
+        count(col("value")).as("c5"), count_distinct(col("value")).as("d5"),
+        count(col("props")).as("c6"), count_distinct(col("props")).as("d6"))
+      def row(name: String, c: String, d: String) =
+        struct(lit(name).as("column_name"),
+          (col("n") - col(c)).as("n_nulls"), col(d).as("n_distinct"))
+      a.select(explode(array(
+          row("event_id", "c1", "d1"), row("ts_us", "c2", "d2"),
+          row("user_id", "c3", "d3"), row("event_type", "c4", "d4"),
+          row("value", "c5", "d5"), row("props", "c6", "d6"))).as("s"))
+        .select(col("s.column_name"), col("s.n_nulls"), col("s.n_distinct"))
+        .orderBy("column_name")
+    })
+
+  // ---------------------------------------------------------------------
+  // q126 — referential-integrity audit (the data-quality gate)
+  // ---------------------------------------------------------------------
+
+  /** The DQ report a pipeline publishes before trusting FK joins: for
+    * each edge of the star schema (lineitem→orders, orders→customer,
+    * events→customer, customer→nation), how many child rows exist, how
+    * many are ORPHANS (no parent — left anti), how many parents exist,
+    * and how many are CHILDLESS (no child — anti the other way). Each
+    * count is one anti-join where the key side is reduced to a single
+    * column before joining — at 100 TB the parent key sets of dimension
+    * tables broadcast, and the fact-fact edge (lineitem→orders) is the
+    * standard shuffled anti-join on the FK. A healthy fixture reports
+    * zero orphans on every edge; the query's value is that a non-zero
+    * ever-appearing IS the alert. Four rows, exact longs. */
+  private val q126 = QueryDef(
+    "q126_referential_integrity",
+    "per-FK-edge child/orphan/parent/childless counts across the star schema",
+    Some("""
+      WITH t AS (
+        SELECT 'customer->nation' AS edge,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_child,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                 AS n_orphans,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_parents,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+                WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer))
+                 AS n_childless
+        UNION ALL
+        SELECT 'events->customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                WHERE user_id NOT IN (SELECT c_custkey FROM customer)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                WHERE c_custkey NOT IN (SELECT user_id FROM events))
+        UNION ALL
+        SELECT 'lineitem->orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))
+      SELECT edge, n_child, n_orphans, n_parents, n_childless
+      FROM t ORDER BY edge"""),
+    (s, dir) => {
+      def audit(edge: String, child: DataFrame, childKey: String,
+          parent: DataFrame, parentKey: String) = {
+        val ck = child.select(col(childKey))
+        val pk = parent.select(col(parentKey))
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(ck.join(pk, col(childKey) === col(parentKey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+          .crossJoin(parent.agg(count(lit(1)).as("n_parents")))
+          .crossJoin(pk.join(ck, col(parentKey) === col(childKey), "left_anti")
+            .agg(count(lit(1)).as("n_childless")))
+          .select(lit(edge).as("edge"), col("n_child"), col("n_orphans"),
+            col("n_parents"), col("n_childless"))
+      }
+      audit("customer->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey")
+        .union(audit("events->customer", Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey"))
+        .union(audit("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"))
+        .union(audit("orders->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"))
+        .orderBy("edge")
+    })
 }

@@ -473,6 +473,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 referential integrity reports all edges and zero orphans on the fixture") {
+    val rows = run("q126_referential_integrity").collect()
+    assert(rows.map(_.getAs[String]("edge")).toSeq ==
+      Seq("customer->nation", "events->customer", "lineitem->orders",
+        "orders->customer"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0,
+        s"${r.getString(0)}: fixture FKs are verified subsets (SURVEY 2.4)")
+      assert(r.getAs[Long]("n_child") > 0 && r.getAs[Long]("n_parents") > 0)
+      assert(r.getAs[Long]("n_childless") >= 0 &&
+        r.getAs[Long]("n_childless") <= r.getAs[Long]("n_parents"))
+    }
+  }
+
+  test("q127 column profile marks keys unique and reflects real null mass") {
+    val rows = run("q127_column_profile").collect()
+      .map(r => r.getAs[String]("column_name") ->
+        ((r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct")))).toMap
+    assert(rows.keySet == Set("event_id", "ts_us", "user_id", "event_type",
+      "value", "props"))
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(rows("event_id") == ((0L, n)), "event_id is a unique non-null key")
+    assert(rows("user_id")._1 == 0)
+    assert(rows("value")._1 >= 0) // value is nullable (NULLs appear from sf0.01 up)
+    rows.values.foreach { case (nulls, distinct) =>
+      assert(nulls + distinct <= n + 1 && distinct >= 1)
+    }
+  }
+
   test("q104 drift is non-negative and token volumes conserve") {
     import org.apache.spark.sql.functions._
     val rows = run("q104_vocab_drift_by_source").collect()
