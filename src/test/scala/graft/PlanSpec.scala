@@ -268,6 +268,32 @@ class PlanSpec extends AnyFunSuite {
       "the representative rank must partition by component, never globally")
   }
 
+  test("q123: RFM scores come from broadcast boundaries — no window operator at all") {
+    val p = plan("q123_rfm_segmentation")
+    assert(!p.contains("windowspecdefinition"),
+      "quartile scoring must not use ntile/rank windows")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the one-row boundary aggregate should broadcast")
+  }
+
+  test("q124: basket affinity top-20 rides TakeOrdered, no cartesian pair scan") {
+    val p = plan("q124_part_affinity")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 must not materialize a full sort")
+    assert(!p.contains("CartesianProduct"),
+      "the basket self-join must stay an equi-join on the order key")
+  }
+
+  test("q127: the multi-distinct profile is one scan through Expand") {
+    val df = SparkEntry.queries("q127_column_profile")(spark, sf)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("Expand"), "multi-distinct should plan via Expand")
+    assert("Scan parquet".r.findAllIn(exec).size == 1,
+      "profiling must not rescan events per column")
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin").foreach(j =>
+      assert(!exec.contains(j), s"a one-table profile must not join ($j)"))
+  }
+
   test("q114: snapshot diff fuses to one scan — no join of any kind") {
     val p = plan("q114_snapshot_diff")
     Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
