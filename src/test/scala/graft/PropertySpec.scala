@@ -98,4 +98,32 @@ class PropertySpec extends AnyFunSuite {
       .agg(sum($"n")).as[Long].head()
     assert(winSum == 6 * n)
   }
+
+  test("interleave closed form == sort definition for arbitrary source-size configs") {
+    // The q105/q116 position formula — pos(s, r) = Σ_{s'} min(|s'|, r−1)
+    //   + |{s' < s : |s'| ≥ r}| + 1 — must equal the 1-based index under
+    // the defining total order (rank, source) for ANY multiset of source
+    // sizes, not just the fixture's. Pure-JVM check over seeded random
+    // configs including the adversarial shapes (single source, all size
+    // one, highly skewed).
+    val rnd = new scala.util.Random(42)
+    val configs =
+      Seq(Map("a" -> 1), Map("a" -> 5), Map("a" -> 1, "b" -> 1, "c" -> 1),
+        Map("a" -> 7, "b" -> 1), Map("a" -> 1, "b" -> 9, "c" -> 3)) ++
+        (1 to 20).map { _ =>
+          (0 until (1 + rnd.nextInt(6)))
+            .map(i => s"s$i" -> (1 + rnd.nextInt(12))).toMap
+        }
+    configs.foreach { sizes =>
+      val docs = sizes.toSeq.flatMap { case (s, n) => (1 to n).map(r => (s, r)) }
+      val sorted = docs.sortBy { case (s, r) => (r, s) }
+      val byDefinition = sorted.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+      docs.foreach { case (s, r) =>
+        val closed = sizes.values.map(n => math.min(n.toLong, r - 1L)).sum +
+          sizes.count { case (s2, n2) => s2 < s && n2 >= r } + 1L
+        assert(closed == byDefinition((s, r)),
+          s"config $sizes: pos($s, $r) closed=$closed sort=${byDefinition((s, r))}")
+      }
+    }
+  }
 }
