@@ -348,5 +348,58 @@ object Analytics {
         .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
     })
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91, q123, q124)
+  /** Repeat-purchase latency — the retention metric behind lifecycle
+    * marketing and demand forecasting: per customer, the day gaps
+    * between consecutive orders (lag window over the order dates,
+    * ties broken by order key so the sequence is total-order
+    * deterministic), then per market segment the gap distribution:
+    * count, exact median and p90 (the q42 percentile pairing), and the
+    * exact-decimal mean. The window partitions by customer — millions
+    * of tiny partitions at scale, never global — and the segment
+    * reduction is an ordinary partial+final aggregate; gaps are exact
+    * integer day differences, so only the percentile interpolation and
+    * the final rounding touch floating point. */
+  private val q128 = QueryDef(
+    "q128_purchase_latency",
+    "per-segment distribution of day gaps between consecutive customer orders",
+    Some(s"""
+      WITH o AS (SELECT o_custkey,
+                        CAST(o_orderdate AS DATE) AS d, o_orderkey
+                 FROM orders),
+      g AS (SELECT o_custkey,
+                   d - lag(d) OVER (PARTITION BY o_custkey
+                                    ORDER BY d, o_orderkey) AS gap
+            FROM o),
+      cg AS (SELECT c.c_mktsegment, CAST(g.gap AS BIGINT) AS gap
+             FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+             WHERE g.gap IS NOT NULL)
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.50), 4) + 0.0
+               AS median_gap,
+             ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.90), 4) + 0.0
+               AS p90_gap,
+             ${dsumSql("CAST(gap AS DOUBLE)")} AS total_gap_days
+      FROM cg GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val g = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey"))
+        .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(
+          Window.partitionBy("o_custkey").orderBy("d", "o_orderkey"))))
+        .filter(col("gap").isNotNull)
+        .select(col("o_custkey"), col("gap").cast("long").as("gap"))
+      g.join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+          (round(expr("percentile(CAST(gap AS DOUBLE), 0.50)"), 4) + 0.0)
+            .as("median_gap"),
+          (round(expr("percentile(CAST(gap AS DOUBLE), 0.90)"), 4) + 0.0)
+            .as("p90_gap"),
+          dsum(col("gap").cast("double")).as("total_gap_days"))
+        .orderBy("c_mktsegment")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91, q123, q124, q128)
 }

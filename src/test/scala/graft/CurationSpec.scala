@@ -637,6 +637,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 purchase latency gaps are complete and ordered within the day span") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q128_purchase_latency").collect()
+    assert(rows.nonEmpty)
+    // gap completeness: per customer with k orders, k-1 gaps
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val nOrders = orders.count()
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == nOrders - nCust,
+      "sum of gaps must be orders minus first-order-per-customer")
+    val spanDays = orders
+      .agg(datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate")))).cast("long")).head().getLong(0)
+    rows.foreach { r =>
+      val (med, p90) = (r.getAs[Double]("median_gap"), r.getAs[Double]("p90_gap"))
+      assert(med >= 0.0 && p90 >= med - 1e-9, "p90 dominates the median")
+      assert(p90 <= spanDays.toDouble, "no gap can exceed the corpus day span")
+      assert(r.getAs[Double]("total_gap_days") >= 0.0)
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)
