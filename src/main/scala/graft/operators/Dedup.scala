@@ -606,6 +606,60 @@ object Dedup {
         .orderBy("source")
     })
 
+  /** Sub-document duplication audit — the C4-style boilerplate detector
+    * at SPAN granularity: each document is cut into non-overlapping
+    * 32-token chunks (the tail remainder is dropped — a boilerplate
+    * span shorter than a chunk is below the detector's resolution, and
+    * the choice is symmetric on both engines), chunks are counted
+    * ACROSS the corpus by exact text, and a chunk occurring ≥ 2 times
+    * is a duplicated span. Per source: chunk volume, duplicated-chunk
+    * volume, and the duplicated fraction — the signal that catches
+    * shared headers/footers/templates that document-level dedup
+    * (J ≥ 0.5) never sees because the surrounding text differs. One
+    * explode + two hash aggregates; the global chunk-count join is
+    * chunk-text-keyed (vocabulary-of-spans-sized) and map-side
+    * combined — the q11 wordcount shape, one level up. */
+  private val q129 = QueryDef(
+    "q129_duplicated_span_audit",
+    "per-source 32-token chunk duplication: volume, duplicated volume, fraction",
+    Some("""
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                 FROM documents),
+      ch AS (SELECT doc_id, source,
+                    array_to_string(t[((i - 1) * 32 + 1):(i * 32)], ' ')
+                      AS chunk
+             FROM (SELECT doc_id, source, t,
+                          unnest(generate_series(1, len(t) // 32)) AS i
+                   FROM d WHERE len(t) >= 32)),
+      cc AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_occ
+             FROM ch GROUP BY chunk)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+             ROUND(CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*), 4) + 0.0 AS dup_frac
+      FROM ch JOIN cc USING (chunk)
+      GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val tt = col("t")
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .filter(size(tt) >= 32)
+        .select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(1), floor(size(tt) / lit(32)).cast("int")),
+            i => concat_ws(" ", slice(tt, (i - 1) * 32 + 1, lit(32))))).as("chunk"))
+      val cc = ch.groupBy("chunk").agg(count(lit(1)).as("n_occ"))
+      ch.join(cc, Seq("chunk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_occ") >= 2, 1).otherwise(0)).cast("long")
+            .as("n_dup_chunks"),
+          (round(sum(when(col("n_occ") >= 2, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 4) + 0.0).as("dup_frac"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101)
+    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129)
 }

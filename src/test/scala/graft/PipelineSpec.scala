@@ -502,6 +502,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 span audit chunk volumes reconcile with per-doc token counts") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q129_duplicated_span_audit").collect()
+    assert(rows.nonEmpty)
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"),
+        floor(size(split(col("text"), " ")) / lit(32)).cast("long").as("k"))
+      .groupBy("source").agg(sum(col("k")).as("k")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("k")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_chunks") == expected(src),
+        s"$src: chunk count must be sum of floor(tokens/32)")
+      val (n, d) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))
+      assert(d >= 0 && d <= n)
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("q104 drift is non-negative and token volumes conserve") {
     import org.apache.spark.sql.functions._
     val rows = run("q104_vocab_drift_by_source").collect()
