@@ -1259,7 +1259,104 @@ object Pipeline {
         .orderBy("shard")
     })
 
+  // ---------------------------------------------------------------------
+  // q130 — ANN recall meter (multi-probe LSH vs exact ground truth)
+  // ---------------------------------------------------------------------
+
+  /** The quality meter behind every ANN deployment decision: q72's
+    * multi-probe top-3 evaluated against the EXACT brute-force top-3
+    * for the same bounded query slice — per query, the hit count and
+    * recall@3. "Measure, don't guess" as an engine query: the ground
+    * truth side is the bounded-query broadcast scan (the q31 shape,
+    * |queries|·|corpus| dot products — exact and cheap because the
+    * query slice is bounded by contract), the ANN side is q72's probe
+    * equi-join, and the comparison is a (query, neighbor) pair join.
+    * Queries the ANN misses entirely still appear (LEFT join from the
+    * ground-truth query list, zero hits surfaced as 0 not dropped).
+    * At 100 TB this is the per-corpus-version calibration that sets
+    * the probe count before anyone trusts q72's buckets. */
+  private val q130 = QueryDef(
+    "q130_ann_recall_eval",
+    "recall@3 of multi-probe LSH vs exact top-3 per query vector",
+    Some {
+      val bucketExpr = (col: String) => hyperplanes.zipWithIndex.map { case (w, j) =>
+        val lst = w.mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $col[i]::DOUBLE * ($lst)[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val flips = (0 until 6).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+      s"""
+      WITH b AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id, embedding,
+                   unnest([bucket, $flips]) AS probe
+            FROM b WHERE vec_id < 10),
+      ann AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                      i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) DESC,
+                      e.vec_id) AS BIGINT) AS rn
+        FROM q JOIN b e ON q.probe = e.bucket AND q.vec_id != e.vec_id)
+        WHERE rn <= 3),
+      gt AS (SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                      i -> a.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) DESC,
+                      e.vec_id) AS BIGINT) AS rn
+        FROM embeddings a JOIN embeddings e ON a.vec_id != e.vec_id
+        WHERE a.vec_id < 10)
+        WHERE rn <= 3),
+      hits AS (SELECT g.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+               FROM gt g LEFT JOIN ann a
+                 ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+               GROUP BY g.query_id)
+      SELECT query_id, n_hits,
+             ROUND(CAST(n_hits AS DOUBLE) / 3, 4) + 0.0 AS recall_at_3
+      FROM hits ORDER BY query_id"""
+    },
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
+        when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      val b = e.withColumn("bucket", bucket)
+      val probes = array(col("bucket") +:
+        (0 until 6).map(j => col("bucket").bitwiseXOR(1 << j)): _*)
+      val qs = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(probes).as("probe"))
+      def top3(cand: DataFrame) = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rn") <= 3).select("query_id", "neighbor_id")
+      val ann = top3(broadcast(qs)
+        .join(b.select(col("vec_id").as("neighbor_id"), col("v"),
+          col("bucket").as("probe")), Seq("probe"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")), 4).as("sim")))
+      val gt = top3(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+        .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("v")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("qv"), col("v")), 4).as("sim")))
+      val annR = ann.select(col("query_id").as("a_qid"),
+        col("neighbor_id").as("hit_id"))
+      gt.join(annR, col("query_id") === col("a_qid") &&
+          col("neighbor_id") === col("hit_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit_id")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (round(col("n_hits").cast("double") / 3, 4) + 0.0).as("recall_at_3"))
+        .orderBy("query_id")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71,
-      q72, q75, q76, q78, q80, q83, q103, q105, q115, q116)
+      q72, q75, q76, q78, q80, q83, q103, q105, q115, q116, q130)
 }

@@ -522,6 +522,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 recall meter covers every query with hits bounded by the ANN output") {
+    val rows = run("q130_ann_recall_eval").collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L),
+      "every ground-truth query must appear, including zero-hit ones")
+    val annByQuery = run("q72_ann_multiprobe_lsh").collect()
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 3)
+      assert(hits <= annByQuery.getOrElse(r.getAs[Long]("query_id"), 0),
+        "hits cannot exceed what the ANN returned")
+      assert(math.abs(r.getAs[Double]("recall_at_3") - BigDecimal(hits / 3.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0,
+      "the probe set must find something on the fixture")
+  }
+
   test("q104 drift is non-negative and token volumes conserve") {
     import org.apache.spark.sql.functions._
     val rows = run("q104_vocab_drift_by_source").collect()
