@@ -106,7 +106,12 @@ class SourcesSpec extends AnyFunSuite {
 
   test("results are partition-count independent (4 vs 13 shuffle partitions)") {
     val names = Seq("q01_pricing_summary", "q22_neardup_jaccard",
-      "q20_session_windows")
+      "q20_session_windows",
+      // round-6 hazard shapes: closed-form positions, decimal moments,
+      // sketch merge, quartile-boundary scores, chunk-count join
+      "q105_interleave_shuffle_order", "q112_embedding_dim_stats",
+      "q121_incremental_hll_registers", "q123_rfm_segmentation",
+      "q129_duplicated_span_audit")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
