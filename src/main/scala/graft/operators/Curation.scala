@@ -1707,7 +1707,52 @@ object Curation {
             .as("text_recall_of_embed"))
     })
 
+  // ---------------------------------------------------------------------
+  // q131 — per-source weighted sample (the grouped scale form of q86)
+  // ---------------------------------------------------------------------
+
+  /** q86's Efraimidis–Spirakis weighted sample taken PER SOURCE (top-5
+    * by the same md5-derived −ln(u)/w key, w = n_chars) — the shape a
+    * mixing pipeline actually runs: every source contributes its own
+    * quality-weighted exemplars regardless of global key competition.
+    * Where q86's global top-20 needs a single ordered partition at the
+    * limit step, the per-source rank ≤ 5 predicate pushes into
+    * WindowGroupLimit (q04/q115 discipline, plan-asserted) — each
+    * source partition stops after 5 rows and nothing ever
+    * total-orders. Same key arithmetic as q86 (6-dp rounded, doc_id
+    * tiebreak), so determinism carries over verbatim; the documented
+    * libm-ln boundary risk is q86's, shared. */
+  private val q131 = QueryDef(
+    "q131_per_source_weighted_sample",
+    "top-5 Efraimidis-Spirakis weighted exemplars per source (WindowGroupLimit)",
+    Some(s"""
+      WITH k AS (SELECT doc_id, source, n_chars,
+                        ROUND(-ln((CAST(${hkeySql("wsample:", "doc_id")} % 1000000
+                                        AS DOUBLE) + 1.0) / 1000001.0)
+                              / CAST(n_chars AS DOUBLE), 6) AS skey
+                 FROM documents),
+      r AS (SELECT source, doc_id, n_chars, skey,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY skey, doc_id) AS BIGINT) AS rank
+            FROM k QUALIFY rank <= 5)
+      SELECT source, rank, doc_id, n_chars, skey
+      FROM r ORDER BY source, rank"""),
+    (s, dir) => {
+      val u = (hkey("wsample:", col("doc_id")) % 1000000L).cast("double") + 1.0
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(-log(u / 1000001.0) / col("n_chars").cast("double"), 6).as("skey"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("source").orderBy(col("skey"), col("doc_id")))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+          col("skey"))
+        .orderBy("source", "rank")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
-      q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125)
+      q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125,
+      q131)
 }

@@ -658,6 +658,24 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 per-source sample takes exactly 5 per source, consistent with q86 keys") {
+    val rows = run("q131_per_source_weighted_sample").collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rs.length),
+        s"$src: ranks contiguous")
+      assert(rs.length <= 5)
+      val keys = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("skey"))
+      assert(keys.toSeq == keys.sorted.toSeq, s"$src: keys ascend with rank")
+    }
+    // key agreement with q86: any doc in both samples carries the same skey
+    val globalKeys = run("q86_weighted_hash_sample").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("skey")).toMap
+    rows.foreach { r =>
+      globalKeys.get(r.getAs[Long]("doc_id")).foreach(k =>
+        assert(k == r.getAs[Double]("skey"), "shared E-S key arithmetic"))
+    }
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -294,6 +294,15 @@ class PlanSpec extends AnyFunSuite {
       assert(!exec.contains(j), s"a one-table profile must not join ($j)"))
   }
 
+  test("q131: the per-source rank <= 5 pushes into WindowGroupLimit") {
+    val p = plan("q131_per_source_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "per-source top-5 must stop each partition early")
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("windowspecdefinition(source")),
+      "sampling must never total-order the corpus")
+  }
+
   test("q114: snapshot diff fuses to one scan — no join of any kind") {
     val p = plan("q114_snapshot_diff")
     Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
