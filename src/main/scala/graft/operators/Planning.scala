@@ -1,0 +1,396 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.{det, text}
+import graft.functions.det._
+
+/** Physical-planning / layout operators: the queries an engine runs
+  * ABOUT its own execution at scale — skew-safe join salting, Z-order
+  * layout locality, join-cardinality profiling (shuffle-size estimation
+  * from degree tables, never the join itself), Bloom-filter membership
+  * with measured FPR, winsorized robust statistics, and a zone-map
+  * pruning audit (the parquet row-group-stats story quantified).
+  *
+  * Determinism discipline as everywhere: md5-derived hashes instead of
+  * RNG, exact-decimal double sums ([[graft.functions.det]]), total ORDER
+  * BY, integer arithmetic wherever the semantics allow.
+  */
+object Planning {
+
+  private def hkey(prefix: String, c: Column): Column =
+    text.md5Hash60(concat(lit(prefix), c.cast("string")))
+
+  private def hkeySql(prefix: String, x: String): String =
+    text.md5Hash60Sql(s"'$prefix' || CAST($x AS VARCHAR)")
+
+  // ---------------------------------------------------------------------
+  // q134 — salted skew-safe fact-fact join (the join twin of q82)
+  // ---------------------------------------------------------------------
+
+  /** Revenue by order priority through a SALTED lineitem ⋈ orders join:
+    * every lineitem row carries salt = md5(orderkey:linenumber) % 8, the
+    * orders side is replicated across all 8 salts (`explode(sequence)`),
+    * and the join key becomes (orderkey, salt) — a hot order key's rows
+    * spread over 8 reducers instead of one. Replication factor trades
+    * build-side volume for per-task balance; at 100 TB the salt count
+    * comes from the q136 profiler's max_key_share (or AQE's runtime skew
+    * split — this operator is the explicit, partitioning-stable form).
+    * The oracle runs the UNSALTED direct join: bit-equality of the two
+    * aggregates (exact-decimal revenue — q82's precedent) IS the
+    * correctness claim, proving salting is pure plumbing. PlanSpec
+    * asserts the (key, salt) exchange with broadcast disabled. */
+  private val q134 = QueryDef(
+    "q134_salted_skew_join",
+    "salted (key,salt%8) lineitem-orders join == direct join, bit-equal",
+    Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          (hkey("jsalt:", concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) % 8L).as("salt"))
+      val reps = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("rsalt", explode(sequence(lit(0L), lit(7L))))
+      li.join(reps,
+          col("l_orderkey") === col("o_orderkey") && col("salt") === col("rsalt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    })
+
+  // ---------------------------------------------------------------------
+  // q135 — Z-order (Morton) layout locality audit
+  // ---------------------------------------------------------------------
+
+  /** 8-bit-per-dimension Morton interleave terms, built once for both
+    * engines' expressions from the same formula. */
+  private def mortonTermsSql: String =
+    (0 until 8).map(i =>
+      s"(((px >> $i) & 1) << ${2 * i + 1}) + (((sx >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
+  /** Would a Z-order layout of lineitem on (partkey, suppkey) let zone
+    * maps prune BOTH dimensions? The audit quantifies it: bucket both
+    * keys to 8 bits, compute the 16-bit Morton code (bit interleave —
+    * pure integer arithmetic, identical on both engines), group rows
+    * into the 256 static code ranges a sorted layout would produce as
+    * contiguous file chunks, and report the mean number of distinct
+    * part/supp buckets each chunk touches — versus the lexicographic
+    * (partkey-major) sort, whose chunks pin one part bucket but span
+    * every supp bucket. Morton chunks touch ≤ 16 of each (the √N
+    * locality guarantee); lexicographic chunks touch 1 × all. All
+    * map-side integer arithmetic over STATIC ranges — auditing a sort
+    * order needs no sort. */
+  private val q135 = QueryDef(
+    "q135_zorder_locality_audit",
+    "Morton vs lexicographic layout: distinct key-buckets per file chunk",
+    Some(s"""
+      WITH b AS (SELECT CAST(l_partkey % 256 AS INTEGER) AS px,
+                        CAST(l_suppkey % 256 AS INTEGER) AS sx
+                 FROM lineitem),
+      m AS (SELECT px, sx, ($mortonTermsSql) >> 8 AS rng FROM b),
+      mg AS (SELECT rng, COUNT(DISTINCT px) AS np, COUNT(DISTINCT sx) AS ns
+             FROM m GROUP BY rng),
+      lg AS (SELECT px AS rng, COUNT(DISTINCT px) AS np, COUNT(DISTINCT sx) AS ns
+             FROM b GROUP BY px)
+      SELECT 'lexicographic' AS strategy, COUNT(*) AS n_ranges,
+             ${davgSql("CAST(np AS DOUBLE)")} AS avg_part_buckets,
+             ${davgSql("CAST(ns AS DOUBLE)")} AS avg_supp_buckets
+      FROM lg
+      UNION ALL
+      SELECT 'morton', COUNT(*),
+             ${davgSql("CAST(np AS DOUBLE)")}, ${davgSql("CAST(ns AS DOUBLE)")}
+      FROM mg
+      ORDER BY strategy"""),
+    (s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select((col("l_partkey") % 256).cast("int").as("px"),
+          (col("l_suppkey") % 256).cast("int").as("sx"))
+      def bit(c: Column, i: Int): Column = shiftright(c, i).bitwiseAND(lit(1))
+      val morton = (0 until 8).map(i =>
+        shiftleft(bit(col("px"), i), 2 * i + 1) +
+          shiftleft(bit(col("sx"), i), 2 * i)).reduce(_ + _)
+      def audit(grouped: DataFrame, name: String): DataFrame =
+        grouped.agg(count(lit(1)).as("n_ranges"),
+            davg(col("np").cast("double")).as("avg_part_buckets"),
+            davg(col("ns").cast("double")).as("avg_supp_buckets"))
+          .select(lit(name).as("strategy"), col("n_ranges"),
+            col("avg_part_buckets"), col("avg_supp_buckets"))
+      val mg = b.withColumn("rng", shiftright(morton, 8)).groupBy("rng")
+        .agg(countDistinct(col("px")).as("np"), countDistinct(col("sx")).as("ns"))
+      val lg = b.groupBy(col("px").as("rng"))
+        .agg(countDistinct(col("px")).as("np"), countDistinct(col("sx")).as("ns"))
+      audit(lg, "lexicographic").unionByName(audit(mg, "morton"))
+        .orderBy("strategy")
+    })
+
+  // ---------------------------------------------------------------------
+  // q136 — join-cardinality / skew profiler (shuffle-size estimation)
+  // ---------------------------------------------------------------------
+
+  /** Exact output cardinality, matched-key count, and worst-key share for
+    * every join edge in the star schema — computed from the two DEGREE
+    * tables (per-key counts, key-domain-sized) joined on the key, never
+    * by materializing the join itself: |A ⋈ B| = Σ_k d_A(k)·d_B(k). This
+    * is the "measure, don't guess" planning input — max_key_share is
+    * what q134's salt count and AQE's skew threshold should be sized
+    * from, and join_rows is the shuffle volume estimate. Each side
+    * collapses map-side to its degree table first, so the profiler costs
+    * two partial aggregates per edge regardless of join fan-out. */
+  private val q136 = QueryDef(
+    "q136_join_cardinality_profiler",
+    "per-join-edge exact cardinality + worst-key share from degree tables",
+    Some("""
+      WITH dl1 AS (SELECT l_orderkey AS k, COUNT(*) AS dl FROM lineitem GROUP BY 1),
+      dr1 AS (SELECT o_orderkey AS k, COUNT(*) AS dr FROM orders GROUP BY 1),
+      j1 AS (SELECT COUNT(*) AS n_join_keys,
+                    CAST(SUM(dl * dr) AS BIGINT) AS join_rows,
+                    CAST(MAX(dl * dr) AS BIGINT) AS max_key_rows
+             FROM dl1 JOIN dr1 USING (k)),
+      dl2 AS (SELECT o_custkey AS k, COUNT(*) AS dl FROM orders GROUP BY 1),
+      dr2 AS (SELECT c_custkey AS k, COUNT(*) AS dr FROM customer GROUP BY 1),
+      j2 AS (SELECT COUNT(*) AS n_join_keys,
+                    CAST(SUM(dl * dr) AS BIGINT) AS join_rows,
+                    CAST(MAX(dl * dr) AS BIGINT) AS max_key_rows
+             FROM dl2 JOIN dr2 USING (k)),
+      dl3 AS (SELECT user_id AS k, COUNT(*) AS dl FROM events GROUP BY 1),
+      dr3 AS (SELECT c_custkey AS k, COUNT(*) AS dr FROM customer GROUP BY 1),
+      j3 AS (SELECT COUNT(*) AS n_join_keys,
+                    CAST(SUM(dl * dr) AS BIGINT) AS join_rows,
+                    CAST(MAX(dl * dr) AS BIGINT) AS max_key_rows
+             FROM dl3 JOIN dr3 USING (k))
+      SELECT 'events-customer' AS edge,
+             (SELECT COUNT(*) FROM events) AS n_left,
+             (SELECT COUNT(*) FROM customer) AS n_right,
+             n_join_keys, join_rows, max_key_rows,
+             ROUND(CAST(max_key_rows AS DOUBLE) / join_rows, 6) + 0.0 AS max_key_share
+      FROM j3
+      UNION ALL
+      SELECT 'lineitem-orders',
+             (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM orders),
+             n_join_keys, join_rows, max_key_rows,
+             ROUND(CAST(max_key_rows AS DOUBLE) / join_rows, 6) + 0.0
+      FROM j1
+      UNION ALL
+      SELECT 'orders-customer',
+             (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM customer),
+             n_join_keys, join_rows, max_key_rows,
+             ROUND(CAST(max_key_rows AS DOUBLE) / join_rows, 6) + 0.0
+      FROM j2
+      ORDER BY edge"""),
+    (s, dir) => {
+      def edge(name: String, l: DataFrame, lk: String,
+          r: DataFrame, rk: String): DataFrame = {
+        val dl = l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("dl"))
+        val dr = r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("dr"))
+        val j = dl.join(dr, "k")
+          .select((col("dl") * col("dr")).as("out"))
+          .agg(count(lit(1)).as("n_join_keys"), sum("out").as("join_rows"),
+            max("out").as("max_key_rows"))
+        j.crossJoin(l.agg(count(lit(1)).as("n_left")))
+          .crossJoin(r.agg(count(lit(1)).as("n_right")))
+          .select(lit(name).as("edge"), col("n_left"), col("n_right"),
+            col("n_join_keys"), col("join_rows"), col("max_key_rows"),
+            (round(col("max_key_rows").cast("double") / col("join_rows"), 6)
+              + lit(0.0)).as("max_key_share"))
+      }
+      edge("events-customer", Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey")
+        .unionByName(edge("lineitem-orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey"))
+        .unionByName(edge("orders-customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .orderBy("edge")
+    })
+
+  // ---------------------------------------------------------------------
+  // q137 — deterministic Bloom-filter membership audit
+  // ---------------------------------------------------------------------
+
+  /** A relational Bloom filter over a 5% document slice, with its false-
+    * positive rate MEASURED against exact membership: k=4 md5-derived
+    * positions per doc in a 1024-bit space; the filter is the distinct
+    * position set of the member slice (≤ 1024 rows — broadcast,
+    * plan-asserted); a doc tests positive iff all 4 of its positions
+    * hit the set (equi-join + count = 4, each exploded position matches
+    * at most once). No false negatives by construction — the spec's law
+    * is n_positive − n_false_pos = n_members. This is the sketch behind
+    * runtime join pruning (the InjectRuntimeFilter mechanism PlansSpec
+    * drives) built as data, with the observed FPR vs the (1−e^{−kn/m})^k
+    * design point surfaced; at 100 TB the member side is whatever kill/
+    * allow list the pipeline maintains, and only its BIT-SIZED position
+    * set ships to executors. */
+  private val q137 = QueryDef(
+    "q137_bloom_membership_audit",
+    "k=4/m=1024 relational Bloom filter: measured FPR vs exact membership",
+    Some(s"""
+      WITH f AS (SELECT doc_id,
+                        (${hkeySql("bloomm:", "doc_id")} % 20 = 0) AS member
+                 FROM documents),
+      p AS (SELECT doc_id, member, unnest([${(0 until 4).map(j =>
+        s"${hkeySql(s"bloom$j:", "doc_id")} % 1024").mkString(", ")}]) AS pos
+            FROM f),
+      ft AS (SELECT DISTINCT pos FROM p WHERE member),
+      m AS (SELECT doc_id FROM p JOIN ft USING (pos)
+            GROUP BY doc_id HAVING COUNT(*) = 4),
+      fl AS (SELECT f.member, (m.doc_id IS NOT NULL) AS positive
+             FROM f LEFT JOIN m ON f.doc_id = m.doc_id),
+      nb AS (SELECT COUNT(*) AS n_bits_set FROM ft)
+      SELECT COUNT(*) AS n_docs,
+             COUNT(CASE WHEN member THEN 1 END) AS n_members,
+             COUNT(CASE WHEN positive THEN 1 END) AS n_positive,
+             COUNT(CASE WHEN positive AND NOT member THEN 1 END) AS n_false_pos,
+             n_bits_set,
+             ROUND(n_bits_set / 1024.0, 4) + 0.0 AS fill_frac,
+             ROUND(CAST(COUNT(CASE WHEN positive AND NOT member THEN 1 END)
+                        AS DOUBLE)
+                   / (COUNT(*) - COUNT(CASE WHEN member THEN 1 END)), 6) + 0.0
+               AS fpr
+      FROM fl CROSS JOIN nb
+      GROUP BY n_bits_set"""),
+    (s, dir) => {
+      val flags = Tables.documents(s, dir).select(col("doc_id"),
+        (hkey("bloomm:", col("doc_id")) % 20L === 0L).as("member"))
+      val pos = flags.select(col("doc_id"), col("member"),
+        explode(array((0 until 4).map(j =>
+          hkey(s"bloom$j:", col("doc_id")) % 1024L): _*)).as("pos"))
+      val filt = pos.filter(col("member")).select("pos").distinct()
+      val positive = pos.join(broadcast(filt), "pos")
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 4)
+        .select(col("doc_id"), lit(true).as("pflag"))
+      val fl = flags.join(positive, Seq("doc_id"), "left")
+        .select(col("member"), coalesce(col("pflag"), lit(false)).as("positive"))
+      fl.agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("member"), 1)).as("n_members"),
+          count(when(col("positive"), 1)).as("n_positive"),
+          count(when(col("positive") && !col("member"), 1)).as("n_false_pos"))
+        .crossJoin(filt.agg(count(lit(1)).as("n_bits_set")))
+        .select(col("n_docs"), col("n_members"), col("n_positive"),
+          col("n_false_pos"), col("n_bits_set"),
+          (round(col("n_bits_set") / 1024.0, 4) + lit(0.0)).as("fill_frac"),
+          (round(col("n_false_pos").cast("double")
+            / (col("n_docs") - col("n_members")), 6) + lit(0.0)).as("fpr"))
+    })
+
+  // ---------------------------------------------------------------------
+  // q138 — winsorized robust statistics per segment
+  // ---------------------------------------------------------------------
+
+  /** Order prices winsorized at the GLOBAL exact [p05, p95] (q42's
+    * percentile pairing, rounded 4 dp on both engines), reported per
+    * market segment: clip counts and the raw vs winsorized exact-decimal
+    * mean — the outlier-robust preprocessing step before any per-segment
+    * revenue model. The two boundaries are a one-row aggregate broadcast
+    * into a map-side clip (no window, no per-segment sort); at 100 TB
+    * the exact percentile swaps for q80's sampled form, everything else
+    * unchanged. */
+  private val q138 = QueryDef(
+    "q138_winsorized_segment_stats",
+    "per-segment order stats winsorized at global exact [p05, p95]",
+    Some(s"""
+      WITH o AS (SELECT c_mktsegment AS segment, o_totalprice AS price
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      b AS (SELECT ROUND(quantile_cont(price, 0.05), 4) AS lo,
+                   ROUND(quantile_cont(price, 0.95), 4) AS hi FROM o)
+      SELECT segment, COUNT(*) AS n,
+             COUNT(CASE WHEN price < lo THEN 1 END) AS n_clip_low,
+             COUNT(CASE WHEN price > hi THEN 1 END) AS n_clip_high,
+             ${davgSql("price")} AS mean_raw,
+             ${davgSql("CASE WHEN price < lo THEN lo WHEN price > hi THEN hi ELSE price END")} AS mean_winsor
+      FROM o CROSS JOIN b
+      GROUP BY segment
+      ORDER BY segment"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("price"))
+      val b = o.agg(round(expr("percentile(price, 0.05)"), 4).as("lo"),
+        round(expr("percentile(price, 0.95)"), 4).as("hi"))
+      o.crossJoin(broadcast(b))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("price") < col("lo"), 1)).as("n_clip_low"),
+          count(when(col("price") > col("hi"), 1)).as("n_clip_high"),
+          davg(col("price")).as("mean_raw"),
+          davg(when(col("price") < col("lo"), col("lo"))
+            .when(col("price") > col("hi"), col("hi"))
+            .otherwise(col("price"))).as("mean_winsor"))
+        .orderBy("segment")
+    })
+
+  // ---------------------------------------------------------------------
+  // q139 — zone-map pruning audit (data-skipping effectiveness)
+  // ---------------------------------------------------------------------
+
+  /** How much of the event stream would per-day zone maps (parquet
+    * row-group / partition min-max stats) let `value > c` predicates
+    * skip? Zones = daily (count, max(value)); cutoffs = the global
+    * p50/p90/p99 of value (exact, 4-dp-rounded — the q42 pairing);
+    * a zone is prunable iff its max ≤ cutoff. Reported per cutoff:
+    * zones pruned, rows skipped, skip fraction — the number that says
+    * whether a date-partitioned layout actually serves the workload's
+    * selective scans. The zone table is day-count-sized and the cutoff
+    * table is 3 rows; after the map-side daily aggregate everything is
+    * constant-size work, at any corpus scale. */
+  private val q139 = QueryDef(
+    "q139_zonemap_pruning_audit",
+    "per-day min-max zone maps vs value>p50/p90/p99 predicates: skip rates",
+    Some("""
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+                 FROM events),
+      z AS (SELECT day, COUNT(*) AS n, MAX(value) AS vmax FROM e GROUP BY day),
+      t AS (SELECT 'p50' AS threshold,
+                   ROUND(quantile_cont(value, 0.50), 4) + 0.0 AS cutoff FROM e
+            UNION ALL SELECT 'p90', ROUND(quantile_cont(value, 0.90), 4) + 0.0 FROM e
+            UNION ALL SELECT 'p99', ROUND(quantile_cont(value, 0.99), 4) + 0.0 FROM e)
+      SELECT threshold, cutoff,
+             COUNT(*) AS n_zones,
+             COUNT(CASE WHEN vmax <= cutoff THEN 1 END) AS zones_pruned,
+             CAST(SUM(n) AS BIGINT) AS rows_total,
+             CAST(SUM(CASE WHEN vmax <= cutoff THEN n ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+             ROUND(CAST(SUM(CASE WHEN vmax <= cutoff THEN n ELSE 0 END) AS DOUBLE)
+                   / SUM(n), 6) + 0.0 AS skip_frac
+      FROM z CROSS JOIN t
+      GROUP BY threshold, cutoff
+      ORDER BY threshold"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(to_date(timestamp_micros(col("ts_us"))).as("day"), col("value"))
+      val z = e.groupBy("day")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("vmax"))
+      val t = e.agg(
+          (round(expr("percentile(value, 0.50)"), 4) + lit(0.0)).as("p50"),
+          (round(expr("percentile(value, 0.90)"), 4) + lit(0.0)).as("p90"),
+          (round(expr("percentile(value, 0.99)"), 4) + lit(0.0)).as("p99"))
+        .select(explode(map(
+          lit("p50"), col("p50"), lit("p90"), col("p90"),
+          lit("p99"), col("p99"))).as(Seq("threshold", "cutoff")))
+      z.crossJoin(broadcast(t))
+        .groupBy("threshold", "cutoff")
+        .agg(count(lit(1)).as("n_zones"),
+          count(when(col("vmax") <= col("cutoff"), 1)).as("zones_pruned"),
+          sum(col("n")).as("rows_total"),
+          sum(when(col("vmax") <= col("cutoff"), col("n")).otherwise(0L))
+            .as("rows_skipped"))
+        .select(col("threshold"), col("cutoff"), col("n_zones"),
+          col("zones_pruned"), col("rows_total"), col("rows_skipped"),
+          (round(col("rows_skipped").cast("double") / col("rows_total"), 6)
+            + lit(0.0)).as("skip_frac"))
+        .orderBy("threshold")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q134, q135, q136, q137, q138, q139)
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.det._
+
+/** Temporal analytics the event-history side of a training-data pipeline
+  * needs: rolling-window distinct actives (WAU-style engagement), SCD2
+  * gaps-and-islands state intervals (the temporal-dimension build), and
+  * a point-in-time feature snapshot (the feature-store join that must
+  * never leak the future).
+  *
+  * Shared determinism discipline: every window orders by (ts_us,
+  * event_id) — `ts_us` is the exact integer microsecond both engines
+  * agree on (`Tables.events` reads the ns parquet as int64 and divides;
+  * the oracle uses `epoch_us(ts)`), and `event_id` breaks ts ties, so
+  * island boundaries and lag/lead frames are identical under any
+  * partitioning on either engine.
+  */
+object Temporal {
+
+  // ---------------------------------------------------------------------
+  // q132 — rolling 7-day distinct actives per event type
+  // ---------------------------------------------------------------------
+
+  /** Distinct users per (event_type, day) over the trailing 7 days
+    * [day−6, day] — the WAU/rolling-engagement curve. COUNT(DISTINCT)
+    * over a sliding window has no direct window-function form (distinct
+    * must dedupe ACROSS the frame), and the naive per-day self-join over
+    * raw events is O(rows × 7). Scale shape instead: (1) reduce the
+    * stream map-side to the distinct (type, day, user) triples — the
+    * only information the metric needs, orders of magnitude smaller
+    * than the event stream; (2) fan each triple out to the ≤ 7 target
+    * days it contributes to with a static `explode(sequence(0,6))` —
+    * bounded map-side fan-out, never an inequality join (no
+    * BroadcastNestedLoopJoin, plan-asserted); (3) semi-join the tiny
+    * observed-day dimension (broadcast) so only real days report; (4)
+    * one hash aggregate with two COUNT(DISTINCT)s. Every step is an
+    * equi-shuffle on bounded keys — the same plan runs on 1000
+    * executors with the day dimension still broadcast. */
+  private val q132 = QueryDef(
+    "q132_rolling_7d_actives",
+    "rolling 7-day distinct active users per event type (WAU curve)",
+    Some("""
+      WITH du AS (SELECT DISTINCT event_type,
+                         CAST(date_trunc('day', ts) AS DATE) AS uday, user_id
+                  FROM events),
+      d AS (SELECT DISTINCT uday AS day FROM du),
+      fan AS (SELECT event_type, uday, user_id, uday + i AS day
+              FROM du CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS i))
+      SELECT event_type, day,
+             COUNT(DISTINCT user_id) AS active_users_7d,
+             COUNT(DISTINCT uday) AS days_covered
+      FROM fan JOIN d USING (day)
+      GROUP BY event_type, day
+      ORDER BY event_type, day"""),
+    (s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(col("event_type"),
+          to_date(timestamp_micros(col("ts_us"))).as("uday"), col("user_id"))
+        .distinct()
+      val days = du.select(col("uday").as("day")).distinct()
+      du.select(col("event_type"), col("uday"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(col("event_type"), col("uday"), col("user_id"),
+          date_add(col("uday"), col("i")).as("day"))
+        .join(broadcast(days), "day")
+        .groupBy("event_type", "day")
+        .agg(countDistinct(col("user_id")).as("active_users_7d"),
+          countDistinct(col("uday")).as("days_covered"))
+        .orderBy("event_type", "day")
+    })
+
+  // ---------------------------------------------------------------------
+  // q133 — SCD2 state intervals (gaps-and-islands temporal dimension)
+  // ---------------------------------------------------------------------
+
+  /** Each user's event_type stream collapsed into SCD2-style state
+    * intervals: consecutive same-type events merge into one island
+    * (change rows = `type ≠ lag(type)`), each island's validity runs
+    * from its first event to the next island's start (`lead`), the last
+    * island per user stays open (NULL valid_to) — the standard temporal-
+    * dimension build from a change stream. Reported per state: interval
+    * count, open count, mean/max closed duration in days (day-granular
+    * datediff — integer on both engines; [[davgNN]] excludes the open
+    * intervals the way SQL AVG drops NULLs).
+    *
+    * Scale: both windows partition by user_id — per-user histories are
+    * bounded and hash-spread, nothing ever total-orders; the aggregate
+    * is a 5-row hash agg. This is the island form of q20's session
+    * windows with state identity instead of a time gap as the boundary
+    * predicate. */
+  private val q133 = QueryDef(
+    "q133_user_state_intervals",
+    "SCD2 gaps-and-islands: per-state interval counts + durations",
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+                 FROM events),
+      c AS (SELECT user_id, event_id, ts_us, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id) AS prev_type
+            FROM e),
+      ch AS (SELECT user_id, event_id, ts_us, event_type FROM c
+             WHERE prev_type IS NULL OR prev_type <> event_type),
+      iv0 AS (SELECT event_type, ts_us,
+                     lead(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS vto_us
+              FROM ch),
+      iv AS (SELECT event_type AS state,
+                    CAST(date_diff('day',
+                      CAST(make_timestamp(ts_us) AS DATE),
+                      CAST(make_timestamp(vto_us) AS DATE)) AS BIGINT) AS dur_days
+             FROM iv0)
+      SELECT state, COUNT(*) AS n_intervals,
+             COUNT(CASE WHEN dur_days IS NULL THEN 1 END) AS n_open,
+             ${davgNNSql("CAST(dur_days AS DOUBLE)")} AS mean_days,
+             MAX(dur_days) AS max_days
+      FROM iv GROUP BY state ORDER BY state"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("vto_us", lead(col("ts_us"), 1).over(w))
+        .select(col("event_type").as("state"),
+          datediff(to_date(timestamp_micros(col("vto_us"))),
+            to_date(timestamp_micros(col("ts_us")))).cast("long").as("dur_days"))
+      iv.groupBy("state")
+        .agg(count(lit(1)).as("n_intervals"),
+          count(when(col("dur_days").isNull, 1)).as("n_open"),
+          davgNN(col("dur_days").cast("double")).as("mean_days"),
+          max(col("dur_days")).as("max_days"))
+        .orderBy("state")
+    })
+
+  // ---------------------------------------------------------------------
+  // q140 — point-in-time feature snapshot (feature-store join)
+  // ---------------------------------------------------------------------
+
+  /** For every purchase event, the user's feature vector AS OF strictly
+    * before the purchase: prior click/view/total event counts and the
+    * previous event's value — the point-in-time-correct feature join
+    * that training pipelines need to avoid future leakage. Instead of
+    * one as-of join per feature (N shuffles of the label stream), all
+    * features ride ONE pass over the per-user history: conditional
+    * running sums over `ROWS UNBOUNDED PRECEDING .. 1 PRECEDING` (the
+    * strict-past frame IS the leakage guarantee) plus a lag, then a
+    * filter to the label rows. Windows partition by user_id only —
+    * bounded per-user history, no global sort (plan-asserted); at 100 TB
+    * the same plan shuffles each user's history to one executor once,
+    * which is the lower bound for any point-in-time semantics. */
+  private val q140 = QueryDef(
+    "q140_pit_feature_snapshot",
+    "point-in-time per-user features (strict past) for each purchase",
+    Some("""
+      WITH h AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               COUNT(*)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS last_val
+        FROM events)
+      SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COALESCE(pc, 0) AS BIGINT) AS prior_clicks,
+             CAST(COALESCE(pv, 0) AS BIGINT) AS prior_views,
+             CAST(pe AS BIGINT) AS prior_events,
+             last_val
+      FROM h WHERE event_type = 'purchase'
+      ORDER BY event_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("pc",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(wp))
+        .withColumn("pv",
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(wp))
+        .withColumn("pe", count(lit(1)).over(wp))
+        .withColumn("last_val", lag(col("value"), 1).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          to_date(timestamp_micros(col("ts_us"))).as("day"),
+          coalesce(col("pc"), lit(0L)).as("prior_clicks"),
+          coalesce(col("pv"), lit(0L)).as("prior_views"),
+          col("pe").as("prior_events"),
+          col("last_val"))
+        .orderBy("event_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q132, q133, q140)
+}

@@ -55,7 +55,12 @@ class DeterminismSpec extends AnyFunSuite {
     "q115_user_journey_paths", // per-user window ties + path-count ties
     "q116_export_shard_plan", // hash-rank closed-form positions + mod sharding
     "q117_training_export_manifest", // MV fixpoint + rank ties + hash split/shard
-    "q121_incremental_hll_registers") // MV register base + delta max-merge
+    "q121_incremental_hll_registers", // MV register base + delta max-merge
+    "q134_salted_skew_join", // hash-salted fan-out + decimal revenue merge
+    "q137_bloom_membership_audit", // hash-derived positions + distinct set
+    "q138_winsorized_segment_stats", // percentile boundaries + decimal means
+    "q139_zonemap_pruning_audit", // percentile cutoffs + max-vs-cutoff flags
+    "q140_pit_feature_snapshot") // per-user window frames over possibly-tied ts
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -339,4 +339,68 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "per-source counts should broadcast-join")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q132: window fan-out is a static explode + broadcast equi-join, never an inequality join") {
+    val p = plan("q132_rolling_7d_actives")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the [day-6, day] containment must become explode(0..6) + equi-join")
+    assert(p.contains("BroadcastHashJoin"), "the observed-day dimension broadcasts")
+    assert(!p.contains("Window"), "rolling distinct needs no window operator")
+  }
+
+  test("q133/q140: every window partitions by user_id — no global sort of the event stream") {
+    Seq("q133_user_state_intervals", "q140_pit_feature_snapshot").foreach { q =>
+      val p = plan(q)
+      val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty, s"$q should contain window operators")
+      assert(specs.forall(_.contains("user_id")),
+        s"$q windows must partition by user_id:\n${specs.mkString("\n")}")
+      assert(!p.contains("SinglePartition"),
+        s"$q must never funnel the stream through one partition")
+    }
+  }
+
+  test("q134: salted join shuffles on (key, salt) when broadcast is off") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q134_salted_skew_join")
+      assert("hashpartitioning\\(l_orderkey#\\d+L?, salt#\\d+L?".r
+        .findFirstIn(p).isDefined,
+        s"the fact exchange must fan each order key over the salt space:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q135: layout audit needs no join at all — static ranges, no sort") {
+    val p = plan("q135_zorder_locality_audit")
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"auditing a sort order must not join ($j)"))
+    assert(!p.contains("rangepartitioning"),
+      "static morton ranges replace any physical sort")
+  }
+
+  test("q136: profiler joins degree tables after map-side partial aggregation") {
+    val p = plan("q136_join_cardinality_profiler")
+    assert(p.contains("partial_count"),
+      "each side must collapse to its degree table map-side before any join")
+  }
+
+  test("q137: the bloom position set reaches the corpus via broadcast") {
+    val p = plan("q137_bloom_membership_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=1024-row position set must broadcast into the probe")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in the bloom audit should sort-merge")
+  }
+
+  test("q138/q139: boundary aggregates broadcast; no window operator anywhere") {
+    Seq("q138_winsorized_segment_stats", "q139_zonemap_pruning_audit").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must clip/classify map-side off broadcast boundaries, not window")
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q boundaries should reach rows via broadcast")
+    }
+  }
 }

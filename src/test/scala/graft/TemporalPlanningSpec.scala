@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Law-based assertions for the temporal (q132/q133/q140) and planning/
+  * layout (q134–q139) operators on sf0.001 — conservation, bounds,
+  * monotonicity, and cross-form equality properties that pin the
+  * semantics independently of the DuckDB oracle gate. */
+class TemporalPlanningSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ----------------------------------------------------------------- q132
+
+  test("q132 rolling 7d actives dominates the 1-day distinct count and covers <=7 days") {
+    val rows = run("q132_rolling_7d_actives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("days_covered")
+      assert(cov >= 1 && cov <= 7, s"days_covered $cov outside [1,7]")
+    }
+    // the 7-day distinct count can never be below that day's own distinct count
+    val daily = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(timestamp_micros(col("ts_us"))).as("day"),
+        col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(countDistinct("user_id").as("d1"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString)
+        -> r.getAs[Long]("d1")).toMap
+    val out = rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[java.sql.Date]("day").toString) -> r.getAs[Long]("active_users_7d")).toMap
+    daily.foreach { case (k, d1) =>
+      assert(out.contains(k), s"active day $k missing from the rolling curve")
+      assert(out(k) >= d1, s"rolling count ${out(k)} < same-day distinct $d1 at $k")
+    }
+  }
+
+  // ----------------------------------------------------------------- q133
+
+  test("q133 state intervals: one open interval per user, mean<=max, durations consistent") {
+    val rows = run("q133_user_state_intervals").collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_open")).sum == nUsers,
+      "exactly one open (last) interval per user")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_intervals") >= r.getAs[Long]("n_open"))
+      val mean = Option(r.getAs[java.lang.Double]("mean_days")).map(_.doubleValue)
+      val mx = Option(r.getAs[java.lang.Long]("max_days")).map(_.longValue)
+      (mean, mx) match {
+        case (Some(m), Some(x)) => assert(m <= x + 1e-9, s"mean $m > max $x")
+        case (None, None)       => // state with only open intervals
+        case other              => fail(s"mean/max null mismatch: $other")
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- q140
+
+  test("q140 PIT features: one row per purchase, strict-past counts consistent") {
+    val out = run("q140_pit_feature_snapshot").collect()
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.length == purchases, "exactly one feature row per purchase event")
+    out.foreach { r =>
+      val pc = r.getAs[Long]("prior_clicks"); val pv = r.getAs[Long]("prior_views")
+      val pe = r.getAs[Long]("prior_events")
+      assert(pc >= 0 && pv >= 0 && pe >= 0)
+      assert(pe >= pc + pv, s"total prior events $pe < clicks $pc + views $pv")
+      // a first event has no prior value — and then all counts are zero
+      if (r.isNullAt(r.fieldIndex("last_val")))
+        assert(pe == 0, "null last_val implies an empty strict-past frame")
+      else assert(pe > 0, "non-null last_val implies a non-empty frame")
+    }
+    assert(out.exists(_.getAs[Long]("prior_events") > 0),
+      "fixture has users with history before a purchase")
+  }
+
+  // ----------------------------------------------------------------- q134
+
+  test("q134 salted join is bit-equal to the direct unsalted join") {
+    import graft.functions.det._
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    val salted = run("q134_salted_skew_join").collect().map(_.toSeq).toSeq
+    assert(salted == direct, "salting must be pure plumbing — results identical")
+  }
+
+  // ----------------------------------------------------------------- q135
+
+  test("q135 locality: lexicographic chunks pin one part bucket; morton chunks touch <=16 of each") {
+    val rows = run("q135_zorder_locality_audit").collect()
+    assert(rows.length == 2)
+    val byStrat = rows.map(r => r.getAs[String]("strategy") -> r).toMap
+    val lex = byStrat("lexicographic"); val mor = byStrat("morton")
+    assert(lex.getAs[Double]("avg_part_buckets") == 1.0,
+      "a partkey-major sort pins exactly one part bucket per chunk")
+    assert(mor.getAs[Double]("avg_part_buckets") <= 16.0 + 1e-9,
+      "a 16x16 morton tile touches at most 16 part buckets")
+    assert(mor.getAs[Double]("avg_supp_buckets") <= 16.0 + 1e-9,
+      "a 16x16 morton tile touches at most 16 supp buckets")
+    // (no morton-vs-lex comparison on the supp dimension: sf0.001 has only
+    // 10 suppliers, so every chunk under either order sees nearly all of
+    // them — the 16-bucket tile bound above is the scale-relevant law)
+  }
+
+  // ----------------------------------------------------------------- q136
+
+  test("q136 profiler: FK edges have join_rows == fact rows and bounded worst-key share") {
+    val rows = run("q136_join_cardinality_profiler").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // every fact row matches exactly one parent row on an FK edge,
+      // so the exact join cardinality IS the fact cardinality
+      assert(r.getAs[Long]("join_rows") == r.getAs[Long]("n_left"),
+        s"${r.getAs[String]("edge")}: FK join must preserve fact cardinality")
+      val share = r.getAs[Double]("max_key_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getAs[Long]("max_key_rows") >= 1)
+      assert(r.getAs[Long]("n_join_keys") <= r.getAs[Long]("n_right"),
+        "matched keys cannot exceed the parent key domain")
+    }
+  }
+
+  // ----------------------------------------------------------------- q137
+
+  test("q137 bloom filter has no false negatives and a bounded measured FPR") {
+    val r = run("q137_bloom_membership_audit").collect().head
+    val members = r.getAs[Long]("n_members"); val pos = r.getAs[Long]("n_positive")
+    val fp = r.getAs[Long]("n_false_pos")
+    assert(pos - fp == members,
+      "every member must test positive (no false negatives) and nothing else overlaps")
+    assert(r.getAs[Long]("n_bits_set") <= 1024)
+    val fpr = r.getAs[Double]("fpr")
+    assert(fpr >= 0.0 && fpr <= 1.0)
+    assert(r.getAs[Double]("fill_frac") <= 1.0)
+  }
+
+  // ----------------------------------------------------------------- q138
+
+  test("q138 winsorized stats conserve orders and keep the clipped mean inside [p05, p95]") {
+    val rows = run("q138_winsorized_segment_stats").collect()
+    assert(rows.nonEmpty)
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == orders)
+    val b = graft.sources.Tables.orders(spark, sf)
+      .agg(round(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
+      .collect().head
+    val lo = b.getAs[Double]("lo"); val hi = b.getAs[Double]("hi")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clip_low") + r.getAs[Long]("n_clip_high")
+        <= r.getAs[Long]("n"))
+      val mw = r.getAs[Double]("mean_winsor")
+      assert(mw >= lo - 1e-6 && mw <= hi + 1e-6,
+        s"winsorized mean $mw escaped [$lo, $hi]")
+    }
+  }
+
+  // ----------------------------------------------------------------- q139
+
+  test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
+    val rows = run("q139_zonemap_pruning_audit").collect()
+    assert(rows.length == 3)
+    val events = graft.sources.Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_total") == events)
+      assert(r.getAs[Long]("zones_pruned") <= r.getAs[Long]("n_zones"))
+      assert(r.getAs[Long]("rows_skipped") <= r.getAs[Long]("rows_total"))
+    }
+    // output is ordered p50, p90, p99: a larger cutoff prunes at least as much
+    val pruned = rows.map(_.getAs[Long]("zones_pruned")).toSeq
+    val skipped = rows.map(_.getAs[Long]("rows_skipped")).toSeq
+    assert(pruned == pruned.sorted, s"zones_pruned not monotone: $pruned")
+    assert(skipped == skipped.sorted, s"rows_skipped not monotone: $skipped")
+    val cuts = rows.map(_.getAs[Double]("cutoff")).toSeq
+    assert(cuts == cuts.sorted, "p50 <= p90 <= p99")
+  }
+}
