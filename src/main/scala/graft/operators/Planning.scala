@@ -392,5 +392,75 @@ object Planning {
         .orderBy("threshold")
     })
 
-  def defs: Seq[QueryDef] = Seq(q134, q135, q136, q137, q138, q139)
+  // ---------------------------------------------------------------------
+  // q143 — A/B experiment readout (hash assignment + Welch t)
+  // ---------------------------------------------------------------------
+
+  /** A deterministic A/B readout over the customer base: arms assigned
+    * by md5 hash (q57's split discipline — assignment is a pure function
+    * of the key, reproducible on any engine), metric = per-customer
+    * lifetime spend (LEFT JOIN so zero-spend customers count — the
+    * classic dilution mistake made impossible), and a Welch t statistic
+    * comparing the arms. Everything reduces to six numbers per arm
+    * (n, Σx, Σx²) through exact-decimal accumulators; mean/deviation/t
+    * are then IEEE arithmetic over those identical rounded doubles in
+    * the same textual order on both engines — so even the test statistic
+    * is hash-exact. Dispersion is reported as the standard DEVIATION,
+    * not the variance: at sf0.1 the spend variance is ~8.5e11, where a
+    * double's ulp (~1.2e-4) exceeds the 4-dp rounding grid and the two
+    * engines' ROUND implementations legitimately disagree by one ulp —
+    * sqrt (IEEE-correctly-rounded, the q97 discipline) pulls the
+    * magnitude back to where 4-dp rounding is meaningful. One fact scan,
+    * one customer-domain aggregate, a 2-row self-join: nothing here
+    * grows with scale except the scan. */
+  private val q143 = QueryDef(
+    "q143_ab_experiment_readout",
+    "hash-assigned A/B arms over customer spend: per-arm stats + Welch t",
+    Some(s"""
+      WITH cs AS (SELECT o_custkey, ${dsumSql("o_totalprice")} AS s
+                  FROM orders GROUP BY o_custkey),
+      sp AS (SELECT (${hkeySql("ab:", "c_custkey")} % 2) AS arm,
+                    COALESCE(s, 0.0) AS spend
+             FROM customer LEFT JOIN cs ON c_custkey = o_custkey),
+      a AS (SELECT arm, COUNT(*) AS n, ${dsumSql("spend")} AS s,
+                   ${dsumSql("spend * spend")} AS ss
+            FROM sp GROUP BY arm)
+      SELECT a0.n AS n_a, a1.n AS n_b,
+             ROUND(a0.s / a0.n, 4) + 0.0 AS mean_a,
+             ROUND(a1.s / a1.n, 4) + 0.0 AS mean_b,
+             ROUND(sqrt((a0.ss - a0.s * a0.s / a0.n) / (a0.n - 1)), 4) + 0.0 AS sd_a,
+             ROUND(sqrt((a1.ss - a1.s * a1.s / a1.n) / (a1.n - 1)), 4) + 0.0 AS sd_b,
+             ROUND((a0.s / a0.n - a1.s / a1.n)
+                   / sqrt(((a0.ss - a0.s * a0.s / a0.n) / (a0.n - 1)) / a0.n
+                          + ((a1.ss - a1.s * a1.s / a1.n) / (a1.n - 1)) / a1.n),
+                   4) + 0.0 AS t_welch
+      FROM a a0 JOIN a a1 ON a0.arm = 0 AND a1.arm = 1"""),
+    (s, dir) => {
+      val cs = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("s"))
+      val sp = Tables.customer(s, dir)
+        .join(cs, col("c_custkey") === col("o_custkey"), "left")
+        .select((hkey("ab:", col("c_custkey")) % 2L).as("arm"),
+          coalesce(col("s"), lit(0.0)).as("spend"))
+      val a = sp.groupBy("arm").agg(count(lit(1)).as("n"),
+        dsum(col("spend")).as("s"), dsum(col("spend") * col("spend")).as("ss"))
+      val a0 = a.filter(col("arm") === 0)
+        .select(col("n").as("na"), col("s").as("sa"), col("ss").as("ssa"))
+      val a1 = a.filter(col("arm") === 1)
+        .select(col("n").as("nb"), col("s").as("sb"), col("ss").as("ssb"))
+      def vr(ss: Column, sc: Column, n: Column): Column =
+        (ss - sc * sc / n) / (n - 1)
+      a0.crossJoin(a1).select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        (round(col("sa") / col("na"), 4) + lit(0.0)).as("mean_a"),
+        (round(col("sb") / col("nb"), 4) + lit(0.0)).as("mean_b"),
+        (round(sqrt(vr(col("ssa"), col("sa"), col("na"))), 4) + lit(0.0)).as("sd_a"),
+        (round(sqrt(vr(col("ssb"), col("sb"), col("nb"))), 4) + lit(0.0)).as("sd_b"),
+        (round((col("sa") / col("na") - col("sb") / col("nb"))
+          / sqrt(vr(col("ssa"), col("sa"), col("na")) / col("na")
+            + vr(col("ssb"), col("sb"), col("nb")) / col("nb")), 4)
+          + lit(0.0)).as("t_welch"))
+    })
+
+  def defs: Seq[QueryDef] = Seq(q134, q135, q136, q137, q138, q139, q143)
 }

@@ -198,5 +198,93 @@ object Temporal {
         .orderBy("event_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q132, q133, q140)
+  // ---------------------------------------------------------------------
+  // q141 — last-touch attribution
+  // ---------------------------------------------------------------------
+
+  /** Every purchase attributed to the user's most recent PRIOR click's
+    * campaign (campaign = the click's JSON props.k mod 5; purchases with
+    * no prior click report campaign −1): per-campaign purchase counts
+    * and exact-decimal attributed revenue. Same one-pass shape as q140 —
+    * the carried campaign is `last(click campaign, ignoreNulls)` over
+    * the strict-past frame, so attribution is a per-user window carry,
+    * never a per-purchase as-of join (q10's shape done N times). The
+    * −1 coalesce also dodges the engines' opposite NULL sort orders.
+    * Windows partition by user_id only (plan-asserted with q133). */
+  private val q141 = QueryDef(
+    "q141_last_touch_attribution",
+    "purchase revenue attributed to the latest prior click's campaign",
+    Some(s"""
+      WITH h AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN CAST(props ->> 'k' AS BIGINT) % 5 END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS camp
+        FROM events)
+      SELECT COALESCE(camp, -1) AS campaign,
+             COUNT(*) AS n_purchases,
+             ${dsumSql("value")} AS attributed_revenue
+      FROM h WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY campaign"""),
+    (s, dir) => {
+      val wp = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("camp", last(
+          when(col("event_type") === "click",
+            get_json_object(col("props"), "$.k").cast("long") % 5),
+          ignoreNulls = true).over(wp))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("camp"), lit(-1L)).as("campaign"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("attributed_revenue"))
+        .orderBy("campaign")
+    })
+
+  // ---------------------------------------------------------------------
+  // q142 — event-type transition matrix (first-order Markov)
+  // ---------------------------------------------------------------------
+
+  /** The per-user next-event transition matrix: counts and conditional
+    * probabilities P(next | current) over consecutive event pairs within
+    * each user's stream — the first-order Markov model behind journey
+    * simulation and anomaly scoring. One lead() per user (bounded
+    * histories, hash-spread) then a 25-row hash aggregate; the
+    * probability denominator joins back broadcast (event-type-domain
+    * sized). P is a single IEEE divide of two exact longs, rounded
+    * 6 dp on both engines. */
+  private val q142 = QueryDef(
+    "q142_event_transition_matrix",
+    "first-order Markov transition counts + P(next|cur) over user streams",
+    Some("""
+      WITH t AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+        FROM events),
+      c AS (SELECT cur, nxt, COUNT(*) AS n FROM t
+            WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      d AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM c GROUP BY cur)
+      SELECT c.cur, c.nxt, c.n,
+             ROUND(CAST(c.n AS DOUBLE) / d.n_cur, 6) + 0.0 AS p
+      FROM c JOIN d ON c.cur = d.cur
+      ORDER BY c.cur, c.nxt"""),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val c = Tables.events(s, dir)
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val d = c.groupBy(col("cur").as("dcur")).agg(sum("n").as("n_cur"))
+      c.join(broadcast(d), col("cur") === col("dcur"))
+        .select(col("cur"), col("nxt"), col("n"),
+          (round(col("n").cast("double") / col("n_cur"), 6) + lit(0.0)).as("p"))
+        .orderBy("cur", "nxt")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142)
 }

@@ -60,7 +60,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q137_bloom_membership_audit", // hash-derived positions + distinct set
     "q138_winsorized_segment_stats", // percentile boundaries + decimal means
     "q139_zonemap_pruning_audit", // percentile cutoffs + max-vs-cutoff flags
-    "q140_pit_feature_snapshot") // per-user window frames over possibly-tied ts
+    "q140_pit_feature_snapshot", // per-user window frames over possibly-tied ts
+    "q141_last_touch_attribution", // ignore-nulls window carry + decimal revenue
+    "q143_ab_experiment_readout") // hash arms + decimal moments + float t
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -348,8 +348,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "rolling distinct needs no window operator")
   }
 
-  test("q133/q140: every window partitions by user_id — no global sort of the event stream") {
-    Seq("q133_user_state_intervals", "q140_pit_feature_snapshot").foreach { q =>
+  test("q133/q140/q141: every window partitions by user_id — no global sort of the event stream") {
+    Seq("q133_user_state_intervals", "q140_pit_feature_snapshot",
+      "q141_last_touch_attribution").foreach { q =>
       val p = plan(q)
       val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
       assert(specs.nonEmpty, s"$q should contain window operators")
@@ -392,6 +393,13 @@ class PlanSpec extends AnyFunSuite {
       "the <=1024-row position set must broadcast into the probe")
     assert(!p.contains("SortMergeJoin"),
       "nothing in the bloom audit should sort-merge")
+  }
+
+  test("q142: the transition-probability denominator joins back broadcast") {
+    val p = plan("q142_event_transition_matrix")
+    assert(p.contains("BroadcastHashJoin"),
+      "the event-type-domain denominator must broadcast, never sort-merge")
+    assert(!p.contains("SortMergeJoin"))
   }
 
   test("q138/q139: boundary aggregates broadcast; no window operator anywhere") {

@@ -167,6 +167,61 @@ class TemporalPlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q141
+
+  test("q141 attribution conserves purchases and revenue against the unattributed totals") {
+    import graft.functions.det._
+    val rows = run("q141_last_touch_attribution").collect()
+    assert(rows.nonEmpty)
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("rev")).collect().head
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases.getAs[Long]("n"),
+      "every purchase lands in exactly one campaign bucket (incl. -1)")
+    val revSum = rows.map(r =>
+      BigDecimal(r.getAs[Double]("attributed_revenue"))).sum
+    // per-bucket revenues are independently rounded to 4 dp; their sum can
+    // drift from the single-total rounding by at most n_buckets * 5e-5
+    assert((revSum - BigDecimal(purchases.getAs[Double]("rev"))).abs
+      <= BigDecimal(rows.length) * BigDecimal("0.00005"),
+      "attributed revenue must re-add to total purchase revenue")
+    val camps = rows.map(_.getAs[Long]("campaign"))
+    assert(camps.forall(c => c == -1L || (c >= 0L && c <= 4L)))
+  }
+
+  // ----------------------------------------------------------------- q142
+
+  test("q142 transitions conserve (events - users) and rows sum to P=1 per current state") {
+    val rows = run("q142_event_transition_matrix").collect()
+    assert(rows.nonEmpty)
+    val e = graft.sources.Tables.events(spark, sf)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected,
+      "each user with k events contributes exactly k-1 transitions")
+    rows.groupBy(_.getAs[String]("cur")).foreach { case (cur, rs) =>
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4 * rs.length,
+        s"P(next|$cur) must sum to 1, got $pSum")
+    }
+  }
+
+  // ----------------------------------------------------------------- q143
+
+  test("q143 A/B readout: arms partition the customer base, variances non-negative") {
+    val r = run("q143_ab_experiment_readout").collect().head
+    val customers = graft.sources.Tables.customer(spark, sf).count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == customers,
+      "hash arms must partition every customer, zero-spend included")
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    assert(r.getAs[Double]("sd_a") >= 0.0 && r.getAs[Double]("sd_b") >= 0.0)
+    val t = r.getAs[Double]("t_welch")
+    assert(!t.isNaN && !t.isInfinite, "t statistic must be finite")
+    // null-effect design: the hash split carries no signal, so |t| should
+    // be small — a huge t would mean the assignment hash is correlated
+    // with spend (the exact failure this query exists to detect)
+    assert(math.abs(t) < 10.0, s"|t|=$t implausible for a null split")
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
