@@ -20,6 +20,14 @@ final case class SessionState(start_us: Long, last_us: Long, n_events: Long)
 final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long)
 
+/** Per-user feature state carried by the online feature computer. */
+final case class PitState(n_clicks: Long, n_views: Long, n_events: Long,
+    last_val: Double, has_last: Boolean)
+
+/** One point-in-time feature row emitted at a purchase (label) event. */
+final case class PitFeature(event_id: Long, user_id: Long, prior_clicks: Long,
+    prior_views: Long, prior_events: Long, last_val: Option[Double])
+
 /** Structured Streaming surface (SURVEY.md §2.8): the same event-time
   * semantics as the batch EventTime operators, expressed on unbounded
   * input. The driver harness is batch-only, so these are exercised by
@@ -202,6 +210,43 @@ object EventStream {
       .groupByKey(_.user_id)
       .transformWithState(new RunningCountsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The ONLINE form of batch q140's point-in-time feature snapshot: one
+    * PitState per user accumulates click/view/total counts and the last
+    * value; every purchase emits the state AS IT STOOD strictly before
+    * the purchase — the online/offline feature-parity contract
+    * (StreamingSpec replays the full fixture through this and asserts
+    * row-for-row equality with batch q140, the audit every feature
+    * store owes its training pipeline). Events are applied in
+    * (event-time, event_id) order within each trigger; like the session
+    * tracker above, cross-trigger correctness assumes per-user
+    * event-time-ordered delivery inside the watermark horizon — a
+    * production deployment buffers out-of-order rows in state and
+    * flushes on an event-time timeout (the trackedSessions mechanism),
+    * trading emission latency for disorder tolerance. State is one
+    * fixed-size record per user, hash-spread across executors. */
+  def pitFeatures(events: Dataset[Event]): Dataset[PitFeature] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PitState, PitFeature](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[PitState]) =>
+          var st = state.getOption.getOrElse(PitState(0L, 0L, 0L, 0.0, false))
+          val out = Seq.newBuilder[PitFeature]
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase")
+              out += PitFeature(e.event_id, userId, st.n_clicks, st.n_views,
+                st.n_events, if (st.has_last) Some(st.last_val) else None)
+            st = PitState(
+              st.n_clicks + (if (e.event_type == "click") 1L else 0L),
+              st.n_views + (if (e.event_type == "view") 1L else 0L),
+              st.n_events + 1L, e.value, has_last = true)
+          }
+          state.update(st)
+          out.result().iterator
+      }
   }
 
   /** Streaming session windows via the built-in session_window generator

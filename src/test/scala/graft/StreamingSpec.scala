@@ -186,6 +186,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("online PIT features replay batch q140 row-for-row (feature-store parity)") {
+    import org.apache.spark.sql.functions._
+    // The online/offline parity audit: the stateful streaming feature
+    // computer, fed the whole fixture in chronological chunks (three
+    // triggers, so state genuinely carries across batches), must emit
+    // exactly the feature rows batch q140 computes with its strict-past
+    // window frames.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.Event].collect().toSeq
+      .sortBy(e => (e.ts_us, e.event_id))
+    val chunks = ev.grouped((ev.size + 2) / 3).toSeq
+    val stream = MemoryStream[Event]
+    val q = EventStream.pitFeatures(stream.toDS())
+      .writeStream.format("memory").queryName("pit_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("pit_parity").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("prior_clicks"), r.getAs[Long]("prior_views"),
+          r.getAs[Long]("prior_events"),
+          Option(r.getAs[java.lang.Double]("last_val")).map(_.doubleValue))).toSet
+      val batch = SparkEntry.queries("q140_pit_feature_snapshot")(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[Long]("prior_clicks"), r.getAs[Long]("prior_views"),
+          r.getAs[Long]("prior_events"),
+          Option(r.getAs[java.lang.Double]("last_val")).map(_.doubleValue))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"online ${streamed.size} vs offline ${batch.size} feature rows")
+    } finally q.stop()
+  }
+
   test("streaming query restarts from checkpoint without duplicating or losing output") {
     // Fault-tolerance posture (SURVEY §2.1 M10) demonstrated, not just
     // claimed: a parquet-sink stream is stopped mid-input and restarted
