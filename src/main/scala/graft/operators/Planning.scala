@@ -30,21 +30,27 @@ object Planning {
   // q134 — salted skew-safe fact-fact join (the join twin of q82)
   // ---------------------------------------------------------------------
 
-  /** Revenue by order priority through a SALTED lineitem ⋈ orders join:
-    * every lineitem row carries salt = md5(orderkey:linenumber) % 8, the
-    * orders side is replicated across all 8 salts (`explode(sequence)`),
-    * and the join key becomes (orderkey, salt) — a hot order key's rows
-    * spread over 8 reducers instead of one. Replication factor trades
-    * build-side volume for per-task balance; at 100 TB the salt count
-    * comes from the q136 profiler's max_key_share (or AQE's runtime skew
-    * split — this operator is the explicit, partitioning-stable form).
-    * The oracle runs the UNSALTED direct join: bit-equality of the two
-    * aggregates (exact-decimal revenue — q82's precedent) IS the
-    * correctness claim, proving salting is pure plumbing. PlanSpec
-    * asserts the (key, salt) exchange with broadcast disabled. */
+  /** Revenue by order priority through a DEGREE-ADAPTIVE salted
+    * lineitem ⋈ orders join: the profiler's degree table (q136's input)
+    * identifies the skew tail — keys with ≥ 8 fact rows, ~5% of the
+    * domain here and by definition rare under real skew — and ONLY
+    * those keys get salted, with a per-key replication factor
+    * `least(4, degree/4)` proportional to their measured degree.
+    * Light keys join directly with salt 0 and zero replication, so the
+    * build-side blow-up of blanket salting (replicate EVERY key ×N —
+    * 8× the dimension for nothing) never happens; replication cost is
+    * Σ over heavy keys only, which is what makes explicit salting
+    * viable at 100 TB where AQE's runtime skew split is the implicit
+    * alternative. The heavy-key list (key, nsalt) broadcasts into both
+    * sides; the join key becomes (orderkey, salt), spreading each hot
+    * key over its nsalt reducers. The oracle runs the UNSALTED direct
+    * join: bit-equality of the exact-decimal aggregates (q82's
+    * precedent) IS the correctness claim, proving the two-tier salting
+    * is pure plumbing. PlanSpec asserts the (key, salt) exchange with
+    * broadcast disabled. */
   private val q134 = QueryDef(
     "q134_salted_skew_join",
-    "salted (key,salt%8) lineitem-orders join == direct join, bit-equal",
+    "degree-adaptive salted lineitem-orders join == direct join, bit-equal",
     Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n_items,
              ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
@@ -52,13 +58,26 @@ object Planning {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""),
     (s, dir) => {
+      val heavy = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("hk"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 8)
+        .select(col("hk"), least(lit(4L), expr("deg div 4")).as("nsalt"))
       val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(heavy), col("l_orderkey") === col("hk"), "left")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-          (hkey("jsalt:", concat(col("l_orderkey").cast("string"), lit(":"),
-            col("l_linenumber").cast("string"))) % 8L).as("salt"))
+          when(col("nsalt").isNotNull,
+            hkey("jsalt:", concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))) % col("nsalt"))
+            .otherwise(0L).as("salt"))
       val reps = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"))
-        .withColumn("rsalt", explode(sequence(lit(0L), lit(7L))))
+        .join(broadcast(heavy), col("o_orderkey") === col("hk"), "left")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0L), coalesce(col("nsalt"), lit(1L)) - 1L))
+            .as("rsalt"))
       li.join(reps,
           col("l_orderkey") === col("o_orderkey") && col("salt") === col("rsalt"))
         .groupBy("o_orderpriority")
