@@ -481,5 +481,93 @@ object Planning {
           + lit(0.0)).as("t_welch"))
     })
 
-  def defs: Seq[QueryDef] = Seq(q134, q135, q136, q137, q138, q139, q143)
+  // ---------------------------------------------------------------------
+  // q146 — decile lift / gains table
+  // ---------------------------------------------------------------------
+
+  /** The lift table for "does customer spend predict purchase activity":
+    * customers ranked into spend deciles by NINE broadcast exact-decile
+    * boundaries (q123's no-global-sort discipline — decile assignment is
+    * map-side comparison arithmetic, where textbook ntile(10) would
+    * funnel every customer through one ordered partition), then per
+    * decile: converter counts (customers with ≥ 1 purchase event — the
+    * distinct-user set is customer-domain-bounded), conversion rate,
+    * capture share of all converters, and lift vs the global rate. The
+    * one-row global total rides a broadcast cross join. This is the
+    * model-evaluation readout every targeting pipeline ships — here as
+    * a deterministic engine query. */
+  private val q146 = QueryDef(
+    "q146_decile_lift_table",
+    "spend-decile lift/gains: conversion rate, capture, lift per decile",
+    Some(s"""
+      WITH cs AS (SELECT o_custkey, ${dsumSql("o_totalprice")} AS s
+                  FROM orders GROUP BY o_custkey),
+      conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      d AS (SELECT c_custkey, COALESCE(cs.s, 0.0) AS spend,
+                   (conv.user_id IS NOT NULL) AS is_conv
+            FROM customer LEFT JOIN cs ON c_custkey = o_custkey
+                          LEFT JOIN conv ON c_custkey = conv.user_id),
+      b AS (SELECT ${(1 to 9).map(i =>
+        s"ROUND(quantile_cont(spend, 0.$i), 4) AS b$i").mkString(", ")} FROM d),
+      dd AS (SELECT is_conv,
+                    1 ${(1 to 9).map(i =>
+        s"+ (CASE WHEN spend > b$i THEN 1 ELSE 0 END)").mkString(" ")} AS decile
+             FROM d CROSS JOIN b),
+      g AS (SELECT decile, COUNT(*) AS n_customers,
+                   COUNT(CASE WHEN is_conv THEN 1 END) AS n_converters
+            FROM dd GROUP BY decile),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_n,
+                   CAST(COUNT(CASE WHEN is_conv THEN 1 END) AS BIGINT) AS tot_c
+            FROM dd)
+      SELECT decile, n_customers, n_converters,
+             ROUND(CAST(n_converters AS DOUBLE) / n_customers, 6) + 0.0
+               AS conv_rate,
+             ROUND(CAST(n_converters AS DOUBLE) / tot_c, 6) + 0.0 AS capture,
+             ROUND((CAST(n_converters AS DOUBLE) / n_customers)
+                   / (CAST(tot_c AS DOUBLE) / tot_n), 4) + 0.0 AS lift
+      FROM g CROSS JOIN t
+      ORDER BY decile"""),
+    (s, dir) => {
+      val cs = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("s"))
+      val conv = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val d = Tables.customer(s, dir)
+        .join(cs, col("c_custkey") === col("o_custkey"), "left")
+        .join(conv, col("c_custkey") === col("user_id"), "left")
+        .select(coalesce(col("s"), lit(0.0)).as("spend"),
+          col("user_id").isNotNull.as("is_conv"))
+      val b = d.agg(
+        round(expr("percentile(spend, 0.1)"), 4).as("b1"),
+        round(expr("percentile(spend, 0.2)"), 4).as("b2"),
+        round(expr("percentile(spend, 0.3)"), 4).as("b3"),
+        round(expr("percentile(spend, 0.4)"), 4).as("b4"),
+        round(expr("percentile(spend, 0.5)"), 4).as("b5"),
+        round(expr("percentile(spend, 0.6)"), 4).as("b6"),
+        round(expr("percentile(spend, 0.7)"), 4).as("b7"),
+        round(expr("percentile(spend, 0.8)"), 4).as("b8"),
+        round(expr("percentile(spend, 0.9)"), 4).as("b9"))
+      val dd = d.crossJoin(broadcast(b))
+        .select(col("is_conv"),
+          (1 to 9).map(i => when(col("spend") > col(s"b$i"), 1).otherwise(0))
+            .reduce(_ + _).+(lit(1)).as("decile"))
+      val g = dd.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          count(when(col("is_conv"), 1)).as("n_converters"))
+      val t = dd.agg(count(lit(1)).as("tot_n"),
+        count(when(col("is_conv"), 1)).as("tot_c"))
+      g.crossJoin(broadcast(t))
+        .select(col("decile"), col("n_customers"), col("n_converters"),
+          (round(col("n_converters").cast("double") / col("n_customers"), 6)
+            + lit(0.0)).as("conv_rate"),
+          (round(col("n_converters").cast("double") / col("tot_c"), 6)
+            + lit(0.0)).as("capture"),
+          (round((col("n_converters").cast("double") / col("n_customers"))
+            / (col("tot_c").cast("double") / col("tot_n")), 4)
+            + lit(0.0)).as("lift"))
+        .orderBy("decile")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q134, q135, q136, q137, q138, q139, q143, q146)
 }

@@ -286,5 +286,72 @@ object Temporal {
         .orderBy("cur", "nxt")
     })
 
-  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142)
+  // ---------------------------------------------------------------------
+  // q145 — sequential time-bounded funnel
+  // ---------------------------------------------------------------------
+
+  /** The ORDERED funnel q63's min-time form cannot express: signup →
+    * view STRICTLY AFTER the signup → purchase strictly after that view
+    * AND within 7 days of the signup. Step timestamps chain through
+    * three whole-partition window minima over the per-user stream
+    * (su = first signup; vu = first view past su; pu = first purchase
+    * past vu inside the horizon) — deliberately UNORDERED window frames,
+    * so there is no tie hazard at all, and all three Window operators
+    * plus the per-user collapse ride ONE exchange on user_id (same
+    * partitioning — Catalyst reuses it, plan-asserted). The horizon is
+    * exact integer µs arithmetic. Output: stage counts + conversion
+    * rates — the activation metric as one row. */
+  private val q145 = QueryDef(
+    "q145_sequential_funnel",
+    "signup -> view -> purchase-within-7d ordered funnel with strict sequencing",
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      w1 AS (SELECT user_id, event_type, ts_us,
+                    MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS su
+             FROM e),
+      w2 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts_us > su
+                                THEN ts_us END)
+                         OVER (PARTITION BY user_id) AS vu
+             FROM w1),
+      w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > vu
+                                 AND ts_us <= su + 604800000000
+                                THEN ts_us END)
+                         OVER (PARTITION BY user_id) AS pu
+             FROM w2),
+      u AS (SELECT user_id, MAX(su) AS su, MAX(vu) AS vu, MAX(pu) AS pu
+            FROM w3 GROUP BY user_id)
+      SELECT COUNT(*) AS n_users, COUNT(su) AS n_signup,
+             COUNT(vu) AS n_view_after, COUNT(pu) AS n_purchase_7d,
+             ROUND(CAST(COUNT(vu) AS DOUBLE) / COUNT(su), 6) + 0.0 AS cvr_view,
+             ROUND(CAST(COUNT(pu) AS DOUBLE) / COUNT(vu), 6) + 0.0 AS cvr_purchase,
+             ROUND(CAST(COUNT(pu) AS DOUBLE) / COUNT(su), 6) + 0.0 AS cvr_overall
+      FROM u"""),
+    (s, dir) => {
+      val wU = Window.partitionBy("user_id")
+      val horizonUs = 7L * 86400L * 1000000L
+      val u = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .withColumn("su", min(when(col("event_type") === "signup",
+          col("ts_us"))).over(wU))
+        .withColumn("vu", min(when(col("event_type") === "view" &&
+          col("ts_us") > col("su"), col("ts_us"))).over(wU))
+        .withColumn("pu", min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("vu") &&
+          col("ts_us") <= col("su") + horizonUs, col("ts_us"))).over(wU))
+        .groupBy("user_id")
+        .agg(max("su").as("su"), max("vu").as("vu"), max("pu").as("pu"))
+      u.agg(count(lit(1)).as("n_users"), count(col("su")).as("n_signup"),
+          count(col("vu")).as("n_view_after"), count(col("pu")).as("n_purchase_7d"))
+        .select(col("n_users"), col("n_signup"), col("n_view_after"),
+          col("n_purchase_7d"),
+          (round(col("n_view_after").cast("double") / col("n_signup"), 6)
+            + lit(0.0)).as("cvr_view"),
+          (round(col("n_purchase_7d").cast("double") / col("n_view_after"), 6)
+            + lit(0.0)).as("cvr_purchase"),
+          (round(col("n_purchase_7d").cast("double") / col("n_signup"), 6)
+            + lit(0.0)).as("cvr_overall"))
+    })
+
+  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142, q145)
 }

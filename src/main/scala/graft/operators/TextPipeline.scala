@@ -423,5 +423,55 @@ object TextPipeline {
         .orderBy("source")
     })
 
-  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q99, q104)
+  // ---------------------------------------------------------------------
+  // q144 — Gini-Simpson lexical diversity per source
+  // ---------------------------------------------------------------------
+
+  /** Per-source lexical diversity as the Gini-Simpson index
+    * 1 − Σ p_w² (with p_w the token's occurrence share) plus the
+    * "effective vocabulary" 1 / Σ p_w² — the diversity dial a mixing
+    * pipeline reads next to q104's chi-square drift. Gini-Simpson is
+    * chosen over Shannon entropy for the q104 reason: it is RATIONAL in
+    * the counts (Σ n_w² / N²), so cross-engine parity is exact integer
+    * arithmetic plus one rounded divide — never a libm log whose last
+    * ulp the two engines need not agree on. One explode into a
+    * (source × vocab)-bounded grid count, then a per-source aggregate
+    * with exact integer Σn² (n ≤ tokens-per-source, Σn² < 2^63 by
+    * orders of magnitude); everything map-side combines. */
+  private val q144 = QueryDef(
+    "q144_token_diversity_index",
+    "per-source Gini-Simpson token diversity + effective vocabulary",
+    Some("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      g AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY source, w),
+      a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_distinct,
+                   CAST(SUM(n * n) AS BIGINT) AS sum_sq
+            FROM g GROUP BY source)
+      SELECT source, n_tokens, n_distinct,
+             ROUND(1.0 - CAST(sum_sq AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+               + 0.0 AS gini_simpson,
+             ROUND(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                   / CAST(sum_sq AS DOUBLE), 4) + 0.0 AS effective_vocab
+      FROM a ORDER BY source"""),
+    (s, dir) => {
+      val g = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      g.groupBy("source")
+        .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          sum(col("n") * col("n")).as("sum_sq"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          (round(lit(1.0) - col("sum_sq").cast("double")
+            / (col("n_tokens").cast("double") * col("n_tokens").cast("double")), 6)
+            + lit(0.0)).as("gini_simpson"),
+          (round(col("n_tokens").cast("double") * col("n_tokens").cast("double")
+            / col("sum_sq").cast("double"), 4) + lit(0.0)).as("effective_vocab"))
+        .orderBy("source")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144)
 }

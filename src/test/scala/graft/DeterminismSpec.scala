@@ -62,7 +62,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q139_zonemap_pruning_audit", // percentile cutoffs + max-vs-cutoff flags
     "q140_pit_feature_snapshot", // per-user window frames over possibly-tied ts
     "q141_last_touch_attribution", // ignore-nulls window carry + decimal revenue
-    "q143_ab_experiment_readout") // hash arms + decimal moments + float t
+    "q143_ab_experiment_readout", // hash arms + decimal moments + float t
+    "q146_decile_lift_table") // percentile boundaries + decimal spend + ratios
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

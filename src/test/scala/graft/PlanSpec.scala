@@ -402,6 +402,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q144: diversity index is explode + two hash aggs — no join of any kind") {
+    val p = plan("q144_token_diversity_index")
+    Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!p.contains(j), s"a per-source diversity scan must not join ($j)"))
+    assert(p.contains("partial_"), "grid counts should map-side combine")
+  }
+
+  test("q145: funnel windows are whole-partition per user — unordered, one exchange") {
+    val p = plan("q145_sequential_funnel")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.contains("user_id")),
+      s"funnel windows must partition by user_id:\n${specs.mkString("\n")}")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "the three chained windows + per-user collapse must reuse ONE exchange")
+  }
+
+  test("q146: decile assignment is broadcast-boundary arithmetic, no window/ntile") {
+    val p = plan("q146_decile_lift_table")
+    assert(!p.contains("Window"),
+      "deciles must come from broadcast boundaries, not a global ntile")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 9 boundaries and the 1-row total should broadcast")
+  }
+
   test("q138/q139: boundary aggregates broadcast; no window operator anywhere") {
     Seq("q138_winsorized_segment_stats", "q139_zonemap_pruning_audit").foreach { q =>
       val p = plan(q)

@@ -222,6 +222,66 @@ class TemporalPlanningSpec extends AnyFunSuite {
     assert(math.abs(t) < 10.0, s"|t|=$t implausible for a null split")
   }
 
+  // ----------------------------------------------------------------- q144
+
+  test("q144 diversity index obeys its algebraic bounds per source") {
+    val rows = run("q144_token_diversity_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gs = r.getAs[Double]("gini_simpson")
+      val nd = r.getAs[Long]("n_distinct")
+      val ev = r.getAs[Double]("effective_vocab")
+      // 0 <= 1 - sum p^2 <= 1 - 1/k for k distinct types
+      assert(gs >= 0.0 && gs <= 1.0 - 1.0 / nd + 1e-6,
+        s"gini-simpson $gs outside [0, 1-1/$nd]")
+      // effective vocabulary is at most the distinct count, at least 1
+      assert(ev >= 1.0 - 1e-9 && ev <= nd + 1e-6,
+        s"effective vocab $ev outside [1, $nd]")
+      assert(r.getAs[Long]("n_tokens") >= nd)
+    }
+  }
+
+  // ----------------------------------------------------------------- q145
+
+  test("q145 sequential funnel is monotone and strictly ordered") {
+    val r = run("q145_sequential_funnel").collect().head
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_users") == users)
+    val ns = r.getAs[Long]("n_signup"); val nv = r.getAs[Long]("n_view_after")
+    val np = r.getAs[Long]("n_purchase_7d")
+    assert(ns >= nv && nv >= np, s"funnel must be monotone: $ns >= $nv >= $np")
+    assert(np >= 0 && ns <= users)
+    // the ordered funnel is at most the unordered one: users having all
+    // three event types regardless of order bound n_purchase_7d above
+    val loose = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === "signup", 1)).as("s"),
+        count(when(col("event_type") === "view", 1)).as("v"),
+        count(when(col("event_type") === "purchase", 1)).as("p"))
+      .filter(col("s") > 0 && col("v") > 0 && col("p") > 0).count()
+    assert(np <= loose, "strict sequencing can only lose users vs the loose count")
+  }
+
+  // ----------------------------------------------------------------- q146
+
+  test("q146 lift table conserves customers, captures sum to 1, lift consistent") {
+    val rows = run("q146_decile_lift_table").collect()
+    assert(rows.length == 10)
+    val customers = graft.sources.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == customers)
+    val capture = rows.map(_.getAs[Double]("capture")).sum
+    assert(math.abs(capture - 1.0) < 1e-4, s"capture shares must sum to 1: $capture")
+    val totC = rows.map(_.getAs[Long]("n_converters")).sum
+    val globalRate = totC.toDouble / customers
+    rows.foreach { r =>
+      val lift = r.getAs[Double]("lift")
+      val rate = r.getAs[Double]("conv_rate")
+      assert(math.abs(lift - rate / globalRate) < 1e-2,
+        s"lift $lift inconsistent with rate $rate / global $globalRate")
+    }
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
