@@ -569,5 +569,123 @@ object Planning {
         .orderBy("decile")
     })
 
-  def defs: Seq[QueryDef] = Seq(q134, q135, q136, q137, q138, q139, q143, q146)
+  // ---------------------------------------------------------------------
+  // q147 — HLL set algebra (union merge + inclusion-exclusion)
+  // ---------------------------------------------------------------------
+
+  /** Sketch SET ALGEBRA on q56's deterministic 64-register HLL: the
+    * click-user and purchase-user sets are sketched separately, their
+    * UNION is sketched by feeding both streams through the same
+    * estimator (register-max merge ≡ sketching the concatenation —
+    * q121's merge property used as algebra), and the INTERSECTION is
+    * estimated by inclusion-exclusion est_a + est_b − est_union. Exact
+    * counts ride alongside so the estimate's error is surfaced, not
+    * hidden (the q130 "measure, don't guess" discipline — intersection
+    * via inclusion-exclusion is the noisiest HLL derivative and the
+    * reason theta sketches exist; this query is the calibration that
+    * says whether 64 registers suffice for the workload). At 100 TB:
+    * each set is 64 longs per group, set algebra is arithmetic on
+    * registers — audience-overlap questions never rescan the streams. */
+  private val q147 = QueryDef(
+    "q147_hll_set_algebra",
+    "HLL union-merge + inclusion-exclusion intersection vs exact overlap",
+    Some(s"""
+      WITH src AS (
+        SELECT 'clicks' AS sete, user_id FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'purch', user_id FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'union', user_id FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      h AS (SELECT sete, ${text.md5Hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+            FROM src),
+      b AS (SELECT sete, h % 64 AS bucket,
+                   CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END AS rho
+            FROM h),
+      reg AS (SELECT sete, bucket, MAX(rho) AS r FROM b GROUP BY 1, 2),
+      agg AS (SELECT sete,
+                     CAST(SUM(1::BIGINT << (55 - r)) AS BIGINT) AS s_present,
+                     COUNT(*) AS n_present
+              FROM reg GROUP BY 1),
+      est AS (SELECT sete,
+                     CAST(s_present + (64 - n_present) * (1::BIGINT << 55) AS DOUBLE) AS s,
+                     64 - n_present AS v
+              FROM agg),
+      fin AS (SELECT sete,
+                     ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
+                                      * 36028797018963968.0 / s) <= 160.0 AND v > 0
+                                THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+                                ELSE 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
+                                     * 36028797018963968.0 / s END, 4) AS e
+              FROM est),
+      p AS (SELECT MAX(CASE WHEN sete = 'clicks' THEN e END) AS est_clicks,
+                   MAX(CASE WHEN sete = 'purch' THEN e END) AS est_purchases,
+                   MAX(CASE WHEN sete = 'union' THEN e END) AS est_union
+            FROM fin),
+      x AS (SELECT
+              CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                       THEN user_id END) AS BIGINT) AS exact_clicks,
+              CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                       THEN user_id END) AS BIGINT) AS exact_purchases
+            FROM events),
+      xi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_both FROM
+               (SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase'))
+      SELECT exact_clicks, exact_purchases, exact_both,
+             est_clicks, est_purchases, est_union,
+             ROUND(est_clicks + est_purchases - est_union, 4) + 0.0
+               AS est_intersection
+      FROM p CROSS JOIN x CROSS JOIN xi"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "click")
+        .select(lit("clicks").as("sete"), col("user_id"))
+      val bb = ev.filter(col("event_type") === "purchase")
+        .select(lit("purch").as("sete"), col("user_id"))
+      val u = ev.filter(col("event_type").isin("click", "purchase"))
+        .select(lit("union").as("sete"), col("user_id"))
+      val src = a.unionAll(bb).unionAll(u)
+      val h = src.select(col("sete"),
+        text.md5Hash60(col("user_id").cast("string")).as("h"))
+      val b = h.select(col("sete"), (col("h") % 64).as("bucket"),
+        when(expr("h DIV 64") === 0, 55)
+          .otherwise(lit(55) - length(bin(expr("h DIV 64")))).as("rho"))
+      val reg = b.groupBy("sete", "bucket").agg(max(col("rho")).as("r"))
+      val agg = reg.groupBy("sete").agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      val est = agg.select(col("sete"),
+        (col("s_present") + (lit(64) - col("n_present")) * lit(1L << 55))
+          .cast("double").as("s"),
+        (lit(64) - col("n_present")).as("v"))
+      val eRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0)) *
+        lit(64.0) * lit(64.0) * lit(36028797018963968.0) / col("s")
+      val fin = est.select(col("sete"),
+        round(when(eRaw <= 160.0 && col("v") > 0,
+            lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+          .otherwise(eRaw), 4).as("e"))
+      val p = fin.agg(
+        max(when(col("sete") === "clicks", col("e"))).as("est_clicks"),
+        max(when(col("sete") === "purch", col("e"))).as("est_purchases"),
+        max(when(col("sete") === "union", col("e"))).as("est_union"))
+      val x = ev.agg(
+        countDistinct(when(col("event_type") === "click", col("user_id")))
+          .cast("long").as("exact_clicks"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .cast("long").as("exact_purchases"))
+      val xi = ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .agg(count(lit(1)).as("exact_both"))
+      p.crossJoin(x).crossJoin(xi)
+        .select(col("exact_clicks"), col("exact_purchases"), col("exact_both"),
+          col("est_clicks"), col("est_purchases"), col("est_union"),
+          (round(col("est_clicks") + col("est_purchases") - col("est_union"), 4)
+            + lit(0.0)).as("est_intersection"))
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147)
 }

@@ -353,5 +353,63 @@ object Temporal {
             + lit(0.0)).as("cvr_overall"))
     })
 
-  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142, q145)
+  // ---------------------------------------------------------------------
+  // q148 — per-segment revenue trend (closed-form OLS slope)
+  // ---------------------------------------------------------------------
+
+  /** Is each market segment's daily revenue trending up or down? The
+    * least-squares slope over the (day-index, daily-revenue) series in
+    * CLOSED FORM: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — no fitted
+    * model object, just five aggregates. x is an exact integer day
+    * index (days since 1995-01-01), so Σx/Σx² are exact longs; y is
+    * the exact-decimal daily revenue; Σxy rides the decimal accumulator
+    * over identical per-row IEEE products — the slope is then the same
+    * arithmetic over the same rounded inputs on both engines (q143's
+    * discipline). Two hash aggregates (orders → daily → segment), the
+    * dimension join broadcast; nothing is ordered, nothing windowed —
+    * a regression needs sums, not sorts. */
+  private val q148 = QueryDef(
+    "q148_revenue_trend_ols",
+    "per-segment daily-revenue OLS slope, closed form over five aggregates",
+    Some(s"""
+      WITH daily AS (
+        SELECT c_mktsegment AS segment,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(date_trunc('day', o_orderdate) AS DATE)) AS x,
+               ${dsumSql("o_totalprice")} AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      m AS (SELECT segment, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   ${dsumSql("y")} AS sy,
+                   ${dsumSql("CAST(x AS DOUBLE) * y")} AS sxy
+            FROM daily GROUP BY segment)
+      SELECT segment, n AS n_days,
+             ROUND(sy / n, 4) + 0.0 AS avg_daily,
+             ROUND((n * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+               + 0.0 AS slope_per_day
+      FROM m ORDER BY segment"""),
+    (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .as("x"))
+        .agg(dsum(col("o_totalprice")).as("y"))
+      daily.groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"), dsum(col("y")).as("sy"),
+          dsum(col("x").cast("double") * col("y")).as("sxy"))
+        .select(col("segment"), col("n").as("n_days"),
+          (round(col("sy") / col("n"), 4) + lit(0.0)).as("avg_daily"),
+          (round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx")), 6)
+            + lit(0.0)).as("slope_per_day"))
+        .orderBy("segment")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142, q145, q148)
 }

@@ -63,7 +63,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q140_pit_feature_snapshot", // per-user window frames over possibly-tied ts
     "q141_last_touch_attribution", // ignore-nulls window carry + decimal revenue
     "q143_ab_experiment_readout", // hash arms + decimal moments + float t
-    "q146_decile_lift_table") // percentile boundaries + decimal spend + ratios
+    "q146_decile_lift_table", // percentile boundaries + decimal spend + ratios
+    "q147_hll_set_algebra", // hash registers + float estimator + set arithmetic
+    "q148_revenue_trend_ols") // decimal moment sums + near-cancelling slope
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -282,6 +282,42 @@ class TemporalPlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q147
+
+  test("q147 HLL set algebra: union bounds, estimates within HLL error of exact") {
+    val r = run("q147_hll_set_algebra").collect().head
+    val ea = r.getAs[Double]("est_clicks"); val eb = r.getAs[Double]("est_purchases")
+    val eu = r.getAs[Double]("est_union")
+    // union register-max merge: the union estimate dominates each side
+    assert(eu >= ea - 1e-9 && eu >= eb - 1e-9,
+      "register-max union must dominate both sides")
+    assert(eu <= ea + eb + 1e-6, "union estimate cannot exceed the sum")
+    // m=64 registers -> ~13% standard error; allow 4 sigma
+    def close(est: Double, exact: Long) =
+      math.abs(est - exact) <= 0.52 * exact + 8
+    assert(close(ea, r.getAs[Long]("exact_clicks")))
+    assert(close(eb, r.getAs[Long]("exact_purchases")))
+    assert(r.getAs[Long]("exact_both") <=
+      math.min(r.getAs[Long]("exact_clicks"), r.getAs[Long]("exact_purchases")))
+  }
+
+  // ----------------------------------------------------------------- q148
+
+  test("q148 OLS slope sits inside the data's secant-slope envelope") {
+    val rows = run("q148_revenue_trend_ols").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 2, "a slope needs at least two days")
+      assert(r.getAs[Double]("avg_daily") > 0.0)
+      // daily revenue is bounded, so the LS slope over ~2400 days must be
+      // tiny relative to the mean level — a runaway slope means x/y were
+      // mismatched (units or join bug)
+      val slope = r.getAs[Double]("slope_per_day")
+      assert(math.abs(slope) < r.getAs[Double]("avg_daily"),
+        s"slope $slope implausible vs level ${r.getAs[Double]("avg_daily")}")
+    }
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
