@@ -686,6 +686,132 @@ object Planning {
             + lit(0.0)).as("est_intersection"))
     })
 
+  // ---------------------------------------------------------------------
+  // q149 — Pareto revenue coverage (top-k concentration)
+  // ---------------------------------------------------------------------
+
+  /** The Pareto question q91's Gini coefficient summarizes as one
+    * number, answered operationally per segment: how many customers
+    * cover 80% of revenue, and what share the top decile holds. Rank
+    * and cumulative sum ride ONE window per segment over the total
+    * (revenue desc, custkey) order — both engines accumulate the same
+    * sequence, so the running double is bit-identical; n_top80 counts
+    * prefixes strictly under the 80% line plus the crossing customer.
+    * Windows partition by segment (bounded key domain — the q91 shape);
+    * the per-segment totals join back broadcast. */
+  private val q149 = QueryDef(
+    "q149_pareto_revenue_coverage",
+    "customers covering 80% of segment revenue + top-decile share",
+    Some(s"""
+      WITH cr AS (SELECT c_mktsegment AS segment, c_custkey,
+                         ${dsumSql("o_totalprice")} AS rev
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2),
+      t AS (SELECT segment, ${dsumSql("rev")} AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM cr GROUP BY segment),
+      r AS (SELECT segment AS rseg, rev,
+                   CAST(row_number() OVER w AS BIGINT) AS rnk,
+                   SUM(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM cr
+            WINDOW w AS (PARTITION BY segment ORDER BY rev DESC, c_custkey))
+      SELECT rseg AS segment, t.n_customers,
+             CAST(COUNT(CASE WHEN cum - rev < 0.8 * total THEN 1 END) AS BIGINT)
+               AS n_top80,
+             ROUND(CAST(COUNT(CASE WHEN cum - rev < 0.8 * total THEN 1 END)
+                        AS DOUBLE) / t.n_customers, 6) + 0.0 AS frac_top80,
+             ROUND(CAST(SUM(CASE WHEN rnk <= (t.n_customers + 9) // 10
+                                 THEN rev ELSE 0.0 END) AS DOUBLE)
+                   / total, 6) + 0.0 AS share_top10pct
+      FROM r JOIN t ON rseg = t.segment
+      GROUP BY rseg, t.n_customers, t.total
+      ORDER BY segment"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cr = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val t = cr.groupBy(col("segment").as("tseg"))
+        .agg(dsum(col("rev")).as("total"), count(lit(1)).as("n_customers"))
+      val w = Window.partitionBy("segment").orderBy(col("rev").desc, col("c_custkey"))
+      val r = cr
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("rev")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      r.join(broadcast(t), col("segment") === col("tseg"))
+        .groupBy(col("segment"), col("n_customers"), col("total"))
+        .agg(
+          count(when(col("cum") - col("rev") < lit(0.8) * col("total"), 1))
+            .as("n_top80"),
+          sum(when(col("rnk") <= expr("(n_customers + 9) div 10"), col("rev"))
+            .otherwise(0.0)).as("top10rev"))
+        .select(col("segment"), col("n_customers"), col("n_top80"),
+          (round(col("n_top80").cast("double") / col("n_customers"), 6)
+            + lit(0.0)).as("frac_top80"),
+          (round(col("top10rev") / col("total"), 6) + lit(0.0))
+            .as("share_top10pct"))
+        .orderBy("segment")
+    })
+
+  // ---------------------------------------------------------------------
+  // q150 — order/lineitem financial reconciliation audit
+  // ---------------------------------------------------------------------
+
+  /** Does each order's header total agree with the sum of its line
+    * amounts (extendedprice × (1−discount) × (1+tax))? The cross-table
+    * consistency audit a warehouse runs before trusting either table:
+    * per-status order counts, how many reconcile within 0.01% / 1%,
+    * how many have NO lines at all (left join — childless orders are
+    * q126's finding, here with the financial consequence), and the
+    * median/max relative discrepancy (exact percentile — q42 pairing).
+    * The per-order line sum is one co-partitioned aggregate, the
+    * compare is map-side, and the report is status-domain-sized. The
+    * fixture's headers are NOT derived from its lines, which is the
+    * realistic case — the audit's job is to measure the disagreement,
+    * not assume it away. */
+  private val q150 = QueryDef(
+    "q150_revenue_reconciliation_audit",
+    "order header total vs line-amount sum: per-status discrepancy profile",
+    Some(s"""
+      WITH ls AS (SELECT l_orderkey,
+                         ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+                           AS lsum
+                  FROM lineitem GROUP BY l_orderkey),
+      j AS (SELECT o_orderstatus AS status, o_totalprice, lsum,
+                   CASE WHEN lsum IS NOT NULL
+                        THEN ROUND(abs(lsum - o_totalprice) / o_totalprice, 6)
+                   END AS rel
+            FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey)
+      SELECT status, COUNT(*) AS n_orders,
+             COUNT(CASE WHEN lsum IS NULL THEN 1 END) AS n_no_lines,
+             COUNT(CASE WHEN rel <= 0.0001 THEN 1 END) AS n_within_001pct,
+             COUNT(CASE WHEN rel <= 0.01 THEN 1 END) AS n_within_1pct,
+             ROUND(quantile_cont(rel, 0.50), 6) + 0.0 AS median_rel,
+             ROUND(MAX(rel), 6) + 0.0 AS max_rel
+      FROM j GROUP BY status ORDER BY status"""),
+    (s, dir) => {
+      val ls = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("lsum"))
+      val j = Tables.orders(s, dir)
+        .join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderstatus").as("status"), col("lsum"),
+          when(col("lsum").isNotNull,
+            round(abs(col("lsum") - col("o_totalprice")) / col("o_totalprice"), 6))
+            .as("rel"))
+      j.groupBy("status")
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("lsum").isNull, 1)).as("n_no_lines"),
+          count(when(col("rel") <= 0.0001, 1)).as("n_within_001pct"),
+          count(when(col("rel") <= 0.01, 1)).as("n_within_1pct"),
+          (round(expr("percentile(rel, 0.50)"), 6) + lit(0.0)).as("median_rel"),
+          (round(max(col("rel")), 6) + lit(0.0)).as("max_rel"))
+        .orderBy("status")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147)
+    Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150)
 }

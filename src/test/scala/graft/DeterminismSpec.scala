@@ -65,7 +65,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q143_ab_experiment_readout", // hash arms + decimal moments + float t
     "q146_decile_lift_table", // percentile boundaries + decimal spend + ratios
     "q147_hll_set_algebra", // hash registers + float estimator + set arithmetic
-    "q148_revenue_trend_ols") // decimal moment sums + near-cancelling slope
+    "q148_revenue_trend_ols", // decimal moment sums + near-cancelling slope
+    "q149_pareto_revenue_coverage", // desc-rank ties + sequential cumsum
+    "q150_revenue_reconciliation_audit") // decimal line sums + percentile of ratios
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

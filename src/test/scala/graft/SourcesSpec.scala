@@ -111,7 +111,12 @@ class SourcesSpec extends AnyFunSuite {
       // sketch merge, quartile-boundary scores, chunk-count join
       "q105_interleave_shuffle_order", "q112_embedding_dim_stats",
       "q121_incremental_hll_registers", "q123_rfm_segmentation",
-      "q129_duplicated_span_audit")
+      "q129_duplicated_span_audit",
+      // round-7 hazard shapes: degree-adaptive salt fan-out, strict-past
+      // window frames, chained whole-partition funnel minima, OLS
+      // moment sums with near-cancelling differences
+      "q134_salted_skew_join", "q140_pit_feature_snapshot",
+      "q145_sequential_funnel", "q148_revenue_trend_ols")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)

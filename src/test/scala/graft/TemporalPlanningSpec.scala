@@ -318,6 +318,46 @@ class TemporalPlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q149
+
+  test("q149 Pareto coverage: bounds and consistency with concentration") {
+    val rows = run("q149_pareto_revenue_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_customers"); val k = r.getAs[Long]("n_top80")
+      assert(k >= 1 && k <= n, s"n_top80 $k outside [1, $n]")
+      val frac = r.getAs[Double]("frac_top80")
+      assert(math.abs(frac - k.toDouble / n) < 1e-5)
+      val s10 = r.getAs[Double]("share_top10pct")
+      // the top decile holds at least its proportional share
+      assert(s10 >= 0.1 - 1e-6 && s10 <= 1.0 + 1e-9,
+        s"top-decile share $s10 must be >= 0.1 (sorted desc) and <= 1")
+      // covering 80% of revenue cannot need more than ~80% of customers
+      // when revenue is sorted descending plus the crossing customer
+      assert(frac <= 0.8 + 1.0 / n + 1e-6,
+        s"desc-sorted prefix for 80% revenue used $frac of customers")
+    }
+  }
+
+  // ----------------------------------------------------------------- q150
+
+  test("q150 reconciliation counts are nested and orders conserved") {
+    val rows = run("q150_revenue_reconciliation_audit").collect()
+    assert(rows.nonEmpty)
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_orders")
+      val nol = r.getAs[Long]("n_no_lines")
+      val w001 = r.getAs[Long]("n_within_001pct")
+      val w1 = r.getAs[Long]("n_within_1pct")
+      assert(w001 <= w1, "tolerance bands must nest")
+      assert(w1 + nol <= n)
+      val med = r.getAs[Double]("median_rel"); val mx = r.getAs[Double]("max_rel")
+      assert(med >= 0.0 && mx >= med, s"median $med / max $mx inconsistent")
+    }
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
