@@ -126,4 +126,116 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // --------------------------------------------------------------------
+  // Generated-history references for the temporal operators: a seeded
+  // synthetic events table (coarse timestamps FORCE ts ties, users with
+  // no signup / signup-only histories are present by construction) is
+  // written as parquet and fed through the REAL query functions, then
+  // compared against brute-force Scala references. This checks the
+  // operators on data shapes the fixture cannot produce.
+  // --------------------------------------------------------------------
+
+  /** (event_id, ts_ns, user_id, event_type, value) — ts granularity is
+    * whole hours over 40 days so repeated (user, ts) pairs occur, making
+    * the (ts, event_id) tiebreak load-bearing. */
+  private lazy val genEvents: Seq[(Long, Long, Long, String, Double)] = {
+    val rnd = new scala.util.Random(987654)
+    val types = Vector("click", "view", "purchase", "signup", "error")
+    (1 to 600).map { i =>
+      val uid = rnd.nextInt(25).toLong
+      val tsUs = (rnd.nextInt(40) * 24L + rnd.nextInt(24)) * 3600L * 1000000L
+      (i.toLong, tsUs * 1000L, uid, types(rnd.nextInt(types.length)),
+        math.floor(rnd.nextDouble() * 1000) / 10)
+    }
+  }
+
+  private lazy val genDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_genev").toString
+    genEvents.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def tsUsOf(e: (Long, Long, Long, String, Double)): Long = e._2 / 1000
+  private def dayOf(tsUs: Long): Long = tsUs / 86400000000L
+
+  test("q145 funnel == brute-force reference on generated histories with ts ties") {
+    val r = SparkEntry.queries("q145_sequential_funnel")(spark, genDir)
+      .collect().head
+    val byUser = genEvents.groupBy(_._3)
+    val horizon = 7L * 86400L * 1000000L
+    var ns = 0L; var nv = 0L; var np = 0L
+    byUser.values.foreach { es =>
+      val sorted = es.sortBy(e => (tsUsOf(e), e._1))
+      val su = sorted.collectFirst { case e if e._4 == "signup" => tsUsOf(e) }
+        .map(_ => sorted.filter(_._4 == "signup").map(tsUsOf).min)
+      su.foreach { s =>
+        ns += 1
+        val vu = sorted.filter(e => e._4 == "view" && tsUsOf(e) > s)
+          .map(tsUsOf).minOption
+        vu.foreach { v =>
+          nv += 1
+          val pu = sorted.filter(e => e._4 == "purchase" && tsUsOf(e) > v &&
+            tsUsOf(e) <= s + horizon).map(tsUsOf).minOption
+          pu.foreach(_ => np += 1)
+        }
+      }
+    }
+    assert(r.getAs[Long]("n_signup") == ns, "signup stage")
+    assert(r.getAs[Long]("n_view_after") == nv, "view-after stage")
+    assert(r.getAs[Long]("n_purchase_7d") == np, "purchase-in-window stage")
+    assert(r.getAs[Long]("n_users") == byUser.size)
+  }
+
+  test("q133 state intervals == brute-force islands on generated histories") {
+    val rows = SparkEntry.queries("q133_user_state_intervals")(spark, genDir)
+      .collect()
+    // reference: compress consecutive same-type runs per user
+    val intervals = genEvents.groupBy(_._3).values.flatMap { es =>
+      val sorted = es.sortBy(e => (tsUsOf(e), e._1)).toVector
+      val changes = sorted.zipWithIndex.filter { case (e, i) =>
+        i == 0 || sorted(i - 1)._4 != e._4
+      }.map(_._1)
+      changes.zipWithIndex.map { case (e, i) =>
+        val vto = if (i + 1 < changes.length) Some(tsUsOf(changes(i + 1))) else None
+        (e._4, vto.map(t => dayOf(t) - dayOf(tsUsOf(e))))
+      }
+    }.toSeq
+    val byState = intervals.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("state")).toSet == byState.keySet)
+    rows.foreach { r =>
+      val st = r.getAs[String]("state")
+      val ref = byState(st)
+      assert(r.getAs[Long]("n_intervals") == ref.size, s"$st interval count")
+      assert(r.getAs[Long]("n_open") == ref.count(_._2.isEmpty), s"$st open count")
+      val closed = ref.flatMap(_._2)
+      if (closed.nonEmpty) {
+        assert(r.getAs[Long]("max_days") == closed.max, s"$st max")
+        val mean = closed.sum.toDouble / closed.size
+        assert(math.abs(r.getAs[Double]("mean_days") - mean) < 5e-5, s"$st mean")
+      }
+    }
+  }
+
+  test("q132 rolling actives == brute-force windowed distinct on generated histories") {
+    val rows = SparkEntry.queries("q132_rolling_7d_actives")(spark, genDir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay) ->
+        (r.getAs[Long]("active_users_7d"), r.getAs[Long]("days_covered"))).toMap
+    val triples = genEvents.map(e => (e._4, dayOf(tsUsOf(e)), e._3)).distinct
+    val allDays = triples.map(_._2).distinct
+    val expected = (for {
+      t <- triples.map(_._1).distinct
+      d <- allDays
+      users = triples.collect {
+        case (tt, dd, u) if tt == t && dd >= d - 6 && dd <= d => (u, dd)
+      }
+      if users.nonEmpty
+    } yield (t, d) -> (users.map(_._1).distinct.size.toLong,
+      users.map(_._2).distinct.size.toLong)).toMap
+    assert(rows == expected,
+      s"rolling-active mismatch: ${rows.size} vs ${expected.size} cells")
+  }
 }
