@@ -428,6 +428,36 @@ class PlanSpec extends AnyFunSuite {
       "the 9 boundaries and the 1-row total should broadcast")
   }
 
+  test("q147: HLL registers merge map-side (partial max) before any exchange") {
+    val p = plan("q147_hll_set_algebra")
+    assert(p.contains("partial_max"),
+      "register MAX must combine map-side — the property that makes the sketch mergeable")
+  }
+
+  test("q148: OLS trend is two hash aggs + broadcast dim join, no window/sort") {
+    val p = plan("q148_revenue_trend_ols")
+    assert(!p.contains("Window"), "a regression needs sums, not sorts")
+    assert(p.contains("BroadcastHashJoin"), "the customer dim should broadcast")
+    assert(p.contains("partial_"), "moment sums must map-side combine")
+  }
+
+  test("q149: rank/cumsum windows partition by segment, totals broadcast back") {
+    val p = plan("q149_pareto_revenue_coverage")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.contains("segment")),
+      s"pareto windows must partition by segment:\n${specs.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-row per-segment totals table should broadcast")
+  }
+
+  test("q150: reconciliation is one co-partitioned agg + left join, no window") {
+    val p = plan("q150_revenue_reconciliation_audit")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "per-order compare must stay an equi-join on the order key")
+  }
+
   test("q138/q139: boundary aggregates broadcast; no window operator anywhere") {
     Seq("q138_winsorized_segment_stats", "q139_zonemap_pruning_audit").foreach { q =>
       val p = plan(q)
