@@ -812,6 +812,77 @@ object Planning {
         .orderBy("status")
     })
 
+  // ---------------------------------------------------------------------
+  // q151 — CDC merge: upsert (latest-wins) + delete compaction
+  // ---------------------------------------------------------------------
+
+  /** The MERGE/upsert compaction a versioned corpus runs on every
+    * ingest cycle: a base snapshot (version 1), an update batch
+    * (10% hash slice re-emitted as version 2 with changed text), and a
+    * delete set (2% hash slice — q107's erasure discipline) collapse to
+    * the current state by LATEST-WINS per key then delete-filter. The
+    * latest-version pick is a per-key rank over (version desc) — the
+    * predicate pushes into WindowGroupLimit so each key stops after one
+    * row (plan-asserted; with a monotone version a max-version
+    * semi-join is the documented alternative, but rank-1 handles
+    * arbitrary version columns and tombstone patterns). The delete set
+    * reduces to keys and BROADCASTS into an anti-join — the fact never
+    * shuffles for it. Reported per source: surviving rows, how many
+    * came from v2, deletions applied, and the final char mass — the
+    * accounting that proves the merge touched exactly what it should.
+    * At 100 TB this is the compaction pass of any table-format
+    * maintenance job; every stage here is the at-scale shape. */
+  private val q151 = QueryDef(
+    "q151_cdc_merge_compaction",
+    "latest-wins upsert + broadcast delete anti-join: per-source accounting",
+    Some(s"""
+      WITH base AS (SELECT doc_id, source, n_chars, 1 AS version
+                    FROM documents),
+      upd AS (SELECT doc_id, source, n_chars + 8 AS n_chars, 2 AS version
+              FROM documents
+              WHERE ${hkeySql("upd:", "doc_id")} % 10 = 0),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      latest AS (SELECT doc_id, source, n_chars, version,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY version DESC) AS rn
+                 FROM allv QUALIFY rn = 1),
+      dels AS (SELECT doc_id FROM documents
+               WHERE ${hkeySql("del:", "doc_id")} % 50 = 0),
+      fin AS (SELECT l.doc_id, l.source, l.n_chars, l.version
+              FROM latest l LEFT JOIN dels d ON l.doc_id = d.doc_id
+              WHERE d.doc_id IS NULL)
+      SELECT source,
+             COUNT(*) AS n_final,
+             COUNT(CASE WHEN version = 2 THEN 1 END) AS n_from_v2,
+             (SELECT COUNT(*) FROM dels) AS n_delete_requests,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_final
+      FROM fin GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val base = docs.withColumn("version", lit(1))
+      val upd = docs.filter(hkey("upd:", col("doc_id")) % 10L === 0L)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 8L).as("n_chars"), lit(2).as("version"))
+      val latest = base.unionByName(upd)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("version").desc)))
+        .filter(col("rn") === 1)
+      val dels = docs.filter(hkey("del:", col("doc_id")) % 50L === 0L)
+        .select(col("doc_id").as("del_id"))
+      val fin = latest.join(broadcast(dels),
+        col("doc_id") === col("del_id"), "left_anti")
+      fin.groupBy("source")
+        .agg(count(lit(1)).as("n_final"),
+          count(when(col("version") === 2, 1)).as("n_from_v2"),
+          sum(col("n_chars")).as("chars_final"))
+        .crossJoin(broadcast(dels.agg(count(lit(1)).as("n_delete_requests"))))
+        .select(col("source"), col("n_final"), col("n_from_v2"),
+          col("n_delete_requests"), col("chars_final"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150)
+    Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150, q151)
 }

@@ -411,5 +411,47 @@ object Temporal {
         .orderBy("segment")
     })
 
-  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142, q145, q148)
+  // ---------------------------------------------------------------------
+  // q152 — day-of-week seasonality profile
+  // ---------------------------------------------------------------------
+
+  /** The weekly seasonality decomposition that pairs with q148's trend:
+    * per (segment, ISO day-of-week) order counts, exact-decimal
+    * revenue, and each weekday's share of its segment's total. Day
+    * numbering is the cross-engine trap: Spark's dayofweek is
+    * 1=Sunday while DuckDB's isodow is 1=Monday — q67's calendar
+    * pairing (weekday()+1 ⟷ isodow) is reused so both engines emit
+    * identical ISO numbers. One fact scan into a 5×7-bounded grid
+    * aggregate; the per-segment totals join back broadcast. */
+  private val q152 = QueryDef(
+    "q152_dow_seasonality",
+    "per-segment ISO day-of-week order/revenue profile with segment shares",
+    Some(s"""
+      WITH o AS (SELECT c_mktsegment AS segment,
+                        CAST(isodow(o_orderdate) AS INTEGER) AS dow,
+                        o_totalprice
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      g AS (SELECT segment, dow, COUNT(*) AS n_orders,
+                   ${dsumSql("o_totalprice")} AS revenue
+            FROM o GROUP BY segment, dow),
+      t AS (SELECT segment AS tseg, ${dsumSql("revenue")} AS total
+            FROM g GROUP BY segment)
+      SELECT segment, dow, n_orders, revenue,
+             ROUND(revenue / total, 6) + 0.0 AS rev_share
+      FROM g JOIN t ON segment = tseg
+      ORDER BY segment, dow"""),
+    (s, dir) => {
+      val g = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          (weekday(to_date(col("o_orderdate"))) + 1).cast("int").as("dow"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      val t = g.groupBy(col("segment").as("tseg")).agg(dsum(col("revenue")).as("total"))
+      g.join(broadcast(t), col("segment") === col("tseg"))
+        .select(col("segment"), col("dow"), col("n_orders"), col("revenue"),
+          (round(col("revenue") / col("total"), 6) + lit(0.0)).as("rev_share"))
+        .orderBy("segment", "dow")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142, q145, q148, q152)
 }

@@ -458,6 +458,15 @@ class PlanSpec extends AnyFunSuite {
       "per-order compare must stay an equi-join on the order key")
   }
 
+  test("q151: latest-wins rank pushes into WindowGroupLimit; deletes broadcast anti-join") {
+    val p = plan("q151_cdc_merge_compaction")
+    assert(p.contains("WindowGroupLimit"),
+      "rn = 1 must stop each key group after one row")
+    assert(p.contains("BroadcastHashJoin") &&
+      ("LeftAnti".r.findFirstIn(p).isDefined),
+      "the delete key set must broadcast into an anti-join")
+  }
+
   test("q138/q139: boundary aggregates broadcast; no window operator anywhere") {
     Seq("q138_winsorized_segment_stats", "q139_zonemap_pruning_audit").foreach { q =>
       val p = plan(q)

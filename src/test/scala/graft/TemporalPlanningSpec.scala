@@ -358,6 +358,47 @@ class TemporalPlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q151
+
+  test("q151 CDC merge: accounting reconciles base, updates, and deletes exactly") {
+    import graft.functions.text
+    val rows = run("q151_cdc_merge_compaction").collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val hk = (p: String) => text.md5Hash60(concat(lit(p), col("doc_id").cast("string")))
+    val nDel = docs.filter(hk("del:") % 50L === 0L).count()
+    val expectedFinal = nDocs - nDel
+    assert(rows.map(_.getAs[Long]("n_final")).sum == expectedFinal,
+      "latest-wins keeps one row per key; deletes remove exactly the kill set")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_from_v2") <= r.getAs[Long]("n_final"))
+      assert(r.getAs[Long]("n_delete_requests") == nDel)
+    }
+    // v2 survivors = updated docs not deleted
+    val nUpdSurvive = docs
+      .filter(hk("upd:") % 10L === 0L && !(hk("del:") % 50L === 0L)).count()
+    assert(rows.map(_.getAs[Long]("n_from_v2")).sum == nUpdSurvive,
+      "every surviving updated doc must come from version 2")
+  }
+
+  // ----------------------------------------------------------------- q152
+
+  test("q152 seasonality shares sum to 1 per segment over the observed weekdays") {
+    val rows = run("q152_dow_seasonality").collect()
+    assert(rows.nonEmpty)
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dow"); assert(d >= 1 && d <= 7, s"ISO dow $d")
+    }
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (seg, rs) =>
+      val share = rs.map(_.getAs[Double]("rev_share")).sum
+      assert(math.abs(share - 1.0) < 1e-4 * rs.length,
+        s"$seg weekday shares must sum to 1, got $share")
+    }
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
