@@ -467,6 +467,19 @@ class PlanSpec extends AnyFunSuite {
       "the delete key set must broadcast into an anti-join")
   }
 
+  test("engine-wide: every query plans, and no plan contains a CartesianProduct") {
+    // The one physical operator with no at-scale excuse. The declared
+    // all-pairs yardsticks (q22/q34/q60) express their pair scans as
+    // broadcast nested-loop joins over a bounded side — a true
+    // CartesianProductExec appearing anywhere means a join lost its
+    // condition or a cross join grew two unbounded sides.
+    val offenders = SparkEntry.all.flatMap { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("q138/q139: boundary aggregates broadcast; no window operator anywhere") {
     Seq("q138_winsorized_segment_stats", "q139_zonemap_pruning_audit").foreach { q =>
       val p = plan(q)
