@@ -152,10 +152,14 @@ class PropertySpec extends AnyFunSuite {
 
   private lazy val genDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_genev").toString
-    genEvents.toDF("event_id", "ts", "user_id", "event_type", "value")
+    genEvents.map(e => (e._1, e._2, e._3, e._4, e._5,
+        s"""{"k": ${(e._1 * 7) % 23}}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
+
+  private def genPropsK(eventId: Long): Long = (eventId * 7) % 23
 
   private def tsUsOf(e: (Long, Long, Long, String, Double)): Long = e._2 / 1000
   private def dayOf(tsUs: Long): Long = tsUs / 86400000000L
@@ -237,5 +241,53 @@ class PropertySpec extends AnyFunSuite {
       users.map(_._2).distinct.size.toLong)).toMap
     assert(rows == expected,
       s"rolling-active mismatch: ${rows.size} vs ${expected.size} cells")
+  }
+
+  test("q141 attribution == brute-force carried-campaign reference on generated histories") {
+    val rows = SparkEntry.queries("q141_last_touch_attribution")(spark, genDir)
+      .collect()
+      .map(r => r.getAs[Long]("campaign") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("attributed_revenue"))).toMap
+    // reference: walk each user's (ts, id)-sorted stream carrying the
+    // last click's campaign; attribute each purchase to the carry
+    val attributed = genEvents.groupBy(_._3).values.flatMap { es =>
+      val sorted = es.sortBy(e => (tsUsOf(e), e._1))
+      var carry: Option[Long] = None
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase") Some(carry.getOrElse(-1L) -> e._5) else None
+        if (e._4 == "click") carry = Some(genPropsK(e._1) % 5)
+        out
+      }
+    }.toSeq
+    val expected = attributed.groupBy(_._1).map { case (c, vs) =>
+      val sum = vs.map(v => BigDecimal(v._2).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      c -> (vs.size.toLong, sum)
+    }
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (c, (n, rev)) =>
+      assert(rows(c)._1 == n, s"campaign $c purchase count")
+      assert(math.abs(rows(c)._2 - rev) < 1e-9, s"campaign $c revenue")
+    }
+  }
+
+  test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
+    val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
+      .collect()
+      .map(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    val pairs = genEvents.groupBy(_._3).values.flatMap { es =>
+      val sorted = es.sortBy(e => (tsUsOf(e), e._1)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.toSeq
+    val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val curTotals = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(rows.keySet == counts.keySet)
+    counts.foreach { case (k, n) =>
+      assert(rows(k)._1 == n, s"transition $k count")
+      val p = BigDecimal(n.toDouble / curTotals(k._1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rows(k)._2 - p) < 1e-9, s"transition $k probability")
+    }
   }
 }
