@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Typed event record for the streaming API (mirrors the events table;
   * ts is an epoch-µs long exactly like Tables.events.ts_us). */
@@ -27,6 +28,14 @@ final case class PitState(n_clicks: Long, n_views: Long, n_events: Long,
 /** One point-in-time feature row emitted at a purchase (label) event. */
 final case class PitFeature(event_id: Long, user_id: Long, prior_clicks: Long,
     prior_views: Long, prior_events: Long, last_val: Option[Double])
+
+/** One closed day in the anomaly monitor's trailing baseline. */
+final case class DayCount(day: Long, n: Long)
+
+/** A closed day's anomaly verdict (day = epoch day; z NULL during
+  * warm-up / zero-variance baselines, exactly like batch q120). */
+final case class DayAnomaly(event_type: String, day: Long, n: Long,
+    baseline_mean: Option[Double], z: Option[Double], anomaly: Int)
 
 /** Structured Streaming surface (SURVEY.md §2.8): the same event-time
   * semantics as the batch EventTime operators, expressed on unbounded
@@ -200,6 +209,81 @@ object EventStream {
       running.update(next)
       Iterator.single(next)
     }
+  }
+
+  /** The ONLINE form of batch q120's daily volume anomaly monitor, and
+    * the showcase for transformWithState's MULTIPLE NAMED STATE
+    * VARIABLES — the capability the v1 API can only fake by packing one
+    * case class: per event_type, a `MapState[day, count]` accumulates
+    * the open (not-yet-watermark-closed) days, and a `ListState
+    * [DayCount]` carries the trailing ≤ 7 CLOSED days that form the
+    * z-score baseline. When the watermark passes a day's end (+1 day
+    * allowed lateness, mirroring the batch job's daily grain), the day
+    * closes in ascending order: its z is computed from the tail with
+    * EXACTLY the batch arithmetic (cnt==7 gate, integer Σn/Σn², the
+    * same IEEE expression order, 4-dp round), the row is emitted, the
+    * tail advances, and the map entry is evicted — so state is O(open
+    * days + 7) per type, bounded by the watermark horizon. StreamingSpec
+    * replays the fixture chronologically and asserts every emitted
+    * verdict equals batch q120's row for that (type, day) — the
+    * monitor a pipeline runs continuously, proved consistent with the
+    * one it runs in backfill. */
+  class DailyAnomalyProcessor
+      extends StatefulProcessor[String, Event, DayAnomaly] {
+    @transient private var open: MapState[Long, Long] = _
+    @transient private var tail: ListState[DayCount] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getMapState[Long, Long]("open",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      tail = getHandle.getListState[DayCount]("tail",
+        org.apache.spark.sql.Encoders.product[DayCount], TTLConfig.NONE)
+    }
+    private def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[DayAnomaly] = {
+      rows.foreach { e =>
+        val day = e.ts_us / 86400000000L
+        val cur = if (open.containsKey(day)) open.getValue(day) else 0L
+        open.updateValue(day, cur + 1)
+      }
+      // a day closes when the watermark passes its end plus one day of
+      // allowed lateness (the daily-grain analog of the 1-hour horizons
+      // the other operators use)
+      val wmDay = timerValues.getCurrentWatermarkInMs() / 86400000L - 1
+      val closing = open.keys().filter(_ < wmDay).toSeq.sorted
+      val out = Seq.newBuilder[DayAnomaly]
+      closing.foreach { day =>
+        val n = open.getValue(day)
+        val t = tail.get().toSeq
+        val cnt = t.length
+        val s1 = t.map(_.n).sum
+        val s2 = t.map(d => d.n * d.n).sum
+        val z = if (cnt == 7 && s2 * cnt > s1 * s1)
+          Some(round4((n - s1.toDouble / cnt) /
+            math.sqrt((s2.toDouble - s1.toDouble * s1 / cnt) / cnt)))
+        else None
+        out += DayAnomaly(key, day, n,
+          if (cnt > 0) Some(round4(s1.toDouble / cnt)) else None,
+          z, if (z.exists(v => math.abs(v) >= 2.0)) 1 else 0)
+        tail.put((t :+ DayCount(day, n)).takeRight(7).toArray)
+        open.removeKey(day)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** [[DailyAnomalyProcessor]] wired to a watermarked typed stream. */
+  def dailyAnomalies(events: Dataset[Event]): Dataset[DayAnomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .as[Event]
+      .groupByKey(_.event_type)
+      .transformWithState(new DailyAnomalyProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** The v2-API twin of [[runningUserCounts]]; requires the RocksDB

@@ -222,6 +222,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily anomaly monitor (MapState + ListState) matches batch q120 per closed day") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val chunks = ev.grouped((ev.size + 3) / 4).toSeq
+      val stream = MemoryStream[Event]
+      val q = EventStream.dailyAnomalies(stream.toDS())
+        .writeStream.format("memory").queryName("anomaly_parity")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+        // two far-future sentinel rounds per type: the first advances the
+        // global watermark past every real day (Spark applies a batch's
+        // watermark in the NEXT batch), the second gives each key an
+        // input so its handleInputRows runs under that watermark and
+        // closes its remaining days; the sentinel days themselves never
+        // close and are never emitted
+        val types = ev.map(_.event_type).distinct
+        val far = ev.map(_.ts_us).max + 10L * 86400000000L
+        types.zipWithIndex.foreach { case (t, i) =>
+          stream.addData(Seq(Event(9000000L + i, far, 0L, t, 0.0)))
+        }
+        q.processAllAvailable()
+        types.zipWithIndex.foreach { case (t, i) =>
+          stream.addData(Seq(Event(9100000L + i, far + 3600000000L, 0L, t, 0.0)))
+        }
+        q.processAllAvailable()
+        val streamed = spark.table("anomaly_parity").collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+            (r.getAs[Long]("n"),
+              Option(r.getAs[java.lang.Double]("baseline_mean")).map(_.doubleValue),
+              Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+              r.getAs[Int]("anomaly"))).toMap
+        val batch = SparkEntry.queries("q120_daily_volume_anomaly")(spark, sf)
+          .collect()
+          .map(r => (r.getAs[String]("event_type"),
+            r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay) ->
+            (r.getAs[Long]("n"),
+              Option(r.getAs[java.lang.Double]("baseline_mean")).map(_.doubleValue),
+              Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+              r.getAs[Int]("anomaly"))).toMap
+        assert(streamed.nonEmpty, "watermark must close at least some days")
+        // every day the stream closed must carry exactly the batch verdict
+        streamed.foreach { case (k, v) =>
+          assert(batch.contains(k), s"streamed day $k unknown to batch")
+          assert(batch(k) == v, s"verdict mismatch at $k: stream $v batch ${batch(k)}")
+        }
+        // coverage: the sentinel rounds close every real day
+        assert(streamed.size == batch.size,
+          s"closed ${streamed.size} of ${batch.size} batch days")
+      } finally q.stop()
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming query restarts from checkpoint without duplicating or losing output") {
     // Fault-tolerance posture (SURVEY §2.1 M10) demonstrated, not just
     // claimed: a parquet-sink stream is stopped mid-input and restarted
