@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Typed event record for the streaming API (mirrors the events table;
   * ts is an epoch-µs long exactly like Tables.events.ts_us). */
@@ -272,6 +272,86 @@ object EventStream {
       }
       out.result().iterator
     }
+  }
+
+  /** [[trackedSessions]] on the v2 API with REAL TIMERS: the open
+    * session lives in a named ValueState, and instead of
+    * mapGroupsWithState's single implicit timeout slot the processor
+    * `registerTimer`s the session's idle horizon explicitly (deleting
+    * the stale timer when new activity extends the session) and closes
+    * it in `handleExpiredTimer` when the watermark crosses — the v2
+    * timer surface (register/delete/expire) exercised end to end.
+    * Session semantics are IDENTICAL to the v1 operator (30-min gap,
+    * signup closes immediately); StreamingSpec replays the same input
+    * through both and asserts equal closed-session sets. */
+  class SessionTimerProcessor
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var open: ValueState[SessionState] = _
+    private val gapUs = 30L * 60 * 1000000
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionState]("open",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val closed = Seq.newBuilder[ClosedSession]
+      var cur = Option(open.get())
+      def dropTimer(): Unit =
+        cur.foreach(s => getHandle.deleteTimer(s.last_us / 1000 + gapUs / 1000))
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.last_us > gapUs =>
+            closed += ClosedSession(key, s.start_us, s.last_us, s.n_events)
+            dropTimer()
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case Some(s) =>
+            dropTimer()
+            cur = Some(SessionState(s.start_us, e.ts_us, s.n_events + 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+        if (e.event_type == "signup") {
+          cur.foreach(s =>
+            closed += ClosedSession(key, s.start_us, s.last_us, s.n_events))
+          dropTimer()
+          cur = None
+        }
+      }
+      cur match {
+        case Some(s) =>
+          open.update(s)
+          getHandle.registerTimer(math.max(s.last_us / 1000 + gapUs / 1000,
+            timerValues.getCurrentWatermarkInMs() + 1))
+        case None => open.clear()
+      }
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+      Option(open.get()) match {
+        // staleness guard: a timer registered before the session was
+        // extended carries an expiry below the CURRENT idle horizon —
+        // ignore it (the extension registered the live timer); a
+        // watermark-clamped timer at-or-past the horizon is legitimate
+        case Some(s)
+            if expiredTimerInfo.getExpiryTimeInMs >=
+              s.last_us / 1000 + gapUs / 1000 =>
+          open.clear()
+          Iterator.single(ClosedSession(key, s.start_us, s.last_us, s.n_events))
+        case _ => Iterator.empty
+      }
+  }
+
+  /** [[SessionTimerProcessor]] wired like [[trackedSessions]]. */
+  def trackedSessionsV2(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** [[DailyAnomalyProcessor]] wired to a watermarked typed stream. */

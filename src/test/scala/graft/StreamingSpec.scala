@@ -286,6 +286,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 timer-based session tracker closes the same sessions as the v1 operator") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // fixture slice: enough history for multi-session users, gaps, and
+      // signup-forced closes; fed in two triggers so timers genuinely
+      // carry state and fire across batches, then a far-future flush row
+      // per user set so every remaining timer expires
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val far = ev.map(_.ts_us).max + 10L * 86400000000L
+      val flush1 = Seq(Event(9990000L, far, -1L, "click", 0.0))
+      val flush2 = Seq(Event(9990001L, far + 3600000000L, -1L, "click", 0.0))
+      def drive(make: org.apache.spark.sql.Dataset[Event] =>
+          org.apache.spark.sql.Dataset[graft.streaming.ClosedSession],
+          name: String) = {
+        val stream = MemoryStream[Event]
+        val q = make(stream.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          ev.grouped((ev.size + 1) / 2).foreach { c =>
+            stream.addData(c); q.processAllAvailable()
+          }
+          stream.addData(flush1); q.processAllAvailable()
+          stream.addData(flush2); q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+              r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+            .filter(_._1 >= 0).toSet // drop the flush user
+        } finally q.stop()
+      }
+      val v1 = drive(EventStream.trackedSessions, "sess_v1")
+      val v2 = drive(EventStream.trackedSessionsV2, "sess_v2")
+      assert(v1.nonEmpty)
+      assert(v2 == v1,
+        s"v2 timers closed ${v2.size} sessions vs v1's ${v1.size}")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming query restarts from checkpoint without duplicating or losing output") {
     // Fault-tolerance posture (SURVEY §2.1 M10) demonstrated, not just
     // claimed: a parquet-sink stream is stopped mid-input and restarted
