@@ -271,6 +271,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q140 PIT features == brute-force strict-past walk on generated histories") {
+    val rows = SparkEntry.queries("q140_pit_feature_snapshot")(spark, genDir)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("prior_clicks"), r.getAs[Long]("prior_views"),
+          r.getAs[Long]("prior_events"),
+          Option(r.getAs[java.lang.Double]("last_val")).map(_.doubleValue))).toMap
+    val expected = genEvents.groupBy(_._3).values.flatMap { es =>
+      val sorted = es.sortBy(e => (tsUsOf(e), e._1))
+      var pc = 0L; var pv = 0L; var pe = 0L; var last: Option[Double] = None
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase")
+          Some(e._1 -> ((pc, pv, pe, last))) else None
+        if (e._4 == "click") pc += 1
+        if (e._4 == "view") pv += 1
+        pe += 1; last = Some(e._5)
+        out
+      }
+    }.toMap
+    assert(rows == expected,
+      s"PIT mismatch: ${rows.size} vs ${expected.size} purchases")
+  }
+
+  test("q120 anomaly == brute-force trailing-7 reference on generated histories") {
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("q120_daily_volume_anomaly")(spark, genDir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay) ->
+        (r.getAs[Long]("n"),
+          Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+          r.getAs[Int]("anomaly"))).toMap
+    val expected = genEvents.groupBy(_._4).flatMap { case (t, es) =>
+      val daily = es.groupBy(e => dayOf(tsUsOf(e)))
+        .map { case (d, v) => (d, v.size.toLong) }.toSeq.sortBy(_._1)
+      daily.zipWithIndex.map { case ((d, n), i) =>
+        val w = daily.slice(math.max(0, i - 7), i)
+        val cnt = w.length; val s1 = w.map(_._2).sum
+        val s2 = w.map(x => x._2 * x._2).sum
+        val z = if (cnt == 7 && s2 * cnt > s1 * s1)
+          Some(round4((n - s1.toDouble / cnt) /
+            math.sqrt((s2.toDouble - s1.toDouble * s1 / cnt) / cnt)))
+        else None
+        (t, d) -> ((n, z, if (z.exists(v => math.abs(v) >= 2.0)) 1 else 0))
+      }
+    }
+    assert(rows == expected, "anomaly reference mismatch")
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()
