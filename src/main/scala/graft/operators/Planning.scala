@@ -164,8 +164,11 @@ object Planning {
     * is the "measure, don't guess" planning input — max_key_share is
     * what q134's salt count and AQE's skew threshold should be sized
     * from, and join_rows is the shuffle volume estimate. Each side
-    * collapses map-side to its degree table first, so the profiler costs
-    * two partial aggregates per edge regardless of join fan-out. */
+    * collapses map-side to its degree table first, and the side
+    * cardinalities come from the SAME tables (n = Σ degree — every row
+    * of a side is under exactly one key), so the profiler costs two
+    * partial aggregates per edge regardless of join fan-out, with no
+    * second scan of either input. */
   private val q136 = QueryDef(
     "q136_join_cardinality_profiler",
     "per-join-edge exact cardinality + worst-key share from degree tables",
@@ -189,20 +192,22 @@ object Planning {
                     CAST(MAX(dl * dr) AS BIGINT) AS max_key_rows
              FROM dl3 JOIN dr3 USING (k))
       SELECT 'events-customer' AS edge,
-             (SELECT COUNT(*) FROM events) AS n_left,
-             (SELECT COUNT(*) FROM customer) AS n_right,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl3) AS n_left,
+             (SELECT CAST(SUM(dr) AS BIGINT) FROM dr3) AS n_right,
              n_join_keys, join_rows, max_key_rows,
              ROUND(CAST(max_key_rows AS DOUBLE) / join_rows, 6) + 0.0 AS max_key_share
       FROM j3
       UNION ALL
       SELECT 'lineitem-orders',
-             (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM orders),
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl1),
+             (SELECT CAST(SUM(dr) AS BIGINT) FROM dr1),
              n_join_keys, join_rows, max_key_rows,
              ROUND(CAST(max_key_rows AS DOUBLE) / join_rows, 6) + 0.0
       FROM j1
       UNION ALL
       SELECT 'orders-customer',
-             (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM customer),
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl2),
+             (SELECT CAST(SUM(dr) AS BIGINT) FROM dr2),
              n_join_keys, join_rows, max_key_rows,
              ROUND(CAST(max_key_rows AS DOUBLE) / join_rows, 6) + 0.0
       FROM j2
@@ -216,8 +221,10 @@ object Planning {
           .select((col("dl") * col("dr")).as("out"))
           .agg(count(lit(1)).as("n_join_keys"), sum("out").as("join_rows"),
             max("out").as("max_key_rows"))
-        j.crossJoin(l.agg(count(lit(1)).as("n_left")))
-          .crossJoin(r.agg(count(lit(1)).as("n_right")))
+        // side cardinalities from the degree tables themselves (n = Σd) —
+        // no second scan of either input
+        j.crossJoin(dl.agg(sum("dl").as("n_left")))
+          .crossJoin(dr.agg(sum("dr").as("n_right")))
           .select(lit(name).as("edge"), col("n_left"), col("n_right"),
             col("n_join_keys"), col("join_rows"), col("max_key_rows"),
             (round(col("max_key_rows").cast("double") / col("join_rows"), 6)
@@ -538,16 +545,9 @@ object Planning {
         .join(conv, col("c_custkey") === col("user_id"), "left")
         .select(coalesce(col("s"), lit(0.0)).as("spend"),
           col("user_id").isNotNull.as("is_conv"))
-      val b = d.agg(
-        round(expr("percentile(spend, 0.1)"), 4).as("b1"),
-        round(expr("percentile(spend, 0.2)"), 4).as("b2"),
-        round(expr("percentile(spend, 0.3)"), 4).as("b3"),
-        round(expr("percentile(spend, 0.4)"), 4).as("b4"),
-        round(expr("percentile(spend, 0.5)"), 4).as("b5"),
-        round(expr("percentile(spend, 0.6)"), 4).as("b6"),
-        round(expr("percentile(spend, 0.7)"), 4).as("b7"),
-        round(expr("percentile(spend, 0.8)"), 4).as("b8"),
-        round(expr("percentile(spend, 0.9)"), 4).as("b9"))
+      val bexprs = (1 to 9).map(i =>
+        round(expr(s"percentile(spend, 0.$i)"), 4).as(s"b$i"))
+      val b = d.agg(bexprs.head, bexprs.tail: _*)
       val dd = d.crossJoin(broadcast(b))
         .select(col("is_conv"),
           (1 to 9).map(i => when(col("spend") > col(s"b$i"), 1).otherwise(0))
@@ -721,8 +721,7 @@ object Planning {
                AS n_top80,
              ROUND(CAST(COUNT(CASE WHEN cum - rev < 0.8 * total THEN 1 END)
                         AS DOUBLE) / t.n_customers, 6) + 0.0 AS frac_top80,
-             ROUND(CAST(SUM(CASE WHEN rnk <= (t.n_customers + 9) // 10
-                                 THEN rev ELSE 0.0 END) AS DOUBLE)
+             ROUND(${dsumSql("CASE WHEN rnk <= (t.n_customers + 9) // 10 THEN rev ELSE 0.0 END")}
                    / total, 6) + 0.0 AS share_top10pct
       FROM r JOIN t ON rseg = t.segment
       GROUP BY rseg, t.n_customers, t.total
@@ -745,7 +744,9 @@ object Planning {
         .agg(
           count(when(col("cum") - col("rev") < lit(0.8) * col("total"), 1))
             .as("n_top80"),
-          sum(when(col("rnk") <= expr("(n_customers + 9) div 10"), col("rev"))
+          // decimal-exact like every other unordered sum (the sequential
+          // cum window above is order-fixed; this aggregate is not)
+          dsum(when(col("rnk") <= expr("(n_customers + 9) div 10"), col("rev"))
             .otherwise(0.0)).as("top10rev"))
         .select(col("segment"), col("n_customers"), col("n_top80"),
           (round(col("n_top80").cast("double") / col("n_customers"), 6)

@@ -241,17 +241,13 @@ object EventStream {
     }
     private def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-    override def handleInputRows(key: String, rows: Iterator[Event],
-        timerValues: TimerValues): Iterator[DayAnomaly] = {
-      rows.foreach { e =>
-        val day = e.ts_us / 86400000000L
-        val cur = if (open.containsKey(day)) open.getValue(day) else 0L
-        open.updateValue(day, cur + 1)
-      }
-      // a day closes when the watermark passes its end plus one day of
-      // allowed lateness (the daily-grain analog of the 1-hour horizons
-      // the other operators use)
-      val wmDay = timerValues.getCurrentWatermarkInMs() / 86400000L - 1
+    /** Close every open day the watermark has passed (its end plus one
+      * day of allowed lateness — the daily-grain analog of the 1-hour
+      * horizons the other operators use), ascending. Idempotent: closed
+      * days leave the map, so the input path and the timer path can both
+      * call this without double-emitting. */
+    private def closeDays(key: String, watermarkMs: Long): Iterator[DayAnomaly] = {
+      val wmDay = watermarkMs / 86400000L - 1
       val closing = open.keys().filter(_ < wmDay).toSeq.sorted
       val out = Seq.newBuilder[DayAnomaly]
       closing.foreach { day =>
@@ -272,6 +268,26 @@ object EventStream {
       }
       out.result().iterator
     }
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[DayAnomaly] = {
+      rows.foreach { e =>
+        val day = e.ts_us / 86400000000L
+        val cur = if (open.containsKey(day)) open.getValue(day) else 0L
+        // first event of a day registers its closure timer, so the day
+        // closes when the WATERMARK passes — even if this type never
+        // receives another event (a per-key input would otherwise be the
+        // only close trigger, and a quiet type would hold its verdicts
+        // forever); the clamp keeps an already-passed horizon legal
+        if (cur == 0L)
+          getHandle.registerTimer(math.max((day + 2) * 86400000L,
+            timerValues.getCurrentWatermarkInMs() + 1))
+        open.updateValue(day, cur + 1)
+      }
+      closeDays(key, timerValues.getCurrentWatermarkInMs())
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[DayAnomaly] =
+      closeDays(key, timerValues.getCurrentWatermarkInMs())
   }
 
   /** [[trackedSessions]] on the v2 API with REAL TIMERS: the open

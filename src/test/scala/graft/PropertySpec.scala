@@ -172,8 +172,7 @@ class PropertySpec extends AnyFunSuite {
     var ns = 0L; var nv = 0L; var np = 0L
     byUser.values.foreach { es =>
       val sorted = es.sortBy(e => (tsUsOf(e), e._1))
-      val su = sorted.collectFirst { case e if e._4 == "signup" => tsUsOf(e) }
-        .map(_ => sorted.filter(_._4 == "signup").map(tsUsOf).min)
+      val su = sorted.filter(_._4 == "signup").map(tsUsOf).minOption
       su.foreach { s =>
         ns += 1
         val vu = sorted.filter(e => e._4 == "view" && tsUsOf(e) > s)

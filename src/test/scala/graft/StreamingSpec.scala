@@ -240,21 +240,17 @@ class StreamingSpec extends AnyFunSuite {
         .outputMode(OutputMode.Append()).start()
       try {
         chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
-        // two far-future sentinel rounds per type: the first advances the
+        // two single-event far-future sentinels: the first advances the
         // global watermark past every real day (Spark applies a batch's
-        // watermark in the NEXT batch), the second gives each key an
-        // input so its handleInputRows runs under that watermark and
-        // closes its remaining days; the sentinel days themselves never
-        // close and are never emitted
-        val types = ev.map(_.event_type).distinct
+        // watermark in the NEXT batch), the second runs a batch under it
+        // — each type's registered day timers then fire WITHOUT that
+        // type receiving any input, which is exactly what the timer
+        // design exists for; the sentinel's own far-future day never
+        // closes and is never emitted
         val far = ev.map(_.ts_us).max + 10L * 86400000000L
-        types.zipWithIndex.foreach { case (t, i) =>
-          stream.addData(Seq(Event(9000000L + i, far, 0L, t, 0.0)))
-        }
+        stream.addData(Seq(Event(9000000L, far, 0L, "click", 0.0)))
         q.processAllAvailable()
-        types.zipWithIndex.foreach { case (t, i) =>
-          stream.addData(Seq(Event(9100000L + i, far + 3600000000L, 0L, t, 0.0)))
-        }
+        stream.addData(Seq(Event(9000001L, far + 3600000000L, 0L, "click", 0.0)))
         q.processAllAvailable()
         val streamed = spark.table("anomaly_parity").collect()
           .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
