@@ -453,5 +453,60 @@ object Temporal {
         .orderBy("segment", "dow")
     })
 
-  def defs: Seq[QueryDef] = Seq(q132, q133, q140, q141, q142, q145, q148, q152)
+  // ---------------------------------------------------------------------
+  // q153 — watermark lateness audit (out-of-orderness profile)
+  // ---------------------------------------------------------------------
+
+  /** How out-of-order is the event stream, and what watermark delay
+    * would each horizon drop? Arrival order is the ingest sequence
+    * (event_id); an event is LATE for delay d when some earlier-arriving
+    * event of its type already carried an event time more than d ahead
+    * (strict-past running max — the q140 frame, so an event never
+    * classifies itself). Reported per type: late counts at 1-minute /
+    * 1-hour / 1-day horizons plus the worst observed disorder — exactly
+    * the numbers that size `withWatermark` for the streaming twins of
+    * these operators (EventStream picks 1 hour; this query is the
+    * evidence). All-integer µs arithmetic; the window partitions by
+    * event_type (bounded keys, q120's shape) — the per-partition
+    * running max is the only state, the same O(1)-per-row shape the
+    * streaming engine itself uses to track the watermark. */
+  private val q153 = QueryDef(
+    "q153_watermark_lateness_audit",
+    "per-type late-event counts at 1m/1h/1d watermark horizons + max disorder",
+    Some("""
+      WITH a AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+      w AS (SELECT event_type, ts_us,
+                   MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prevmax
+            FROM a)
+      SELECT event_type, COUNT(*) AS n_events,
+             COUNT(CASE WHEN ts_us < prevmax - 60000000 THEN 1 END) AS n_late_1m,
+             COUNT(CASE WHEN ts_us < prevmax - 3600000000 THEN 1 END) AS n_late_1h,
+             COUNT(CASE WHEN ts_us < prevmax - 86400000000 THEN 1 END) AS n_late_1d,
+             CAST(COALESCE(MAX(CASE WHEN prevmax > ts_us
+                                    THEN (prevmax - ts_us) // 1000000 END), 0)
+                  AS BIGINT) AS max_late_s
+      FROM w GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      val wp = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts_us"))
+        .withColumn("prevmax", max(col("ts_us")).over(wp))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("ts_us") < col("prevmax") - 60000000L, 1))
+            .as("n_late_1m"),
+          count(when(col("ts_us") < col("prevmax") - 3600000000L, 1))
+            .as("n_late_1h"),
+          count(when(col("ts_us") < col("prevmax") - 86400000000L, 1))
+            .as("n_late_1d"),
+          coalesce(max(when(col("prevmax") > col("ts_us"),
+            expr("(prevmax - ts_us) div 1000000"))), lit(0L)).as("max_late_s"))
+        .orderBy("event_type")
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153)
 }

@@ -320,6 +320,36 @@ class PropertySpec extends AnyFunSuite {
     assert(rows == expected, "anomaly reference mismatch")
   }
 
+  test("q153 lateness audit == brute-force disorder walk on generated histories") {
+    // the generated stream has RANDOM event times against sequential
+    // ingest ids — heavy disorder, the case the fixture (fully in-order)
+    // cannot exercise
+    val rows = SparkEntry.queries("q153_watermark_lateness_audit")(spark, genDir)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_late_1m"), r.getAs[Long]("n_late_1h"),
+          r.getAs[Long]("n_late_1d"), r.getAs[Long]("max_late_s"))).toMap
+    val expected = genEvents.groupBy(_._4).map { case (t, es) =>
+      val arr = es.sortBy(_._1) // ingest order
+      var runmax = Long.MinValue
+      var l1m = 0L; var l1h = 0L; var l1d = 0L; var mx = 0L
+      arr.foreach { e =>
+        val ts = tsUsOf(e)
+        if (runmax != Long.MinValue) {
+          if (ts < runmax - 60000000L) l1m += 1
+          if (ts < runmax - 3600000000L) l1h += 1
+          if (ts < runmax - 86400000000L) l1d += 1
+          if (runmax > ts) mx = math.max(mx, (runmax - ts) / 1000000L)
+        }
+        runmax = math.max(runmax, ts)
+      }
+      t -> ((l1m, l1h, l1d, mx))
+    }
+    assert(rows == expected, "disorder reference mismatch")
+    assert(expected.values.exists(_._1 > 0),
+      "generated stream must actually contain late events")
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()

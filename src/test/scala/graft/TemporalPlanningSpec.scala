@@ -399,6 +399,27 @@ class TemporalPlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q153
+
+  test("q153 lateness horizons nest and agree with the max-disorder bound") {
+    val rows = run("q153_watermark_lateness_audit").collect()
+    assert(rows.nonEmpty)
+    val events = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events)
+    rows.foreach { r =>
+      val m1 = r.getAs[Long]("n_late_1m"); val h1 = r.getAs[Long]("n_late_1h")
+      val d1 = r.getAs[Long]("n_late_1d"); val mx = r.getAs[Long]("max_late_s")
+      assert(d1 <= h1 && h1 <= m1, "a longer horizon can only drop fewer events")
+      assert(m1 < r.getAs[Long]("n_events"))
+      // counts and the worst disorder must tell the same story
+      if (mx <= 60) assert(m1 == 0, "no event later than 1m, yet n_late_1m > 0")
+      if (m1 > 0) assert(mx > 60)
+      // (the fixture's ingest order IS its event-time order — all-zero
+      // lateness here; the generated-history PropertySpec reference
+      // exercises the disordered case)
+    }
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
