@@ -884,6 +884,67 @@ object Planning {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q154 — Pareto skyline (multi-objective dominance)
+  // ---------------------------------------------------------------------
+
+  /** The skyline of parts under (lower price better, larger size
+    * better): a part survives iff no other part is at most as expensive
+    * AND at least as large with one strict — the multi-objective
+    * shortlist operator. In 2D the skyline falls out of ONE ordered
+    * pass: a part survives iff its size beats the running max size over
+    * all STRICTLY cheaper parts and it tops its own price group. The
+    * naive form is a global window over the price domain (fact-sized —
+    * the single-partition scale killer); executed here is the CHUNKED
+    * form (q74/q80 discipline): static price buckets (floor(price/10))
+    * give a partition-parallel local strict-past max, the per-bucket
+    * maxima collapse to a bucket-count-sized table whose own prefix max
+    * broadcasts back, and prevmax = max(local, earlier-bucket) — the
+    * heavy window partitions by bucket (plan-asserted), only the tiny
+    * bucket table sees an unpartitioned window. The ORACLE runs the
+    * simple global-window definition, so the hash gate proves the
+    * chunked decomposition equals it bit-for-bit. */
+  private val q154 = QueryDef(
+    "q154_pareto_skyline",
+    "price/size Pareto front via chunked strict-past running max",
+    Some("""
+      WITH g AS (SELECT p_retailprice AS price, MAX(p_size) AS msize
+                 FROM part GROUP BY 1),
+      r AS (SELECT price, msize,
+                   COALESCE(MAX(msize) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1) AS prevmax
+            FROM g)
+      SELECT p_partkey, p_retailprice, p_size
+      FROM part JOIN r ON p_retailprice = price
+      WHERE p_size = msize AND p_size > prevmax
+      ORDER BY p_retailprice, p_partkey"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.part(s, dir)
+        .groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("msize"))
+        .withColumn("bkt", floor(col("price") / 10).cast("long"))
+      val wLocal = Window.partitionBy("bkt").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val loc = g.withColumn("lprev", max(col("msize")).over(wLocal))
+      val wB = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bprev = g.groupBy("bkt").agg(max(col("msize")).as("bmsize"))
+        .withColumn("bprev", max(col("bmsize")).over(wB))
+        .select(col("bkt").as("jbkt"), col("bprev"))
+      val r = loc.join(broadcast(bprev), col("bkt") === col("jbkt"))
+        .select(col("price"), col("msize"),
+          greatest(coalesce(col("lprev"), lit(-1)),
+            coalesce(col("bprev"), lit(-1))).as("prevmax"))
+      Tables.part(s, dir)
+        .join(r, col("p_retailprice") === col("price"))
+        .filter(col("p_size") === col("msize") && col("p_size") > col("prevmax"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_retailprice", "p_partkey")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150, q151)
+    Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
+      q151, q154)
 }

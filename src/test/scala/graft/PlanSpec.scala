@@ -480,6 +480,15 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("q154: the heavy skyline window partitions by price bucket") {
+    val p = plan("q154_pareto_skyline")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.exists(_.contains("bkt")),
+      s"the per-price running max must be bucket-partitioned:\n${specs.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket-prefix table must broadcast back")
+  }
+
   test("q138/q139: boundary aggregates broadcast; no window operator anywhere") {
     Seq("q138_winsorized_segment_stats", "q139_zonemap_pruning_audit").foreach { q =>
       val p = plan(q)

@@ -420,6 +420,24 @@ class TemporalPlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q154
+
+  test("q154 skyline == brute-force O(n^2) dominance check") {
+    val sky = run("q154_pareto_skyline").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size"))).toSet
+    val parts = graft.sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size")))
+    def dominated(p: (Long, Double, Int)) = parts.exists(q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3))
+    val expected = parts.filterNot(dominated).toSet
+    assert(sky == expected,
+      s"skyline ${sky.size} != brute-force front ${expected.size}")
+    assert(sky.nonEmpty)
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
