@@ -507,6 +507,72 @@ object Temporal {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------------
+  // q155 — cohort LTV curve (cumulative revenue by cohort age)
+  // ---------------------------------------------------------------------
+
+  /** The lifetime-value curve behind q76's retention counts: customers
+    * cohorted by FIRST-order month, revenue aggregated per (cohort,
+    * month-age k) with explicit integer month arithmetic ((Δyear)·12 +
+    * Δmonth — no engine's months_between float semantics), then
+    * accumulated per cohort over k, with the cohort size alongside. The
+    * cumulative sum is a per-cohort ordered window over the bounded
+    * (cohort × age) grid — both engines add the same rounded cells in
+    * the same total order, the q149 sequential-sum argument; cohort
+    * sizes broadcast back. The per-customer LTV ratio is deliberately
+    * NOT emitted: cum_rev/n_customers landed exactly on a 4-dp rounding
+    * boundary at sf0.1 (the q86/q143 class — the double's shortest
+    * decimal form sits on .5 while its exact binary value is below, and
+    * the engines' ROUNDs split), so the report carries the exact
+    * integer denominator instead and the division stays with the
+    * reader. Two hash aggregates + one bounded window: the
+    * marketing-facing curve at any scale. */
+  private val q155 = QueryDef(
+    "q155_cohort_ltv_curve",
+    "per-cohort cumulative revenue by month age + LTV per customer",
+    Some(s"""
+      WITH fo AS (SELECT o_custkey AS cust,
+                         MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cm
+                  FROM orders GROUP BY 1),
+      o AS (SELECT cm AS cohort,
+                   CAST((year(o_orderdate) - year(cm)) * 12
+                        + (month(o_orderdate) - month(cm)) AS BIGINT) AS k,
+                   o_totalprice
+            FROM orders JOIN fo ON o_custkey = cust),
+      g AS (SELECT cohort, k, COUNT(*) AS n_orders,
+                   ${dsumSql("o_totalprice")} AS rev
+            FROM o GROUP BY 1, 2),
+      cs AS (SELECT cm AS ccoh, COUNT(*) AS n_customers FROM fo GROUP BY 1),
+      r AS (SELECT cohort, k, n_orders, rev,
+                   ROUND(SUM(rev) OVER (PARTITION BY cohort ORDER BY k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         4) + 0.0 AS cum_rev
+            FROM g)
+      SELECT cohort, k, n_orders, rev, cum_rev, n_customers
+      FROM r JOIN cs ON cohort = ccoh
+      ORDER BY cohort, k"""),
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val fo = orders.groupBy(col("o_custkey").as("cust"))
+        .agg(min(trunc(to_date(col("o_orderdate")), "MM")).as("cm"))
+      val o = orders.join(fo, col("o_custkey") === col("cust"))
+        .select(col("cm").as("cohort"),
+          ((year(to_date(col("o_orderdate"))) - year(col("cm"))) * 12
+            + (month(to_date(col("o_orderdate"))) - month(col("cm"))))
+            .cast("long").as("k"),
+          col("o_totalprice"))
+      val g = o.groupBy("cohort", "k")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+      val cs = fo.groupBy(col("cm").as("ccoh")).agg(count(lit(1)).as("n_customers"))
+      val w = Window.partitionBy("cohort").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum_rev", round(sum(col("rev")).over(w), 4) + lit(0.0))
+        .join(broadcast(cs), col("cohort") === col("ccoh"))
+        .select(col("cohort"), col("k"), col("n_orders"), col("rev"),
+          col("cum_rev"), col("n_customers"))
+        .orderBy("cohort", "k")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153)
+    Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155)
 }

@@ -68,7 +68,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q148_revenue_trend_ols", // decimal moment sums + near-cancelling slope
     "q149_pareto_revenue_coverage", // desc-rank ties + sequential cumsum
     "q150_revenue_reconciliation_audit", // decimal line sums + percentile of ratios
-    "q151_cdc_merge_compaction") // hash slices + version-rank ties + anti-join
+    "q151_cdc_merge_compaction", // hash slices + version-rank ties + anti-join
+    "q155_cohort_ltv_curve") // sequential cum over rounded decimal cells
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

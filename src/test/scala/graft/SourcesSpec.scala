@@ -71,6 +71,25 @@ class SourcesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("schema evolution: mergeSchema unions parquet generations, old rows null-extend") {
+    // v1 files carry 3 columns, v2 adds a fourth — the additive-evolution
+    // case a long-lived corpus hits on every schema bump; mergeSchema
+    // reconciles the footers and v1 rows surface NULL for the new column
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "click", 1.5)).toDF("event_id", "event_type", "value")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "view", 2.5, "mobile"))
+      .toDF("event_id", "event_type", "value", "device")
+      .write.mode("append").parquet(dir)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("event_id", "event_type", "value", "device"))
+    val rows = df.orderBy("event_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("device")),
+      "pre-evolution rows must null-extend, not fail")
+    assert(rows(1).getAs[String]("device") == "mobile")
+  }
+
   test("MV publish recovers from a stale target dir without _SUCCESS") {
     // Simulates a crash mid-publish (target dir exists, no _SUCCESS):
     // cached() must evict the garbage and publish a fresh view rather

@@ -438,6 +438,28 @@ class TemporalPlanningSpec extends AnyFunSuite {
     assert(sky.nonEmpty)
   }
 
+  // ----------------------------------------------------------------- q155
+
+  test("q155 LTV curve: cumulative monotone per cohort, orders and customers conserved") {
+    val rows = run("q155_cohort_ltv_curve").collect()
+    assert(rows.nonEmpty)
+    val orders = graft.sources.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort").toString).foreach { case (c, rs) =>
+      val byK = rs.sortBy(_.getAs[Long]("k"))
+      val cums = byK.map(_.getAs[Double]("cum_rev")).toSeq
+      assert(cums == cums.sorted, s"cohort $c cumulative revenue must be monotone")
+      assert(byK.head.getAs[Long]("k") == 0,
+        s"cohort $c must have revenue at age 0 (its own first order)")
+      assert(rs.map(_.getAs[Long]("n_customers")).distinct.size == 1)
+    }
+    // cohort sizes partition the customers that ever ordered
+    val ordering = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.groupBy(_.getAs[java.sql.Date]("cohort").toString)
+      .map(_._2.head.getAs[Long]("n_customers")).sum == ordering)
+  }
+
   // ----------------------------------------------------------------- q139
 
   test("q139 zone-map audit: totals conserved and pruning monotone in the cutoff") {
