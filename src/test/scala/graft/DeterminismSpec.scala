@@ -69,6 +69,7 @@ class DeterminismSpec extends AnyFunSuite {
     "q149_pareto_revenue_coverage", // desc-rank ties + sequential cumsum
     "q150_revenue_reconciliation_audit", // decimal line sums + percentile of ratios
     "q151_cdc_merge_compaction", // hash slices + version-rank ties + anti-join
+    "q154_pareto_skyline", // float price groups + chunked running max
     "q155_cohort_ltv_curve") // sequential cum over rounded decimal cells
 
   hazards.foreach { name =>

@@ -135,7 +135,9 @@ class SourcesSpec extends AnyFunSuite {
       // window frames, chained whole-partition funnel minima, OLS
       // moment sums with near-cancelling differences
       "q134_salted_skew_join", "q140_pit_feature_snapshot",
-      "q145_sequential_funnel", "q148_revenue_trend_ols")
+      "q145_sequential_funnel", "q148_revenue_trend_ols",
+      // chunked skyline decomposition + per-cohort sequential cumsum
+      "q154_pareto_skyline", "q155_cohort_ltv_curve")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
