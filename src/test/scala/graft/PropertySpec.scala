@@ -242,6 +242,119 @@ class PropertySpec extends AnyFunSuite {
       s"rolling-active mismatch: ${rows.size} vs ${expected.size} cells")
   }
 
+  // --------------------------------------------------------------------
+  // Generated ORDERS fixture: the same discipline for the star-schema
+  // temporal operators (trend, seasonality, LTV) — random order dates
+  // and prices over 20 customers in 4 segments, written as parquet and
+  // run through the REAL query functions against Scala references that
+  // replicate the exact-decimal rounding semantics.
+  // --------------------------------------------------------------------
+
+  /** (orderkey, custkey, price, epochDay) with prices at 2-dp cents. */
+  private lazy val genOrders: Seq[(Long, Long, Double, Long)] = {
+    val rnd = new scala.util.Random(24681357)
+    val base = java.time.LocalDate.parse("1995-01-01").toEpochDay
+    (1 to 500).map { i =>
+      (i.toLong, (1 + rnd.nextInt(20)).toLong,
+        math.floor(rnd.nextDouble() * 1e7) / 100.0,
+        base + rnd.nextInt(300))
+    }
+  }
+
+  private lazy val genOrdersDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_genord").toString
+    genOrders.map { case (ok, ck, price, day) =>
+      (ok, ck, "O", price,
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDate.ofEpochDay(day).atStartOfDay()),
+        "3-MEDIUM")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1L to 20L).map(c =>
+        (c, s"Customer#$c", (c % 5).toInt, 100.0, s"SEG${c % 4}"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  private def dsumRef(xs: Seq[Double]): Double =
+    (xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) + 0.0
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  test("q148 OLS slope == closed-form reference on generated orders") {
+    val rows = SparkEntry.queries("q148_revenue_trend_ols")(spark, genOrdersDir)
+      .collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("slope_per_day"))).toMap
+    val baseDay = java.time.LocalDate.parse("1995-01-01").toEpochDay
+    val expected = genOrders.groupBy(o => s"SEG${o._2 % 4}").map { case (seg, os) =>
+      val daily = os.groupBy(_._4).map { case (d, v) =>
+        (d - baseDay, dsumRef(v.map(_._3)))
+      }.toSeq
+      val n = daily.length.toLong
+      val sx = daily.map(_._1).sum
+      val sxx = daily.map(d => d._1 * d._1).sum
+      val sy = dsumRef(daily.map(_._2))
+      val sxy = dsumRef(daily.map(d => d._1.toDouble * d._2))
+      val slope = round6((n * sxy - sx * sy)
+        / (n.toDouble * sxx - sx.toDouble * sx))
+      seg -> ((n, slope))
+    }
+    assert(rows == expected, "OLS reference mismatch")
+  }
+
+  test("q152 seasonality == brute-force ISO-dow reference on generated orders") {
+    val rows = SparkEntry.queries("q152_dow_seasonality")(spark, genOrdersDir)
+      .collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Int]("dow")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("rev_share"))).toMap
+    val expected = genOrders.groupBy(o => s"SEG${o._2 % 4}").flatMap {
+      case (seg, os) =>
+        val cells = os.groupBy(o =>
+          java.time.LocalDate.ofEpochDay(o._4).getDayOfWeek.getValue).map {
+          case (dow, v) => dow -> ((v.size.toLong, dsumRef(v.map(_._3))))
+        }
+        val total = dsumRef(cells.values.map(_._2).toSeq)
+        cells.map { case (dow, (n, rev)) =>
+          (seg, dow) -> ((n, round6(rev / total)))
+        }
+    }
+    assert(rows == expected, "seasonality reference mismatch")
+  }
+
+  test("q155 LTV curve == brute-force cohort walk on generated orders") {
+    val rows = SparkEntry.queries("q155_cohort_ltv_curve")(spark, genOrdersDir)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort").toLocalDate.toString,
+        r.getAs[Long]("k")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("cum_rev"),
+          r.getAs[Long]("n_customers"))).toMap
+    val firstMonth = genOrders.groupBy(_._2).map { case (c, os) =>
+      c -> os.map(o => java.time.LocalDate.ofEpochDay(o._4).withDayOfMonth(1)).min(
+        Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    }
+    val cohortSize = firstMonth.groupBy(_._2).map { case (m, v) => m -> v.size.toLong }
+    val expected = genOrders.groupBy(o => firstMonth(o._2)).flatMap {
+      case (cm, os) =>
+        val cells = os.groupBy { o =>
+          val d = java.time.LocalDate.ofEpochDay(o._4)
+          ((d.getYear - cm.getYear) * 12 + (d.getMonthValue - cm.getMonthValue)).toLong
+        }.map { case (k, v) => k -> ((v.size.toLong, dsumRef(v.map(_._3)))) }
+        var cum = 0.0
+        cells.toSeq.sortBy(_._1).map { case (k, (n, rev)) =>
+          cum += rev
+          val cumR = BigDecimal(cum).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+          (cm.toString, k) -> ((n, cumR, cohortSize(cm)))
+        }
+    }
+    assert(rows == expected, "LTV reference mismatch")
+  }
+
   test("q141 attribution == brute-force carried-campaign reference on generated histories") {
     val rows = SparkEntry.queries("q141_last_touch_attribution")(spark, genDir)
       .collect()
