@@ -176,34 +176,39 @@ object Curation {
   // q86 — deterministic weighted sample (Efraimidis–Spirakis by hash)
   // ---------------------------------------------------------------------
 
-  /** Weighted sampling without replacement, derandomized: the
-    * Efraimidis–Spirakis exponential-key trick (each record scores
-    * −ln(u)/w; the k smallest keys are a weight-proportional sample)
-    * with u drawn from the record's md5 hash instead of an RNG — the
-    * same reproducibility move as q57/q61, extended to BIASED sampling
-    * (here weight = document length, the "longer docs are worth more"
-    * curation heuristic; any per-doc quality score slots in). A pure
-    * per-row projection plus one top-k — no shuffle but the final
-    * TakeOrdered, identical on any partitioning at any scale. Keys are
-    * rounded to 6 dp (both engines' ln agree well past that) with
-    * doc_id as the total tiebreak. */
+  /** Weighted sampling without replacement, derandomized: sequential
+    * Poisson sampling (Ohlsson 1998) — each record scores u/w and the k
+    * smallest keys are a weight-proportional sample — with u drawn from
+    * the record's md5 hash instead of an RNG, the same reproducibility
+    * move as q57/q61 extended to BIASED sampling (here weight =
+    * document length, the "longer docs are worth more" curation
+    * heuristic; any per-doc quality score slots in). A pure per-row
+    * projection plus one top-k — no shuffle but the final TakeOrdered,
+    * identical on any partitioning at any scale. The key is EXACT
+    * cross-engine arithmetic: u/w = m / (1000001·w), one IEEE division
+    * of integers < 2^53 — correctly rounded by spec, hence bit-equal in
+    * Spark and DuckDB, with no libm call anywhere (this replaced an
+    * earlier Efraimidis–Spirakis −ln(u)/w key whose 6-dp-rounded libm
+    * ln was the engine's last documented 1-ulp parity risk). doc_id is
+    * the total tiebreak. */
   private val q86 = QueryDef(
     "q86_weighted_hash_sample",
-    "deterministic weighted sample: top-20 Efraimidis-Spirakis hash keys (w = n_chars)",
+    "deterministic weighted sample: top-20 sequential-Poisson hash keys (w = n_chars)",
     Some(s"""
       WITH k AS (SELECT doc_id, lang, n_chars,
-                        ROUND(-ln((CAST(${hkeySql("wsample:", "doc_id")} % 1000000
-                                        AS DOUBLE) + 1.0) / 1000001.0)
-                              / CAST(n_chars AS DOUBLE), 6) AS skey
+                        CAST(${hkeySql("wsample:", "doc_id")} % 1000000 + 1
+                             AS DOUBLE)
+                          / CAST(1000001 * n_chars AS DOUBLE) AS skey
                  FROM documents)
       SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rank,
              doc_id, lang, n_chars, skey
       FROM k ORDER BY skey, doc_id LIMIT 20"""),
     (s, dir) => {
-      val u = (hkey("wsample:", col("doc_id")) % 1000000L).cast("double") + 1.0
+      val m = (hkey("wsample:", col("doc_id")) % 1000000L) + lit(1L)
       val k = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          round(-log(u / 1000001.0) / col("n_chars").cast("double"), 6).as("skey"))
+          (m.cast("double") / (lit(1000001L) * col("n_chars")).cast("double"))
+            .as("skey"))
       k.withColumn("rank",
           row_number().over(Window.orderBy(col("skey"), col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"), col("skey"))
@@ -1711,25 +1716,25 @@ object Curation {
   // q131 — per-source weighted sample (the grouped scale form of q86)
   // ---------------------------------------------------------------------
 
-  /** q86's Efraimidis–Spirakis weighted sample taken PER SOURCE (top-5
-    * by the same md5-derived −ln(u)/w key, w = n_chars) — the shape a
+  /** q86's sequential-Poisson weighted sample taken PER SOURCE (top-5
+    * by the same md5-derived u/w key, w = n_chars) — the shape a
     * mixing pipeline actually runs: every source contributes its own
     * quality-weighted exemplars regardless of global key competition.
     * Where q86's global top-20 needs a single ordered partition at the
     * limit step, the per-source rank ≤ 5 predicate pushes into
     * WindowGroupLimit (q04/q115 discipline, plan-asserted) — each
     * source partition stops after 5 rows and nothing ever
-    * total-orders. Same key arithmetic as q86 (6-dp rounded, doc_id
-    * tiebreak), so determinism carries over verbatim; the documented
-    * libm-ln boundary risk is q86's, shared. */
+    * total-orders. Same key arithmetic as q86 (exact single-division
+    * key, doc_id tiebreak), so the bit-equal cross-engine parity
+    * argument carries over verbatim — no libm anywhere. */
   private val q131 = QueryDef(
     "q131_per_source_weighted_sample",
-    "top-5 Efraimidis-Spirakis weighted exemplars per source (WindowGroupLimit)",
+    "top-5 sequential-Poisson weighted exemplars per source (WindowGroupLimit)",
     Some(s"""
       WITH k AS (SELECT doc_id, source, n_chars,
-                        ROUND(-ln((CAST(${hkeySql("wsample:", "doc_id")} % 1000000
-                                        AS DOUBLE) + 1.0) / 1000001.0)
-                              / CAST(n_chars AS DOUBLE), 6) AS skey
+                        CAST(${hkeySql("wsample:", "doc_id")} % 1000000 + 1
+                             AS DOUBLE)
+                          / CAST(1000001 * n_chars AS DOUBLE) AS skey
                  FROM documents),
       r AS (SELECT source, doc_id, n_chars, skey,
                    CAST(row_number() OVER (PARTITION BY source
@@ -1738,10 +1743,11 @@ object Curation {
       SELECT source, rank, doc_id, n_chars, skey
       FROM r ORDER BY source, rank"""),
     (s, dir) => {
-      val u = (hkey("wsample:", col("doc_id")) % 1000000L).cast("double") + 1.0
+      val m = (hkey("wsample:", col("doc_id")) % 1000000L) + lit(1L)
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("n_chars"),
-          round(-log(u / 1000001.0) / col("n_chars").cast("double"), 6).as("skey"))
+          (m.cast("double") / (lit(1000001L) * col("n_chars")).cast("double"))
+            .as("skey"))
         .withColumn("rank", row_number().over(
           Window.partitionBy("source").orderBy(col("skey"), col("doc_id")))
           .cast("long"))

@@ -59,7 +59,7 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
     val keys = rows.map(_.getAs[Double]("skey")).toSeq
     assert(keys == keys.sorted, "rows must come back in key order")
-    // Efraimidis–Spirakis with w = n_chars must over-represent long docs:
+    // Sequential-Poisson u/w with w = n_chars must over-represent long docs:
     // the sample's mean length should beat the corpus mean.
     import org.apache.spark.sql.functions._
     val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
@@ -672,7 +672,7 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("skey")).toMap
     rows.foreach { r =>
       globalKeys.get(r.getAs[Long]("doc_id")).foreach(k =>
-        assert(k == r.getAs[Double]("skey"), "shared E-S key arithmetic"))
+        assert(k == r.getAs[Double]("skey"), "shared sequential-Poisson key arithmetic"))
     }
   }
 
