@@ -95,4 +95,15 @@ for name in sorted(oracle):
         passes.append(name)
 
 print(f"\n{len(passes)} passed, {len(fails)} failed" + (f": {fails}" if fails else ""))
+
+# Optional machine-readable snapshot for committed dual-scale artifacts:
+#   CHECK_JSON=/path/out.json python3 tools/check.py <sf> <out>
+jpath = __import__("os").environ.get("CHECK_JSON")
+if jpath:
+    with open(jpath, "w") as f:
+        json.dump({"sf_dir": sf, "verify_out": out,
+                   "n_pass": len(passes), "n_fail": len(fails),
+                   "failed": sorted(fails), "passed": sorted(passes)},
+                  f, indent=1, sort_keys=True)
+    print(f"wrote {jpath}")
 sys.exit(1 if fails else 0)
