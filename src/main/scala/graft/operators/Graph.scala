@@ -19,16 +19,30 @@ import graft.functions.text
   */
 object Graph {
 
-  /** 10 fixed iterations. The rank table is localCheckpoint'ed every 3
+  /** Deployment-aware lineage truncation for iterative operators:
+    * reliable `checkpoint()` when the context has a checkpoint dir
+    * configured (cluster deployments set one — survives executor loss
+    * and truncates the recovery lineage, not just the analyzer's),
+    * `localCheckpoint()` otherwise (local/test runs, where
+    * executor-local blocks are exactly as durable as the machine).
+    * Both are eager; the caller's arithmetic is exact integer, so the
+    * materialization point cannot change results. */
+  private[operators] def truncateLineage[T](
+      ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint()
+    else ds.localCheckpoint()
+
+  /** 10 fixed iterations. The rank table is lineage-truncated every 3
     * iterations: round 2 showed that leaving all 10 join+agg steps as
     * ONE lazy plan makes Catalyst analyze/optimize a 10-deep tree whose
     * cost dwarfs the (tiny) data — 10 s at sf0.1 for a 47-node graph.
     * Truncating lineage keeps each optimized plan 3 steps deep; the
     * arithmetic is exact integer, so materialization points cannot
     * change results. At 100 TB the edge table is hash-partitioned once,
-    * every step reuses that partitioning, and the checkpoint (cluster
-    * `checkpoint()` there, not local) bounds both plan depth and the
-    * recovery-lineage length — the standard iterative-graph discipline. */
+    * every step reuses that partitioning, and [[truncateLineage]]
+    * switches to reliable `checkpoint()` whenever a checkpoint dir is
+    * configured, bounding both plan depth and the recovery-lineage
+    * length — the standard iterative-graph discipline. */
   private val q73 = QueryDef(
     "q73_pagerank_neardup_graph",
     "10-iteration fixed-point integer PageRank over the near-dup pair graph",
@@ -63,8 +77,8 @@ object Graph {
       // arithmetic), cutting the loop from 3 joins/iter to 2 and
       // dropping the final degree join — same exact integer results,
       // ~1/3 fewer scheduled stages per iteration.
-      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+      val deg = truncateLineage(
+        e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
       var rank = deg.select(col("node"), col("deg"), lit(1000000L).as("rank"))
       for (i <- 1 to 10) {
         val contrib = e.join(
@@ -75,7 +89,7 @@ object Graph {
         rank = deg.join(contrib, Seq("node"), "left")
           .select(col("node"), col("deg"),
             (lit(150000L) + expr("COALESCE(s, 0L) * 85 DIV 100")).as("rank"))
-        if (i % 3 == 0 && i < 10) rank = rank.localCheckpoint()
+        if (i % 3 == 0 && i < 10) rank = truncateLineage(rank)
       }
       rank
         .select(col("node").as("doc_id"), col("rank").as("pr_rank"),

@@ -116,6 +116,26 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(chunked == exact)
   }
 
+  test("q73 lineage truncation is deployment-aware and result-stable") {
+    // Arm A: whatever the session's current checkpoint mode is (local
+    // in a fresh test JVM). Arm B: a reliable checkpoint dir is set, so
+    // truncateLineage must switch to cluster checkpoint(). Exact
+    // integer PageRank means the two arms must be row-identical.
+    val fn = SparkEntry.queries("q73_pagerank_neardup_graph")
+    def rows() = fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pr_rank"),
+        r.getAs[Long]("degree"))).toSeq
+    val base = rows()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    assert(spark.sparkContext.getCheckpointDir.isDefined)
+    val reliable = rows()
+    assert(reliable == base, "checkpoint mode must not change results")
+    // The reliable arm actually materialized RDD checkpoint files.
+    val wrote = java.nio.file.Files.walk(dir).count() > 1
+    assert(wrote, s"no checkpoint files under $dir")
+  }
+
   test("rollup coalesces to ALL with deterministic ordering") {
     val got = SparkEntry.queries("q07_rollup_revenue")(spark, sf)
       .select($"returnflag", $"linestatus").collect()
