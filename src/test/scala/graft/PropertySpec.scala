@@ -463,6 +463,261 @@ class PropertySpec extends AnyFunSuite {
       "generated stream must actually contain late events")
   }
 
+  // --------------------------------------------------------------------
+  // Generated STAR fixture for the Planning stats family (q136/q138/
+  // q139/q146/q149/q150): shapes the sf fixtures are too benign to
+  // produce — one customer owns half the orders (single-key skew),
+  // customers with no orders (zero/tied spends), childless orders,
+  // exactly-reconciling orders (rel = 0 boundary), forced equal prices,
+  // and all-equal-value event days (zone max == cutoff boundary).
+  // --------------------------------------------------------------------
+
+  /** (c_custkey, c_mktsegment) — 12 customers, 4 segments; 11 and 12
+    * never order. */
+  private lazy val genStarCustomers: Seq[(Long, String)] =
+    (1L to 12L).map(c => (c, s"SEG${c % 4}"))
+
+  /** (o_orderkey, o_custkey, o_orderstatus, o_totalprice) — 50% of
+    * orders on customer 1; every 7th price is exactly 1000.00. */
+  private lazy val genStarOrders: Seq[(Long, Long, String, Double)] = {
+    val rnd = new scala.util.Random(1357911)
+    val statuses = Vector("F", "O", "P")
+    (1 to 300).map { i =>
+      val ck = if (i % 2 == 0) 1L else (2 + rnd.nextInt(9)).toLong
+      val price = if (i % 7 == 0) 1000.0
+        else math.floor(rnd.nextDouble() * 5e5) / 100.0
+      (i.toLong, ck, statuses(rnd.nextInt(3)), price)
+    }
+  }
+
+  /** (l_orderkey, l_extendedprice, l_discount, l_tax) — every 3rd order
+    * childless; every remaining 5th reconciles exactly (one line, no
+    * discount/tax). */
+  private lazy val genStarLines: Seq[(Long, Double, Double, Double)] = {
+    val rnd = new scala.util.Random(246810)
+    genStarOrders.flatMap { case (ok, _, _, price) =>
+      if (ok % 3 == 0) Seq.empty
+      else if (ok % 5 == 0) Seq((ok, price, 0.0, 0.0))
+      else (1 to (1 + rnd.nextInt(3))).map { _ =>
+        (ok, math.floor(rnd.nextDouble() * 2e5) / 100.0,
+          rnd.nextInt(11) / 100.0, rnd.nextInt(9) / 100.0)
+      }
+    }
+  }
+
+  /** (event_id, user_id, event_type, value, ts_us) — user ids 0/13/14
+    * never match a customer; every 4th day has all-equal value 50.0. */
+  private lazy val genStarEvents: Seq[(Long, Long, String, Double, Long)] = {
+    val rnd = new scala.util.Random(86420)
+    val types = Vector("click", "view", "purchase")
+    (1 to 400).map { i =>
+      val uid = rnd.nextInt(15).toLong
+      val day = rnd.nextInt(12)
+      val v = if (day % 4 == 0) 50.0
+        else math.floor(rnd.nextDouble() * 1000) / 10.0
+      val tsUs = (day * 24L + rnd.nextInt(24)) * 3600L * 1000000L
+      (i.toLong, uid, types(rnd.nextInt(3)), v, tsUs)
+    }
+  }
+
+  private lazy val genStarDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_genstar").toString
+    genStarCustomers.toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    genStarOrders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    genStarLines.toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    genStarEvents.map(e => (e._1, e._5 * 1000L, e._2, e._3, e._4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // References replicate the engine's exact semantics: per-element
+  // DECIMAL(30,10) conversion, exact decimal sum, cast-to-double, THEN
+  // 4-dp half-up rounding (the det.dsum/davg order of operations), and
+  // Spark's two-sided weighted percentile interpolation.
+  private def dec10(x: Double): BigDecimal =
+    BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+  private def dsum4Ref(xs: Seq[Double]): Double = r4(xs.map(dec10).sum.toDouble)
+  private def davgRef(xs: Seq[Double]): Double =
+    r4(xs.map(dec10).sum.toDouble / xs.length)
+  private def percRef(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    val pos = p * (s.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    if (lo == hi) s(lo) else (hi - pos) * s(lo) + (pos - lo) * s(hi)
+  }
+
+  test("q136 join profiler == brute-force degree reference on generated star") {
+    val rows = SparkEntry.queries("q136_join_cardinality_profiler")(
+        spark, genStarDir).collect()
+      .map(r => r.getAs[String]("edge") -> r).toMap
+    def ref(l: Seq[Long], r: Seq[Long]) = {
+      val dl = l.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val dr = r.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val prods = (dl.keySet & dr.keySet).toSeq.map(k => dl(k) * dr(k))
+      (l.size.toLong, r.size.toLong, prods.size.toLong, prods.sum, prods.max)
+    }
+    val expected = Seq(
+      "events-customer" -> ref(genStarEvents.map(_._2), genStarCustomers.map(_._1)),
+      "lineitem-orders" -> ref(genStarLines.map(_._1), genStarOrders.map(_._1)),
+      "orders-customer" -> ref(genStarOrders.map(_._2), genStarCustomers.map(_._1)))
+    assert(rows.keySet == expected.map(_._1).toSet)
+    expected.foreach { case (edge, (nl, nr, nk, jr, mk)) =>
+      val row = rows(edge)
+      assert(row.getAs[Long]("n_left") == nl, s"$edge n_left")
+      assert(row.getAs[Long]("n_right") == nr, s"$edge n_right")
+      assert(row.getAs[Long]("n_join_keys") == nk, s"$edge n_join_keys")
+      assert(row.getAs[Long]("join_rows") == jr, s"$edge join_rows")
+      assert(row.getAs[Long]("max_key_rows") == mk, s"$edge max_key_rows")
+      assert(row.getAs[Double]("max_key_share") == round6(mk.toDouble / jr),
+        s"$edge max_key_share")
+    }
+    // the skew the fixture plants must actually surface: customer 1's
+    // degree dominates the orders-customer edge
+    assert(rows("orders-customer").getAs[Long]("max_key_rows") == 150L)
+  }
+
+  test("q138 winsorized stats == clipped-mean reference on generated star") {
+    val seg = genStarCustomers.toMap
+    val joined = genStarOrders.map { case (_, ck, _, p) => (seg(ck), p) }
+    val prices = joined.map(_._2)
+    val lo = r4(percRef(prices, 0.05))
+    val hi = r4(percRef(prices, 0.95))
+    val rows = SparkEntry.queries("q138_winsorized_segment_stats")(
+        spark, genStarDir).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val bySeg = joined.groupBy(_._1)
+    assert(rows.keySet == bySeg.keySet)
+    bySeg.foreach { case (sg, ps) =>
+      val xs = ps.map(_._2)
+      val row = rows(sg)
+      assert(row.getAs[Long]("n") == xs.length.toLong, s"$sg n")
+      assert(row.getAs[Long]("n_clip_low") == xs.count(_ < lo), s"$sg clip_low")
+      assert(row.getAs[Long]("n_clip_high") == xs.count(_ > hi), s"$sg clip_high")
+      assert(row.getAs[Double]("mean_raw") == davgRef(xs), s"$sg mean_raw")
+      val wins = xs.map(x => if (x < lo) lo else if (x > hi) hi else x)
+      assert(row.getAs[Double]("mean_winsor") == davgRef(wins), s"$sg mean_winsor")
+    }
+  }
+
+  test("q139 zone-map audit == per-day min-max reference on generated star") {
+    val zones = genStarEvents.groupBy(_._5 / 86400000000L).values
+      .map(es => (es.size.toLong, es.map(_._4).max)).toSeq
+    val values = genStarEvents.map(_._4)
+    val rowsTotal = zones.map(_._1).sum
+    val rows = SparkEntry.queries("q139_zonemap_pruning_audit")(
+        spark, genStarDir).collect()
+      .map(r => r.getAs[String]("threshold") -> r).toMap
+    val cuts = Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99)
+    assert(rows.keySet == cuts.map(_._1).toSet)
+    cuts.foreach { case (name, p) =>
+      val cutoff = r4(percRef(values, p))
+      val pruned = zones.filter(_._2 <= cutoff)
+      val row = rows(name)
+      assert(row.getAs[Double]("cutoff") == cutoff, s"$name cutoff")
+      assert(row.getAs[Long]("n_zones") == zones.size.toLong, s"$name n_zones")
+      assert(row.getAs[Long]("zones_pruned") == pruned.size.toLong, s"$name pruned")
+      assert(row.getAs[Long]("rows_total") == rowsTotal, s"$name rows_total")
+      assert(row.getAs[Long]("rows_skipped") == pruned.map(_._1).sum, s"$name skipped")
+      assert(row.getAs[Double]("skip_frac") ==
+        round6(pruned.map(_._1).sum.toDouble / rowsTotal), s"$name skip_frac")
+    }
+  }
+
+  test("q146 decile lift == boundary-comparison reference on generated star") {
+    val spendBy = genStarOrders.groupBy(_._2)
+      .map { case (ck, os) => ck -> dsum4Ref(os.map(_._4)) }
+    val conv = genStarEvents.filter(_._3 == "purchase").map(_._2).toSet
+    val d = genStarCustomers.map { case (ck, _) =>
+      (spendBy.getOrElse(ck, 0.0), conv.contains(ck)) }
+    val spends = d.map(_._1)
+    val bs = (1 to 9).map(i => r4(percRef(spends, i * 0.1)))
+    val deciles = d.map { case (sp, c) => (1 + bs.count(sp > _), c) }
+    val totN = deciles.size.toLong
+    val totC = deciles.count(_._2).toLong
+    val rows = SparkEntry.queries("q146_decile_lift_table")(spark, genStarDir)
+      .collect().map(r => r.getAs[Int]("decile") -> r).toMap
+    val byDec = deciles.groupBy(_._1)
+    assert(rows.keySet == byDec.keySet)
+    byDec.foreach { case (dec, ds) =>
+      val n = ds.size.toLong
+      val c = ds.count(_._2).toLong
+      val row = rows(dec)
+      assert(row.getAs[Long]("n_customers") == n, s"decile $dec n")
+      assert(row.getAs[Long]("n_converters") == c, s"decile $dec converters")
+      assert(row.getAs[Double]("conv_rate") == round6(c.toDouble / n), s"$dec rate")
+      assert(row.getAs[Double]("capture") == round6(c.toDouble / totC), s"$dec capture")
+      assert(row.getAs[Double]("lift") ==
+        r4((c.toDouble / n) / (totC.toDouble / totN)), s"$dec lift")
+    }
+    // the planted zero-spend customers (11, 12) must land in decile 1
+    assert(byDec.contains(1) && byDec(1).size >= 2)
+  }
+
+  test("q149 pareto coverage == sequential cumulative reference on generated star") {
+    val seg = genStarCustomers.toMap
+    val revs = genStarOrders.groupBy(_._2).toSeq.map { case (ck, os) =>
+      (seg(ck), ck, dsum4Ref(os.map(_._4))) }
+    val rows = SparkEntry.queries("q149_pareto_revenue_coverage")(
+        spark, genStarDir).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val bySeg = revs.groupBy(_._1)
+    assert(rows.keySet == bySeg.keySet)
+    bySeg.foreach { case (sg, rs) =>
+      val sorted = rs.sortBy { case (_, ck, rev) => (-rev, ck) }
+      val total = dsum4Ref(sorted.map(_._3))
+      val n = sorted.size.toLong
+      // the window's running double sum, replicated in frame order
+      var cum = 0.0
+      var nTop80 = 0L
+      sorted.foreach { case (_, _, rev) =>
+        cum += rev
+        if (cum - rev < 0.8 * total) nTop80 += 1
+      }
+      val k = (n + 9) / 10
+      val top10 = dsum4Ref(sorted.take(k.toInt).map(_._3))
+      val row = rows(sg)
+      assert(row.getAs[Long]("n_customers") == n, s"$sg n")
+      assert(row.getAs[Long]("n_top80") == nTop80, s"$sg n_top80")
+      assert(row.getAs[Double]("frac_top80") == round6(nTop80.toDouble / n), s"$sg frac")
+      assert(row.getAs[Double]("share_top10pct") == round6(top10 / total), s"$sg share")
+    }
+    // skew check: customer 1 dominates SEG1 — coverage concentrates hard
+    assert(rows("SEG1").getAs[Long]("n_top80") <= 2L)
+  }
+
+  test("q150 reconciliation == per-order line-sum reference on generated star") {
+    val lsum = genStarLines.groupBy(_._1).map { case (ok, ls) =>
+      ok -> r4(ls.map { case (_, e, dis, tax) =>
+        dec10(e * (1.0 - dis) * (1.0 + tax)) }.sum.toDouble) }
+    val perOrder = genStarOrders.map { case (ok, _, st, price) =>
+      (st, lsum.get(ok).map(s =>
+        round6(math.abs(s - price) / price))) }
+    val rows = SparkEntry.queries("q150_revenue_reconciliation_audit")(
+        spark, genStarDir).collect()
+      .map(r => r.getAs[String]("status") -> r).toMap
+    val bySt = perOrder.groupBy(_._1)
+    assert(rows.keySet == bySt.keySet)
+    bySt.foreach { case (st, os) =>
+      val rels = os.flatMap(_._2)
+      val row = rows(st)
+      assert(row.getAs[Long]("n_orders") == os.size.toLong, s"$st n_orders")
+      assert(row.getAs[Long]("n_no_lines") == os.count(_._2.isEmpty), s"$st no_lines")
+      assert(row.getAs[Long]("n_within_001pct") == rels.count(_ <= 0.0001), s"$st 001")
+      assert(row.getAs[Long]("n_within_1pct") == rels.count(_ <= 0.01), s"$st 1pct")
+      assert(row.getAs[Double]("median_rel") == round6(percRef(rels, 0.50)), s"$st med")
+      assert(row.getAs[Double]("max_rel") == round6(rels.max), s"$st max")
+      // the exact-reconcile plant must be visible: some rel == 0 rows exist
+      assert(rels.contains(0.0), s"$st has an exactly reconciling order")
+    }
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()
