@@ -330,6 +330,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState restart from checkpoint closes the same day set as an uninterrupted run") {
+    // The stateful-recovery claim (SURVEY §2.1 M10) for the v2 API: the
+    // anomaly monitor carries MapState/ListState + day timers across a
+    // stop/restart on the same checkpoint, and the closed-day output —
+    // including the carried baselines and z-scores — must be exactly
+    // what an uninterrupted run emits.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.functions._
+      val ev = graft.sources.Tables.events(spark, sf)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+      val far = ev.map(_.ts_us).max + 10L * 86400000000L
+      val sent1 = Seq(Event(9100000L, far, 0L, "click", 0.0))
+      val sent2 = Seq(Event(9100001L, far + 3600000000L, 0L, "click", 0.0))
+      val chunks = ev.grouped((ev.size + 3) / 4).toSeq
+      def readDays(path: String) = spark.read.parquet(path).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+          (r.getAs[Long]("n"),
+            Option(r.getAs[java.lang.Double]("baseline_mean")).map(_.doubleValue),
+            Option(r.getAs[java.lang.Double]("z")).map(_.doubleValue),
+            r.getAs[Int]("anomaly"))).toMap
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      def launch(s: MemoryStream[Event], out: String, ck: String) =
+        EventStream.dailyAnomalies(s.toDS())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode(OutputMode.Append()).start()
+
+      // Arm A: uninterrupted.
+      val (outA, ckA) = (tmp("graft_anom_a"), tmp("graft_anom_a_ck"))
+      val sA = MemoryStream[Event]
+      val qA = launch(sA, outA, ckA)
+      try (chunks :+ sent1 :+ sent2).foreach { c =>
+        sA.addData(c); qA.processAllAvailable()
+      } finally qA.stop()
+
+      // Arm B: stopped cold after two chunks, restarted on the same
+      // checkpoint, then fed the rest.
+      val (outB, ckB) = (tmp("graft_anom_b"), tmp("graft_anom_b_ck"))
+      val sB = MemoryStream[Event]
+      val qB1 = launch(sB, outB, ckB)
+      try chunks.take(2).foreach { c =>
+        sB.addData(c); qB1.processAllAvailable()
+      } finally qB1.stop()
+      val qB2 = launch(sB, outB, ckB)
+      try (chunks.drop(2) :+ sent1 :+ sent2).foreach { c =>
+        sB.addData(c); qB2.processAllAvailable()
+      } finally qB2.stop()
+
+      val a = readDays(outA)
+      val b = readDays(outB)
+      assert(a.nonEmpty, "uninterrupted run must close days")
+      assert(b == a,
+        s"restarted run closed ${b.size} days vs uninterrupted ${a.size}")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming query restarts from checkpoint without duplicating or losing output") {
     // Fault-tolerance posture (SURVEY §2.1 M10) demonstrated, not just
     // claimed: a parquet-sink stream is stopped mid-input and restarted
