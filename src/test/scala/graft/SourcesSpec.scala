@@ -123,6 +123,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"leaked temp dirs: ${leftovers.mkString(",")}")
   }
 
+  test("MV race: a writer publishing mid-build wins; the loser discards, readers see only the winner") {
+    // The cross-process race, injected at the only point it can happen:
+    // while this builder's build closure is still running, a competing
+    // writer completes the full publish protocol (temp dir + ATOMIC_MOVE
+    // + _SUCCESS) at the same target. The in-flight builder must then
+    // lose its rename, discard its temp, and hand the reader the
+    // winner's COMPLETE view. Contents differ here only so the test can
+    // observe who won — production builds are deterministic twins.
+    val viewName = "spec_race_loser"
+    val src = new java.io.File(sf, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sf|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val out = new java.io.File(new java.io.File(new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-mv"), fp), viewName)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(): Unit
+    }
+    rmr(out)
+    val df = graft.sources.MaterializedViews.cached(spark, sf, viewName) {
+      val winnerTmp = new java.io.File(out.getParentFile, s"$viewName.tmp-winner")
+      out.getParentFile.mkdirs()
+      spark.range(7).toDF("id").write.mode("overwrite").parquet(winnerTmp.getPath)
+      java.nio.file.Files.move(winnerTmp.toPath, out.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      assert(new java.io.File(out, "_SUCCESS").isFile, "winner fully published")
+      spark.range(5).toDF("id") // the loser's build
+    }
+    assert(df.count() == 7, "reader must get the winner's complete view")
+    assert(new java.io.File(out, "_SUCCESS").isFile)
+    val leftovers = Option(out.getParentFile.listFiles).get
+      .filter(_.getName.startsWith(s"$viewName.tmp-"))
+    assert(leftovers.isEmpty, s"loser leaked temp dirs: ${leftovers.mkString(",")}")
+  }
+
   test("results are partition-count independent (4 vs 13 shuffle partitions)") {
     val names = Seq("q01_pricing_summary", "q22_neardup_jaccard",
       "q20_session_windows",
