@@ -91,15 +91,29 @@ object Bench {
     // Two artifacts, by audience:
     //  - FULL json (per-query seconds + per-query loadavg) to known file
     //    paths and stderr — the committed BENCH_SELF_r<N>.json evidence;
-    //  - a COMPACT line (<300 bytes, no per-query maps) as the FINAL
-    //    stdout line for the driver. Rounds 1-3 all produced parsed:null:
-    //    r1 the "[info] " prefix, r2 the "[success]" epilogue, r3 a
-    //    ~4.5 KB single line decapitated by the driver's ~2 KB stdout
-    //    tail capture. Small enough to survive any tail window.
+    //  - a COMPACT line as the FINAL stdout line for the driver.
+    //    Rounds 1-3 all produced parsed:null: r1 the "[info] " prefix,
+    //    r2 the "[success]" epilogue, r3 a ~4.5 KB single line
+    //    decapitated by the driver's ~2 KB stdout tail capture. The
+    //    compact line now carries per-query seconds too (round-6 judge
+    //    ask: the driver artifact should be self-contained) — as a 2-dp
+    //    ARRAY in sorted-query-name order ("q_order":"name_asc", the
+    //    same order `queries` in the full artifact iterates), which
+    //    costs ~5 bytes/query instead of ~35 for a name-keyed map. A
+    //    1800-byte guard drops the array rather than ever risking
+    //    decapitation again.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":2,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"loadavg_max":$lMax,"sf":"$sfDir","detail":"bench_out.json"}"""
+    val qSec = results.map { case (_, v, _, _, _) => f"$v%.2f" }
+      .mkString("[", ",", "]")
+    def compactLine(withSecs: Boolean) = {
+      val secs = if (withSecs) s""","q_order":"name_asc","q_sec":$qSec""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"loadavg_max":$lMax,"sf":"$sfDir"$secs,"detail":"bench_out.json"}"""
+    }
+    val compact = {
+      val c = compactLine(withSecs = true)
+      if (c.length <= 1800) c else compactLine(withSecs = false)
+    }
     for (p <- Seq("bench_out.json", "/tmp/graft_bench.json")) {
       try {
         val w = new java.io.PrintWriter(p, "UTF-8")
