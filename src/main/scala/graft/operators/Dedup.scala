@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
-import graft.functions.text
+import graft.functions.{det, text}
 
 /** Deduplication operators for a training-data pipeline: exact dedup,
   * brute-force n-gram Jaccard, banded MinHash+LSH, and SimHash
@@ -660,6 +660,88 @@ object Dedup {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q157 — fuzzy re-link of a corrupted re-ingest batch (edit distance)
+  // ---------------------------------------------------------------------
+
+  /** Record linkage under corruption — the OCR/re-crawl scenario where a
+    * re-ingested copy differs from its original by a few characters, so
+    * exact and shingle dedup both miss it but EDIT DISTANCE catches it.
+    * A deterministic 10% hash slice is re-ingested with two simulated
+    * character drops in its 40-char prefix key (positions 10 and 26 —
+    * substring surgery both engines express identically), then linked
+    * back against the corpus: candidates come from a BLOCKED equi-join
+    * on the key's first-6-char block (deletions land after position 6,
+    * so the true match always shares the block — the standard
+    * length/prefix blocking of record-linkage practice), and only
+    * candidates pay the O(len²) levenshtein verify, with a ≤ 3 cutoff.
+    * Reported per source: batch size, docs re-linked, docs whose own
+    * original is among the matches, ambiguous docs (≥ 2 candidates),
+    * and the mean best distance (exact-decimal mean over matched docs).
+    * At 100 TB the block key is the unit of shuffle — candidates are
+    * block-local, the verify never sees a cross-block pair, and block
+    * skew is bounded by prefix entropy (a hot prefix widens the block
+    * key, same plan). */
+  private val q157 = QueryDef(
+    "q157_fuzzy_ocr_relink",
+    "blocked levenshtein re-link of a 2-char-corrupted 10% re-ingest batch",
+    Some(s"""
+      WITH k AS (SELECT doc_id, source, lower(substring(text, 1, 40)) AS key
+                 FROM documents),
+      b AS (SELECT doc_id, source,
+                   substring(key, 1, 9) || substring(key, 11, 15) ||
+                     substring(key, 27, 14) AS ckey,
+                   substring(key, 1, 6) AS blk
+            FROM k
+            WHERE ${text.md5Hash60Sql("'ocr:' || CAST(doc_id AS VARCHAR)")}
+                    % 10 = 0),
+      c AS (SELECT doc_id, key, substring(key, 1, 6) AS blk FROM k),
+      cand AS (SELECT b.doc_id AS bdoc, b.source, c.doc_id AS cdoc,
+                      levenshtein(b.ckey, c.key) AS d
+               FROM b JOIN c USING (blk)),
+      hit AS (SELECT bdoc, MIN(d) AS best_d,
+                     CAST(COUNT(*) AS BIGINT) AS n_cand,
+                     MAX(CASE WHEN cdoc = bdoc THEN 1 ELSE 0 END) AS self_hit
+              FROM cand WHERE d <= 3 GROUP BY 1)
+      SELECT b.source,
+             COUNT(*) AS n_batch,
+             COUNT(h.bdoc) AS n_matched,
+             CAST(COALESCE(SUM(h.self_hit), 0) AS BIGINT) AS n_self_recovered,
+             COUNT(CASE WHEN h.n_cand >= 2 THEN 1 END) AS n_ambiguous,
+             ${det.davgNNSql("h.best_d")} AS mean_best_dist
+      FROM b LEFT JOIN hit h ON h.bdoc = b.doc_id
+      GROUP BY b.source ORDER BY b.source"""),
+    (s, dir) => {
+      val k = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          lower(substring(col("text"), 1, 40)).as("key"))
+      val batch = k
+        .filter(text.md5Hash60(concat(lit("ocr:"), col("doc_id").cast("string")))
+          % 10L === 0L)
+        .select(col("doc_id"), col("source"),
+          concat(substring(col("key"), 1, 9), substring(col("key"), 11, 15),
+            substring(col("key"), 27, 14)).as("ckey"),
+          substring(col("key"), 1, 6).as("blk"))
+      val corpus = k.select(col("doc_id").as("cdoc"), col("key"),
+        substring(col("key"), 1, 6).as("blk"))
+      val hit = batch.join(corpus, "blk")
+        .select(col("doc_id").as("bdoc"), col("cdoc"),
+          levenshtein(col("ckey"), col("key")).as("d"))
+        .filter(col("d") <= 3)
+        .groupBy("bdoc")
+        .agg(min(col("d")).as("best_d"), count(lit(1)).as("n_cand"),
+          max(when(col("cdoc") === col("bdoc"), 1).otherwise(0)).as("self_hit"))
+      batch.join(hit, col("doc_id") === col("bdoc"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_batch"),
+          count(col("bdoc")).as("n_matched"),
+          coalesce(sum(col("self_hit")), lit(0)).cast("long")
+            .as("n_self_recovered"),
+          count(when(col("n_cand") >= 2, 1)).as("n_ambiguous"),
+          det.davgNN(col("best_d")).as("mean_best_dist"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129)
+    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157)
 }

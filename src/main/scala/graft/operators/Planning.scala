@@ -944,7 +944,103 @@ object Planning {
         .orderBy("p_retailprice", "p_partkey")
     })
 
+  // ---------------------------------------------------------------------
+  // q158 — mergeable grid quantile sketch + measured error
+  // ---------------------------------------------------------------------
+
+  /** The quantile member of the sketch family (HLL q56/q147, CMS, Bloom
+    * q137): a fixed 256-bin grid over the declared value domain [0, 512)
+    * (bin width 2, overflow clamped to the last bin) whose per-group bin
+    * counts are a MERGEABLE sketch — partial counts from any partitioning
+    * sum to the same histogram, no merge proof needed beyond the
+    * commutativity of +. The p50/p90/p99 estimates are the upper edge of
+    * the first bin whose cumulative count reaches ceil(p·n) — pure
+    * integer arithmetic ((num·n + den − 1) div den; no float thresholds)
+    * — and, per the "measure, don't guess" discipline (q130), each
+    * estimate ships NEXT TO the exact percentile and its absolute error,
+    * so the readout itself says whether 2-wide bins suffice for the
+    * workload. At 100 TB the sketch is 256 longs per group merged
+    * map-side; only the exact arm (here, the calibration) would swap for
+    * a sampled form. The cumulative window partitions by event_type over
+    * ≤ 256 rows — never fact-sized. */
+  private val q158 = QueryDef(
+    "q158_grid_quantile_sketch",
+    "256-bin mergeable quantile sketch: p50/p90/p99 estimates vs exact, with error",
+    Some("""
+      WITH e AS (SELECT event_type, value FROM events),
+      b AS (SELECT event_type,
+                   LEAST(255, CAST(FLOOR(value / 2) AS BIGINT)) AS bin FROM e),
+      bc AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+             FROM b GROUP BY 1, 2),
+      cum AS (SELECT event_type, bin,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+              FROM bc),
+      tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nn
+              FROM bc GROUP BY 1),
+      ps AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                            ('p99', 99, 100)) AS t(pl, num, den)),
+      thr AS (SELECT event_type, nn, pl,
+                     (num * nn + den - 1) // den AS thr
+              FROM tot CROSS JOIN ps),
+      hit AS (SELECT t.event_type, t.pl, t.nn, MIN(c.bin) AS bb
+              FROM thr t JOIN cum c ON c.event_type = t.event_type
+                                   AND c.cum >= t.thr
+              GROUP BY 1, 2, 3),
+      ex AS (SELECT event_type,
+                    ROUND(quantile_cont(value, 0.50), 4) + 0.0 AS p50,
+                    ROUND(quantile_cont(value, 0.90), 4) + 0.0 AS p90,
+                    ROUND(quantile_cont(value, 0.99), 4) + 0.0 AS p99
+             FROM e GROUP BY 1),
+      exm AS (SELECT event_type, 'p50' AS pl, p50 AS exact FROM ex
+              UNION ALL SELECT event_type, 'p90', p90 FROM ex
+              UNION ALL SELECT event_type, 'p99', p99 FROM ex)
+      SELECT h.event_type, h.pl AS p, h.nn AS n,
+             CAST((h.bb + 1) * 2 AS DOUBLE) AS est_upper, exm.exact,
+             ROUND(ABS(CAST((h.bb + 1) * 2 AS DOUBLE) - exm.exact), 4) + 0.0
+               AS abs_err
+      FROM hit h JOIN exm ON exm.event_type = h.event_type AND exm.pl = h.pl
+      ORDER BY h.event_type, p"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val bc = e
+        .select(col("event_type"),
+          least(lit(255L), floor(col("value") / 2)).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bc.withColumn("cum", sum(col("n")).over(w))
+        .select(col("event_type").as("cet"), col("bin"), col("cum"))
+      val thr = bc.groupBy("event_type").agg(sum(col("n")).as("nn"))
+        .select(col("event_type"), col("nn"), explode(array(
+          struct(lit("p50").as("pl"), lit(1L).as("num"), lit(2L).as("den")),
+          struct(lit("p90").as("pl"), lit(9L).as("num"), lit(10L).as("den")),
+          struct(lit("p99").as("pl"), lit(99L).as("num"), lit(100L).as("den"))))
+          .as("pp"))
+        .select(col("event_type"), col("nn"), col("pp.pl").as("pl"),
+          expr("(pp.num * nn + pp.den - 1) div pp.den").as("thr"))
+      val hit = thr.join(cum,
+          col("cet") === col("event_type") && col("cum") >= col("thr"))
+        .groupBy("event_type", "pl", "nn").agg(min(col("bin")).as("bb"))
+      val ex = e.groupBy(col("event_type").as("xet")).agg(
+          (round(expr("percentile(value, 0.50)"), 4) + lit(0.0)).as("p50"),
+          (round(expr("percentile(value, 0.90)"), 4) + lit(0.0)).as("p90"),
+          (round(expr("percentile(value, 0.99)"), 4) + lit(0.0)).as("p99"))
+        .select(col("xet"), explode(map(
+          lit("p50"), col("p50"), lit("p90"), col("p90"),
+          lit("p99"), col("p99"))).as(Seq("xpl", "exact")))
+      hit.join(broadcast(ex),
+          col("xet") === col("event_type") && col("xpl") === col("pl"))
+        .select(col("event_type"), col("pl").as("p"), col("nn").as("n"),
+          ((col("bb") + 1) * 2).cast("double").as("est_upper"), col("exact"),
+          (round(abs(((col("bb") + 1) * 2).cast("double") - col("exact")), 4)
+            + lit(0.0)).as("abs_err"))
+        .orderBy("event_type", "p")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
-      q151, q154)
+      q151, q154, q158)
 }

@@ -573,6 +573,70 @@ object Temporal {
         .orderBy("cohort", "k")
     })
 
+  // ---------------------------------------------------------------------
+  // q156 — signup-cohort retention triangle (D1 / D7 / D14)
+  // ---------------------------------------------------------------------
+
+  /** Fixed-horizon retention RATES: users cohorted by their first
+    * SIGNUP day (an explicit lifecycle event — q76's weekly matrix
+    * cohorts by first activity of any kind and emits every offset's
+    * raw count; this is the complementary dashboard readout: exact-day
+    * D1/D7/D14 horizons as shares of the cohort). Scale shape: the
+    * event stream reduces MAP-SIDE to distinct
+    * (user, day) pairs — the only fact retention needs, orders of
+    * magnitude smaller than events; the cohort table is user-domain;
+    * their equi-join co-partitions on user_id; the final aggregate
+    * groups by cohort day (bounded by the calendar). Day arithmetic is
+    * exact integer (`ts_us div 86400000000`, the q132 discipline);
+    * rates are one IEEE divide of exact longs, round6. Offsets use
+    * conditional COUNT(DISTINCT) so one aggregate emits the whole
+    * triangle row — no per-offset re-scan. */
+  private val q156 = QueryDef(
+    "q156_signup_dn_retention",
+    "signup-day cohorts: share of users active exactly 1/7/14 days later",
+    Some("""
+      WITH c AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS cohort_day
+                 FROM events WHERE event_type = 'signup' GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS aday
+            FROM events),
+      j AS (SELECT c.cohort_day, a.aday - c.cohort_day AS off, c.user_id
+            FROM c JOIN a USING (user_id)),
+      g AS (SELECT cohort_day,
+                   COUNT(DISTINCT user_id) AS n_cohort,
+                   COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS n_d1,
+                   COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS n_d7,
+                   COUNT(DISTINCT CASE WHEN off = 14 THEN user_id END) AS n_d14
+            FROM j GROUP BY 1)
+      SELECT cohort_day, n_cohort, n_d1, n_d7, n_d14,
+             ROUND(CAST(n_d1 AS DOUBLE) / n_cohort, 6) + 0.0 AS r1,
+             ROUND(CAST(n_d7 AS DOUBLE) / n_cohort, 6) + 0.0 AS r7,
+             ROUND(CAST(n_d14 AS DOUBLE) / n_cohort, 6) + 0.0 AS r14
+      FROM g ORDER BY cohort_day"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dayExpr = expr("ts_us div 86400000000")
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(dayExpr).as("cohort_day"))
+      val activity = ev.select(col("user_id"), dayExpr.as("aday")).distinct()
+      val j = cohorts.join(activity, "user_id")
+        .select(col("cohort_day"), (col("aday") - col("cohort_day")).as("off"),
+          col("user_id"))
+      j.groupBy("cohort_day")
+        .agg(countDistinct(col("user_id")).as("n_cohort"),
+          countDistinct(when(col("off") === 1, col("user_id"))).as("n_d1"),
+          countDistinct(when(col("off") === 7, col("user_id"))).as("n_d7"),
+          countDistinct(when(col("off") === 14, col("user_id"))).as("n_d14"))
+        .select(col("cohort_day"), col("n_cohort"), col("n_d1"), col("n_d7"),
+          col("n_d14"),
+          (round(col("n_d1").cast("double") / col("n_cohort"), 6) + lit(0.0))
+            .as("r1"),
+          (round(col("n_d7").cast("double") / col("n_cohort"), 6) + lit(0.0))
+            .as("r7"),
+          (round(col("n_d14").cast("double") / col("n_cohort"), 6) + lit(0.0))
+            .as("r14"))
+        .orderBy("cohort_day")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155)
+    Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156)
 }

@@ -70,7 +70,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q150_revenue_reconciliation_audit", // decimal line sums + percentile of ratios
     "q151_cdc_merge_compaction", // hash slices + version-rank ties + anti-join
     "q154_pareto_skyline", // float price groups + chunked running max
-    "q155_cohort_ltv_curve") // sequential cum over rounded decimal cells
+    "q155_cohort_ltv_curve", // sequential cum over rounded decimal cells
+    "q156_signup_dn_retention", // conditional distinct counts + ratio rounding
+    "q157_fuzzy_ocr_relink", // hash slice + blocked candidates + min-dist ties
+    "q158_grid_quantile_sketch") // bin-count cum threshold + percentile calib
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -498,4 +498,30 @@ class PlanSpec extends AnyFunSuite {
         s"$q boundaries should reach rows via broadcast")
     }
   }
+
+  test("q156: retention join is a user-id equi-join with a map-side distinct reduce") {
+    val p = plan("q156_signup_dn_retention")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "cohort x activity must stay an equi-join")
+    // the distinct (user, day) reduction aggregates partially before the
+    // exchange — the stream never shuffles raw
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "expected partial aggregation before the join")
+  }
+
+  test("q157: the levenshtein verify runs only on block-equi-join candidates") {
+    val p = plan("q157_fuzzy_ocr_relink")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate generation must be the blk equi-join, never a pair scan")
+    assert(p.contains("levenshtein"), "the verify must be in-plan (codegen'd)")
+  }
+
+  test("q158: the cumulative sketch window partitions by event_type") {
+    val p = plan("q158_grid_quantile_sketch")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
+      s"cum window must partition by event_type:\n${specs.mkString("\n")}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bin counts must combine map-side")
+  }
 }

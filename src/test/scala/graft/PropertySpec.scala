@@ -718,6 +718,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q156 retention == brute-force cohort reference on generated histories") {
+    val rows = SparkEntry.queries("q156_signup_dn_retention")(spark, genDir)
+      .collect().map(r => r.getAs[Long]("cohort_day") -> r).toMap
+    val byUser = genEvents.groupBy(_._3)
+    val cohortOf = byUser.flatMap { case (u, es) =>
+      val ss = es.filter(_._4 == "signup").map(e => dayOf(tsUsOf(e)))
+      if (ss.isEmpty) None else Some(u -> ss.min)
+    }
+    val actDays = byUser.map { case (u, es) =>
+      u -> es.map(e => dayOf(tsUsOf(e))).toSet }
+    val byCohort = cohortOf.groupBy(_._2)
+    assert(rows.keySet == byCohort.keySet)
+    byCohort.foreach { case (cd, us) =>
+      val users = us.keys.toSeq
+      val n = users.size.toLong
+      def ret(k: Long) = users.count(u => actDays(u).contains(cd + k)).toLong
+      val row = rows(cd)
+      assert(row.getAs[Long]("n_cohort") == n, s"cohort $cd size")
+      Seq(("n_d1", "r1", 1L), ("n_d7", "r7", 7L), ("n_d14", "r14", 14L))
+        .foreach { case (nc, rc, k) =>
+          assert(row.getAs[Long](nc) == ret(k), s"cohort $cd $nc")
+          assert(row.getAs[Double](rc) == round6(ret(k).toDouble / n),
+            s"cohort $cd $rc")
+        }
+    }
+  }
+
+  test("q158 sketch == brute-force order-stat bin reference on generated star") {
+    val rows = SparkEntry.queries("q158_grid_quantile_sketch")(spark, genStarDir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("p")) -> r).toMap
+    val byType = genStarEvents.groupBy(_._3)
+    val ps = Seq(("p50", 1L, 2L, 0.50), ("p90", 9L, 10L, 0.90),
+      ("p99", 99L, 100L, 0.99))
+    assert(rows.keySet == byType.keySet.flatMap(t => ps.map(p => (t, p._1))))
+    byType.foreach { case (t, es) =>
+      val vs = es.map(_._4).sorted
+      val n = vs.length.toLong
+      ps.foreach { case (pl, num, den, p) =>
+        val rank = ((num * n + den - 1) / den).toInt
+        val bin = math.min(255L, math.floor(vs(rank - 1) / 2).toLong)
+        val est = ((bin + 1) * 2).toDouble
+        val exact = r4(percRef(vs, p))
+        val row = rows((t, pl))
+        assert(row.getAs[Long]("n") == n, s"$t $pl n")
+        assert(row.getAs[Double]("est_upper") == est, s"$t $pl estimate")
+        assert(row.getAs[Double]("exact") == exact, s"$t $pl exact")
+        assert(row.getAs[Double]("abs_err") == r4(math.abs(est - exact)),
+          s"$t $pl abs_err")
+      }
+    }
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()

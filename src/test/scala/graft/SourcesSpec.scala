@@ -172,7 +172,10 @@ class SourcesSpec extends AnyFunSuite {
       "q134_salted_skew_join", "q140_pit_feature_snapshot",
       "q145_sequential_funnel", "q148_revenue_trend_ols",
       // chunked skyline decomposition + per-cohort sequential cumsum
-      "q154_pareto_skyline", "q155_cohort_ltv_curve")
+      "q154_pareto_skyline", "q155_cohort_ltv_curve",
+      // round-8 hazard shapes: mergeable bin counts crossing an integer
+      // threshold, blocked fuzzy candidates with min-distance ties
+      "q157_fuzzy_ocr_relink", "q158_grid_quantile_sketch")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -479,4 +479,91 @@ class TemporalPlanningSpec extends AnyFunSuite {
     val cuts = rows.map(_.getAs[Double]("cutoff")).toSeq
     assert(cuts == cuts.sorted, "p50 <= p90 <= p99")
   }
+
+  // ----------------------------------------------------------------- q156
+
+  test("q156 retention: offset counts never exceed the cohort, cohorts partition signup users") {
+    val rows = run("q156_signup_dn_retention").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_cohort")
+      Seq("n_d1", "n_d7", "n_d14").foreach { c =>
+        assert(r.getAs[Long](c) <= n, s"$c exceeds cohort size") }
+      Seq(("n_d1", "r1"), ("n_d7", "r7"), ("n_d14", "r14")).foreach { case (c, rr) =>
+        val expect = BigDecimal(r.getAs[Long](c).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(r.getAs[Double](rr) == expect, s"$rr inconsistent with $c/$n") }
+    }
+    // cohorts partition the signup-user base: sizes sum to distinct signup users
+    val signupUsers = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cohort")).sum == signupUsers)
+  }
+
+  // ----------------------------------------------------------------- q157
+
+  test("q157 fuzzy relink: every corrupted doc re-links to its own original") {
+    val rows = run("q157_fuzzy_ocr_relink").collect()
+    assert(rows.nonEmpty)
+    var batch = 0L
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_batch")
+      val nm = r.getAs[Long]("n_matched")
+      val ns = r.getAs[Long]("n_self_recovered")
+      batch += nb
+      // the planted corruption is 2 deletions inside the key, and the
+      // block key is untouched — the original must always be found
+      assert(nm == nb, s"${r.getAs[String]("source")}: unmatched batch docs")
+      assert(ns == nb, s"${r.getAs[String]("source")}: originals missed")
+      assert(r.getAs[Long]("n_ambiguous") <= nm)
+      val d = r.getAs[Double]("mean_best_dist")
+      assert(d >= 0.0 && d <= 3.0, s"mean best distance $d outside [0,3]")
+    }
+    // the 10% hash slice actually selected documents
+    assert(batch > 0)
+  }
+
+  // ----------------------------------------------------------------- q158
+
+  test("q158 grid sketch: estimate bin holds the rank-ceil(p*n) order stat, totals conserved") {
+    val rows = run("q158_grid_quantile_sketch").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val valsByType = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Double]("value")).sorted }
+    assert(byType.keySet == valsByType.keySet)
+    val pNum = Map("p50" -> (1L, 2L), "p90" -> (9L, 10L), "p99" -> (99L, 100L))
+    byType.foreach { case (t, rs) =>
+      assert(rs.length == 3, s"$t: p50/p90/p99 expected")
+      val vs = valsByType(t)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n") == vs.length.toLong, s"$t: n != event count")
+        val est = r.getAs[Double]("est_upper")
+        assert(est > 0.0 && est <= 512.0 && est % 2 == 0.0,
+          s"$t: estimate $est off the grid")
+        // the defining law: the estimate is the upper edge of the bin
+        // holding the order statistic at rank ceil(p*n) — the exact
+        // interpolated percentile may sit an order-stat gap away in a
+        // sparse tail, but the BIN is pinned exactly
+        val (num, den) = pNum(r.getAs[String]("p"))
+        val rank = ((num * vs.length + den - 1) / den).toInt
+        val vRank = vs(rank - 1)
+        val bin = math.min(255L, math.floor(vRank / 2).toLong)
+        assert(est == ((bin + 1) * 2).toDouble,
+          s"$t ${r.getAs[String]("p")}: est $est vs order-stat bin $bin ($vRank)")
+        // and the reported error is exactly |est - exact|
+        val err = BigDecimal(math.abs(est - r.getAs[Double]("exact")))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(r.getAs[Double]("abs_err") == err, s"$t: abs_err mismatch")
+      }
+      val sorted = rs.sortBy(_.getAs[String]("p"))
+      val ests = sorted.map(_.getAs[Double]("est_upper")).toSeq
+      val exacts = sorted.map(_.getAs[Double]("exact")).toSeq
+      assert(ests == ests.sorted, s"$t: estimates not monotone in p")
+      assert(exacts == exacts.sorted, s"$t: exact percentiles not monotone")
+    }
+  }
 }
