@@ -1757,8 +1757,86 @@ object Curation {
         .orderBy("source", "rank")
     })
 
+  // ---------------------------------------------------------------------
+  // q159 — PII redaction audit (plant → detect → redact → re-audit)
+  // ---------------------------------------------------------------------
+
+  /** The privacy-scrubbing pass every public-text pipeline runs before
+    * training, with its own effectiveness measured in the same query: a
+    * deterministic 5% hash slice is "contaminated" with one email and
+    * one phone number derived from the doc id (the fixture corpus is
+    * PII-free, so the plant is what makes detection measurable — q157's
+    * corruption discipline), then every doc is audited (rlike flags),
+    * redacted (regexp_replace to [EMAIL]/[PHONE] placeholders), and
+    * RE-AUDITED: n_residual counts docs still matching after redaction
+    * and must be zero — the operator proves its own completeness, per
+    * the "measure, don't guess" discipline. Patterns avoid regex
+    * shorthand ([0-9] not \\d, [.] not \\.) so Java and RE2-style
+    * engines agree. Everything is a per-row projection plus one
+    * source-domain aggregate — embarrassingly parallel at any scale;
+    * char masses are exact integer sums. */
+  private val q159 = QueryDef(
+    "q159_pii_redaction_audit",
+    "plant PII in a 5% slice, redact, and prove zero residual matches",
+    Some(s"""
+      WITH d AS (SELECT doc_id, source,
+                        CASE WHEN ${hkeySql("pii:", "doc_id")} % 20 = 0
+                             THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                                  '@example.com or 555-' ||
+                                  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                                  '-' ||
+                                  lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                             ELSE text END AS t
+                 FROM documents),
+      r AS (SELECT doc_id, source, t,
+                   regexp_matches(t, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}')
+                     AS has_email,
+                   regexp_matches(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}') AS has_phone,
+                   regexp_replace(regexp_replace(t,
+                       '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}', '[EMAIL]'),
+                     '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]') AS red
+            FROM d)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             COUNT(CASE WHEN has_email OR has_phone THEN 1 END) AS n_flagged,
+             COUNT(CASE WHEN has_email THEN 1 END) AS n_email_docs,
+             COUNT(CASE WHEN has_phone THEN 1 END) AS n_phone_docs,
+             CAST(SUM(length(t)) AS BIGINT) AS chars_before,
+             CAST(SUM(length(red)) AS BIGINT) AS chars_after,
+             COUNT(CASE WHEN regexp_matches(red,
+                    '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}')
+                 OR regexp_matches(red, '[0-9]{3}-[0-9]{3}-[0-9]{4}')
+               THEN 1 END) AS n_residual
+      FROM r GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        when(hkey("pii:", col("doc_id")) % 20L === 0L,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("t"))
+      val r = d.select(col("source"), col("t"),
+        col("t").rlike(emailRe).as("has_email"),
+        col("t").rlike(phoneRe).as("has_phone"),
+        regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("red"))
+      r.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("has_email") || col("has_phone"), 1)).as("n_flagged"),
+          count(when(col("has_email"), 1)).as("n_email_docs"),
+          count(when(col("has_phone"), 1)).as("n_phone_docs"),
+          sum(length(col("t"))).cast("long").as("chars_before"),
+          sum(length(col("red"))).cast("long").as("chars_after"),
+          count(when(col("red").rlike(emailRe) || col("red").rlike(phoneRe), 1))
+            .as("n_residual"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
       q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125,
-      q131)
+      q131, q159)
 }

@@ -637,6 +637,178 @@ object Temporal {
         .orderBy("cohort_day")
     })
 
+  // ---------------------------------------------------------------------
+  // q160 — lifecycle ordering audit (events before first signup)
+  // ---------------------------------------------------------------------
+
+  /** Temporal referential integrity — q126 checks that KEYS resolve;
+    * this checks that TIME makes sense: per event type, how many events
+    * precede their user's first signup (impossible under a correct
+    * instrumentation, common under clock skew / backfills / replays),
+    * how many tie it to the microsecond, and how many belong to users
+    * with no signup at all. The first-signup table is user-domain
+    * (one map-side min), the audit join co-partitions on user_id, and
+    * the report is type-domain-sized. Counts are exact integers; the
+    * share is one IEEE divide, round6. */
+  private val q160 = QueryDef(
+    "q160_lifecycle_order_audit",
+    "per event type: events before / at / without their user's first signup",
+    Some("""
+      WITH fs AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      j AS (SELECT e.event_type, epoch_us(e.ts) AS ts_us, fs.s_us
+            FROM events e LEFT JOIN fs USING (user_id))
+      SELECT event_type,
+             COUNT(*) AS n_total,
+             COUNT(CASE WHEN s_us IS NULL THEN 1 END) AS n_no_signup,
+             COUNT(CASE WHEN ts_us < s_us THEN 1 END) AS n_before_signup,
+             COUNT(CASE WHEN ts_us = s_us THEN 1 END) AS n_at_signup,
+             ROUND(CAST(COUNT(CASE WHEN ts_us < s_us THEN 1 END) AS DOUBLE)
+                   / COUNT(*), 6) + 0.0 AS share_before
+      FROM j GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val fs = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts_us")).as("s_us"))
+      ev.select(col("event_type"), col("ts_us"), col("user_id"))
+        .join(fs, Seq("user_id"), "left")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("s_us").isNull, 1)).as("n_no_signup"),
+          count(when(col("ts_us") < col("s_us"), 1)).as("n_before_signup"),
+          count(when(col("ts_us") === col("s_us"), 1)).as("n_at_signup"))
+        .select(col("event_type"), col("n_total"), col("n_no_signup"),
+          col("n_before_signup"), col("n_at_signup"),
+          (round(col("n_before_signup").cast("double") / col("n_total"), 6)
+            + lit(0.0)).as("share_before"))
+        .orderBy("event_type")
+    })
+
+  // ---------------------------------------------------------------------
+  // q161 — hourly gap-fill by linear interpolation (resampling)
+  // ---------------------------------------------------------------------
+
+  /** Time-series regularization — the resample-and-impute step between
+    * raw events and any windowed model input: the hourly mean value per
+    * event type is projected onto the COMPLETE hour grid (min..max
+    * observed, `sequence` explode — the grid is calendar-bounded, never
+    * fact-sized), and missing hours are filled by linear interpolation
+    * between the nearest observed neighbors (ignore-nulls last/first
+    * window carries, the q141 discipline; boundaries are observed by
+    * construction so every gap is interior). Interpolation is FIXED-
+    * POINT integer arithmetic (the q73 discipline): the 4-dp neighbor
+    * means lift exactly to micro-units (×10⁴ longs), the slope step is
+    * floor((nv−pv)·(hr−ph) / (nh−ph)) — computed as floor of one IEEE
+    * division of exact integers, identical on both engines because the
+    * true rational is never closer than 1/gap to an integer while the
+    * division error is ≤ 1 ulp — and the filled mass is reported IN
+    * micro-units, so the whole fill path is exact integer and immune to
+    * the ROUND-of-derived-ratio hazard (a first draft rounding the
+    * double interpolation flipped a 4-dp boundary between engines at
+    * sf0.01). The audit aggregates per type: grid/observed/filled hour
+    * counts, the longest gap run, and the filled micro-unit mass —
+    * windows partition by type over calendar-bounded rows, all
+    * pre-aggregation is map-side. */
+  private val q161 = QueryDef(
+    "q161_hourly_gapfill_interpolation",
+    "complete hourly grid per type: interpolated fills, gap runs, filled mass",
+    Some(s"""
+      WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                        ${davgSql("value")} AS m
+                 FROM events GROUP BY 1, 2),
+      span AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+               FROM h GROUP BY 1),
+      grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr
+               FROM span),
+      g AS (SELECT grid.event_type, grid.hr, h.m
+            FROM grid LEFT JOIN h ON h.event_type = grid.event_type
+                                 AND h.hr = grid.hr),
+      w AS (SELECT event_type, hr, m,
+                   last_value(m IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                   last_value(CASE WHEN m IS NOT NULL THEN hr END IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+                   first_value(m IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN m IS NOT NULL THEN hr END IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+            FROM g),
+      f AS (SELECT event_type, hr,
+                   CASE WHEN m IS NULL
+                        THEN CAST(ROUND(pv * 10000) AS BIGINT)
+                             + CAST(FLOOR(
+                                 CAST((CAST(ROUND(nv * 10000) AS BIGINT)
+                                       - CAST(ROUND(pv * 10000) AS BIGINT))
+                                      * (hr - ph) AS DOUBLE)
+                                 / CAST(nh - ph AS DOUBLE)) AS BIGINT)
+                   END AS fill_u,
+                   (m IS NULL) AS is_fill,
+                   CASE WHEN m IS NULL THEN ph END AS gap_anchor
+            FROM w),
+      runs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+               FROM f WHERE is_fill GROUP BY event_type, gap_anchor),
+      rmax AS (SELECT event_type AS ret, CAST(MAX(run_len) AS BIGINT) AS mx
+               FROM runs GROUP BY 1),
+      agg AS (SELECT event_type,
+                     COUNT(*) AS n_hours,
+                     COUNT(CASE WHEN NOT is_fill THEN 1 END) AS n_observed,
+                     COUNT(CASE WHEN is_fill THEN 1 END) AS n_filled,
+                     CAST(COALESCE(SUM(fill_u), 0) AS BIGINT) AS filled_mass_u
+              FROM f GROUP BY event_type)
+      SELECT event_type, n_hours, n_observed, n_filled,
+             COALESCE(mx, 0) AS max_gap_run, filled_mass_u
+      FROM agg LEFT JOIN rmax ON ret = event_type
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val h = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+        .agg(davg(col("value")).as("m"))
+      val grid = h.groupBy("event_type")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hr"))
+      val g = grid.join(h, Seq("event_type", "hr"), "left")
+      val wPrev = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val w = g
+        .withColumn("pv", last(col("m"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph",
+          last(when(col("m").isNotNull, col("hr")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("m"), ignoreNulls = true).over(wNext))
+        .withColumn("nh",
+          first(when(col("m").isNotNull, col("hr")), ignoreNulls = true).over(wNext))
+      val pu = round(col("pv") * 10000).cast("long")
+      val nu = round(col("nv") * 10000).cast("long")
+      val f = w.select(col("event_type"), col("hr"),
+        when(col("m").isNull,
+          pu + floor(((nu - pu) * (col("hr") - col("ph"))).cast("double")
+            / (col("nh") - col("ph")).cast("double")).cast("long"))
+          .as("fill_u"),
+        col("m").isNull.as("is_fill"),
+        when(col("m").isNull, col("ph")).as("gap_anchor"))
+      val runs = f.filter(col("is_fill"))
+        .groupBy(col("event_type").as("ret"), col("gap_anchor"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy("ret").agg(max(col("run_len")).as("max_gap_run"))
+      f.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          count(when(!col("is_fill"), 1)).as("n_observed"),
+          count(when(col("is_fill"), 1)).as("n_filled"),
+          coalesce(sum(col("fill_u")), lit(0L)).cast("long")
+            .as("filled_mass_u"))
+        .join(runs, col("event_type") === col("ret"), "left")
+        .select(col("event_type"), col("n_hours"), col("n_observed"),
+          col("n_filled"), coalesce(col("max_gap_run"), lit(0L)).as("max_gap_run"),
+          col("filled_mass_u"))
+        .orderBy("event_type")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156)
+    Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
+      q160, q161)
 }

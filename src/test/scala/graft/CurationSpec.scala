@@ -676,6 +676,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 PII audit: planted docs carry both patterns, redaction leaves zero residual") {
+    val rows = run("q159_pii_redaction_audit").collect()
+    assert(rows.nonEmpty)
+    var flaggedTotal = 0L
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val flagged = r.getAs[Long]("n_flagged")
+      flaggedTotal += flagged
+      // every planted doc gets one email AND one phone; the clean corpus
+      // has neither — the three flag counts must coincide
+      assert(r.getAs[Long]("n_email_docs") == flagged, s"$src email flags")
+      assert(r.getAs[Long]("n_phone_docs") == flagged, s"$src phone flags")
+      assert(r.getAs[Long]("n_residual") == 0L, s"$src residual PII after redaction")
+      val before = r.getAs[Long]("chars_before")
+      val after = r.getAs[Long]("chars_after")
+      if (flagged == 0) assert(after == before, s"$src clean source mass changed")
+      else assert(after < before, s"$src redaction must shrink the planted mass")
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+    assert(flaggedTotal > 0, "the 5% plant must select at least one doc")
+  }
+
   test("q87 conditional probabilities are consistent with their counts") {
     val rows = run("q87_trigram_conditional_lm").collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -73,7 +73,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q155_cohort_ltv_curve", // sequential cum over rounded decimal cells
     "q156_signup_dn_retention", // conditional distinct counts + ratio rounding
     "q157_fuzzy_ocr_relink", // hash slice + blocked candidates + min-dist ties
-    "q158_grid_quantile_sketch") // bin-count cum threshold + percentile calib
+    "q158_grid_quantile_sketch", // bin-count cum threshold + percentile calib
+    "q159_pii_redaction_audit", // hash plant slice + regex flag/replace masses
+    "q160_lifecycle_order_audit", // min-ts ties + strict/equal comparisons
+    "q161_hourly_gapfill_interpolation") // ignore-nulls carries + fixed-point fill
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

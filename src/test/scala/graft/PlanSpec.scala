@@ -516,6 +516,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("levenshtein"), "the verify must be in-plan (codegen'd)")
   }
 
+  test("q159: PII audit is a pure scan + aggregate — no join anywhere") {
+    val p = plan("q159_pii_redaction_audit")
+    assert(!p.contains("Join"), "plant/flag/redact must all be per-row projections")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "source rollup should combine map-side")
+  }
+
+  test("q160: lifecycle audit joins on user_id only; no nested-loop anywhere") {
+    val p = plan("q160_lifecycle_order_audit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"), "first-signup table should reduce map-side")
+  }
+
+  test("q161: every gap-fill window partitions by event_type; grid never joins unkeyed") {
+    val p = plan("q161_hourly_gapfill_interpolation")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
+      s"carry windows must partition by event_type:\n${specs.mkString("\n")}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

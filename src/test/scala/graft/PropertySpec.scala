@@ -771,6 +771,103 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q160 lifecycle audit == brute-force first-signup reference on generated histories") {
+    val rows = SparkEntry.queries("q160_lifecycle_order_audit")(spark, genDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val firstSignup = genEvents.filter(_._4 == "signup").groupBy(_._3)
+      .map { case (u, es) => u -> es.map(tsUsOf).min }
+    val byType = genEvents.groupBy(_._4)
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (t, es) =>
+      val total = es.size.toLong
+      val orphan = es.count(e => !firstSignup.contains(e._3)).toLong
+      val before = es.count(e =>
+        firstSignup.get(e._3).exists(s => tsUsOf(e) < s)).toLong
+      val at = es.count(e => firstSignup.get(e._3).contains(tsUsOf(e))).toLong
+      val row = rows(t)
+      assert(row.getAs[Long]("n_total") == total, s"$t total")
+      assert(row.getAs[Long]("n_no_signup") == orphan, s"$t orphan")
+      assert(row.getAs[Long]("n_before_signup") == before, s"$t before")
+      assert(row.getAs[Long]("n_at_signup") == at, s"$t at")
+      assert(row.getAs[Double]("share_before") == round6(before.toDouble / total),
+        s"$t share")
+    }
+  }
+
+  test("q161 gap fill == brute-force fixed-point reference on generated histories") {
+    val rows = SparkEntry.queries("q161_hourly_gapfill_interpolation")(
+        spark, genDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val byType = genEvents.groupBy(_._4)
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (t, es) =>
+      val hourly = es.groupBy(e => tsUsOf(e) / 3600000000L)
+        .map { case (h, v) => h -> davgRef(v.map(_._5)) }
+      val hrs = hourly.keys.toSeq.sorted
+      var mass = 0L; var filled = 0L; var maxRun = 0L
+      hrs.zip(hrs.drop(1)).foreach { case (a, b) =>
+        val gap = b - a - 1
+        if (gap > 0) {
+          maxRun = math.max(maxRun, gap)
+          filled += gap
+          val pu = math.round(hourly(a) * 10000)
+          val nu = math.round(hourly(b) * 10000)
+          ((a + 1) until b).foreach { h =>
+            mass += pu + math.floor(((nu - pu) * (h - a)).toDouble
+              / (b - a).toDouble).toLong
+          }
+        }
+      }
+      val row = rows(t)
+      assert(row.getAs[Long]("n_hours") == hrs.max - hrs.min + 1, s"$t grid")
+      assert(row.getAs[Long]("n_observed") == hrs.size.toLong, s"$t observed")
+      assert(row.getAs[Long]("n_filled") == filled, s"$t filled")
+      assert(row.getAs[Long]("max_gap_run") == maxRun, s"$t max run")
+      assert(row.getAs[Long]("filled_mass_u") == mass, s"$t mass")
+      assert(filled > 0, s"$t: generated histories must actually contain gaps")
+    }
+  }
+
+  test("q159 PII audit == brute-force regex reference on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]{2,}".r
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}".r
+    val aug = docs.map { case (id, src, text) =>
+      val t = if (h60(s"pii:$id") % 20 == 0)
+        text + " contact user" + id + "@example.com or 555-" +
+          "%03d".format(id % 1000) + "-" + "%04d".format((id * 7) % 10000)
+      else text
+      (src, t)
+    }
+    val expected = aug.groupBy(_._1).map { case (src, ds) =>
+      val ts = ds.map(_._2)
+      val reds = ts.map(t => phoneRe.replaceAllIn(
+        emailRe.replaceAllIn(t, "[EMAIL]"), "[PHONE]"))
+      src -> (ts.length.toLong,
+        ts.count(t => emailRe.findFirstIn(t).isDefined).toLong,
+        ts.map(_.length.toLong).sum, reds.map(_.length.toLong).sum)
+    }
+    val rows = SparkEntry.queries("q159_pii_redaction_audit")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (src, (n, flagged, before, after)) =>
+      val row = rows(src)
+      assert(row.getAs[Long]("n_docs") == n, s"$src docs")
+      assert(row.getAs[Long]("n_flagged") == flagged, s"$src flagged")
+      assert(row.getAs[Long]("chars_before") == before, s"$src before mass")
+      assert(row.getAs[Long]("chars_after") == after, s"$src after mass")
+    }
+    assert(expected.values.map(_._2).sum > 0, "plant must flag at least one doc")
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()

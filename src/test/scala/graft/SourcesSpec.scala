@@ -174,8 +174,10 @@ class SourcesSpec extends AnyFunSuite {
       // chunked skyline decomposition + per-cohort sequential cumsum
       "q154_pareto_skyline", "q155_cohort_ltv_curve",
       // round-8 hazard shapes: mergeable bin counts crossing an integer
-      // threshold, blocked fuzzy candidates with min-distance ties
-      "q157_fuzzy_ocr_relink", "q158_grid_quantile_sketch")
+      // threshold, blocked fuzzy candidates with min-distance ties,
+      // ignore-nulls carries feeding fixed-point interpolation
+      "q157_fuzzy_ocr_relink", "q158_grid_quantile_sketch",
+      "q161_hourly_gapfill_interpolation")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -566,4 +566,60 @@ class TemporalPlanningSpec extends AnyFunSuite {
       assert(exacts == exacts.sorted, s"$t: exact percentiles not monotone")
     }
   }
+
+  // ----------------------------------------------------------------- q160
+
+  test("q160 lifecycle audit: signup events never precede the first signup, counts nest") {
+    val rows = run("q160_lifecycle_order_audit").collect()
+    assert(rows.nonEmpty)
+    val byType = rows.map(r => r.getAs[String]("event_type") -> r).toMap
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val before = r.getAs[Long]("n_before_signup")
+      val at = r.getAs[Long]("n_at_signup")
+      val orphan = r.getAs[Long]("n_no_signup")
+      assert(before + at + orphan <= total, "disjoint classes cannot exceed total")
+      val share = BigDecimal(before.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("share_before") == share)
+    }
+    // by definition of MIN, no signup event is strictly before the first
+    assert(byType("signup").getAs[Long]("n_before_signup") == 0L)
+    // and every user's first signup ties itself
+    val signupUsers = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(byType("signup").getAs[Long]("n_at_signup") >= signupUsers)
+  }
+
+  // ----------------------------------------------------------------- q161
+
+  test("q161 gap fill: grid conserved, spans match observed hours, runs bounded") {
+    val rows = run("q161_hourly_gapfill_interpolation").collect()
+    assert(rows.nonEmpty)
+    val obs = graft.sources.Tables.events(spark, sf)
+      .selectExpr("event_type", "ts_us div 3600000000 as hr")
+      .distinct().collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("hr")) }
+    assert(rows.map(_.getAs[String]("event_type")).toSet == obs.keySet)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val hrs = obs(t)
+      val grid = hrs.max - hrs.min + 1
+      assert(r.getAs[Long]("n_hours") == grid, s"$t grid span")
+      assert(r.getAs[Long]("n_observed") == hrs.distinct.length.toLong, s"$t observed")
+      assert(r.getAs[Long]("n_hours") ==
+        r.getAs[Long]("n_observed") + r.getAs[Long]("n_filled"), s"$t partition")
+      val maxRun = r.getAs[Long]("max_gap_run")
+      assert(maxRun <= r.getAs[Long]("n_filled"), s"$t run vs fills")
+      assert((maxRun == 0) == (r.getAs[Long]("n_filled") == 0), s"$t run/fill flag")
+      // the longest run is exactly the longest hole in the sorted hour set
+      val sortedHrs = hrs.distinct.sorted
+      val longest = sortedHrs.zip(sortedHrs.drop(1)).map(p => p._2 - p._1 - 1)
+        .foldLeft(0L)(math.max)
+      assert(maxRun == longest, s"$t longest run")
+      assert(r.getAs[Long]("filled_mass_u") >= 0L)
+    }
+  }
 }
