@@ -742,6 +742,133 @@ object Dedup {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q162 — asymmetric containment pairs (quotation / partial-copy)
+  // ---------------------------------------------------------------------
+
+  /** Containment c(A→B) = |A∩B| / |A| — the ASYMMETRIC cousin of
+    * Jaccard that catches what symmetric near-dup misses: a short doc
+    * quoted or embedded inside a much longer one scores near-zero
+    * Jaccard (the union is dominated by B) but containment 1. Reported:
+    * every ordered pair with c ≥ 0.8 where A is the smaller side
+    * (equal-size ties keep doc_a < doc_b so each unordered pair appears
+    * once) — the shortlist a boilerplate/quotation review queue works
+    * from. Candidates share at least one shingle (the q22 equi-join);
+    * at 100 TB candidate generation swaps for the q23 LSH bands and the
+    * containment verify — one grouped count + two size lookups — runs
+    * on candidates only, exactly like the Jaccard verify it sits next
+    * to. The ratio is one IEEE divide of exact counts, round4. */
+  private val q162 = QueryDef(
+    "q162_containment_pairs",
+    "asymmetric shingle containment >= 0.8: smaller doc inside larger",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id != b.doc_id
+            GROUP BY 1, 2),
+      c AS (SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+                   ROUND(CAST(inter AS DOUBLE) / sa.sz, 4) + 0.0 AS containment
+            FROM p JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b)
+      SELECT doc_a, doc_b, inter, sz_a, sz_b, containment
+      FROM c
+      WHERE containment >= 0.8
+        AND (sz_a < sz_b OR (sz_a = sz_b AND doc_a < doc_b))
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val sh = shingleSet(s, dir)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val p = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      p.join(sz.select(col("doc_id").as("da"), col("sz").as("sz_a")),
+          col("doc_a") === col("da"))
+        .join(sz.select(col("doc_id").as("db"), col("sz").as("sz_b")),
+          col("doc_b") === col("db"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+          col("sz_b"),
+          (round(col("inter").cast("double") / col("sz_a"), 4) + lit(0.0))
+            .as("containment"))
+        .filter(col("containment") >= 0.8 &&
+          (col("sz_a") < col("sz_b") ||
+            (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
+        .orderBy("doc_a", "doc_b")
+    })
+
+  // ---------------------------------------------------------------------
+  // q163 — boilerplate fraction per source (template-text audit)
+  // ---------------------------------------------------------------------
+
+  /** How much of each source is TEMPLATE text? A shingle is boilerplate
+    * for a source when it appears in ≥ 20% of that source's docs (and
+    * in ≥ 3 docs, so two-doc sources don't brand everything); each
+    * doc's boilerplate fraction is the share of its distinct shingles
+    * that are boilerplate in its source. The per-source readout — mean
+    * fraction and heavily-templated doc count — is the signal that
+    * drives boilerplate stripping before training (navigation chrome,
+    * license headers, forum signatures). Plan: per-source shingle DF is
+    * one grouped count over the shingle MV joined to the doc→source
+    * map; the boilerplate set is source-domain × common-shingles
+    * (small); docs join it back on (source, shingle) — equi-joins end
+    * to end, map-side combinable, the same shapes at any corpus size.
+    * Fractions are IEEE divides of exact counts, round4; the mean is
+    * the exact-decimal davg. */
+  private val q163 = QueryDef(
+    "q163_boilerplate_fraction",
+    "per source: mean boilerplate-shingle fraction and heavily-templated docs",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      ds AS (SELECT doc_id, source FROM documents),
+      ss AS (SELECT s.doc_id, ds.source, s.shingle
+             FROM sh s JOIN ds ON ds.doc_id = s.doc_id),
+      nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs_sh
+             FROM ss GROUP BY 1),
+      df AS (SELECT source, shingle, COUNT(*) AS df FROM ss GROUP BY 1, 2),
+      bp AS (SELECT df.source, df.shingle
+             FROM df JOIN nd ON nd.source = df.source
+             WHERE df.df >= 3 AND df.df * 5 >= nd.n_docs_sh),
+      per AS (SELECT ss.doc_id, ss.source,
+                     COUNT(*) AS sz,
+                     COUNT(bp.shingle) AS n_bp
+              FROM ss LEFT JOIN bp ON bp.source = ss.source
+                                  AND bp.shingle = ss.shingle
+              GROUP BY 1, 2),
+      fr AS (SELECT source,
+                    ROUND(CAST(n_bp AS DOUBLE) / sz, 4) + 0.0 AS frac
+             FROM per)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             ${det.davgSql("frac")} AS mean_bp_frac,
+             COUNT(CASE WHEN frac > 0.5 THEN 1 END) AS n_heavy
+      FROM fr GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val ds = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val ss = shingleSet(s, dir).join(ds, "doc_id")
+      val nd = ss.groupBy(col("source").as("nsrc"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_sh"))
+      val df = ss.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+      val bp = df.join(broadcast(nd), col("source") === col("nsrc"))
+        .filter(col("df") >= 3 && col("df") * 5 >= col("n_docs_sh"))
+        .select(col("source").as("bsrc"), col("shingle").as("bsh"),
+          lit(1).as("isbp"))
+      val per = ss.join(bp,
+          col("source") === col("bsrc") && col("shingle") === col("bsh"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("sz"), count(col("isbp")).as("n_bp"))
+      per
+        .select(col("source"),
+          (round(col("n_bp").cast("double") / col("sz"), 4) + lit(0.0))
+            .as("frac"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          det.davg(col("frac")).as("mean_bp_frac"),
+          count(when(col("frac") > 0.5, 1)).as("n_heavy"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157)
+    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162, q163)
 }

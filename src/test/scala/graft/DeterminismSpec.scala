@@ -76,7 +76,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q158_grid_quantile_sketch", // bin-count cum threshold + percentile calib
     "q159_pii_redaction_audit", // hash plant slice + regex flag/replace masses
     "q160_lifecycle_order_audit", // min-ts ties + strict/equal comparisons
-    "q161_hourly_gapfill_interpolation") // ignore-nulls carries + fixed-point fill
+    "q161_hourly_gapfill_interpolation", // ignore-nulls carries + fixed-point fill
+    "q162_containment_pairs", // shingle-join candidates + round ties at 0.8
+    "q163_boilerplate_fraction") // df thresholds + decimal fraction means
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

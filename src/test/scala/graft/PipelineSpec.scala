@@ -555,4 +555,65 @@ class PipelineSpec extends AnyFunSuite {
         r.getAs[Long]("n_vocab_used") <= vocab)
     }
   }
+
+  test("q162 containment: ratios consistent, every exact-dup pair surfaces at 1.0") {
+    val rows = run("q162_containment_pairs").collect()
+    rows.foreach { r =>
+      val (inter, szA, szB) = (r.getAs[Long]("inter"), r.getAs[Long]("sz_a"),
+        r.getAs[Long]("sz_b"))
+      assert(inter >= 1 && inter <= szA, "intersection bounded by the contained side")
+      assert(szA < szB ||
+        (szA == szB && r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")),
+        "A is the smaller side, ties ordered")
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0)
+      val expect = BigDecimal(inter.toDouble / szA)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(c == expect, "containment != round4(inter/sz_a)")
+    }
+    assert(rows.nonEmpty, "fixture geometry yields containment pairs")
+    // cross-operator law: containment of the smaller side dominates
+    // Jaccard (inter/min >= inter/union), so every q22 near-dup pair
+    // whose smaller-side ratio clears 0.8 must surface here with
+    // exactly that ratio
+    val pairMap = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    var checked = 0
+    run("q22_neardup_jaccard").collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (szA, szB) = (r.getAs[Long]("sz_a"), r.getAs[Long]("sz_b"))
+      val inter = r.getAs[Long]("inter")
+      val (small, large, szS, szL) =
+        if (szA < szB || (szA == szB && a < b)) (a, b, szA, szB)
+        else (b, a, szB, szA)
+      val c = BigDecimal(inter.toDouble / szS)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(c >= r.getAs[Double]("jaccard"), "containment must dominate jaccard")
+      if (c >= 0.8) {
+        checked += 1
+        assert(pairMap.get((small, large)).contains(c),
+          s"near-dup pair ($small,$large) missing from containment or ratio differs")
+      }
+    }
+    assert(checked > 0, "at least one q22 pair must clear the containment bar")
+  }
+
+  test("q163 boilerplate fractions bounded; doc counts match shingle-bearing docs") {
+    val rows = run("q163_boilerplate_fraction").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("mean_bp_frac")
+      assert(f >= 0.0 && f <= 1.0, s"mean fraction $f outside [0,1]")
+      assert(r.getAs[Long]("n_heavy") <= r.getAs[Long]("n_docs"))
+    }
+    import org.apache.spark.sql.functions._
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val got = rows.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(got == expected, "per-source doc counts must equal shingle-bearing docs")
+  }
 }

@@ -537,6 +537,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q162/q163: shingle-family queries are equi-joins end to end") {
+    Seq("q162_containment_pairs", "q163_boilerplate_fraction").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q: candidate/boilerplate joins must be keyed")
+    }
+    assert(plan("q163_boilerplate_fraction").contains("BroadcastHashJoin"),
+      "the source doc-count table should broadcast")
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
