@@ -98,5 +98,77 @@ object Extended {
             + lit(0.0)).as("qp_covar_scaled"))
         .orderBy("l_returnflag"))
 
-  def defs: Seq[QueryDef] = Seq(q41, q42, q43)
+  // ---------------------------------------------------------------------
+  // q165 — single-pass Pearson correlation matrix (moment form)
+  // ---------------------------------------------------------------------
+
+  /** All six pairwise Pearson correlations of (quantity, extendedprice,
+    * discount, tax) from ONE scan: 15 exact-decimal moment aggregates
+    * (n, four sums, four sums of squares, six cross-products) collapse
+    * the fact table to a single row, and every r is then IEEE
+    * arithmetic over those identical rounded doubles — the
+    * partitioning-independent generalization of q43's built-in corr
+    * (whose float accumulator is order-sensitive) to the full matrix at
+    * one-scan cost. Columns are pre-scaled into O(1) range (quantity/100,
+    * extendedprice/1e5) BEFORE squaring, the q143 magnitude discipline:
+    * an unscaled Σprice² would reach ~1e15, where a double's ulp dwarfs
+    * the 4-dp rounding grid and the two engines' ROUND can legitimately
+    * disagree — correlation is invariant under the scaling, so nothing
+    * is lost. The near-cancelling numerator (n·Sxy − SxSy) is the q148
+    * caveat: accuracy degrades for |r| ≈ 0, parity does not. */
+  private val q165 = QueryDef(
+    "q165_correlation_matrix",
+    "six pairwise Pearson correlations from one 15-moment scan",
+    Some {
+      val cols = Seq(
+        "q" -> "l_quantity / 100.0", "p" -> "l_extendedprice / 100000.0",
+        "d" -> "l_discount", "t" -> "l_tax")
+      val sums = cols.map { case (a, e) => s"${dsumSql(e)} AS s_$a" }
+      val sqs = cols.map { case (a, e) => s"${dsumSql(s"($e) * ($e)")} AS s_$a$a" }
+      val pairs = cols.combinations(2).toSeq
+      val crosses = pairs.map { case Seq((a, ea), (b, eb)) =>
+        s"${dsumSql(s"($ea) * ($eb)")} AS s_$a$b" }
+      val names = Map("q" -> "quantity", "p" -> "extendedprice",
+        "d" -> "discount", "t" -> "tax")
+      val rows = pairs.map { case Seq((a, _), (b, _)) =>
+        s"""SELECT '${names(a)}_${names(b)}' AS pair, n,
+           ROUND((n * s_$a$b - s_$a * s_$b)
+                 / sqrt((n * s_$a$a - s_$a * s_$a)
+                        * (n * s_$b$b - s_$b * s_$b)), 4) + 0.0 AS r
+           FROM m"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        ${(sums ++ sqs ++ crosses).mkString(",\n                        ")}
+                 FROM lineitem)
+      $rows
+      ORDER BY pair"""
+    },
+    (s, dir) => {
+      val cols = Seq(
+        "q" -> (col("l_quantity") / 100.0),
+        "p" -> (col("l_extendedprice") / 100000.0),
+        "d" -> col("l_discount"),
+        "t" -> col("l_tax"))
+      val names = Map("q" -> "quantity", "p" -> "extendedprice",
+        "d" -> "discount", "t" -> "tax")
+      val pairs = cols.combinations(2).toSeq
+      val aggs = cols.map { case (a, e) => dsum(e).as(s"s_$a") } ++
+        cols.map { case (a, e) => dsum(e * e).as(s"s_$a$a") } ++
+        pairs.map { case Seq((a, ea), (b, eb)) => dsum(ea * eb).as(s"s_$a$b") }
+      val m = Tables.lineitem(s, dir)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val rStructs = pairs.map { case Seq((a, _), (b, _)) =>
+        val r = (col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")) *
+            (col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b")))
+        struct(lit(s"${names(a)}_${names(b)}").as("pair"),
+          (round(r, 4) + lit(0.0)).as("r"))
+      }
+      m.select(col("n"), explode(array(rStructs: _*)).as("pr"))
+        .select(col("pr.pair").as("pair"), col("n"), col("pr.r").as("r"))
+        .orderBy("pair")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165)
 }

@@ -473,5 +473,57 @@ object TextPipeline {
         .orderBy("source")
     })
 
-  def defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144)
+  // ---------------------------------------------------------------------
+  // q164 — text normalization mass audit (pre-tokenization cleanup)
+  // ---------------------------------------------------------------------
+
+  /** The lowercase → strip-non-alphanumeric → collapse-whitespace
+    * normalization every tokenizer-prep pass runs, audited by exact
+    * character accounting per source: raw mass, mass after keeping only
+    * [a-z0-9 ], mass after whitespace collapse + trim, and the keep
+    * ratio — the number that flags a source whose content is mostly
+    * markup/punctuation before any tokens are spent on it. Pure per-row
+    * regex projections (codegen'd, embarrassingly parallel) + one
+    * source-domain aggregate; length sums are exact integers, the ratio
+    * one IEEE divide, round6. The character class is spelled [^a-z0-9 ]
+    * (no shorthand) so the Java and RE2-style engines agree; the oracle
+    * passes the 'g' flag DuckDB needs for replace-all. */
+  private val q164 = QueryDef(
+    "q164_text_normalization_audit",
+    "per source: char masses through lower/strip/collapse normalization",
+    Some("""
+      WITH n AS (SELECT source,
+                        length(text) AS raw,
+                        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS alnum
+                 FROM documents),
+      c AS (SELECT source, raw, length(alnum) AS kept,
+                   length(trim(regexp_replace(alnum, ' +', ' ', 'g'))) AS norm
+            FROM n)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(raw) AS BIGINT) AS chars_raw,
+             CAST(SUM(kept) AS BIGINT) AS chars_alnum,
+             CAST(SUM(norm) AS BIGINT) AS chars_norm,
+             ROUND(CAST(SUM(norm) AS DOUBLE) / SUM(raw), 6) + 0.0 AS keep_ratio
+      FROM c GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val n = Tables.documents(s, dir).select(col("source"),
+        length(col("text")).as("raw"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("alnum"))
+      val c = n.select(col("source"), col("raw"),
+        length(col("alnum")).as("kept"),
+        length(trim(regexp_replace(col("alnum"), " +", " "))).as("norm"))
+      c.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw")).cast("long").as("chars_raw"),
+          sum(col("kept")).cast("long").as("chars_alnum"),
+          sum(col("norm")).cast("long").as("chars_norm"))
+        .select(col("source"), col("n_docs"), col("chars_raw"),
+          col("chars_alnum"), col("chars_norm"),
+          (round(col("chars_norm").cast("double") / col("chars_raw"), 6)
+            + lit(0.0)).as("keep_ratio"))
+        .orderBy("source")
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164)
 }

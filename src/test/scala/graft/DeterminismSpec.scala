@@ -78,7 +78,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q160_lifecycle_order_audit", // min-ts ties + strict/equal comparisons
     "q161_hourly_gapfill_interpolation", // ignore-nulls carries + fixed-point fill
     "q162_containment_pairs", // shingle-join candidates + round ties at 0.8
-    "q163_boilerplate_fraction") // df thresholds + decimal fraction means
+    "q163_boilerplate_fraction", // df thresholds + decimal fraction means
+    "q165_correlation_matrix") // near-cancelling decimal moment arithmetic
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -599,6 +599,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked > 0, "at least one q22 pair must clear the containment bar")
   }
 
+  test("q164 normalization masses are nested and ratios consistent") {
+    val rows = run("q164_text_normalization_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, alnum, norm) = (r.getAs[Long]("chars_raw"),
+        r.getAs[Long]("chars_alnum"), r.getAs[Long]("chars_norm"))
+      assert(norm <= alnum && alnum <= raw,
+        s"${r.getAs[String]("source")}: masses must shrink through the pipeline")
+      val ratio = BigDecimal(norm.toDouble / raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("keep_ratio") == ratio)
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus)
+  }
+
+  test("q165 correlation matrix stays in [-1,1] and tracks the built-in corr") {
+    val rows = run("q165_correlation_matrix").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 && v <= 1.0, s"${r.getAs[String]("pair")}: r $v out of range")
+    }
+    // the decimal-moment form must agree with Spark's float corr to well
+    // inside the rounding grid (the moments are exact; corr is not)
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val builtin = li.agg(
+      corr(col("l_quantity"), col("l_extendedprice")).as("qp"),
+      corr(col("l_discount"), col("l_tax")).as("dt")).head()
+    val byPair = rows.map(r => r.getAs[String]("pair") -> r.getAs[Double]("r")).toMap
+    assert(math.abs(byPair("quantity_extendedprice") - builtin.getAs[Double]("qp")) < 1e-3)
+    assert(math.abs(byPair("discount_tax") - builtin.getAs[Double]("dt")) < 1e-3)
+  }
+
   test("q163 boilerplate fractions bounded; doc counts match shingle-bearing docs") {
     val rows = run("q163_boilerplate_fraction").collect()
     assert(rows.nonEmpty)

@@ -547,6 +547,15 @@ class PlanSpec extends AnyFunSuite {
       "the source doc-count table should broadcast")
   }
 
+  test("q164/q165: audits are single-scan, join-free, map-side combinable") {
+    Seq("q164_text_normalization_audit", "q165_correlation_matrix").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join anything")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q aggregates must combine map-side")
+    }
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

@@ -868,6 +868,32 @@ class PropertySpec extends AnyFunSuite {
     assert(expected.values.map(_._2).sum > 0, "plant must flag at least one doc")
   }
 
+  test("q164 normalization == brute-force regex reference on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val raws = ds.map(_._2.length.toLong)
+      val alnums = ds.map(d =>
+        d._2.toLowerCase.replaceAll("[^a-z0-9 ]", ""))
+      val norms = alnums.map(a => a.replaceAll(" +", " ").trim)
+      src -> (ds.length.toLong, raws.sum, alnums.map(_.length.toLong).sum,
+        norms.map(_.length.toLong).sum)
+    }
+    val rows = SparkEntry.queries("q164_text_normalization_audit")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == expected.keySet)
+    expected.foreach { case (src, (n, raw, alnum, norm)) =>
+      val row = rows(src)
+      assert(row.getAs[Long]("n_docs") == n, s"$src docs")
+      assert(row.getAs[Long]("chars_raw") == raw, s"$src raw")
+      assert(row.getAs[Long]("chars_alnum") == alnum, s"$src alnum")
+      assert(row.getAs[Long]("chars_norm") == norm, s"$src norm")
+      assert(row.getAs[Double]("keep_ratio") == round6(norm.toDouble / raw),
+        s"$src ratio")
+    }
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()
