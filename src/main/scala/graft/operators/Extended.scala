@@ -170,5 +170,70 @@ object Extended {
         .orderBy("pair")
     })
 
-  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165)
+  /** 200 derandomized uniforms in (0,1), shared by the Spark side and
+    * the generated oracle SQL: u_j = (md5-60("boot:j") mod 1e6 + 1) /
+    * 1000001 — a pure function of j, so both engines receive the SAME
+    * literal array and the "randomness" is reproducible forever. */
+  private val bootU: Seq[Double] = (1 to 200).map { j =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"boot:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex.take(15), 16) % 1000000L) + 1L) / 1000001.0
+  }
+
+  // ---------------------------------------------------------------------
+  // q166 — derandomized bootstrap CI via inverse-CDF resampling
+  // ---------------------------------------------------------------------
+
+  /** Uncertainty estimation without an RNG: 200 hash-derived uniforms
+    * (the same literal array on both engines — see [[bootU]]) are pushed
+    * through each event type's EXACT empirical inverse CDF with one
+    * `percentile(value, array(...))` aggregate, giving a deterministic
+    * bootstrap sample whose mean and [p05, p95] band sit next to the
+    * true mean — the error-bar readout a metrics pipeline attaches to
+    * every per-group statistic, derandomized so the hash gate can check
+    * it. Plan: ONE aggregate per type produces the 200-slot percentile
+    * array (map-side combinable percentile state), a bounded explode
+    * unpacks it, and a 200-row-per-type re-aggregate finishes — no rank
+    * window, no fact-sized shuffle beyond the percentile state. Each
+    * drawn value is rounded 4-dp (interpolated percentiles are the q42
+    * discipline); the band is the exact percentile of those 200 rounded
+    * draws. */
+  private val q166 = QueryDef(
+    "q166_bootstrap_ci",
+    "derandomized 200-draw bootstrap: mean and [p05,p95] band vs true mean",
+    Some {
+      val arr = bootU.map(u => f"$u%.6f").mkString(", ")
+      s"""
+      WITH b AS (SELECT event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        ${davgSql("value")} AS true_mean,
+                        quantile_cont(value, [$arr]) AS qs
+                 FROM events GROUP BY 1),
+      d AS (SELECT event_type, n, true_mean,
+                   ROUND(unnest(qs), 4) + 0.0 AS v
+            FROM b)
+      SELECT event_type, n, true_mean,
+             ${davgSql("v")} AS boot_mean,
+             ROUND(quantile_cont(v, 0.05), 4) + 0.0 AS boot_p05,
+             ROUND(quantile_cont(v, 0.95), 4) + 0.0 AS boot_p95
+      FROM d GROUP BY event_type, n, true_mean
+      ORDER BY event_type"""
+    },
+    (s, dir) => {
+      val b = Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("true_mean"),
+          expr(s"percentile(value, array(${bootU.map(u => f"$u%.6f").mkString(", ")}))")
+            .as("qs"))
+      val d = b.select(col("event_type"), col("n"), col("true_mean"),
+        explode(col("qs")).as("q"))
+        .select(col("event_type"), col("n"), col("true_mean"),
+          (round(col("q"), 4) + lit(0.0)).as("v"))
+      d.groupBy("event_type", "n", "true_mean")
+        .agg(davg(col("v")).as("boot_mean"),
+          (round(expr("percentile(v, 0.05)"), 4) + lit(0.0)).as("boot_p05"),
+          (round(expr("percentile(v, 0.95)"), 4) + lit(0.0)).as("boot_p95"))
+        .orderBy("event_type")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165, q166)
 }

@@ -1040,7 +1040,102 @@ object Planning {
         .orderBy("event_type", "p")
     })
 
+  // ---------------------------------------------------------------------
+  // q167 — CUPED variance reduction for the A/B readout
+  // ---------------------------------------------------------------------
+
+  /** q143's experiment readout upgraded with CUPED (controlled
+    * pre-experiment data): each customer's PRE-period spend (orders
+    * before 1998-07-01) is the covariate X, the POST-period spend is
+    * the metric Y, θ = cov(X,Y)/var(X) is fit POOLED across arms, and
+    * the adjusted metric Y − θ(X − X̄) removes the variance X explains —
+    * the standard trick that shrinks experiment error bars without
+    * touching the treatment effect (arm assignment is q143's md5 hash,
+    * independent of X by construction). All second moments are computed
+    * on /1e5-scaled spends (the q165 magnitude discipline — Σy² stays
+    * ~1e5 where 4-dp rounding is meaningful) through exact-decimal
+    * accumulators; θ and the realized variance reduction ρ² are
+    * IEEE arithmetic over those identical rounded doubles; the reported
+    * means stay in raw units (magnitude ~1e5, far below the ROUND
+    * hazard zone). One fact scan, one customer-domain aggregate, a
+    * 2-row readout — the q143 scale shape with one more moment row. */
+  private val q167 = QueryDef(
+    "q167_cuped_adjustment",
+    "CUPED-adjusted A/B readout: theta, adjusted means, variance reduction",
+    Some(s"""
+      WITH cs AS (SELECT o_custkey,
+                         ${dsumSql("CASE WHEN o_orderdate < TIMESTAMP '1998-07-01 00:00:00' THEN o_totalprice ELSE 0.0 END")} AS xs,
+                         ${dsumSql("CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01 00:00:00' THEN o_totalprice ELSE 0.0 END")} AS ys
+                  FROM orders GROUP BY 1),
+      sp AS (SELECT (${hkeySql("ab:", "c_custkey")} % 2) AS arm,
+                    COALESCE(xs, 0.0) AS x, COALESCE(ys, 0.0) AS y
+             FROM customer LEFT JOIN cs ON c_custkey = o_custkey),
+      pool AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+                      ${dsumSql("(x / 100000.0) * (x / 100000.0)")} AS sxx,
+                      ${dsumSql("(x / 100000.0) * (y / 100000.0)")} AS sxy,
+                      ${dsumSql("(y / 100000.0) * (y / 100000.0)")} AS syy,
+                      ${dsumSql("x / 100000.0")} AS sxs,
+                      ${dsumSql("y / 100000.0")} AS sys
+               FROM sp),
+      arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+                      ${dsumSql("x")} AS sxa, ${dsumSql("y")} AS sya
+               FROM sp GROUP BY arm),
+      th AS (SELECT n, sx, sy,
+                    CASE WHEN n * sxx - sxs * sxs > 0
+                         THEN (n * sxy - sxs * sys) / (n * sxx - sxs * sxs)
+                         ELSE 0.0 END AS theta,
+                    CASE WHEN n * sxx - sxs * sxs > 0
+                          AND n * syy - sys * sys > 0
+                         THEN (n * sxy - sxs * sys) * (n * sxy - sxs * sys)
+                              / ((n * sxx - sxs * sxs) * (n * syy - sys * sys))
+                         ELSE 0.0 END AS rho2
+             FROM pool)
+      SELECT arm, n_arm,
+             ROUND(sya / n_arm, 4) + 0.0 AS mean_post,
+             ROUND(sya / n_arm - theta * (sxa / n_arm - sx / n), 4) + 0.0
+               AS mean_adj,
+             ROUND(theta, 4) + 0.0 AS theta,
+             ROUND(rho2, 4) + 0.0 AS var_reduction
+      FROM arms CROSS JOIN th
+      ORDER BY arm"""),
+    (s, dir) => {
+      val pre = expr("o_orderdate < TIMESTAMP '1998-07-01 00:00:00'")
+      val cs = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(dsum(when(pre, col("o_totalprice")).otherwise(0.0)).as("xs"),
+          dsum(when(!pre, col("o_totalprice")).otherwise(0.0)).as("ys"))
+      val sp = Tables.customer(s, dir)
+        .join(cs, col("c_custkey") === col("o_custkey"), "left")
+        .select((hkey("ab:", col("c_custkey")) % 2L).as("arm"),
+          coalesce(col("xs"), lit(0.0)).as("x"),
+          coalesce(col("ys"), lit(0.0)).as("y"))
+      val xsc = col("x") / 100000.0
+      val ysc = col("y") / 100000.0
+      val pool = sp.agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(xsc * xsc).as("sxx"), dsum(xsc * ysc).as("sxy"),
+        dsum(ysc * ysc).as("syy"), dsum(xsc).as("sxs"), dsum(ysc).as("sys"))
+      val varX = col("n") * col("sxx") - col("sxs") * col("sxs")
+      val varY = col("n") * col("syy") - col("sys") * col("sys")
+      val covN = col("n") * col("sxy") - col("sxs") * col("sys")
+      val th = pool.select(col("n"), col("sx"), col("sy"),
+        when(varX > 0, covN / varX).otherwise(0.0).as("theta"),
+        when(varX > 0 && varY > 0, covN * covN / (varX * varY))
+          .otherwise(0.0).as("rho2"))
+      val arms = sp.groupBy("arm").agg(count(lit(1)).as("n_arm"),
+        dsum(col("x")).as("sxa"), dsum(col("y")).as("sya"))
+      arms.crossJoin(broadcast(th))
+        .select(col("arm"), col("n_arm"),
+          (round(col("sya") / col("n_arm"), 4) + lit(0.0)).as("mean_post"),
+          (round(col("sya") / col("n_arm")
+            - col("theta") * (col("sxa") / col("n_arm") - col("sx") / col("n")), 4)
+            + lit(0.0)).as("mean_adj"),
+          (round(col("theta"), 4) + lit(0.0)).as("theta"),
+          (round(col("rho2"), 4) + lit(0.0)).as("var_reduction"))
+        .orderBy("arm")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
-      q151, q154, q158)
+      q151, q154, q158, q167)
 }

@@ -79,7 +79,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q161_hourly_gapfill_interpolation", // ignore-nulls carries + fixed-point fill
     "q162_containment_pairs", // shingle-join candidates + round ties at 0.8
     "q163_boilerplate_fraction", // df thresholds + decimal fraction means
-    "q165_correlation_matrix") // near-cancelling decimal moment arithmetic
+    "q165_correlation_matrix", // near-cancelling decimal moment arithmetic
+    "q166_bootstrap_ci", // percentile-array state + rounded draw re-agg
+    "q167_cuped_adjustment") // hash arms + pooled moment ratios
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

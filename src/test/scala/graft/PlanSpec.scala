@@ -556,6 +556,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q166/q167: moment/percentile states combine map-side; no fact-sized cross") {
+    val p166 = plan("q166_bootstrap_ci")
+    assert(!p166.contains("Join"), "bootstrap is one aggregate + bounded explode")
+    val p167 = plan("q167_cuped_adjustment")
+    assert(p167.contains("partial_sum"), "CUPED moments must combine map-side")
+    assert(!p167.contains("CartesianProduct"),
+      "the 1-row theta table must broadcast, never cartesian")
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

@@ -894,6 +894,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q167 CUPED degenerates cleanly when the post-period is empty (generated orders)") {
+    // genOrders all predate the 1998-07-01 split: Y ≡ 0, var(Y) = 0 —
+    // the guards must yield theta = 0, var_reduction = 0, and adjusted
+    // means equal to the (zero) raw means instead of NaN.
+    val rows = SparkEntry.queries("q167_cuped_adjustment")(spark, genOrdersDir)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("theta") == 0.0, "zero-variance X or Y must zero theta")
+      assert(r.getAs[Double]("var_reduction") == 0.0)
+      assert(r.getAs[Double]("mean_post") == 0.0, "no post-period spend exists")
+      assert(r.getAs[Double]("mean_adj") == 0.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_arm")).sum == 20L, "all customers assigned")
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()

@@ -567,6 +567,53 @@ class TemporalPlanningSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------------- q166
+
+  test("q166 bootstrap: draws live inside the empirical range, band ordered") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q166_bootstrap_ci").collect()
+    assert(rows.nonEmpty)
+    val ranges = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n"))).toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet == ranges.keySet)
+    rows.foreach { r =>
+      val (lo, hi, n) = ranges(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n)
+      val (p05, p95) = (r.getAs[Double]("boot_p05"), r.getAs[Double]("boot_p95"))
+      assert(p05 <= p95, "band ordered")
+      // every inverse-CDF draw (hence the band and both means) must lie
+      // inside the observed value range, with 4-dp rounding slack
+      Seq("true_mean", "boot_mean", "boot_p05", "boot_p95").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= lo - 1e-4 && v <= hi + 1e-4, s"$c=$v escapes [$lo,$hi]")
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- q167
+
+  test("q167 CUPED: adjustment conserves the pooled mean, reduction in [0,1]") {
+    val rows = run("q167_cuped_adjustment").collect()
+    assert(rows.length == 2)
+    val thetas = rows.map(_.getAs[Double]("theta")).distinct
+    assert(thetas.length == 1, "theta is pooled, identical on both rows")
+    rows.foreach { r =>
+      val vr = r.getAs[Double]("var_reduction")
+      assert(vr >= 0.0 && vr <= 1.0, s"variance reduction $vr outside [0,1]")
+    }
+    // Σ n_a (X̄_a − X̄pool) = 0, so the n-weighted adjusted mean equals the
+    // n-weighted raw mean up to per-row 4-dp rounding
+    val wAdj = rows.map(r => r.getAs[Long]("n_arm") * r.getAs[Double]("mean_adj")).sum
+    val wRaw = rows.map(r => r.getAs[Long]("n_arm") * r.getAs[Double]("mean_post")).sum
+    val n = rows.map(_.getAs[Long]("n_arm")).sum
+    assert(math.abs(wAdj - wRaw) <= n * 1e-4,
+      s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
+  }
+
   // ----------------------------------------------------------------- q160
 
   test("q160 lifecycle audit: signup events never precede the first signup, counts nest") {
