@@ -458,9 +458,55 @@ object Relational {
         .orderBy("table_name")
     })
 
+  /** TPC-H Q5's shape: the six-table snowflake with the extra
+    * NON-TREE edge c_nationkey = s_nationkey ("customer buying from a
+    * LOCAL supplier") — the query pattern that actually exercises
+    * Catalyst's join reordering and CBO, because the customer and
+    * supplier branches meet twice (through orders/lineitem AND through
+    * the nation equality). q03 is the tree-shaped star; this is the
+    * cyclic one. Both dims broadcast, the date filter pushes to the
+    * orders scan, and revenue ordering on the 4-dp rounded decimal sums
+    * is total with the nation tiebreak. */
+  private val q168 = QueryDef(
+    "q168_local_supplier_volume",
+    "TPC-H Q5 shape: revenue via local suppliers per ASIA nation, one year",
+    Some(s"""
+      SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+             COUNT(*) AS n_lineitems
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""),
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("revenue").desc, col("n_name")))
+
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127)
+      q126, q127, q168)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

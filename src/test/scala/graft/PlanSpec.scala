@@ -565,6 +565,16 @@ class PlanSpec extends AnyFunSuite {
       "the 1-row theta table must broadcast, never cartesian")
   }
 
+  test("q168: the cyclic snowflake broadcasts every dim and pushes the date filter") {
+    val p = plan("q168_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "supplier/nation/region must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the order-date window must reach the orders scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
