@@ -808,7 +808,85 @@ object Temporal {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------------
+  // q169 — multi-touch time-decay attribution (rational weights)
+  // ---------------------------------------------------------------------
+
+  /** q141's last-touch answered "who gets the sale"; this answers it the
+    * way marketing teams actually split it: EVERY click in the 7-day
+    * lookback gets credit, decayed harmonically with age — w = 1/(1+d)
+    * for a click d whole days before the purchase. Harmonic (not
+    * exponential) decay is deliberate: the weights are exact rationals
+    * of small integers, so no libm exp/pow enters the parity surface.
+    * Per purchase, weights normalize through an order-independent
+    * decimal window sum (the det.dsum discipline applied inside a
+    * window), and credit = value · w / Z then rolls up per campaign
+    * through the usual decimal accumulator; purchases with no prior
+    * click keep full value under campaign −1, so revenue is conserved.
+    * Plan: the q41 interval-join shape — equi-shuffle on user_id, range
+    * predicate inside the joined partition, bounded per user — then a
+    * purchase-keyed window (fan-in ≤ clicks-per-week per user) and a
+    * campaign-domain rollup. */
+  private val q169 = QueryDef(
+    "q169_timedecay_attribution",
+    "7-day harmonic multi-touch attribution: revenue split across campaigns",
+    Some(s"""
+      WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts, value
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS cts,
+                   CAST(props ->> 'k' AS BIGINT) % 5 AS camp
+            FROM events WHERE event_type = 'click'),
+      j AS (SELECT p.pid, p.value, c.camp,
+                   CASE WHEN c.camp IS NOT NULL
+                        THEN 1.0 / (1.0 + CAST((p.pts - c.cts) // 86400000000
+                                               AS DOUBLE)) END AS w
+            FROM p LEFT JOIN c ON p.user_id = c.user_id
+                              AND c.cts < p.pts
+                              AND c.cts >= p.pts - 7 * 86400000000),
+      z AS (SELECT pid, value, camp, w,
+                   ROUND(CAST(SUM(CAST(w AS DECIMAL(30,10)))
+                              OVER (PARTITION BY pid) AS DOUBLE), 4) AS zz
+            FROM j),
+      cr AS (SELECT COALESCE(camp, -1) AS campaign, pid,
+                    CASE WHEN camp IS NULL THEN value
+                         ELSE value * w / zz END AS credit
+             FROM z)
+      SELECT campaign,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+             ${dsumSql("credit")} AS attributed_revenue
+      FROM cr GROUP BY campaign ORDER BY campaign"""),
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("ts_us").as("pts"), col("value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuid"), col("ts_us").as("cts"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5).as("camp"))
+      val j = p.join(c,
+          col("user_id") === col("cuid") && col("cts") < col("pts")
+            && col("cts") >= col("pts") - lit(7L) * 86400000000L, "left")
+        .select(col("pid"), col("value"), col("camp"),
+          when(col("camp").isNotNull,
+            lit(1.0) / (lit(1.0)
+              + expr("(pts - cts) div 86400000000").cast("double"))).as("w"))
+      val z = j.withColumn("zz",
+        round(sum(col("w").cast(DecimalType(30, 10)))
+          .over(Window.partitionBy("pid")).cast("double"), 4))
+      val cr = z.select(coalesce(col("camp"), lit(-1L)).as("campaign"),
+        col("pid"),
+        when(col("camp").isNull, col("value"))
+          .otherwise(col("value") * col("w") / col("zz")).as("credit"))
+      cr.groupBy("campaign")
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_purchases"),
+          dsum(col("credit")).as("attributed_revenue"))
+        .orderBy("campaign")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161)
+      q160, q161, q169)
 }

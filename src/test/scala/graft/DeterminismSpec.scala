@@ -81,7 +81,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q163_boilerplate_fraction", // df thresholds + decimal fraction means
     "q165_correlation_matrix", // near-cancelling decimal moment arithmetic
     "q166_bootstrap_ci", // percentile-array state + rounded draw re-agg
-    "q167_cuped_adjustment") // hash arms + pooled moment ratios
+    "q167_cuped_adjustment", // hash arms + pooled moment ratios
+    "q169_timedecay_attribution") // interval-join fan-out + windowed decimal Z
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

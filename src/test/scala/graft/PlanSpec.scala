@@ -575,6 +575,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q169: the lookback join is user-keyed; the Z window partitions by purchase") {
+    val p = plan("q169_timedecay_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the 7-day lookback must ride the user_id equi-join")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("pid")),
+      s"normalizer window must partition by pid:\n${specs.mkString("\n")}")
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

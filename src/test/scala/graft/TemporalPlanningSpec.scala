@@ -614,6 +614,33 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q169
+
+  test("q169 time-decay attribution conserves revenue and agrees with q141's total") {
+    val rows = run("q169_timedecay_attribution").collect()
+    assert(rows.nonEmpty)
+    val total169 = rows.map(_.getAs[Double]("attributed_revenue")).sum
+    // last-touch assigns each purchase's full value to exactly one
+    // campaign, so its total IS the purchase revenue; multi-touch must
+    // redistribute, not create or destroy (slack: per-purchase Z is
+    // 4-dp rounded, plus per-campaign 4-dp rounding)
+    val rows141 = run("q141_last_touch_attribution").collect()
+    val total141 = rows141.map(_.getAs[Double]("attributed_revenue")).sum
+    assert(math.abs(total169 - total141) <= 0.01 * rows.length + total141 * 2e-4,
+      s"revenue not conserved: $total169 vs $total141")
+    // every purchase lands somewhere exactly once
+    val n169 = rows.map(_.getAs[Long]("n_purchases"))
+    val nPurch = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(n169.max <= nPurch)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_touches") >= r.getAs[Long]("n_purchases")
+        || r.getAs[Long]("campaign") == -1L)
+      assert(r.getAs[Double]("attributed_revenue") >= 0.0)
+    }
+  }
+
   // ----------------------------------------------------------------- q160
 
   test("q160 lifecycle audit: signup events never precede the first signup, counts nest") {
