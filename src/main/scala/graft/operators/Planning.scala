@@ -1135,7 +1135,63 @@ object Planning {
         .orderBy("arm")
     })
 
+  // ---------------------------------------------------------------------
+  // q170 — bitmap-index distinct (exact, mergeable, self-verifying)
+  // ---------------------------------------------------------------------
+
+  /** The bitmap-index trick as a pure aggregate: the user domain is cut
+    * into 32-wide words (word = user DIV 32), each (group, word) folds
+    * its members into one long via BIT_OR(1 << user MOD 32) — 32 bits,
+    * not 64, because a shift into the sign bit is a checked overflow in
+    * one engine and silent wraparound in the other — and the
+    * exact distinct count is Σ bit_count(word) — an EXACT mergeable
+    * "sketch" (OR is idempotent/commutative/associative, so partials
+    * from any partitioning merge losslessly), unlike the probabilistic
+    * HLL family (q56/q147) it sits beside. The query is self-verifying:
+    * it emits the bitmap count NEXT TO COUNT(DISTINCT) and a match
+    * flag the oracle gate then proves equal. At 100 TB the word table
+    * is |domain|/64 longs per group, the fold is map-side, and set
+    * algebra (union/intersection over groups) becomes bitwise OR/AND
+    * on co-keyed words — the roaring-bitmap plan shape in engine
+    * terms. */
+  private val q170 = QueryDef(
+    "q170_bitmap_distinct",
+    "exact distinct users per type via 32-bit bitmap words == COUNT(DISTINCT)",
+    Some("""
+      WITH w AS (SELECT event_type, user_id // 32 AS word,
+                        BIT_OR(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+                 FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type,
+                   CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bitmap,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM w GROUP BY 1),
+      x AS (SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1)
+      SELECT event_type, n_words, n_bitmap, n_exact,
+             CAST(CASE WHEN n_bitmap = n_exact THEN 1 ELSE 0 END AS INTEGER)
+               AS bitmap_matches
+      FROM b JOIN x USING (event_type)
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = ev.groupBy(col("event_type"), expr("user_id div 32").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))")
+          .as("bits"))
+      val b = w.groupBy("event_type")
+        .agg(sum(bit_count(col("bits"))).cast("long").as("n_bitmap"),
+          count(lit(1)).as("n_words"))
+      val x = ev.groupBy(col("event_type").as("xet"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      b.join(x, col("event_type") === col("xet"))
+        .select(col("event_type"), col("n_words"), col("n_bitmap"),
+          col("n_exact"),
+          when(col("n_bitmap") === col("n_exact"), 1).otherwise(0)
+            .as("bitmap_matches"))
+        .orderBy("event_type")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
-      q151, q154, q158, q167)
+      q151, q154, q158, q167, q170)
 }

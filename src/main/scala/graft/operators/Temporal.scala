@@ -886,7 +886,53 @@ object Temporal {
         .orderBy("campaign")
     })
 
+  // ---------------------------------------------------------------------
+  // q171 — monthly revenue with MoM and YoY growth
+  // ---------------------------------------------------------------------
+
+  /** The calendar rollup every revenue dashboard opens with: monthly
+    * order revenue with month-over-month and year-over-year deltas via
+    * lag(1) and lag(12) over the month axis. The fact table collapses
+    * map-side to the month domain (calendar-bounded — the only window
+    * in the plan runs over that tiny table, never facts; the q152
+    * discipline), prior values ship alongside the growth ratios so the
+    * reader can always recompute, and missing priors yield NULL growth
+    * rather than a fabricated zero. Month arithmetic uses date_trunc —
+    * identical calendar semantics on both engines under UTC. */
+  private val q171 = QueryDef(
+    "q171_monthly_revenue_growth",
+    "monthly revenue, MoM and YoY growth from lag windows over the month axis",
+    Some(s"""
+      WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                        ${dsumSql("o_totalprice")} AS revenue,
+                        CAST(COUNT(*) AS BIGINT) AS n_orders
+                 FROM orders GROUP BY 1),
+      g AS (SELECT month, revenue, n_orders,
+                   lag(revenue, 1) OVER (ORDER BY month) AS prev_m,
+                   lag(revenue, 12) OVER (ORDER BY month) AS prev_y
+            FROM m)
+      SELECT month, n_orders, revenue, prev_m, prev_y,
+             ROUND((revenue - prev_m) / prev_m, 6) + 0.0 AS mom_growth,
+             ROUND((revenue - prev_y) / prev_y, 6) + 0.0 AS yoy_growth
+      FROM g ORDER BY month"""),
+    (s, dir) => {
+      val m = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy("month")
+      m.withColumn("prev_m", lag(col("revenue"), 1).over(w))
+        .withColumn("prev_y", lag(col("revenue"), 12).over(w))
+        .select(col("month"), col("n_orders"), col("revenue"), col("prev_m"),
+          col("prev_y"),
+          (round((col("revenue") - col("prev_m")) / col("prev_m"), 6) + lit(0.0))
+            .as("mom_growth"),
+          (round((col("revenue") - col("prev_y")) / col("prev_y"), 6) + lit(0.0))
+            .as("yoy_growth"))
+        .orderBy("month")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161, q169)
+      q160, q161, q169, q171)
 }

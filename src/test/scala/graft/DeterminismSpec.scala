@@ -82,7 +82,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q165_correlation_matrix", // near-cancelling decimal moment arithmetic
     "q166_bootstrap_ci", // percentile-array state + rounded draw re-agg
     "q167_cuped_adjustment", // hash arms + pooled moment ratios
-    "q169_timedecay_attribution") // interval-join fan-out + windowed decimal Z
+    "q169_timedecay_attribution", // interval-join fan-out + windowed decimal Z
+    "q171_monthly_revenue_growth") // lag chains + rounded growth ratios
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -177,7 +177,9 @@ class SourcesSpec extends AnyFunSuite {
       // threshold, blocked fuzzy candidates with min-distance ties,
       // ignore-nulls carries feeding fixed-point interpolation
       "q157_fuzzy_ocr_relink", "q158_grid_quantile_sketch",
-      "q161_hourly_gapfill_interpolation", "q165_correlation_matrix")
+      "q161_hourly_gapfill_interpolation", "q165_correlation_matrix",
+      // bitwise-OR word folds merge from any partitioning
+      "q170_bitmap_distinct")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)

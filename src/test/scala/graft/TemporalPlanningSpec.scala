@@ -614,6 +614,49 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q170
+
+  test("q170 bitmap distinct: self-verification holds, word counts bounded") {
+    val rows = run("q170_bitmap_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("bitmap_matches") == 1,
+        s"${r.getAs[String]("event_type")}: bitmap != COUNT(DISTINCT)")
+      assert(r.getAs[Long]("n_bitmap") == r.getAs[Long]("n_exact"))
+      val words = r.getAs[Long]("n_words")
+      val n = r.getAs[Long]("n_exact")
+      assert(words <= n, "every word carries at least one bit")
+      assert(n <= words * 32, "a word carries at most 32 bits")
+    }
+  }
+
+  // ----------------------------------------------------------------- q171
+
+  test("q171 monthly growth: lags chain correctly, masses conserve") {
+    val rows = run("q171_monthly_revenue_growth").collect()
+    assert(rows.length >= 13, "fixture spans years, so YoY rows must exist")
+    val byIdx = rows.zipWithIndex
+    byIdx.foreach { case (r, i) =>
+      if (i == 0) assert(r.isNullAt(r.fieldIndex("prev_m")), "first month has no prior")
+      else assert(r.getAs[Double]("prev_m") == rows(i - 1).getAs[Double]("revenue"),
+        s"row $i prev_m must equal prior month's revenue")
+      if (i >= 12)
+        assert(r.getAs[Double]("prev_y") == rows(i - 12).getAs[Double]("revenue"))
+      if (!r.isNullAt(r.fieldIndex("mom_growth"))) {
+        val expect = BigDecimal(
+          (r.getAs[Double]("revenue") - r.getAs[Double]("prev_m"))
+            / r.getAs[Double]("prev_m"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(r.getAs[Double]("mom_growth") == expect, s"row $i growth recompute")
+      }
+    }
+    // per-month rounded sums reassemble the global total within rounding slack
+    val total = rows.map(_.getAs[Double]("revenue")).sum
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice")).head().getDouble(0)
+    assert(math.abs(total - orders) <= rows.length * 1e-4 + 1e-6)
+  }
+
   // ----------------------------------------------------------------- q169
 
   test("q169 time-decay attribution conserves revenue and agrees with q141's total") {
