@@ -1191,7 +1191,55 @@ object Planning {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------------
+  // q172 — join fan-out (degree) histogram
+  // ---------------------------------------------------------------------
+
+  /** q136 profiles each join edge down to ONE worst-key number; this is
+    * the full degree DISTRIBUTION the planner actually sizes from: for
+    * the lineitem→orders edge, how many order keys have exactly d lines
+    * (the fan-out histogram), with cumulative row mass per degree — the
+    * curve that says whether skew is a lone hot key (salt it, q134) or
+    * a heavy tail (repartition). Two grouped aggregates: fact → degree
+    * table (key-domain), degree table → histogram (max-degree-domain ≈
+    * dozens of rows); the cumulative window runs over that tiny
+    * histogram only. Everything integer; the mass share is one IEEE
+    * divide, round6. */
+  private val q172 = QueryDef(
+    "q172_degree_histogram",
+    "lineitem-per-order fan-out histogram with cumulative row mass",
+    Some("""
+      WITH deg AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM lineitem GROUP BY 1),
+      h AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(d) AS BIGINT) AS n_rows
+            FROM deg GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM h)
+      SELECT d, n_keys, n_rows,
+             CAST(SUM(n_rows) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rows,
+             ROUND(CAST(n_rows AS DOUBLE) / total, 6) + 0.0 AS row_share
+      FROM h CROSS JOIN t
+      ORDER BY d"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val deg = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("d"))
+      val h = deg.groupBy("d")
+        .agg(count(lit(1)).as("n_keys"), sum(col("d")).as("n_rows"))
+      val t = h.agg(sum(col("n_rows")).as("total"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.crossJoin(broadcast(t))
+        .select(col("d"), col("n_keys"), col("n_rows"),
+          sum(col("n_rows")).over(w).as("cum_rows"),
+          (round(col("n_rows").cast("double") / col("total"), 6) + lit(0.0))
+            .as("row_share"))
+        .orderBy("d")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
-      q151, q154, q158, q167, q170)
+      q151, q154, q158, q167, q170, q172)
 }

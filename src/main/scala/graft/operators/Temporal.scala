@@ -932,7 +932,117 @@ object Temporal {
         .orderBy("month")
     })
 
+  // ---------------------------------------------------------------------
+  // q173 — event throttling (1 per user/type/hour) accounting
+  // ---------------------------------------------------------------------
+
+  /** Rate limiting as a batch operator: keep the FIRST event per
+    * (user, type, hour) — (ts_us, event_id) ordered, the engine-wide
+    * tiebreak — and account for what the throttle would drop, per type:
+    * kept, dropped, drop share, and the worst single (user, hour)
+    * burst. This is the dedup/throttle hygiene pass ingestion runs
+    * before sessionization so one hot client can't flood downstream
+    * state. The rank-1 predicate pushes into WindowGroupLimit on the
+    * (user, type, hour) key (q04/q151 discipline — each group stops
+    * after one row); the burst max is a plain grouped count over the
+    * same key. Counts exact, share one IEEE divide round6. */
+  private val q173 = QueryDef(
+    "q173_event_throttling",
+    "first-per-(user,type,hour) throttle: kept/dropped accounting per type",
+    Some("""
+      WITH e AS (SELECT event_type, user_id, event_id,
+                        epoch_us(ts) AS ts_us,
+                        epoch_us(ts) // 3600000000 AS hr
+                 FROM events),
+      r AS (SELECT event_type, user_id, hr,
+                   row_number() OVER (PARTITION BY user_id, event_type, hr
+                                      ORDER BY ts_us, event_id) AS rn
+            FROM e),
+      b AS (SELECT event_type, user_id, hr, COUNT(*) AS burst
+            FROM e GROUP BY 1, 2, 3),
+      bm AS (SELECT event_type AS bet, CAST(MAX(burst) AS BIGINT) AS max_burst
+             FROM b GROUP BY 1),
+      a AS (SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+                   CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped
+            FROM r GROUP BY 1)
+      SELECT event_type, n_total, n_kept, n_dropped,
+             ROUND(CAST(n_dropped AS DOUBLE) / n_total, 6) + 0.0 AS drop_share,
+             max_burst
+      FROM a JOIN bm ON bet = event_type
+      ORDER BY event_type"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts_us"), expr("ts_us div 3600000000").as("hr"))
+      val r = e.withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type", "hr")
+          .orderBy("ts_us", "event_id")))
+      val agg = r.groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("rn") === 1, 1)).as("n_kept"),
+          count(when(col("rn") > 1, 1)).as("n_dropped"))
+      val b = e.groupBy(col("event_type").as("bet"), col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("burst"))
+        .groupBy("bet").agg(max(col("burst")).as("max_burst"))
+      agg.join(broadcast(b), col("event_type") === col("bet"))
+        .select(col("event_type"), col("n_total"), col("n_kept"),
+          col("n_dropped"),
+          (round(col("n_dropped").cast("double") / col("n_total"), 6) + lit(0.0))
+            .as("drop_share"),
+          col("max_burst"))
+        .orderBy("event_type")
+    })
+
+  // ---------------------------------------------------------------------
+  // q174 — per-partition content checksums (anti-entropy audit)
+  // ---------------------------------------------------------------------
+
+  /** The anti-entropy fingerprint table a replicated store compares
+    * before shipping repairs: per (event_type, day) "partition", the
+    * md5 of the ORDER-fIXED event-id list — any replica computing the
+    * same table can diff fingerprints and repair only mismatched
+    * partitions instead of rescanning everything. Determinism is the
+    * whole point: the id list is sorted (sort_array over collect_list
+    * on one side, string_agg ORDER BY on the other), so the checksum is
+    * a pure function of partition CONTENT, independent of arrival or
+    * partitioning order. Emitted per type: partition count, row mass,
+    * and the md5-of-md5s rollup fingerprint — one line to compare per
+    * replica before drilling into days. Group sizes are day-bounded;
+    * the concat cost is the partition's own size, map-side combinable
+    * up to the final per-group fold. */
+  private val q174 = QueryDef(
+    "q174_partition_checksums",
+    "per (type, day) md5 content fingerprints + per-type rollup checksum",
+    Some("""
+      WITH p AS (SELECT event_type,
+                        epoch_us(ts) // 86400000000 AS day,
+                        md5(string_agg(CAST(event_id AS VARCHAR), ','
+                            ORDER BY event_id)) AS fp,
+                        CAST(COUNT(*) AS BIGINT) AS n_rows
+                 FROM events GROUP BY 1, 2)
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_partitions,
+             CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             md5(string_agg(fp, ',' ORDER BY day)) AS rollup_fp
+      FROM p GROUP BY event_type ORDER BY event_type"""),
+    (s, dir) => {
+      val p = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(md5(concat_ws(",",
+            transform(sort_array(collect_list(col("event_id"))),
+              x => x.cast("string")))).as("fp"),
+          count(lit(1)).as("n_rows"))
+      p.groupBy("event_type")
+        .agg(count(lit(1)).as("n_partitions"),
+          sum(col("n_rows")).as("n_rows"),
+          md5(concat_ws(",", array_sort(collect_list(struct(col("day"), col("fp"))))
+            .getField("fp"))).as("rollup_fp"))
+        .orderBy("event_type")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161, q169, q171)
+      q160, q161, q169, q171, q173, q174)
 }

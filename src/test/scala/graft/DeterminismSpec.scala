@@ -83,7 +83,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q166_bootstrap_ci", // percentile-array state + rounded draw re-agg
     "q167_cuped_adjustment", // hash arms + pooled moment ratios
     "q169_timedecay_attribution", // interval-join fan-out + windowed decimal Z
-    "q171_monthly_revenue_growth") // lag chains + rounded growth ratios
+    "q171_monthly_revenue_growth", // lag chains + rounded growth ratios
+    "q173_event_throttling", // rank-1 over possibly-tied (ts, id)
+    "q174_partition_checksums") // collect_list order pinned only by sort_array
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

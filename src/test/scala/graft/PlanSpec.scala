@@ -584,6 +584,14 @@ class PlanSpec extends AnyFunSuite {
       s"normalizer window must partition by pid:\n${specs.mkString("\n")}")
   }
 
+  test("q173: the throttle window partitions by (user, type, hour)") {
+    val p = plan("q173_event_throttling")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(s =>
+      s.contains("user_id") && s.contains("event_type") && s.contains("hr")),
+      s"throttle must rank within the full (user, type, hour) key:\n${specs.mkString("\n")}")
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

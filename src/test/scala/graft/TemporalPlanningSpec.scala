@@ -614,6 +614,82 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q172
+
+  test("q172 degree histogram: masses reconcile and the tail agrees with q136") {
+    val rows = run("q172_degree_histogram").collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      val (d, keys, nrows) = (r.getAs[Long]("d"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_rows"))
+      assert(nrows == d * keys, s"degree $d: rows != d * keys")
+      cum += nrows
+      assert(r.getAs[Long]("cum_rows") == cum, s"degree $d cumulative")
+    }
+    val liCount = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(cum == liCount, "histogram must account for every lineitem row")
+    // cross-law: orders are unique on o_orderkey, so q136's worst-key
+    // rows for the lineitem-orders edge IS the max degree here
+    val maxD = rows.map(_.getAs[Long]("d")).max
+    val q136row = run("q136_join_cardinality_profiler").collect()
+      .find(_.getAs[String]("edge") == "lineitem-orders").get
+    assert(q136row.getAs[Long]("max_key_rows") == maxD)
+  }
+
+  // ----------------------------------------------------------------- q173
+
+  test("q173 throttle: kept equals distinct (user,hour) groups, bursts consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q173_event_throttling").collect()
+    assert(rows.nonEmpty)
+    val groups = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("ts_us div 3600000000").as("hr"))
+      .groupBy("event_type", "user_id", "hr").count()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"), max(col("count")).as("mb"),
+        sum(col("count")).as("tot"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("mb"), r.getAs[Long]("tot"))).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (ng, mb, tot) = groups(t)
+      assert(r.getAs[Long]("n_total") == tot, s"$t total")
+      assert(r.getAs[Long]("n_kept") == ng, s"$t kept = one per group")
+      assert(r.getAs[Long]("n_dropped") == tot - ng, s"$t dropped")
+      assert(r.getAs[Long]("max_burst") == mb, s"$t burst")
+      if (mb == 1) assert(r.getAs[Long]("n_dropped") == 0L)
+    }
+  }
+
+  // ----------------------------------------------------------------- q174
+
+  test("q174 checksums: pure function of content — stable across recomputation, mass conserved") {
+    val a = run("q174_partition_checksums").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_partitions"), r.getAs[Long]("n_rows"),
+          r.getAs[String]("rollup_fp"))).toMap
+    // recompute over a different physical partitioning — fingerprints
+    // must not move (sort_array pins the fold order)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    val b = try run("q174_partition_checksums").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_partitions"), r.getAs[Long]("n_rows"),
+          r.getAs[String]("rollup_fp"))).toMap
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(a == b, "checksums must be partitioning-independent")
+    val counts = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(a.keySet == counts.keySet)
+    a.foreach { case (t, (np, nr, fp)) =>
+      assert(nr == counts(t), s"$t row mass")
+      assert(np >= 1 && fp.length == 32, s"$t fingerprint shape")
+    }
+  }
+
   // ----------------------------------------------------------------- q170
 
   test("q170 bitmap distinct: self-verification holds, word counts bounded") {
