@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
+import graft.functions.det._
 
 /** Similarity search + multimodal operators (SURVEY.md §2.9).
   *
@@ -246,5 +247,74 @@ object Similarity {
         .orderBy("label")
     })
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102)
+  // ---------------------------------------------------------------------
+  // q175 — principal component via deterministic power iteration
+  // ---------------------------------------------------------------------
+
+  /** The corpus's top principal direction by THREE fixed power-iteration
+    * steps v ← normalize(Xᵀ(Xv)) from the constant start v₀ = 1/8·𝟙
+    * (1/√64 is exactly 0.125 — the start vector is binary-exact), with
+    * the dominant eigenvalue of the Gram matrix ‖XᵀXv₂‖ alongside — the
+    * variance-axis readout behind embedding whitening and drift
+    * monitoring. Every step is pinned for the hash gate: the per-row
+    * projection s = round₄(v·vₖ) reuses the q31 codegen-dot/list_sum
+    * pairing, per-dimension re-weighting Σᵢ sᵢxᵢⱼ runs through the
+    * exact-decimal accumulator (order-independent under any
+    * partitioning), and normalization divides by an IEEE sqrt of a
+    * decimal-summed norm — so three chained matvecs stay bit-equal
+    * across engines. Plan: each step is one broadcast of the 64-value
+    * vector + one map-side-combined aggregate over (row × 64) — no
+    * driver collect, no fact-sized shuffle; at 100 TB this is the
+    * standard distributed matvec with the model vector broadcast. */
+  private val q175 = QueryDef(
+    "q175_principal_component",
+    "top eigenvector + eigenvalue of the embedding Gram matrix (3-step power iteration)",
+    Some {
+      val steps = (1 to 3).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""s$k AS (SELECT e.v AS v, ${dotSql("e.v", s"$prev.vk")} AS s
+           |        FROM e CROSS JOIN $prev),
+           |d$k AS (SELECT g.j AS j, ${dsumSql("v[g.j]::DOUBLE * s")} AS w
+           |        FROM s$k, generate_series(1, 64) AS g(j) GROUP BY g.j),
+           |n$k AS (SELECT ${dsumSql("w * w")} AS n2 FROM d$k),
+           |v$k AS (SELECT list(ROUND(w / sqrt(n2), 6) + 0.0 ORDER BY j) AS vk
+           |        FROM d$k CROSS JOIN n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH e AS (SELECT embedding AS v FROM embeddings),
+      v0 AS (SELECT list_transform(generate_series(1, 64),
+                                   i -> 0.125::DOUBLE) AS vk),
+      $steps
+      SELECT j AS dim,
+             ROUND(w / sqrt(n2), 6) + 0.0 AS loading,
+             ROUND(sqrt(n2), 4) + 0.0 AS eigenvalue
+      FROM d3 CROSS JOIN n3
+      ORDER BY dim"""
+    },
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("embedding").cast("array<double>").as("v"))
+      var vk: DataFrame = s.range(1)
+        .select(array_repeat(lit(0.125), 64).as("vk"))
+      var out: DataFrame = null
+      for (_ <- 1 to 3) {
+        val proj = e.crossJoin(broadcast(vk))
+          .select(col("v"), rounded(col("v"), col("vk")).as("s"))
+        val w = proj
+          .select(posexplode(col("v")).as(Seq("j0", "x")), col("s"))
+          .groupBy((col("j0") + 1).cast("long").as("j"))
+          .agg(dsum(col("x") * col("s")).as("w"))
+        val n = w.agg(dsum(col("w") * col("w")).as("n2"))
+        out = w.crossJoin(broadcast(n))
+          .select(col("j").as("dim"),
+            (round(col("w") / sqrt(col("n2")), 6) + lit(0.0)).as("loading"),
+            (round(sqrt(col("n2")), 4) + lit(0.0)).as("eigenvalue"))
+        vk = out.agg(
+          sort_array(collect_list(struct(col("dim"), col("loading"))))
+            .getField("loading").as("vk"))
+      }
+      out.orderBy("dim")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102, q175)
 }

@@ -85,7 +85,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q169_timedecay_attribution", // interval-join fan-out + windowed decimal Z
     "q171_monthly_revenue_growth", // lag chains + rounded growth ratios
     "q173_event_throttling", // rank-1 over possibly-tied (ts, id)
-    "q174_partition_checksums") // collect_list order pinned only by sort_array
+    "q174_partition_checksums", // collect_list order pinned only by sort_array
+    "q175_principal_component") // chained matvecs + vector rebuild via sort
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

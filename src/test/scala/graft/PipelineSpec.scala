@@ -556,6 +556,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q175 power iteration: unit loadings, eigenvalue matches a replayed matvec") {
+    val rows = run("q175_principal_component").collect().sortBy(_.getAs[Long]("dim"))
+    assert(rows.length == 64)
+    val v = rows.map(_.getAs[Double]("loading"))
+    val lambda = rows.head.getAs[Double]("eigenvalue")
+    assert(rows.forall(_.getAs[Double]("eigenvalue") == lambda))
+    val norm2 = v.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"loadings not unit: $norm2")
+    assert(lambda > 0.0)
+    // replay one exact matvec with the OUTPUT vector: for a converged
+    // direction, ||X^T X v|| must approximate the reported eigenvalue
+    val xs = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val w = new Array[Double](64)
+    xs.foreach { x =>
+      var s = 0.0
+      var i = 0
+      while (i < 64) { s += x(i) * v(i); i += 1 }
+      i = 0
+      while (i < 64) { w(i) += x(i) * s; i += 1 }
+    }
+    val replayed = math.sqrt(w.map(x => x * x).sum)
+    // power iteration on a PSD Gram matrix is Rayleigh-monotone: one
+    // more exact step can only grow the norm (up to rounding)...
+    assert(replayed >= lambda - 0.01,
+      s"replayed step shrank: $replayed < reported $lambda")
+    // ...and after 3 steps it is already in the eigenvalue's
+    // neighborhood even on the tiny sf0.001 corpus
+    assert((replayed - lambda) / lambda < 0.15,
+      s"replayed matvec norm $replayed too far above reported $lambda")
+  }
+
   test("q162 containment: ratios consistent, every exact-dup pair surfaces at 1.0") {
     val rows = run("q162_containment_pairs").collect()
     rows.foreach { r =>

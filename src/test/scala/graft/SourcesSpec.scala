@@ -178,8 +178,9 @@ class SourcesSpec extends AnyFunSuite {
       // ignore-nulls carries feeding fixed-point interpolation
       "q157_fuzzy_ocr_relink", "q158_grid_quantile_sketch",
       "q161_hourly_gapfill_interpolation", "q165_correlation_matrix",
-      // bitwise-OR word folds merge from any partitioning
-      "q170_bitmap_distinct")
+      // bitwise-OR word folds merge from any partitioning; chained
+      // decimal matvecs must not see the shuffle layout
+      "q170_bitmap_distinct", "q175_principal_component")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
