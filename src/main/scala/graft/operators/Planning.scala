@@ -1239,7 +1239,204 @@ object Planning {
         .orderBy("d")
     })
 
+  // ---------------------------------------------------------------------
+  // q176 — exponential (log2) bucket histogram
+  // ---------------------------------------------------------------------
+
+  /** The HDR-histogram companion to q158's linear grid: values bucket by
+    * binary magnitude — bucket k holds cents c with 2^(k−1) ≤ c < 2^k —
+    * so the tail gets constant RELATIVE resolution where a linear grid
+    * wastes its bins on the body. The bucket index is
+    * length(bin(cents)), an exact integer both engines compute from the
+    * same bit pattern (the q147 rho trick) — no log2 libm call, whose
+    * 1-ulp wobble at exact powers of two could shift a boundary value
+    * into the wrong bucket. Cents come from ROUND(value·100) (the
+    * fixture's values are 2-dp; truncation after the double multiply
+    * would mis-bin x.29-style values whose product lands just below the
+    * integer). Map-side combinable; one bounded window for cumulative
+    * shares. */
+  private val q176 = QueryDef(
+    "q176_log_bucket_histogram",
+    "log2-bucket value histogram per type with cumulative shares",
+    Some("""
+      WITH c AS (SELECT event_type,
+                        length(bin(CAST(ROUND(value * 100) AS BIGINT))) AS bucket
+                 FROM events WHERE value > 0),
+      h AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM h GROUP BY 1)
+      SELECT h.event_type, bucket,
+             CAST(1::BIGINT << (bucket - 1) AS BIGINT) AS lo_cents,
+             n,
+             ROUND(CAST(SUM(n) OVER (PARTITION BY h.event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) / tot, 6) + 0.0 AS cum_share
+      FROM h JOIN t ON t.event_type = h.event_type
+      ORDER BY h.event_type, bucket"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.events(s, dir).filter(col("value") > 0)
+        .select(col("event_type"),
+          length(bin(round(col("value") * 100).cast("long"))).as("bucket"))
+      val h = c.groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      val t = h.groupBy(col("event_type").as("tet"))
+        .agg(sum(col("n")).as("tot"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.join(broadcast(t), col("event_type") === col("tet"))
+        .select(col("event_type"), col("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))")
+            .as("lo_cents"), col("n"),
+          (round(sum(col("n")).over(w).cast("double") / col("tot"), 6)
+            + lit(0.0)).as("cum_share"))
+        .orderBy("event_type", "bucket")
+    })
+
+  // ---------------------------------------------------------------------
+  // q177 — bitmap set algebra (exact audience overlap)
+  // ---------------------------------------------------------------------
+
+  /** The payoff of q170's bitmap words: AUDIENCE SET ALGEBRA without
+    * re-touching the fact table. Click-user and purchase-user bitmaps
+    * join on the word index; intersection is popcount(a AND b), union
+    * popcount(a OR b) with absent words coalesced — both EXACT, the
+    * deterministic answer q147's HLL inclusion-exclusion only
+    * estimates (and the noisiest HLL derivative at that). The
+    * inclusion–exclusion identity |A|+|B| = |A∩B|+|A∪B| is emitted as
+    * a computed check column, and the exact INTERSECT count rides
+    * alongside so the oracle gate proves the bitmap path — at 100 TB
+    * the word tables are |domain|/32 longs per set and every audience
+    * question is a co-keyed bitwise join, never a distinct over
+    * facts. */
+  private val q177 = QueryDef(
+    "q177_bitmap_set_algebra",
+    "exact click/purchase audience overlap via word-joined bitmap AND/OR",
+    Some("""
+      WITH wc AS (SELECT user_id // 32 AS word,
+                         BIT_OR(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+                  FROM events WHERE event_type = 'click' GROUP BY 1),
+      wp AS (SELECT user_id // 32 AS word,
+                    BIT_OR(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      j AS (SELECT COALESCE(wc.bits, 0) AS cb, COALESCE(wp.bits, 0) AS pb
+            FROM wc FULL OUTER JOIN wp ON wc.word = wp.word),
+      agg AS (SELECT CAST(SUM(bit_count(cb)) AS BIGINT) AS n_clicks,
+                     CAST(SUM(bit_count(pb)) AS BIGINT) AS n_purch,
+                     CAST(SUM(bit_count(cb & pb)) AS BIGINT) AS n_inter,
+                     CAST(SUM(bit_count(cb | pb)) AS BIGINT) AS n_union
+              FROM j),
+      x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_both FROM
+              (SELECT user_id FROM events WHERE event_type = 'click'
+               INTERSECT
+               SELECT user_id FROM events WHERE event_type = 'purchase'))
+      SELECT n_clicks, n_purch, n_inter, n_union, exact_both,
+             CAST(CASE WHEN n_inter = exact_both
+                        AND n_clicks + n_purch = n_inter + n_union
+                       THEN 1 ELSE 0 END AS INTEGER) AS identities_hold
+      FROM agg CROSS JOIN x"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def words(t: String, wn: String, bn: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy(expr("user_id div 32").as(wn))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))")
+            .as(bn))
+      val j = words("click", "cw", "cbits")
+        .join(words("purchase", "pw", "pbits"), col("cw") === col("pw"),
+          "full_outer")
+        .select(coalesce(col("cbits"), lit(0L)).as("cb"),
+          coalesce(col("pbits"), lit(0L)).as("pb"))
+      val agg = j.agg(
+        sum(bit_count(col("cb"))).cast("long").as("n_clicks"),
+        sum(bit_count(col("pb"))).cast("long").as("n_purch"),
+        sum(bit_count(col("cb").bitwiseAND(col("pb")))).cast("long").as("n_inter"),
+        sum(bit_count(col("cb").bitwiseOR(col("pb")))).cast("long").as("n_union"))
+      val x = ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .agg(count(lit(1)).as("exact_both"))
+      agg.crossJoin(x)
+        .select(col("n_clicks"), col("n_purch"), col("n_inter"), col("n_union"),
+          col("exact_both"),
+          when(col("n_inter") === col("exact_both")
+            && col("n_clicks") + col("n_purch") === col("n_inter") + col("n_union"),
+            1).otherwise(0).as("identities_hold"))
+    })
+
+  // ---------------------------------------------------------------------
+  // q178 — two-sample Kolmogorov–Smirnov drift test
+  // ---------------------------------------------------------------------
+
+  /** Distribution drift as a hypothesis test: the KS statistic between
+    * two sources' doc-length distributions, with the supremum located
+    * by EXACT INTEGER arithmetic — D = max|F_a − F_b| is found as
+    * max|c_a·n_b − c_b·n_a| over the merged value axis (cumulative
+    * counts cross-multiplied, no float enters the argmax), then divided
+    * once for display. The 5%-level decision compares the same integer
+    * numerator against the critical threshold, so the reject flag is
+    * exact too. Merged axis = full outer join of the two count tables
+    * + two running sums over the value-domain-bounded axis — the same
+    * plan at any corpus size since everything after the per-source
+    * count collapse is value-domain-sized. */
+  private val q178 = QueryDef(
+    "q178_ks_drift_test",
+    "exact-integer KS statistic between src0 and src1 doc-length distributions",
+    Some("""
+      WITH a AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM documents WHERE source = 'src0' GROUP BY 1),
+      b AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents WHERE source = 'src1' GROUP BY 1),
+      u AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(a.c, 0) AS ca,
+                   COALESCE(b.c, 0) AS cb
+            FROM a FULL OUTER JOIN b ON a.v = b.v),
+      r AS (SELECT v,
+                   SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS fa,
+                   SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS fb
+            FROM u),
+      t AS (SELECT CAST(MAX(fa) AS BIGINT) AS na, CAST(MAX(fb) AS BIGINT) AS nb
+            FROM r),
+      d AS (SELECT CAST(MAX(abs(fa * nb - fb * na)) AS BIGINT) AS dnum
+            FROM r CROSS JOIN t)
+      SELECT na, nb,
+             ROUND(CAST(dnum AS DOUBLE) / (na * nb), 6) + 0.0 AS d_stat,
+             ROUND(1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6) + 0.0
+               AS crit_05,
+             CAST(CASE WHEN CAST(dnum AS DOUBLE)
+                            > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))
+                              * na * nb
+                       THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+      FROM d CROSS JOIN t"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def side(src: String, cn: String) = Tables.documents(s, dir)
+        .filter(col("source") === src)
+        .groupBy(col("n_chars").as(s"v_$cn"))
+        .agg(count(lit(1)).as(cn))
+      val u = side("src0", "ca").join(side("src1", "cb"),
+          col("v_ca") === col("v_cb"), "full_outer")
+        .select(coalesce(col("v_ca"), col("v_cb")).as("v"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = u.select(col("v"), sum(col("ca")).over(w).as("fa"),
+        sum(col("cb")).over(w).as("fb"))
+      val t = r.agg(max(col("fa")).as("na"), max(col("fb")).as("nb"))
+      val d = r.crossJoin(broadcast(t))
+        .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("dnum"))
+      val crit = lit(1.358) * sqrt((col("na") + col("nb")).cast("double")
+        / (col("na") * col("nb")))
+      d.crossJoin(broadcast(t))
+        .select(col("na"), col("nb"),
+          (round(col("dnum").cast("double") / (col("na") * col("nb")), 6)
+            + lit(0.0)).as("d_stat"),
+          (round(crit, 6) + lit(0.0)).as("crit_05"),
+          when(col("dnum").cast("double") >
+            crit * col("na") * col("nb"), 1).otherwise(0).as("reject_05"))
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
-      q151, q154, q158, q167, q170, q172)
+      q151, q154, q158, q167, q170, q172, q176, q177, q178)
 }

@@ -910,6 +910,54 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_arm")).sum == 20L, "all customers assigned")
   }
 
+  test("q177 bitmap algebra == brute-force set reference on an asymmetric fixture") {
+    // every shared fixture is saturated (all users hold both types), so
+    // this one is designed: click-only users, purchase-only users, and
+    // whole words present on only one side — the coalesce paths the
+    // full outer word join must get right
+    val rows = Seq(
+      (1L, "click"), (2L, "click"), (33L, "click"), (34L, "click"),
+      (100L, "click"),                       // word 3 absent on purchase side
+      (2L, "purchase"), (34L, "purchase"), (35L, "purchase"),
+      (200L, "purchase"), (201L, "purchase"), // word 6 absent on click side
+      (1L, "view"))                           // other types must not leak in
+    val dir = java.nio.file.Files.createTempDirectory("graft_genbmp").toString
+    rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong + 1, (i.toLong + 1) * 3600L * 1000000000L, u, t, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = SparkEntry.queries("q177_bitmap_set_algebra")(spark, dir)
+      .collect().head
+    val clicks = rows.filter(_._2 == "click").map(_._1).toSet
+    val purch = rows.filter(_._2 == "purchase").map(_._1).toSet
+    assert(clicks != purch && (clicks -- purch).nonEmpty && (purch -- clicks).nonEmpty)
+    assert(row.getAs[Long]("n_clicks") == clicks.size.toLong)
+    assert(row.getAs[Long]("n_purch") == purch.size.toLong)
+    assert(row.getAs[Long]("n_inter") == (clicks & purch).size.toLong)
+    assert(row.getAs[Long]("n_union") == (clicks | purch).size.toLong)
+    assert(row.getAs[Long]("exact_both") == (clicks & purch).size.toLong)
+    assert(row.getAs[Int]("identities_hold") == 1)
+  }
+
+  test("q178 KS statistic == brute-force CDF walk on the fixture corpus") {
+    val row = SparkEntry.queries("q178_ks_drift_test")(spark, sf).collect().head
+    val bysrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("n_chars")).sorted }
+    val (a, b) = (bysrc("src0"), bysrc("src1"))
+    val axis = (a ++ b).distinct.sorted
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val dnum = axis.map { v =>
+      math.abs(a.count(_ <= v) * nb - b.count(_ <= v) * na)
+    }.max
+    assert(row.getAs[Long]("na") == na && row.getAs[Long]("nb") == nb)
+    assert(row.getAs[Double]("d_stat") ==
+      round6(dnum.toDouble / (na * nb)), "KS supremum mismatch")
+    val crit = 1.358 * math.sqrt((na + nb).toDouble / (na * nb))
+    assert((row.getAs[Int]("reject_05") == 1) == (dnum.toDouble > crit * na * nb))
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()

@@ -180,7 +180,8 @@ class SourcesSpec extends AnyFunSuite {
       "q161_hourly_gapfill_interpolation", "q165_correlation_matrix",
       // bitwise-OR word folds merge from any partitioning; chained
       // decimal matvecs must not see the shuffle layout
-      "q170_bitmap_distinct", "q175_principal_component")
+      "q170_bitmap_distinct", "q175_principal_component",
+      "q177_bitmap_set_algebra")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)

@@ -614,6 +614,27 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q176
+
+  test("q176 log histogram: bucket edges are powers of two, shares reach 1") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q176_log_bucket_histogram").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Long]("lo_cents") == (1L << (b - 1)), s"bucket $b edge")
+    }
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    val counts = graft.sources.Tables.events(spark, sf)
+      .filter(col("value") > 0).groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == counts(t), s"$t mass")
+      val last = rs.maxBy(_.getAs[Int]("bucket"))
+      assert(last.getAs[Double]("cum_share") == 1.0, s"$t final share")
+    }
+  }
+
   // ----------------------------------------------------------------- q172
 
   test("q172 degree histogram: masses reconcile and the tail agrees with q136") {
