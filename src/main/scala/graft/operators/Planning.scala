@@ -1436,7 +1436,131 @@ object Planning {
             crit * col("na") * col("nb"), 1).otherwise(0).as("reject_05"))
     })
 
+  // ---------------------------------------------------------------------
+  // q179 — chi-square independence test (contingency table)
+  // ---------------------------------------------------------------------
+
+  /** Completes the hypothesis-testing shelf (KS q178, Welch t q143):
+    * are market segment and order priority INDEPENDENT? The full
+    * segment × priority contingency table with expected counts
+    * e = row·col/n and the χ² statistic — computed entirely from the
+    * bounded cell table (≤ 25 cells after one fact collapse), so the
+    * χ² sum is a decimal fold over identical per-cell doubles and
+    * hash-exact. The (r−1)(c−1) degrees of freedom ride along; the
+    * verdict column compares against the df=16 α=0.05 critical value
+    * 26.296 as a literal both engines share. */
+  private val q179 = QueryDef(
+    "q179_chi2_independence",
+    "segment x priority contingency chi-square with per-cell contributions",
+    Some(s"""
+      WITH o AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS obs
+                FROM o GROUP BY 1, 2),
+      rt AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+      ct AS (SELECT pri, CAST(SUM(obs) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+      n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM cells),
+      e AS (SELECT seg, pri, obs,
+                   CAST(rtot AS DOUBLE) * ctot / nn AS expd
+            FROM cells JOIN rt USING (seg) JOIN ct USING (pri) CROSS JOIN n),
+      x AS (SELECT ${dsumSql("(obs - expd) * (obs - expd) / expd")} AS chi2,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM e),
+      dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+                      (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c)
+      SELECT chi2, n_cells, (r - 1) * (c - 1) AS dof,
+             CAST(CASE WHEN chi2 > 26.296 THEN 1 ELSE 0 END AS INTEGER)
+               AS reject_05_df16
+      FROM x CROSS JOIN dims"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      val cells = o.groupBy("seg", "pri").agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy(col("seg").as("rseg"))
+        .agg(sum(col("obs")).as("rtot"))
+      val ct = cells.groupBy(col("pri").as("cpri"))
+        .agg(sum(col("obs")).as("ctot"))
+      val n = cells.agg(sum(col("obs")).as("nn"))
+      val e = cells
+        .join(broadcast(rt), col("seg") === col("rseg"))
+        .join(broadcast(ct), col("pri") === col("cpri"))
+        .crossJoin(broadcast(n))
+        .select(col("obs"),
+          (col("rtot").cast("double") * col("ctot") / col("nn")).as("expd"))
+      val x = e.agg(
+        dsum((col("obs") - col("expd")) * (col("obs") - col("expd"))
+          / col("expd")).as("chi2"),
+        count(lit(1)).as("n_cells"))
+      val dims = rt.agg(count(lit(1)).as("r"))
+        .crossJoin(ct.agg(count(lit(1)).as("c")))
+      x.crossJoin(broadcast(dims))
+        .select(col("chi2"), col("n_cells"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          when(col("chi2") > 26.296, 1).otherwise(0).as("reject_05_df16"))
+    })
+
+  // ---------------------------------------------------------------------
+  // q180 — Benford first-digit forensic audit
+  // ---------------------------------------------------------------------
+
+  /** The forensic-accounting screen: does the leading digit of order
+    * totals follow Benford's law? Digit extraction is pure string
+    * arithmetic on the integer part (no log10 libm — the Benford
+    * expectations log₁₀(1+1/d) enter as nine shared LITERALS, so the
+    * only float work is one share divide and one χ²-style distance
+    * fold through the decimal accumulator). Synthetic uniform-ish
+    * prices should FAIL Benford hard — the audit's point is the
+    * measured divergence, not a pass. Single scan, digit-domain
+    * output. */
+  private val q180 = QueryDef(
+    "q180_benford_digit_audit",
+    "first-digit distribution of order totals vs Benford expectations",
+    Some(s"""
+      WITH d AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                            AS VARCHAR), 1, 1) AS INTEGER)
+                          AS digit
+                 FROM orders WHERE o_totalprice >= 1.0),
+      c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      n AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+      b AS (SELECT digit, CAST(benford AS DOUBLE) AS benford
+            FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+                  (4, 0.096910), (5, 0.079181), (6, 0.066947),
+                  (7, 0.057992), (8, 0.051153), (9, 0.045757))
+                 AS t(digit, benford))
+      SELECT c.digit, n,
+             ROUND(CAST(n AS DOUBLE) / nn, 6) + 0.0 AS share,
+             benford,
+             ROUND(CAST(n AS DOUBLE) / nn - benford, 6) + 0.0 AS excess
+      FROM c JOIN b ON b.digit = c.digit CROSS JOIN n
+      ORDER BY c.digit"""),
+    (s, dir) => {
+      // floor explicitly: DuckDB's double->BIGINT cast rounds to nearest
+      // while Spark's truncates — a price just under a power of ten
+      // would land in different digits
+      val d = Tables.orders(s, dir).filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+          1, 1).cast("int").as("digit"))
+      val c = d.groupBy("digit").agg(count(lit(1)).as("n"))
+      val n = c.agg(sum(col("n")).as("nn"))
+      val benford = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val b = c.sparkSession.range(1).select(explode(array(benford.map {
+        case (dg, p) => struct(lit(dg).as("bdigit"), lit(p).as("benford"))
+      }: _*)).as("x")).select(col("x.bdigit").as("bdigit"),
+        col("x.benford").as("benford"))
+      c.join(broadcast(b), col("digit") === col("bdigit"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("n"),
+          (round(col("n").cast("double") / col("nn"), 6) + lit(0.0)).as("share"),
+          col("benford"),
+          (round(col("n").cast("double") / col("nn") - col("benford"), 6)
+            + lit(0.0)).as("excess"))
+        .orderBy("digit")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
-      q151, q154, q158, q167, q170, q172, q176, q177, q178)
+      q151, q154, q158, q167, q170, q172, q176, q177, q178, q179, q180)
 }

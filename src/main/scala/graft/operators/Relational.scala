@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
 import graft.functions.det._
+import graft.functions.text
 
 /** Core relational operators (SURVEY.md §2.3–§2.6): scan→filter→project,
   * star joins, semi/anti joins, hash aggregation with map-side partials,
@@ -504,9 +505,78 @@ object Relational {
           count(lit(1)).as("n_lineitems"))
         .orderBy(col("revenue").desc, col("n_name")))
 
+  /** Double-charge detection: two orders by the SAME customer for the
+    * SAME total within 2 days — the accounting screen for duplicate
+    * submissions. The fixture's synthetic prices are effectively
+    * unique, so a deterministic 2% hash slice is re-submitted one day
+    * later (key-offset clones — the q157/q159 plant→detect
+    * discipline); the audit must find exactly those retries plus any
+    * organic repeats. The pair space is an EQUI-join on (custkey,
+    * totalprice) — price equality is PART OF THE KEY, so the join only
+    * fans out over true repeat amounts — with the date window and a<b
+    * orientation checked inside the matched group. Reported per
+    * segment: pairs, customers involved, duplicated money at risk,
+    * tightest gap. Exact doubles compare exactly (same parquet
+    * bits). */
+  private val q181 = QueryDef(
+    "q181_double_charge_audit",
+    "same customer+total within 2 days: planted-retry duplicate-charge audit",
+    Some(s"""
+      WITH allo AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                    FROM orders
+                    UNION ALL
+                    SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+                           o_orderdate + INTERVAL 1 DAY
+                    FROM orders
+                    WHERE ${text.md5Hash60Sql("'retry:' || CAST(o_orderkey AS VARCHAR)")}
+                            % 50 = 0),
+      p AS (SELECT a.o_custkey AS ck, a.o_totalprice AS price,
+                   abs(datediff('day', a.o_orderdate, b.o_orderdate)) AS gap
+            FROM allo a JOIN allo b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_totalprice = b.o_totalprice
+             AND a.o_orderkey < b.o_orderkey
+            WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 2)
+      SELECT c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers,
+             ${dsumSql("price")} AS dup_money,
+             CAST(MIN(gap) AS BIGINT) AS min_gap_days
+      FROM p JOIN customer ON ck = c_custkey
+      GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+      val retries = o
+        .filter(graft.functions.text.md5Hash60(
+          concat(lit("retry:"), col("o_orderkey").cast("string"))) % 50L === 0L)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate"))
+      val allo = o.unionByName(retries)
+      val b = allo.select(col("o_orderkey").as("bok"),
+        col("o_custkey").as("bck"), col("o_totalprice").as("bprice"),
+        col("o_orderdate").as("bdate"))
+      val p = allo.join(b,
+          col("o_custkey") === col("bck")
+            && col("o_totalprice") === col("bprice")
+            && col("o_orderkey") < col("bok"))
+        .filter(abs(datediff(col("bdate"), col("o_orderdate"))) <= 2)
+        .select(col("o_custkey").as("ck"), col("o_totalprice").as("price"),
+          abs(datediff(col("bdate"), col("o_orderdate"))).as("gap"))
+      p.join(Tables.customer(s, dir), col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("ck")).as("n_customers"),
+          dsum(col("price")).as("dup_money"),
+          min(col("gap")).cast("long").as("min_gap_days"))
+        .orderBy("segment")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168)
+      q126, q127, q168, q181)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

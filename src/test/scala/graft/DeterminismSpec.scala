@@ -86,7 +86,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q171_monthly_revenue_growth", // lag chains + rounded growth ratios
     "q173_event_throttling", // rank-1 over possibly-tied (ts, id)
     "q174_partition_checksums", // collect_list order pinned only by sort_array
-    "q175_principal_component") // chained matvecs + vector rebuild via sort
+    "q175_principal_component", // chained matvecs + vector rebuild via sort
+    "q179_chi2_independence", // decimal chi-square fold over ratio cells
+    "q181_double_charge_audit") // hash retry slice + price-keyed pair join
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -592,6 +592,12 @@ class PlanSpec extends AnyFunSuite {
       s"throttle must rank within the full (user, type, hour) key:\n${specs.mkString("\n")}")
   }
 
+  test("q181: the retry pair scan is keyed on (custkey, price) — never a loop join") {
+    val p = plan("q181_double_charge_audit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "price equality must be part of the join key")
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

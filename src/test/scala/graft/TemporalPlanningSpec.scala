@@ -614,6 +614,52 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q179
+
+  test("q179 chi-square: nonnegative, correct dof, cells bounded by the lattice") {
+    val r = run("q179_chi2_independence").collect().head
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("n_cells") <= 25L, "5 segments x 5 priorities max")
+    assert(r.getAs[Long]("dof") == 16L)
+    assert((r.getAs[Int]("reject_05_df16") == 1) == (r.getAs[Double]("chi2") > 26.296))
+  }
+
+  // ----------------------------------------------------------------- q180
+
+  test("q180 Benford: shares sum to one, counts conserve, excess consistent") {
+    val rows = run("q180_benford_digit_audit").collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"digit shares sum to $shareSum")
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") >= 1.0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == orders)
+    rows.foreach { r =>
+      val ex = BigDecimal(r.getAs[Long]("n").toDouble / orders
+        - r.getAs[Double]("benford"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("excess") == ex, s"digit ${r.getAs[Int]("digit")}")
+    }
+  }
+
+  // ----------------------------------------------------------------- q181
+
+  test("q181 double-charge audit finds exactly the planted retries at gap 1") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q181_double_charge_audit").collect()
+    assert(rows.nonEmpty)
+    val planted = graft.sources.Tables.orders(spark, sf)
+      .filter(graft.functions.text.md5Hash60(
+        concat(lit("retry:"), col("o_orderkey").cast("string"))) % 50L === 0L)
+      .count()
+    assert(planted > 0, "the 2% slice must select retries")
+    // synthetic prices are unique per customer, so every pair is a
+    // planted retry against its own original, at exactly one day
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == planted)
+    rows.foreach(r => assert(r.getAs[Long]("min_gap_days") == 1L))
+    rows.foreach(r => assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("n_pairs")))
+  }
+
   // ----------------------------------------------------------------- q176
 
   test("q176 log histogram: bucket edges are powers of two, shares reach 1") {
