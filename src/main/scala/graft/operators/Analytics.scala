@@ -401,5 +401,58 @@ object Analytics {
         .orderBy("c_mktsegment")
     })
 
-  def defs: Seq[QueryDef] = Seq(q38, q39, q40, q77, q91, q123, q124, q128)
+  /** Share-of-parent, the BI hierarchy ratio q07's rollup totals don't
+    * give directly: each nation's revenue as a share of ITS REGION, and
+    * each region's share of the world — two grouping levels with the
+    * parent totals broadcast back into the child rows, so every output
+    * row carries its own level-appropriate denominators. Nation and
+    * region tables broadcast into the fact scan; the share divides are
+    * IEEE over identical 4-dp decimal sums, round6. Both hierarchy
+    * levels ride one fact collapse — the nation-grain aggregate is the
+    * only fact-sized work and every rollup above it is
+    * nation-domain-sized. */
+  private val q183 = QueryDef(
+    "q183_share_of_parent",
+    "nation revenue share within region, region share of world, one scan",
+    Some(s"""
+      WITH n AS (SELECT r_name AS region, n_name AS nation,
+                        ${dsumSql("o_totalprice")} AS rev
+                 FROM orders
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation   ON c_nationkey = n_nationkey
+                 JOIN region   ON n_regionkey = r_regionkey
+                 GROUP BY 1, 2),
+      rg AS (SELECT region AS rg_region, ${dsumSql("rev")} AS region_rev
+             FROM n GROUP BY 1),
+      w AS (SELECT ${dsumSql("region_rev")} AS world_rev FROM rg)
+      SELECT region, nation, rev, region_rev, world_rev,
+             ROUND(rev / region_rev, 6) + 0.0 AS share_of_region,
+             ROUND(region_rev / world_rev, 6) + 0.0 AS region_share_of_world
+      FROM n JOIN rg ON rg_region = region CROSS JOIN w
+      ORDER BY region, nation"""),
+    (s, dir) => {
+      val n = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val rg = n.groupBy(col("region").as("rg_region"))
+        .agg(dsum(col("rev")).as("region_rev"))
+      val w = rg.agg(dsum(col("region_rev")).as("world_rev"))
+      n.join(broadcast(rg), col("region") === col("rg_region"))
+        .crossJoin(broadcast(w))
+        .select(col("region"), col("nation"), col("rev"), col("region_rev"),
+          col("world_rev"),
+          (round(col("rev") / col("region_rev"), 6) + lit(0.0))
+            .as("share_of_region"),
+          (round(col("region_rev") / col("world_rev"), 6) + lit(0.0))
+            .as("region_share_of_world"))
+        .orderBy("region", "nation")
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183)
 }

@@ -1042,7 +1042,124 @@ object Temporal {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------------
+  // q182 — dyadic exponential smoothing (EMA with exact weights)
+  // ---------------------------------------------------------------------
+
+  /** Exponential smoothing without the libm: the classic EMA recurrence
+    * needs (1−α)^k, but with α = 1/2 the weights are 2^−k — EXACT
+    * binary doubles — so a 10-term windowed form Σ rev[t−k]·2^−k /
+    * Σ 2^−k is bit-identical cross-engine with no pow() anywhere. The
+    * lag chain is spelled out term by term in the same textual order on
+    * both sides (ten lags over the day-domain axis — the window input
+    * is calendar-bounded, never facts), warm-up rows normalize by the
+    * weights actually present, and daily revenue enters as the usual
+    * 4-dp decimal sum. The half-life-one-day smoother is what anomaly
+    * baselines and sparkline dashboards actually run. */
+  private val q182 = QueryDef(
+    "q182_dyadic_ema",
+    "daily revenue smoothed by exact 2^-k weights (EMA, no libm)",
+    Some {
+      val terms = (0 to 9).map(k =>
+        s"COALESCE(lag(revenue, $k) OVER (ORDER BY day) * ${1.0 / (1L << k)}, 0.0)")
+        .mkString(" + ")
+      val wsum = (0 to 9).map(k =>
+        s"CASE WHEN lag(revenue, $k) OVER (ORDER BY day) IS NOT NULL THEN ${1.0 / (1L << k)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""
+      WITH m AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                        ${dsumSql("o_totalprice")} AS revenue
+                 FROM orders GROUP BY 1),
+      w AS (SELECT day, revenue,
+                   $terms AS num,
+                   $wsum AS den
+            FROM m)
+      SELECT day, revenue,
+             ROUND(num / den, 4) + 0.0 AS ema
+      FROM w ORDER BY day"""
+    },
+    (s, dir) => {
+      val m = Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = Window.orderBy("day")
+      val num = (0 to 9).map(k =>
+        coalesce(lag(col("revenue"), k).over(w) * lit(1.0 / (1L << k)), lit(0.0)))
+        .reduce(_ + _)
+      val den = (0 to 9).map(k =>
+        when(lag(col("revenue"), k).over(w).isNotNull, lit(1.0 / (1L << k)))
+          .otherwise(0.0))
+        .reduce(_ + _)
+      m.select(col("day"), col("revenue"),
+          (round(num / den, 4) + lit(0.0)).as("ema"))
+        .orderBy("day")
+    })
+
+  // ---------------------------------------------------------------------
+  // q184 — sweep-line peak concurrency
+  // ---------------------------------------------------------------------
+
+  /** Max concurrent active users per event type by the classic
+    * sweep-line: each user's activity span [first ts, last ts] becomes
+    * a +1 boundary at entry and a −1 after exit, the running sum over
+    * the boundary axis is the live concurrency, and its max (with the
+    * earliest peak time) is the capacity answer. Boundary ordering
+    * breaks ties (+1 before −1 at equal ts via the delta sort key) so
+    * touching intervals count as concurrent — the convention is pinned,
+    * not engine-luck. The sweep runs over 2×users boundaries per type
+    * (user-domain, never events); everything is exact integers. */
+  private val q184 = QueryDef(
+    "q184_peak_concurrency",
+    "sweep-line max concurrent active users per type, with earliest peak time",
+    Some("""
+      WITH span AS (SELECT event_type, user_id,
+                           MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+                    FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, lo AS t, CAST(1 AS BIGINT) AS delta FROM span
+            UNION ALL
+            SELECT event_type, hi + 1, CAST(-1 AS BIGINT) FROM span),
+      r AS (SELECT event_type, t, delta,
+                   SUM(delta) OVER (PARTITION BY event_type
+                                    ORDER BY t, delta DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS live
+            FROM b),
+      mx AS (SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak
+             FROM r GROUP BY 1),
+      nu AS (SELECT event_type AS net, CAST(COUNT(*) AS BIGINT) AS n_users
+             FROM span GROUP BY 1)
+      SELECT r.event_type, mx.peak,
+             CAST(MIN(t) AS BIGINT) AS peak_at_us, nu.n_users
+      FROM r JOIN mx ON mx.event_type = r.event_type AND r.live = mx.peak
+             JOIN nu ON nu.net = r.event_type
+      GROUP BY r.event_type, mx.peak, nu.n_users
+      ORDER BY r.event_type"""),
+    (s, dir) => {
+      val span = Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      val b = span.select(col("event_type"), col("lo").as("t"),
+          lit(1L).as("delta"))
+        .unionByName(span.select(col("event_type"),
+          (col("hi") + 1).as("t"), lit(-1L).as("delta")))
+      val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = b.withColumn("live", sum(col("delta")).over(w))
+      val mx = r.groupBy(col("event_type").as("met"))
+        .agg(max(col("live")).as("peak"))
+      val nu = span.groupBy(col("event_type").as("net"))
+        .agg(count(lit(1)).as("n_users"))
+      r.join(broadcast(mx),
+          col("event_type") === col("met") && col("live") === col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(min(col("t")).as("peak_at_us"))
+        .join(broadcast(nu), col("event_type") === col("net"))
+        .select(col("event_type"), col("peak"), col("peak_at_us"),
+          col("n_users"))
+        .orderBy("event_type")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161, q169, q171, q173, q174)
+      q160, q161, q169, q171, q173, q174, q182, q184)
 }

@@ -88,7 +88,9 @@ class DeterminismSpec extends AnyFunSuite {
     "q174_partition_checksums", // collect_list order pinned only by sort_array
     "q175_principal_component", // chained matvecs + vector rebuild via sort
     "q179_chi2_independence", // decimal chi-square fold over ratio cells
-    "q181_double_charge_audit") // hash retry slice + price-keyed pair join
+    "q181_double_charge_audit", // hash retry slice + price-keyed pair join
+    "q182_dyadic_ema", // 10-term lag chain + rounded quotient
+    "q184_peak_concurrency") // boundary ties ordered by (t, delta)
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

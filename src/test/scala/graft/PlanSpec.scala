@@ -598,6 +598,15 @@ class PlanSpec extends AnyFunSuite {
       "price equality must be part of the join key")
   }
 
+  test("q184: the concurrency sweep partitions by event_type over user-domain boundaries") {
+    val p = plan("q184_peak_concurrency")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
+      s"sweep window must partition by type:\n${specs.mkString("\n")}")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "user spans must reduce map-side before the sweep")
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

@@ -958,6 +958,48 @@ class PropertySpec extends AnyFunSuite {
     assert((row.getAs[Int]("reject_05") == 1) == (dnum.toDouble > crit * na * nb))
   }
 
+  test("q182 dyadic EMA == brute-force lag-chain reference on generated orders") {
+    val rows = SparkEntry.queries("q182_dyadic_ema")(spark, genOrdersDir)
+      .collect()
+    val daily = genOrders.groupBy(_._4).toSeq.sortBy(_._1)
+      .map { case (_, os) => dsumRef(os.map(_._3)) }
+    assert(rows.length == daily.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("revenue") == daily(i), s"day $i revenue")
+      var num = 0.0
+      var den = 0.0
+      (0 to 9).foreach { k =>
+        if (i - k >= 0) { num += daily(i - k) * (1.0 / (1L << k)); den += 1.0 / (1L << k) }
+      }
+      val ema = BigDecimal(num / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("ema") == ema, s"day $i ema")
+    }
+  }
+
+  test("q184 peak concurrency == brute-force sweep reference on generated histories") {
+    val rows = SparkEntry.queries("q184_peak_concurrency")(spark, genDir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val byType = genEvents.groupBy(_._4)
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (t, es) =>
+      val spans = es.groupBy(_._3).values
+        .map(v => (v.map(tsUsOf).min, v.map(tsUsOf).max)).toSeq
+      val bounds = spans.flatMap { case (lo, hi) =>
+        Seq((lo, 1L), (hi + 1, -1L)) }
+        .sortBy { case (ts, d) => (ts, -d) }
+      var live = 0L; var peak = 0L; var peakAt = 0L
+      bounds.foreach { case (ts, d) =>
+        live += d
+        if (live > peak) { peak = live; peakAt = ts }
+      }
+      val row = rows(t)
+      assert(row.getAs[Long]("n_users") == spans.size.toLong, s"$t users")
+      assert(row.getAs[Long]("peak") == peak, s"$t peak")
+      assert(row.getAs[Long]("peak_at_us") == peakAt, s"$t peak time")
+    }
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()

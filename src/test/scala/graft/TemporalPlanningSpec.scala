@@ -614,6 +614,25 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q183
+
+  test("q183 share-of-parent: shares partition each level, masses nest") {
+    val rows = run("q183_share_of_parent").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rev") <= r.getAs[Double]("region_rev") + 1e-9)
+      assert(r.getAs[Double]("region_rev") <= r.getAs[Double]("world_rev") + 1e-9)
+    }
+    rows.groupBy(_.getAs[String]("region")).foreach { case (rg, rs) =>
+      val s = rs.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$rg nation shares sum to $s")
+    }
+    val regionShares = rows.map(r => r.getAs[String]("region") ->
+      r.getAs[Double]("region_share_of_world")).distinct
+    val total = regionShares.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"region shares sum to $total")
+  }
+
   // ----------------------------------------------------------------- q179
 
   test("q179 chi-square: nonnegative, correct dof, cells bounded by the lattice") {
