@@ -453,6 +453,48 @@ object Analytics {
         .orderBy("region", "nation")
     })
 
+  /** Deterministic MODE — the holistic aggregate the built-in surface
+    * skips: the most frequent order priority per segment, tie broken by
+    * priority string ascending so the answer is pinned, not engine
+    * luck. One bounded count lattice + WindowGroupLimit rank-1 (q04
+    * discipline); share is one IEEE divide, round6. */
+  private val q186 = QueryDef(
+    "q186_modal_priority",
+    "modal order priority per segment with deterministic tiebreak",
+    Some("""
+      WITH c AS (SELECT c_mktsegment AS segment, o_orderpriority AS pri,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1, 2),
+      t AS (SELECT segment, CAST(SUM(n) AS BIGINT) AS tot
+            FROM c GROUP BY 1),
+      r AS (SELECT segment, pri, n,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY n DESC, pri) AS rn
+            FROM c)
+      SELECT r.segment, pri AS modal_priority, n,
+             ROUND(CAST(n AS DOUBLE) / tot, 6) + 0.0 AS share
+      FROM r JOIN t ON t.segment = r.segment
+      WHERE rn = 1
+      ORDER BY r.segment"""),
+    (s, dir) => {
+      val c = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("segment").as("tseg"))
+        .agg(sum(col("n")).as("tot"))
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy("segment").orderBy(col("n").desc, col("pri"))))
+        .filter(col("rn") === 1)
+        .join(broadcast(t), col("segment") === col("tseg"))
+        .select(col("segment"), col("pri").as("modal_priority"), col("n"),
+          (round(col("n").cast("double") / col("tot"), 6) + lit(0.0))
+            .as("share"))
+        .orderBy("segment")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183)
+    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186)
 }

@@ -1835,8 +1835,105 @@ object Curation {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q187 — randomized-response private counting (derandomized)
+  // ---------------------------------------------------------------------
+
+  /** Local differential privacy's oldest mechanism, made auditable: each
+    * user reports their true "is a purchaser" bit with probability 3/4
+    * and the flipped bit otherwise (Warner's randomized response), the
+    * coin being the user's md5 hash — so the privatized channel is
+    * reproducible and the hash gate can check it. The debiasing
+    * estimator for keep-probability 3/4 is EXACT INTEGER arithmetic:
+    * E[reported] = n/4 + T/2 ⟹ T̂ = 2·reported − n/2, so estimate and
+    * error are integers, no float anywhere. Reported next to the true
+    * count per the q130 "measure, don't guess" discipline — the error
+    * column IS the privacy-utility readout. All user-domain
+    * aggregates. */
+  private val q187 = QueryDef(
+    "q187_randomized_response",
+    "Warner randomized response on the purchaser bit: estimate vs truth",
+    Some(s"""
+      WITH u AS (SELECT user_id,
+                        CAST(MAX(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) AS INTEGER) AS b
+                 FROM events GROUP BY 1),
+      rr AS (SELECT user_id, b,
+                    CASE WHEN ${hkeySql("rr:", "user_id")} % 4 = 0
+                         THEN 1 - b ELSE b END AS reported
+             FROM u)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(b) AS BIGINT) AS true_count,
+             CAST(SUM(reported) AS BIGINT) AS reported_count,
+             CAST(2 * SUM(reported) - COUNT(*) // 2 AS BIGINT) AS estimate,
+             CAST(abs(2 * SUM(reported) - COUNT(*) // 2 - SUM(b)) AS BIGINT)
+               AS abs_error
+      FROM rr"""),
+    (s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("int").as("b"))
+      val rr = u.select(col("user_id"), col("b"),
+        when(hkey("rr:", col("user_id")) % 4L === 0L, lit(1) - col("b"))
+          .otherwise(col("b")).as("reported"))
+      rr.agg(count(lit(1)).as("n_users"),
+          sum(col("b")).cast("long").as("true_count"),
+          sum(col("reported")).cast("long").as("reported_count"))
+        .select(col("n_users"), col("true_count"), col("reported_count"),
+          (lit(2) * col("reported_count") - expr("n_users div 2")).cast("long")
+            .as("estimate"),
+          abs(lit(2) * col("reported_count") - expr("n_users div 2")
+            - col("true_count")).cast("long").as("abs_error"))
+    })
+
+  // ---------------------------------------------------------------------
+  // q188 — k-anonymity audit over quasi-identifiers
+  // ---------------------------------------------------------------------
+
+  /** The release-gate check behind every "is this table safe to share"
+    * review: group the customer table by its quasi-identifier pair
+    * (market segment, nation) and report the k-anonymity profile — the
+    * minimum group size (the table's k), how many QI groups fall below
+    * k = 5, and how many customers those groups expose. One bounded
+    * grouped count plus a count-of-counts rollup; everything integer,
+    * one rounded share. At 100 TB the QI group table is
+    * lattice-bounded and the audit cost is one fact collapse —
+    * re-runnable per release candidate. */
+  private val q188 = QueryDef(
+    "q188_k_anonymity_audit",
+    "QI (segment, nation) group-size profile: table k, violations of k=5",
+    Some("""
+      WITH g AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                        CAST(COUNT(*) AS BIGINT) AS sz
+                 FROM customer GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+             CAST(COUNT(CASE WHEN sz < 5 THEN 1 END) AS BIGINT)
+               AS n_violating_groups,
+             CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+               AS n_exposed,
+             CAST(SUM(sz) AS BIGINT) AS n_customers,
+             ROUND(CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0)
+                        AS DOUBLE) / SUM(sz), 6) + 0.0 AS exposed_share
+      FROM g"""),
+    (s, dir) => {
+      val g = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"))
+        .agg(count(lit(1)).as("sz"))
+      g.agg(count(lit(1)).as("n_groups"),
+          min(col("sz")).as("k_anonymity"),
+          count(when(col("sz") < 5, 1)).as("n_violating_groups"),
+          coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L)).cast("long")
+            .as("n_exposed"),
+          sum(col("sz")).cast("long").as("n_customers"))
+        .select(col("n_groups"), col("k_anonymity"), col("n_violating_groups"),
+          col("n_exposed"), col("n_customers"),
+          (round(col("n_exposed").cast("double") / col("n_customers"), 6)
+            + lit(0.0)).as("exposed_share"))
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
       q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125,
-      q131, q159)
+      q131, q159, q187, q188)
 }

@@ -1159,7 +1159,77 @@ object Temporal {
         .orderBy("event_type")
     })
 
+  // ---------------------------------------------------------------------
+  // q185 — funnel stage latency (time between stages)
+  // ---------------------------------------------------------------------
+
+  /** q145 counts WHO reaches each funnel stage; this measures HOW LONG
+    * the transitions take: per user, first signup → first view after it
+    * → first purchase after that, with the two stage latencies reported
+    * as exact median / p90 hours across users. The per-user firsts are
+    * two user-domain conditional-min joins (never a per-event window);
+    * latencies are one IEEE divide of exact microsecond longs; the
+    * percentile pair is the q42 discipline. Null-safe: users who stall
+    * mid-funnel simply drop out of the later latency populations. */
+  private val q185 = QueryDef(
+    "q185_funnel_stage_latency",
+    "median/p90 hours for signup->view and view->purchase transitions",
+    Some("""
+      WITH su AS (SELECT user_id, MIN(epoch_us(ts)) AS s_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      vu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS v_us
+             FROM events e JOIN su ON e.user_id = su.user_id
+             WHERE e.event_type = 'view' AND epoch_us(e.ts) > su.s_us
+             GROUP BY 1),
+      pu AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+             FROM events e JOIN vu ON e.user_id = vu.user_id
+             WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > vu.v_us
+             GROUP BY 1),
+      lat AS (SELECT su.user_id,
+                     CASE WHEN v_us IS NOT NULL
+                          THEN ROUND((v_us - s_us) / 3600000000.0, 4) END AS l1,
+                     CASE WHEN p_us IS NOT NULL
+                          THEN ROUND((p_us - v_us) / 3600000000.0, 4) END AS l2
+              FROM su LEFT JOIN vu ON su.user_id = vu.user_id
+                      LEFT JOIN pu ON su.user_id = pu.user_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_signup,
+             CAST(COUNT(l1) AS BIGINT) AS n_reached_view,
+             CAST(COUNT(l2) AS BIGINT) AS n_reached_purchase,
+             ROUND(quantile_cont(l1, 0.5), 4) + 0.0 AS med_h_signup_view,
+             ROUND(quantile_cont(l1, 0.9), 4) + 0.0 AS p90_h_signup_view,
+             ROUND(quantile_cont(l2, 0.5), 4) + 0.0 AS med_h_view_purchase,
+             ROUND(quantile_cont(l2, 0.9), 4) + 0.0 AS p90_h_view_purchase
+      FROM lat"""),
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("suid")).agg(min(col("ts_us")).as("s_us"))
+      val vu = ev.filter(col("event_type") === "view")
+        .join(su, col("user_id") === col("suid"))
+        .filter(col("ts_us") > col("s_us"))
+        .groupBy(col("user_id").as("vuid")).agg(min(col("ts_us")).as("v_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(vu, col("user_id") === col("vuid"))
+        .filter(col("ts_us") > col("v_us"))
+        .groupBy(col("user_id").as("puid")).agg(min(col("ts_us")).as("p_us"))
+      val lat = su
+        .join(vu, col("suid") === col("vuid"), "left")
+        .join(pu, col("suid") === col("puid"), "left")
+        .select(
+          when(col("v_us").isNotNull,
+            round((col("v_us") - col("s_us")) / 3600000000.0, 4)).as("l1"),
+          when(col("p_us").isNotNull,
+            round((col("p_us") - col("v_us")) / 3600000000.0, 4)).as("l2"))
+      lat.agg(count(lit(1)).as("n_signup"),
+        count(col("l1")).as("n_reached_view"),
+        count(col("l2")).as("n_reached_purchase"),
+        (round(expr("percentile(l1, 0.5)"), 4) + lit(0.0)).as("med_h_signup_view"),
+        (round(expr("percentile(l1, 0.9)"), 4) + lit(0.0)).as("p90_h_signup_view"),
+        (round(expr("percentile(l2, 0.5)"), 4) + lit(0.0)).as("med_h_view_purchase"),
+        (round(expr("percentile(l2, 0.9)"), 4) + lit(0.0)).as("p90_h_view_purchase"))
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161, q169, q171, q173, q174, q182, q184)
+      q160, q161, q169, q171, q173, q174, q182, q184, q185)
 }

@@ -90,7 +90,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q179_chi2_independence", // decimal chi-square fold over ratio cells
     "q181_double_charge_audit", // hash retry slice + price-keyed pair join
     "q182_dyadic_ema", // 10-term lag chain + rounded quotient
-    "q184_peak_concurrency") // boundary ties ordered by (t, delta)
+    "q184_peak_concurrency", // boundary ties ordered by (t, delta)
+    "q185_funnel_stage_latency") // chained conditional mins + percentiles
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

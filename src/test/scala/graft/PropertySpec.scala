@@ -1000,6 +1000,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q187 randomized response == brute-force md5-coin reference on generated histories") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val row = SparkEntry.queries("q187_randomized_response")(spark, genDir)
+      .collect().head
+    val byUser = genEvents.groupBy(_._3)
+    val bits = byUser.map { case (u, es) =>
+      u -> (if (es.exists(_._4 == "purchase")) 1 else 0) }
+    val reported = bits.map { case (u, b) =>
+      if (h60(s"rr:$u") % 4 == 0) 1 - b else b }.sum.toLong
+    val n = bits.size.toLong
+    val t = bits.values.sum.toLong
+    assert(row.getAs[Long]("n_users") == n)
+    assert(row.getAs[Long]("true_count") == t)
+    assert(row.getAs[Long]("reported_count") == reported)
+    assert(row.getAs[Long]("estimate") == 2 * reported - n / 2)
+    assert(row.getAs[Long]("abs_error") == math.abs(2 * reported - n / 2 - t))
+    assert(reported != t, "the fixture must actually flip some reports")
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()

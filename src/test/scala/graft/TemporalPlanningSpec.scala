@@ -614,6 +614,63 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q185
+
+  test("q185 stage latencies: populations nest and agree with q145's funnel counts") {
+    val r = run("q185_funnel_stage_latency").collect().head
+    val (ns, nv, np) = (r.getAs[Long]("n_signup"), r.getAs[Long]("n_reached_view"),
+      r.getAs[Long]("n_reached_purchase"))
+    assert(ns >= nv && nv >= np, "funnel populations must nest")
+    assert(r.getAs[Double]("med_h_signup_view") <= r.getAs[Double]("p90_h_signup_view"))
+    assert(r.getAs[Double]("med_h_view_purchase") <= r.getAs[Double]("p90_h_view_purchase"))
+    // cross-law: q145 counts the same signup->view stage (identical
+    // semantics) and a horizon-bounded purchase stage (subset of ours)
+    val f = run("q145_sequential_funnel").collect().head
+    assert(f.getAs[Long]("n_signup") == ns)
+    assert(f.getAs[Long]("n_view_after") == nv)
+    assert(f.getAs[Long]("n_purchase_7d") <= np)
+  }
+
+  // ----------------------------------------------------------------- q186
+
+  test("q186 mode: the winner really is the max count under the pinned tiebreak") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q186_modal_priority").collect()
+    assert(rows.nonEmpty)
+    val counts = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count().collect()
+      .groupBy(_.getAs[String]("c_mktsegment"))
+      .map { case (k, v) => k -> v.map(r =>
+        r.getAs[String]("o_orderpriority") -> r.getAs[Long]("count")) }
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      val winner = counts(seg).minBy { case (p, n) => (-n, p) }
+      assert((r.getAs[String]("modal_priority"), r.getAs[Long]("n")) == winner,
+        s"$seg modal mismatch")
+      val tot = counts(seg).map(_._2).sum
+      assert(r.getAs[Double]("share") ==
+        BigDecimal(winner._2.toDouble / tot)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }
+  }
+
+  // ----------------------------------------------------------------- q188
+
+  test("q188 k-anonymity: k is the true minimum, exposure accounting exact") {
+    import org.apache.spark.sql.functions._
+    val r = run("q188_k_anonymity_audit").collect().head
+    val sizes = graft.sources.Tables.customer(spark, sf)
+      .groupBy("c_mktsegment", "c_nationkey").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(r.getAs[Long]("n_groups") == sizes.length.toLong)
+    assert(r.getAs[Long]("k_anonymity") == sizes.min)
+    assert(r.getAs[Long]("n_violating_groups") == sizes.count(_ < 5).toLong)
+    assert(r.getAs[Long]("n_exposed") == sizes.filter(_ < 5).sum)
+    assert(r.getAs[Long]("n_customers") == sizes.sum)
+  }
+
   // ----------------------------------------------------------------- q183
 
   test("q183 share-of-parent: shares partition each level, masses nest") {
