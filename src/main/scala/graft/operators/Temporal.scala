@@ -1229,7 +1229,49 @@ object Temporal {
         (round(expr("percentile(l2, 0.9)"), 4) + lit(0.0)).as("p90_h_view_purchase"))
     })
 
+  // ---------------------------------------------------------------------
+  // q189 — daily-activity streak distribution
+  // ---------------------------------------------------------------------
+
+  /** The engagement streak metric: each user's LONGEST run of
+    * consecutive active days, rolled into a distribution (how many
+    * users peak at a k-day streak). Gaps-and-islands in its purest
+    * calendar form — distinct (user, day) pairs, day − row_number is
+    * constant exactly within a consecutive run (the q133 anchor trick
+    * on the day axis), island length = anchor-group size, per-user max,
+    * then a count-of-counts rollup. The event stream reduces map-side
+    * to user-days before any window; windows partition per user; the
+    * output is streak-length-domain-sized. Pure integers throughout. */
+  private val q189 = QueryDef(
+    "q189_daily_streak_distribution",
+    "longest consecutive-day activity streak per user, as a distribution",
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+      r AS (SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                     AS anchor
+            FROM ud),
+      runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+               FROM r GROUP BY user_id, anchor),
+      mx AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+             FROM runs GROUP BY 1)
+      SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM mx GROUP BY 1 ORDER BY max_streak"""),
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val r = ud.withColumn("anchor",
+        col("day") - row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+      val runs = r.groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+      val mx = runs.groupBy("user_id").agg(max(col("len")).as("max_streak"))
+      mx.groupBy("max_streak").agg(count(lit(1)).as("n_users"))
+        .orderBy("max_streak")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161, q169, q171, q173, q174, q182, q184, q185)
+      q160, q161, q169, q171, q173, q174, q182, q184, q185, q189)
 }

@@ -524,6 +524,65 @@ object TextPipeline {
         .orderBy("source")
     })
 
+  // ---------------------------------------------------------------------
+  // q190 — phrase search over a positional inverted index
+  // ---------------------------------------------------------------------
+
+  /** Search-engine phrase matching: the inverted index q12 builds gains
+    * POSITIONS, and a two-word phrase query becomes an equi-join of the
+    * two posting lists on (doc, adjacent position) — the classic
+    * positional-index plan, no substring scan of any document. Three
+    * fixed phrase queries ride a broadcast literal table; occurrences
+    * and distinct matching docs report per phrase. At 100 TB the
+    * positional index is the q99 retrieval MV with one more column,
+    * posting lists partition by term, and a phrase probe touches two
+    * postings — never the corpus. Position arithmetic is exact
+    * 1-based integers on both engines. */
+  private val q190 = QueryDef(
+    "q190_phrase_search",
+    "two-word phrase queries via positional posting-list adjacency joins",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      idx AS (SELECT doc_id, u.p AS pos, u.w AS term
+              FROM tok, unnest(list_transform(generate_series(1, len(t)),
+                               i -> struct_pack(p := i, w := t[i]))) AS r(u)),
+      q AS (SELECT * FROM (VALUES ('table hash', 'table', 'hash'),
+                           ('customer join', 'customer', 'join'),
+                           ('merge group', 'merge', 'group'))
+                 AS t(phrase, w1, w2)),
+      m AS (SELECT q.phrase, a.doc_id
+            FROM q JOIN idx a ON a.term = q.w1
+                  JOIN idx b ON b.doc_id = a.doc_id
+                            AND b.pos = a.pos + 1
+                            AND b.term = q.w2)
+      SELECT phrase,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM m GROUP BY phrase ORDER BY phrase"""),
+    (s, dir) => {
+      val idx = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+      val phrases = Seq(("table hash", "table", "hash"),
+        ("customer join", "customer", "join"),
+        ("merge group", "merge", "group"))
+      val q = s.range(1).select(explode(array(phrases.map { case (p, a, b) =>
+        struct(lit(p).as("phrase"), lit(a).as("w1"), lit(b).as("w2"))
+      }: _*)).as("x")).select(col("x.phrase").as("phrase"),
+        col("x.w1").as("w1"), col("x.w2").as("w2"))
+      val a = idx.join(broadcast(q), col("term") === col("w1"))
+        .select(col("phrase"), col("doc_id"), col("pos"), col("w2"))
+      val m = a.join(idx.select(col("doc_id").as("bdoc"),
+          col("pos").as("bpos"), col("term").as("bterm")),
+        col("doc_id") === col("bdoc") && col("bpos") === col("pos") + 1
+          && col("bterm") === col("w2"))
+      m.groupBy("phrase")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .orderBy("phrase")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164)
+    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190)
 }

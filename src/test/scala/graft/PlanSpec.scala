@@ -607,6 +607,12 @@ class PlanSpec extends AnyFunSuite {
       "user spans must reduce map-side before the sweep")
   }
 
+  test("q190: phrase probes are posting-list equi-joins, never document scans") {
+    val p = plan("q190_phrase_search")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "adjacency must be part of the join key")
+  }
+
   test("q158: the cumulative sketch window partitions by event_type") {
     val p = plan("q158_grid_quantile_sketch")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

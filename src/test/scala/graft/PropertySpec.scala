@@ -1023,6 +1023,42 @@ class PropertySpec extends AnyFunSuite {
     assert(reported != t, "the fixture must actually flip some reports")
   }
 
+  test("q189 streaks == brute-force consecutive-day reference on generated histories") {
+    val rows = SparkEntry.queries("q189_daily_streak_distribution")(spark, genDir)
+      .collect().map(r => r.getAs[Long]("max_streak") -> r.getAs[Long]("n_users"))
+      .toMap
+    val maxStreaks = genEvents.groupBy(_._3).values.map { es =>
+      val days = es.map(e => dayOf(tsUsOf(e))).distinct.sorted
+      var best = 1L; var cur = 1L
+      days.zip(days.drop(1)).foreach { case (a, b) =>
+        if (b == a + 1) { cur += 1; best = math.max(best, cur) } else cur = 1L
+      }
+      best
+    }.toSeq
+    val expected = maxStreaks.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(rows == expected)
+    assert(rows.values.sum == genEvents.map(_._3).distinct.size.toLong)
+  }
+
+  test("q190 phrase search == brute-force sliding-window reference on the corpus") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val phrases = Seq("table hash" -> ("table", "hash"),
+      "customer join" -> ("customer", "join"), "merge group" -> ("merge", "group"))
+    val rows = SparkEntry.queries("q190_phrase_search")(spark, sf)
+      .collect().map(r => r.getAs[String]("phrase") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"))).toMap
+    phrases.foreach { case (name, (w1, w2)) =>
+      val per = texts.map { t =>
+        val ws = t.split(" ")
+        ws.zip(ws.drop(1)).count(p => p._1 == w1 && p._2 == w2).toLong
+      }
+      val expected = (per.count(_ > 0).toLong, per.sum)
+      assert(rows.get(name).contains(expected), s"phrase '$name'")
+    }
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()
