@@ -1271,7 +1271,60 @@ object Temporal {
         .orderBy("max_streak")
     })
 
+  // ---------------------------------------------------------------------
+  // q191 — daily new-vs-returning growth accounting
+  // ---------------------------------------------------------------------
+
+  /** The growth-accounting split every DAU chart decomposes into: per
+    * day, users active for the FIRST time ever vs returning users, with
+    * the cumulative known-user curve alongside. One map-side reduce to
+    * distinct (user, day), one user-domain min for the first-seen day,
+    * and the day-domain rollup — new = users whose first day IS the
+    * day, returning = active − new, and the cumulative curve is the
+    * running sum of news (which must end at the total user count — the
+    * conservation law the spec checks). All exact integers; one rounded
+    * share. */
+  private val q191 = QueryDef(
+    "q191_new_vs_returning",
+    "per day: first-ever vs returning actives + cumulative known users",
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                  FROM events),
+      fs AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1),
+      d AS (SELECT ud.day,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(COUNT(CASE WHEN ud.day = fs.first_day THEN 1 END)
+                        AS BIGINT) AS n_new
+            FROM ud JOIN fs ON ud.user_id = fs.user_id
+            GROUP BY 1)
+      SELECT day, n_active, n_new,
+             n_active - n_new AS n_returning,
+             CAST(SUM(n_new) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users,
+             ROUND(CAST(n_new AS DOUBLE) / n_active, 6) + 0.0 AS new_share
+      FROM d ORDER BY day"""),
+    (s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val fs = ud.groupBy(col("user_id").as("fuid"))
+        .agg(min(col("day")).as("first_day"))
+      val d = ud.join(fs, col("user_id") === col("fuid"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("day") === col("first_day"), 1)).as("n_new"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          sum(col("n_new")).over(w).cast("long").as("cum_users"),
+          (round(col("n_new").cast("double") / col("n_active"), 6) + lit(0.0))
+            .as("new_share"))
+        .orderBy("day")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161, q169, q171, q173, q174, q182, q184, q185, q189)
+      q160, q161, q169, q171, q173, q174, q182, q184, q185, q189, q191)
 }

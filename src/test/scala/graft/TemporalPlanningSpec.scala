@@ -614,6 +614,25 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q191
+
+  test("q191 growth accounting: news conserve to the user base, splits partition actives") {
+    val rows = run("q191_new_vs_returning").collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+      cum += r.getAs[Long]("n_new")
+      assert(r.getAs[Long]("cum_users") == cum)
+    }
+    assert(rows.head.getAs[Long]("n_returning") == 0L,
+      "day one has nobody to return")
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cum == users, "every user is new exactly once")
+  }
+
   // ----------------------------------------------------------------- q185
 
   test("q185 stage latencies: populations nest and agree with q145's funnel counts") {
