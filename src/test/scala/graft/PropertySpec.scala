@@ -1059,6 +1059,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------------------
+  // Planted-ground-truth corpus for the near-dup family: base docs use
+  // per-doc-unique tokens (zero cross-doc shingle overlap by
+  // construction), and twins replace exactly the last m tokens, so the
+  // Jaccard of every planted pair is CLOSED FORM: J = (58−m)/(58+m)
+  // for 60-token docs. Pairs straddle the 0.5 threshold on both sides,
+  // so recall AND precision are provable, not sampled.
+  // --------------------------------------------------------------------
+
+  /** (docs, expected reported pairs with exact (inter, J)). */
+  private lazy val genPlanted: (Seq[(Long, String)],
+      Map[(Long, Long), (Long, Double)]) = {
+    val nTok = 60
+    def baseTokens(d: Long) = (1 to nTok).map(i => s"w${d}x$i")
+    val plants = Seq(1L -> 0, 2L -> 6, 3L -> 12, 4L -> 18, 5L -> 24, 6L -> 30)
+    val bases = (1L to 30L).map(d => d -> baseTokens(d).mkString(" "))
+    val twins = plants.map { case (d, m) =>
+      val t = baseTokens(d).dropRight(m) ++ (1 to m).map(i => s"r${d}x$i")
+      (d + 100) -> t.mkString(" ")
+    }
+    val expected = plants.flatMap { case (d, m) =>
+      val inter = (nTok - 2 - m).toLong
+      val j = BigDecimal(inter.toDouble / (2 * (nTok - 2) - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (j >= 0.5) Some((d, d + 100) -> (inter, j)) else None
+    }.toMap
+    (bases ++ twins, expected)
+  }
+
+  private lazy val genPlantedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_genplant").toString
+    genPlanted._1.map { case (id, text) =>
+      (id, text, "en", s"src${id % 3}", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("near-dup family on planted ground truth: exact pairs, LSH recall, SimHash precision") {
+    val expected = genPlanted._2
+    assert(expected.size == 4, "plants 0/6/12/18 clear the bar; 24/30 must not")
+    // q22 exact: the reported set IS the closed-form ground truth
+    val got22 = SparkEntry.queries("q22_neardup_jaccard")(spark, genPlantedDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toMap
+    assert(got22.keySet == expected.keySet,
+      s"exact pairs ${got22.keySet} != planted ${expected.keySet}")
+    expected.foreach { case (p, (inter, j)) =>
+      assert(got22(p)._1 == inter, s"$p intersection")
+      assert(got22(p)._2 == j, s"$p jaccard")
+    }
+    // q23 LSH+verify: the banded candidates recall every planted pair
+    // here (fixed seeds — a deterministic outcome, asserted as such),
+    // and the exact verify makes the final set equal q22's
+    val got23 = SparkEntry.queries("q23_neardup_minhash_lsh")(spark, genPlantedDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got23 == expected.keySet, s"LSH set $got23")
+    // q24 SimHash: zero false pairs across unrelated docs (disjoint
+    // token sets give ~random 60-bit signatures), and the exact twin
+    // surfaces at Hamming 0
+    val got24 = SparkEntry.queries("q24_neardup_simhash")(spark, genPlantedDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    val plantedPairs = (1L to 6L).map(d => (d, d + 100)).toSet
+    assert(got24.keySet.subsetOf(plantedPairs),
+      s"SimHash false pairs: ${got24.keySet -- plantedPairs}")
+    assert(got24.get((1L, 101L)).contains(0), "exact twin must be Hamming 0")
+  }
+
   test("q142 transitions == brute-force consecutive-pair reference on generated histories") {
     val rows = SparkEntry.queries("q142_event_transition_matrix")(spark, genDir)
       .collect()
