@@ -154,6 +154,21 @@ object EventStream {
       .withWatermark("ts_t", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming rate limiter: first event per (user, type, hour) — the
+    * online twin of q173's batch throttle accounting.
+    * dropDuplicatesWithinWatermark on the throttle key keeps exactly
+    * the first ARRIVAL per group; replayed in (ts, event_id) order that
+    * is the batch rank-1 row, so the kept sets match row-for-row
+    * (StreamingSpec asserts the parity). Throttle-key state evicts an
+    * hour past the watermark — O(groups per horizon), not
+    * O(all groups ever). */
+  def throttleEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withColumn("hr", expr("ts_us div 3600000000"))
+      .withWatermark("ts_t", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
+
   /** Watermarked STREAM-STREAM inner join — the streaming twin of the
     * batch range join (q41): each purchase matched to the same user's
     * clicks in the preceding hour — the half-open interval (p−1h, p],

@@ -395,6 +395,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming throttle keeps exactly the batch rank-1 set (q173 parity)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event].collect().toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val stream = MemoryStream[Event]
+    val q = EventStream.throttleEvents(stream.toDF())
+      .writeStream.format("memory").queryName("throttle_parity")
+      .outputMode(OutputMode.Append()).start()
+    val kept = try {
+      ev.grouped((ev.size + 2) / 3).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      spark.table("throttle_parity").select("event_id").collect()
+        .map(_.getLong(0)).toSet
+    } finally q.stop()
+    // batch reference: q173's rank-1 rows on the same fixture
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type", "hr").orderBy("ts_us", "event_id")
+    val batchKept = graft.sources.Tables.events(spark, sf)
+      .withColumn("hr", expr("ts_us div 3600000000"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1).select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == batchKept,
+      s"streaming kept ${kept.size} vs batch ${batchKept.size}")
+    assert(kept.size < ev.size, "the throttle must actually drop something")
+  }
+
   test("streaming query restarts from checkpoint without duplicating or losing output") {
     // Fault-tolerance posture (SURVEY §2.1 M10) demonstrated, not just
     // claimed: a parquet-sink stream is stopped mid-input and restarted
