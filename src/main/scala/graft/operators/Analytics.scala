@@ -495,6 +495,48 @@ object Analytics {
         .orderBy("segment")
     })
 
+  /** Procurement price dispersion: for each part, how far apart are its
+    * suppliers' BEST unit-price quotes? Per (part, supplier) the
+    * minimum observed unit price — min/max of raw per-row doubles are
+    * EXACT selections with no arithmetic, chosen deliberately over a
+    * rounded mean after a davg draft hit the ROUND-of-derived-quotient
+    * boundary on one of ~8k supplier means at sf0.1 — then per part the
+    * supplier count and the spread (max−min)/min across quotes: the
+    * arbitrage/mis-quote screen a sourcing desk runs. Single-supplier
+    * parts are excluded (no spread to measure). Top-20 by dispersion
+    * with partkey tiebreak rides TakeOrdered — no global sort; both
+    * aggregates combine map-side. */
+  private val q192 = QueryDef(
+    "q192_supplier_price_dispersion",
+    "top-20 parts by supplier best-quote spread (max-min)/min",
+    Some(s"""
+      WITH ps AS (SELECT l_partkey, l_suppkey,
+                         MIN(l_extendedprice / l_quantity) AS unit
+                  FROM lineitem GROUP BY 1, 2),
+      p AS (SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   MIN(unit) AS lo_unit, MAX(unit) AS hi_unit
+            FROM ps GROUP BY 1)
+      SELECT l_partkey, n_suppliers, lo_unit, hi_unit,
+             ROUND((hi_unit - lo_unit) / lo_unit, 4) + 0.0 AS dispersion
+      FROM p WHERE n_suppliers >= 2
+      ORDER BY dispersion DESC, l_partkey LIMIT 20"""),
+    (s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit"))
+      ps.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          min(col("unit")).as("lo_unit"), max(col("unit")).as("hi_unit"))
+        .filter(col("n_suppliers") >= 2)
+        .select(col("l_partkey"), col("n_suppliers"), col("lo_unit"),
+          col("hi_unit"),
+          (round((col("hi_unit") - col("lo_unit")) / col("lo_unit"), 4)
+            + lit(0.0)).as("dispersion"))
+        .orderBy(col("dispersion").desc, col("l_partkey"))
+        .limit(20)
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186)
+    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186, q192)
 }

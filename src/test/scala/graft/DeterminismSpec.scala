@@ -91,7 +91,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q181_double_charge_audit", // hash retry slice + price-keyed pair join
     "q182_dyadic_ema", // 10-term lag chain + rounded quotient
     "q184_peak_concurrency", // boundary ties ordered by (t, delta)
-    "q185_funnel_stage_latency") // chained conditional mins + percentiles
+    "q185_funnel_stage_latency", // chained conditional mins + percentiles
+    "q192_supplier_price_dispersion") // float min/max selections + ratio ties
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -614,6 +614,23 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q192
+
+  test("q192 dispersion: quotes ordered, ratio consistent, ranking monotone") {
+    val rows = run("q192_supplier_price_dispersion").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_suppliers") >= 2L)
+      val (lo, hi) = (r.getAs[Double]("lo_unit"), r.getAs[Double]("hi_unit"))
+      assert(lo > 0.0 && lo <= hi)
+      val d = BigDecimal((hi - lo) / lo)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("dispersion") == d)
+    }
+    val ds = rows.map(_.getAs[Double]("dispersion")).toSeq
+    assert(ds == ds.sorted.reverse, "top-20 must descend")
+  }
+
   // ----------------------------------------------------------------- q191
 
   test("q191 growth accounting: news conserve to the user base, splits partition actives") {
