@@ -1560,7 +1560,78 @@ object Planning {
         .orderBy("digit")
     })
 
+  // ---------------------------------------------------------------------
+  // q193 — pairwise distribution-distance matrix from bin vectors
+  // ---------------------------------------------------------------------
+
+  /** Which event types have similar value distributions? The pairwise
+    * total-variation distance ½·Σ|p_a − p_b| between every two types,
+    * computed from q158's 256-bin count vectors — the sketch REUSED for
+    * set-of-distributions comparisons, never rescanning values. The
+    * distance numerator is exact integer cross-multiplication
+    * Σ|c_a·n_b − c_b·n_a| (the q178 trick: no float enters the fold;
+    * bins missing on one side coalesce to zero via the full outer bin
+    * join), divided once for display. TV ∈ [0,1]; the matrix is
+    * type-pair-domain-sized and every stage after the one fact
+    * collapse is bin-domain work. */
+  private val q193 = QueryDef(
+    "q193_histogram_distance_matrix",
+    "pairwise total-variation distance between type value distributions",
+    Some("""
+      WITH b AS (SELECT event_type,
+                        LEAST(255, CAST(FLOOR(value / 2) AS BIGINT)) AS bin,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM b GROUP BY 1),
+      pairs AS (SELECT a.event_type AS ta, a.n AS nna,
+                       x.event_type AS tb, x.n AS nnb
+                FROM t a JOIN t x ON a.event_type < x.event_type),
+      grid AS (SELECT ta, nna, tb, nnb, unnest(generate_series(0, 255)) AS bin
+               FROM pairs),
+      j AS (SELECT g.ta, g.tb, g.nna, g.nnb,
+                   COALESCE(ba.c, 0) AS ca, COALESCE(bb.c, 0) AS cb
+            FROM grid g
+            LEFT JOIN b ba ON ba.event_type = g.ta AND ba.bin = g.bin
+            LEFT JOIN b bb ON bb.event_type = g.tb AND bb.bin = g.bin),
+      agg AS (SELECT ta, tb, nna, nnb,
+                     CAST(SUM(abs(ca * nnb - cb * nna)) AS BIGINT) AS dnum
+              FROM j GROUP BY 1, 2, 3, 4)
+      SELECT ta, tb,
+             ROUND(CAST(dnum AS DOUBLE) / (2.0 * nna * nnb), 6) + 0.0 AS tv_dist
+      FROM agg ORDER BY ta, tb"""),
+    (s, dir) => {
+      val b = Tables.events(s, dir)
+        .select(col("event_type"),
+          least(lit(255L), floor(col("value") / 2)).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val t = b.groupBy(col("event_type").as("tet"))
+        .agg(sum(col("c")).as("n"))
+      val pairs = t.select(col("tet").as("ta"), col("n").as("nna"))
+        .join(t.select(col("tet").as("tb"), col("n").as("nnb")),
+          col("ta") < col("tb"))
+      val grid = pairs.select(col("ta"), col("nna"), col("tb"), col("nnb"),
+        explode(expr("sequence(0L, 255L)")).as("bin"))
+      val j = grid
+        .join(b.select(col("event_type").as("bta"), col("bin").as("bina"),
+          col("c").as("ca")),
+          col("ta") === col("bta") && col("bin") === col("bina"), "left")
+        .join(b.select(col("event_type").as("btb"), col("bin").as("binb"),
+          col("c").as("cb")),
+          col("tb") === col("btb") && col("bin") === col("binb"), "left")
+        .select(col("ta"), col("tb"), col("nna"), col("nnb"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val agg = j.groupBy("ta", "tb", "nna", "nnb")
+        .agg(sum(abs(col("ca") * col("nnb") - col("cb") * col("nna")))
+          .as("dnum"))
+      agg.select(col("ta"), col("tb"),
+          (round(col("dnum").cast("double") / (lit(2.0) * col("nna") * col("nnb")), 6)
+            + lit(0.0)).as("tv_dist"))
+        .orderBy("ta", "tb")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
-      q151, q154, q158, q167, q170, q172, q176, q177, q178, q179, q180)
+      q151, q154, q158, q167, q170, q172, q176, q177, q178, q179, q180,
+      q193)
 }

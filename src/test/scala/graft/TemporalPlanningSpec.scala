@@ -614,6 +614,40 @@ class TemporalPlanningSpec extends AnyFunSuite {
       s"CUPED must not move the pooled mean: $wAdj vs $wRaw")
   }
 
+  // ----------------------------------------------------------------- q193
+
+  test("q193 TV distances: metric bounds, full pair lattice, brute-force agreement") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q193_histogram_distance_matrix").collect()
+    val types = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    assert(rows.length == types.length * (types.length - 1) / 2,
+      "one row per unordered pair")
+    rows.foreach { r =>
+      val d = r.getAs[Double]("tv_dist")
+      assert(d >= 0.0 && d <= 1.0, s"TV distance $d outside [0,1]")
+      assert(r.getAs[String]("ta") < r.getAs[String]("tb"), "pairs oriented")
+    }
+    // brute-force one pair from raw values
+    val bins = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        least(lit(255L), floor(col("value") / 2)).as("bin"))
+      .groupBy("event_type", "bin").count().collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(r =>
+        r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap }
+    val (ta, tb) = (types(0), types(1))
+    val (na, nb) = (bins(ta).values.sum, bins(tb).values.sum)
+    val dnum = (0L to 255L).map { bin =>
+      math.abs(bins(ta).getOrElse(bin, 0L) * nb - bins(tb).getOrElse(bin, 0L) * na)
+    }.sum
+    val expect = BigDecimal(dnum.toDouble / (2.0 * na * nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val got = rows.find(r => r.getAs[String]("ta") == ta
+      && r.getAs[String]("tb") == tb).get.getAs[Double]("tv_dist")
+    assert(got == expect, s"($ta,$tb) TV distance")
+  }
+
   // ----------------------------------------------------------------- q192
 
   test("q192 dispersion: quotes ordered, ratio consistent, ranking monotone") {
