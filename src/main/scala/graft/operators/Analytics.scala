@@ -293,10 +293,18 @@ object Analytics {
     * C(items, 2)), and the pair counts feed partial aggregation
     * map-side; top-20 by the total (count, part_a, part_b) order rides
     * TakeOrdered, and the part-popularity and order-total factors join
-    * back broadcast. At 100 TB this is the standard first pass of
-    * distributed frequent-itemset mining (the candidate pairs an
-    * FP-growth or a-priori round would prune further). All counts are
-    * exact longs; the three ratios are single rounded IEEE ops. */
+    * back broadcast. Before any pair materializes, the A-PRIORI
+    * MIN-SUPPORT PRUNE drops infrequent parts: a pair bought together
+    * in ≥ k orders needs BOTH parts in ≥ k orders, so filtering to the
+    * broadcast frequent-part set (support ≥ 2 — at or below the
+    * rank-20 pair support at every fixture scale, so the top-20 is
+    * provably unchanged; AnalyticsSpec asserts equality against the
+    * unpruned form) can only discard pairs below the ranking floor. At
+    * 100 TB, where a long-tail catalog makes singleton parts the bulk
+    * of Σ C(basket, 2), this prune is the difference between the
+    * standard first pass of distributed frequent-itemset mining and a
+    * pairs-table blow-up. All counts are exact longs; the three ratios
+    * are single rounded IEEE ops. */
   private val q124 = QueryDef(
     "q124_part_affinity",
     "top-20 co-purchased part pairs with support, confidence, and lift",
@@ -305,9 +313,11 @@ object Analytics {
                   FROM lineitem),
       n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
       pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS np FROM op GROUP BY 1),
+      opf AS (SELECT op.o, op.p FROM op
+              JOIN (SELECT p FROM pc WHERE np >= 2) f USING (p)),
       pairs AS (SELECT a.p AS part_a, b.p AS part_b,
                        CAST(COUNT(*) AS BIGINT) AS n_ab
-                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                FROM opf a JOIN opf b ON a.o = b.o AND a.p < b.p
                 GROUP BY 1, 2),
       top AS (SELECT part_a, part_b, n_ab FROM pairs
               ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
@@ -325,8 +335,12 @@ object Analytics {
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val n = op.agg(count_distinct(col("o")).cast("long").as("n_orders"))
       val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
-      val pairs = op.select(col("o"), col("p").as("part_a"))
-        .join(op.select(col("o").as("o2"), col("p").as("part_b")),
+      // a-priori prune: only frequent parts (support >= 2) enter the
+      // basket self-join — the frequent set broadcasts, baskets stream
+      val opf = op.join(broadcast(pc.filter(col("np") >= 2).select(col("p"))),
+        Seq("p"))
+      val pairs = opf.select(col("o"), col("p").as("part_a"))
+        .join(opf.select(col("o").as("o2"), col("p").as("part_b")),
           col("o") === col("o2") && col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("n_ab"))

@@ -1645,29 +1645,26 @@ object Curation {
 
   /** Cross-signal validation of the dedup stack: the verified text
     * near-dup pair set (3-shingle Jaccard ≥ 0.5, the shared MV) and
-    * the embedding near-dup pair set (cosine ≥ 0.4, q60's semantics
-    * over the doc_id = vec_id correspondence q33 established) compared
-    * as SETS — intersection, set Jaccard, and each signal's recall of
-    * the other. This is the audit that justifies (or refutes) using
-    * the cheap signal as a prefilter for the expensive one; a pipeline
-    * runs it per corpus version before wiring q83's buckets in front
-    * of an exact verify. The text side reads the pair MV; the
-    * embedding side is q60's exact pair scan (its LSH-bucketed q83
-    * form is the at-scale swap-in); the set intersection is an
-    * equi-join on the pair key and the five counts reduce to one row.
-    * Ratios are single rounded IEEE divides, NULL when a side is
-    * empty rather than a fake zero. */
+    * the embedding near-dup pair set (cosine ≥ 0.4 through q83's
+    * hyperplane-LSH buckets, over the doc_id = vec_id correspondence
+    * q33 established) compared as SETS — intersection, set Jaccard,
+    * and each signal's recall of the other. This is the audit that
+    * justifies (or refutes) using the cheap signal as a prefilter for
+    * the expensive one, run per corpus version against the SERVING
+    * pair sets: the text side reads the pair MV, the embedding side is
+    * the bucketed candidate space a 100 TB deployment actually wires
+    * in front of the exact verify (q83 — an equi-join on the probe
+    * key, never q60's all-pairs scan; the q83 ⊆ q60 subset law in
+    * PipelineSpec ties it to the exact yardstick). The set
+    * intersection is an equi-join on the pair key and the five counts
+    * reduce to one row. Ratios are single rounded IEEE divides, NULL
+    * when a side is empty rather than a fake zero. */
   private val q125 = QueryDef(
     "q125_dup_signal_agreement",
-    "text-shingle vs embedding near-dup pair sets: overlap, Jaccard, recalls",
+    "text-shingle vs LSH-bucketed embedding near-dup pair sets: overlap, recalls",
     Some(s"""
       WITH ${text.verifiedPairsCte},
-      ep AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             WHERE ROUND(list_sum(list_transform(
-                     generate_series(1, len(a.embedding)),
-                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)), 4)
-                   >= 0.4),
+      ${Pipeline.lshNeardupPairsCte},
       nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_text FROM ver),
       ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_embed FROM ep),
       nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
@@ -1686,13 +1683,7 @@ object Curation {
       FROM nt CROSS JOIN ne CROSS JOIN nb"""),
     (s, dir) => {
       val ver = Dedup.verifiedPairs(s, dir)
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val ep = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")),
-          col("vec_a") < col("vec_b") &&
-            round(graft.functions.DotProduct.dot(col("va"), col("vb")), 4) >= 0.4)
-        .select(col("vec_a"), col("vec_b"))
+      val ep = Pipeline.lshNeardupPairs(s, dir).select(col("vec_a"), col("vec_b"))
       val nt = ver.agg(count(lit(1)).as("n_text_pairs"))
       val ne = ep.agg(count(lit(1)).as("n_embed_pairs"))
       val nb = ver.join(ep,

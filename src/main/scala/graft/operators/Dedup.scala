@@ -753,14 +753,29 @@ object Dedup {
     * every ordered pair with c ≥ 0.8 where A is the smaller side
     * (equal-size ties keep doc_a < doc_b so each unordered pair appears
     * once) — the shortlist a boilerplate/quotation review queue works
-    * from. Candidates share at least one shingle (the q22 equi-join);
-    * at 100 TB candidate generation swaps for the q23 LSH bands and the
-    * containment verify — one grouped count + two size lookups — runs
-    * on candidates only, exactly like the Jaccard verify it sits next
-    * to. The ratio is one IEEE divide of exact counts, round4. */
+    * from.
+    *
+    * Candidate generation is PREFIX-FILTERED (the AllPairs/PPJoin
+    * discipline, Bayardo et al. WWW'07 / Xiao et al. ICDE'08), never
+    * the raw shared-shingle self-join: c(A→B) ≥ 0.8 means A shares all
+    * but ≤ ⌊sz_a/5⌋ of its shingles with B, so under ANY fixed global
+    * shingle order at least one of A's first ⌊sz_a/5⌋+2 shingles is in
+    * B (pigeonhole — a proof, not a heuristic; +2 absorbs the 4-dp
+    * round-up slop for sz_a up to 20k). Only that probe prefix joins
+    * the index, and the canonical order is ASCENDING global document
+    * frequency (ties by shingle text), so the probe systematically
+    * avoids hot keys: the stop-word shingle that would pair the whole
+    * corpus in a raw self-join is ranked LAST within every doc and
+    * never probed. Candidate volume is bounded by rare-shingle
+    * co-occurrence × prefix length, the index side prunes on the
+    * size/id dominance test inside the join, and the containment
+    * verify — one grouped count + two size lookups — touches
+    * candidates only. The oracle stays the unfiltered self-join, so
+    * the DuckDB compare IS the exact-recall proof. The ratio is one
+    * IEEE divide of exact counts, round4. */
   private val q162 = QueryDef(
     "q162_containment_pairs",
-    "asymmetric shingle containment >= 0.8: smaller doc inside larger",
+    "asymmetric shingle containment >= 0.8 via prefix-filtered candidates",
     Some(s"""
       WITH ${text.shinglesCte},
       sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
@@ -780,11 +795,29 @@ object Dedup {
     (s, dir) => {
       val sh = shingleSet(s, dir)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val p = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-        .filter(col("doc_a") =!= col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      p.join(sz.select(col("doc_id").as("da"), col("sz").as("sz_a")),
+      // global rarity order: ascending document frequency, shingle text
+      // tie-break — a total order on shingles, identical for every doc
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+      val ranked = sh.join(dfreq, Seq("shingle"))
+        .join(sz, Seq("doc_id"))
+        .withColumn("pfx_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("dfreq"), col("shingle"))))
+      // probe = each doc's ⌊sz/5⌋+2 rarest shingles; index = all shingles
+      val probe = ranked
+        .filter(col("pfx_rank") <= expr("sz div 5") + lit(2))
+        .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("shingle"))
+      val index = sh.join(sz, Seq("doc_id"))
+        .select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("shingle"))
+      // dominance prune inside the join: only pairs the output could
+      // keep (A strictly smaller, or equal-size with doc_a < doc_b —
+      // which also excludes self-pairs) ever materialize
+      val cand = probe.join(index, Seq("shingle"))
+        .filter(col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b")))
+        .select("doc_a", "doc_b").distinct()
+      interForCandidates(sh, cand)
+        .join(sz.select(col("doc_id").as("da"), col("sz").as("sz_a")),
           col("doc_a") === col("da"))
         .join(sz.select(col("doc_id").as("db"), col("sz").as("sz_b")),
           col("doc_b") === col("db"))
@@ -792,9 +825,7 @@ object Dedup {
           col("sz_b"),
           (round(col("inter").cast("double") / col("sz_a"), 4) + lit(0.0))
             .as("containment"))
-        .filter(col("containment") >= 0.8 &&
-          (col("sz_a") < col("sz_b") ||
-            (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
+        .filter(col("containment") >= 0.8)
         .orderBy("doc_a", "doc_b")
     })
 

@@ -180,6 +180,12 @@ object Extended {
     ((java.lang.Long.parseLong(hex.take(15), 16) % 1000000L) + 1L) / 1000001.0
   }
 
+  /** Locale-pinned 6-dp formatting for numbers spliced into SQL/expr
+    * text — the f-interpolator follows the JVM default locale, and a
+    * comma decimal separator would corrupt the generated SQL. */
+  private def fmt6(u: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(u))
+
   // ---------------------------------------------------------------------
   // q166 — derandomized bootstrap CI via inverse-CDF resampling
   // ---------------------------------------------------------------------
@@ -202,7 +208,7 @@ object Extended {
     "q166_bootstrap_ci",
     "derandomized 200-draw bootstrap: mean and [p05,p95] band vs true mean",
     Some {
-      val arr = bootU.map(u => f"$u%.6f").mkString(", ")
+      val arr = bootU.map(fmt6).mkString(", ")
       s"""
       WITH b AS (SELECT event_type,
                         CAST(COUNT(*) AS BIGINT) AS n,
@@ -222,7 +228,7 @@ object Extended {
     (s, dir) => {
       val b = Tables.events(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("n"), davg(col("value")).as("true_mean"),
-          expr(s"percentile(value, array(${bootU.map(u => f"$u%.6f").mkString(", ")}))")
+          expr(s"percentile(value, array(${bootU.map(fmt6).mkString(", ")}))")
             .as("qs"))
       val d = b.select(col("event_type"), col("n"), col("true_mean"),
         explode(col("qs")).as("q"))

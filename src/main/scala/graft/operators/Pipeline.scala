@@ -467,6 +467,53 @@ object Pipeline {
     (0 until 6).map(j => (0 until 64).map(d => sign(j, d)))
   }
 
+  /** The hyperplane-LSH-pruned cosine ≥ 0.4 pair set — q83's row set as
+    * a reusable building block (q125's agreement audit consumes it too):
+    * 6-bit signatures, 1-bit multi-probe candidates through an EQUI-join
+    * on the probe key, exact rounded dot ≥ 0.4 verified on candidates
+    * only. Columns: vec_a, vec_b, cos_sim, la, lb. */
+  private[operators] def lshNeardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.DotProduct.dot _
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
+      when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val probes = array(col("bucket") +:
+      (0 until 6).map(j => col("bucket").bitwiseXOR(1 << j)): _*)
+    val a = b.select(col("vec_id").as("vec_a"), col("label").as("la"),
+      col("v").as("va"), explode(probes).as("probe"))
+    a.join(b.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+        col("v").as("vb"), col("bucket").as("probe")), Seq("probe"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(dot(col("va"), col("vb")), 4) >= 0.4)
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")), 4).as("cos_sim"),
+        col("la"), col("lb"))
+  }
+
+  /** DuckDB CTE fragment reproducing [[lshNeardupPairs]]'s (vec_a,
+    * vec_b) row set bit-for-bit, ending in a CTE named `ep`. */
+  private[operators] def lshNeardupPairsCte: String = {
+    val bucketExpr = (col: String) => hyperplanes.zipWithIndex.map { case (w, j) =>
+      val lst = w.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> $col[i]::DOUBLE * ($lst)[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val flips = (0 until 6).map(j => s"xor(bucket, ${1 << j})").mkString(", ")
+    s"""eb AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket
+                 FROM embeddings),
+      ea AS (SELECT vec_id, embedding, unnest([bucket, $flips]) AS probe
+             FROM eb),
+      ep AS (SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b
+             FROM ea JOIN eb ON ea.probe = eb.bucket
+                            AND ea.vec_id < eb.vec_id
+             WHERE ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)), 4)
+                   >= 0.4)"""
+  }
+
   /** LSH-bucketed approximate nearest neighbors: 6 sign-projection bits
     * → 64 buckets; candidates = same-bucket vectors; exact rank inside
     * the bucket. This is the similarity-search scale path that is a
@@ -1129,28 +1176,11 @@ object Pipeline {
               i -> a.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) >= 0.4
       ORDER BY vec_a, vec_b"""
     },
-    (s, dir) => {
-      val dot = graft.functions.DotProduct.dot _
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val bucket = hyperplanes.zipWithIndex.map { case (w, j) =>
-        when(dot(col("v"), typedLit(w)) > 0.0, 1 << j).otherwise(0)
-      }.reduce(_ + _)
-      val b = e.withColumn("bucket", bucket)
-      val probes = array(col("bucket") +:
-        (0 until 6).map(j => col("bucket").bitwiseXOR(1 << j)): _*)
-      val a = b.select(col("vec_id").as("vec_a"), col("label").as("la"),
-        col("v").as("va"), explode(probes).as("probe"))
-      a.join(b.select(col("vec_id").as("vec_b"), col("label").as("lb"),
-          col("v").as("vb"), col("bucket").as("probe")), Seq("probe"))
-        .filter(col("vec_a") < col("vec_b") &&
-          round(dot(col("va"), col("vb")), 4) >= 0.4)
-        .select(col("vec_a"), col("vec_b"),
-          round(dot(col("va"), col("vb")), 4).as("cos_sim"),
+    (s, dir) =>
+      lshNeardupPairs(s, dir)
+        .select(col("vec_a"), col("vec_b"), col("cos_sim"),
           when(col("la") === col("lb"), 1).otherwise(0).as("same_label"))
-        .orderBy("vec_a", "vec_b")
-    })
+        .orderBy("vec_a", "vec_b"))
 
   // ---------------------------------------------------------------------
   // q115 — user journey paths (ordered event-type prefixes)

@@ -823,19 +823,27 @@ object Temporal {
     * window), and credit = value · w / Z then rolls up per campaign
     * through the usual decimal accumulator; purchases with no prior
     * click keep full value under campaign −1, so revenue is conserved.
-    * Plan: the q41 interval-join shape — equi-shuffle on user_id, range
-    * predicate inside the joined partition, bounded per user — then a
-    * purchase-keyed window (fan-in ≤ clicks-per-week per user) and a
-    * campaign-domain rollup. */
+    * Clicks whose props.k is missing or non-numeric carry no campaign
+    * and are EXCLUDED before the join (TRY_CAST in the oracle, so a
+    * malformed payload can never raise there either) — after the left
+    * join, camp NULL therefore unambiguously means "no attributable
+    * click", and the conservation invariant survives dirty payloads
+    * instead of double-crediting them. Plan: the q41 interval-join
+    * shape — equi-shuffle on user_id, range predicate inside the
+    * joined partition, bounded per user — then a purchase-keyed window
+    * (fan-in ≤ clicks-per-week per user) and a campaign-domain
+    * rollup. */
   private val q169 = QueryDef(
     "q169_timedecay_attribution",
     "7-day harmonic multi-touch attribution: revenue split across campaigns",
     Some(s"""
       WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts, value
                  FROM events WHERE event_type = 'purchase'),
-      c AS (SELECT user_id, epoch_us(ts) AS cts,
-                   CAST(props ->> 'k' AS BIGINT) % 5 AS camp
-            FROM events WHERE event_type = 'click'),
+      c AS (SELECT user_id, epoch_us(ts) AS cts, camp
+            FROM (SELECT user_id, ts,
+                         TRY_CAST(props ->> 'k' AS BIGINT) % 5 AS camp
+                  FROM events WHERE event_type = 'click')
+            WHERE camp IS NOT NULL),
       j AS (SELECT p.pid, p.value, c.camp,
                    CASE WHEN c.camp IS NOT NULL
                         THEN 1.0 / (1.0 + CAST((p.pts - c.cts) // 86400000000
@@ -865,6 +873,7 @@ object Temporal {
       val c = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("cuid"), col("ts_us").as("cts"),
           (get_json_object(col("props"), "$.k").cast("long") % 5).as("camp"))
+        .filter(col("camp").isNotNull)
       val j = p.join(c,
           col("user_id") === col("cuid") && col("cts") < col("pts")
             && col("cts") >= col("pts") - lit(7L) * 86400000000L, "left")
@@ -891,26 +900,34 @@ object Temporal {
   // ---------------------------------------------------------------------
 
   /** The calendar rollup every revenue dashboard opens with: monthly
-    * order revenue with month-over-month and year-over-year deltas via
-    * lag(1) and lag(12) over the month axis. The fact table collapses
-    * map-side to the month domain (calendar-bounded — the only window
-    * in the plan runs over that tiny table, never facts; the q152
-    * discipline), prior values ship alongside the growth ratios so the
-    * reader can always recompute, and missing priors yield NULL growth
-    * rather than a fabricated zero. Month arithmetic uses date_trunc —
-    * identical calendar semantics on both engines under UTC. */
+    * order revenue with month-over-month and year-over-year deltas.
+    * Priors come from SELF-JOINS on the true calendar twin
+    * (month − 1 month, month − 12 months) rather than lag(1)/lag(12)
+    * row offsets: a zero-order month leaves a hole in the month axis,
+    * and a row-offset lag would silently compare against the wrong
+    * calendar month while a calendar join yields an honest NULL. The
+    * join form also removes the only GLOBAL (unpartitioned) window
+    * this query had — the month table is calendar-bounded and
+    * broadcast, so the plan carries no single-partition stage at all.
+    * The fact table collapses map-side to the month domain first;
+    * prior values ship alongside the growth ratios so the reader can
+    * always recompute, and missing priors yield NULL growth rather
+    * than a fabricated zero. Month arithmetic uses date_trunc /
+    * add_months — identical calendar semantics on both engines under
+    * UTC. */
   private val q171 = QueryDef(
     "q171_monthly_revenue_growth",
-    "monthly revenue, MoM and YoY growth from lag windows over the month axis",
+    "monthly revenue, MoM and YoY growth vs true calendar-twin months",
     Some(s"""
       WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                         ${dsumSql("o_totalprice")} AS revenue,
                         CAST(COUNT(*) AS BIGINT) AS n_orders
                  FROM orders GROUP BY 1),
-      g AS (SELECT month, revenue, n_orders,
-                   lag(revenue, 1) OVER (ORDER BY month) AS prev_m,
-                   lag(revenue, 12) OVER (ORDER BY month) AS prev_y
-            FROM m)
+      g AS (SELECT m.month, m.revenue, m.n_orders,
+                   pm.revenue AS prev_m, py.revenue AS prev_y
+            FROM m
+            LEFT JOIN m pm ON pm.month = CAST(m.month - INTERVAL 1 MONTH AS DATE)
+            LEFT JOIN m py ON py.month = CAST(m.month - INTERVAL 12 MONTH AS DATE))
       SELECT month, n_orders, revenue, prev_m, prev_y,
              ROUND((revenue - prev_m) / prev_m, 6) + 0.0 AS mom_growth,
              ROUND((revenue - prev_y) / prev_y, 6) + 0.0 AS yoy_growth
@@ -920,9 +937,12 @@ object Temporal {
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
         .agg(dsum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n_orders"))
-      val w = Window.orderBy("month")
-      m.withColumn("prev_m", lag(col("revenue"), 1).over(w))
-        .withColumn("prev_y", lag(col("revenue"), 12).over(w))
+      m.join(broadcast(m.select(col("month").as("pm_m"),
+          col("revenue").as("prev_m"))),
+          col("pm_m") === add_months(col("month"), -1), "left")
+        .join(broadcast(m.select(col("month").as("py_m"),
+          col("revenue").as("prev_y"))),
+          col("py_m") === add_months(col("month"), -12), "left")
         .select(col("month"), col("n_orders"), col("revenue"), col("prev_m"),
           col("prev_y"),
           (round((col("revenue") - col("prev_m")) / col("prev_m"), 6) + lit(0.0))

@@ -157,11 +157,14 @@ object EventStream {
   /** Streaming rate limiter: first event per (user, type, hour) — the
     * online twin of q173's batch throttle accounting.
     * dropDuplicatesWithinWatermark on the throttle key keeps exactly
-    * the first ARRIVAL per group; replayed in (ts, event_id) order that
-    * is the batch rank-1 row, so the kept sets match row-for-row
-    * (StreamingSpec asserts the parity). Throttle-key state evicts an
-    * hour past the watermark — O(groups per horizon), not
-    * O(all groups ever). */
+    * the first ARRIVAL per group. Under a globally (ts_us, event_id)-
+    * ordered single-partition replay — what StreamingSpec constructs —
+    * first arrival IS the batch rank-1 row, so the kept sets match
+    * row-for-row; in production, out-of-order delivery or same-key
+    * events racing within one micro-batch may keep a non-rank-1 event
+    * (arrival order, not event-time order, decides). Throttle-key
+    * state evicts an hour past the watermark — O(groups per horizon),
+    * not O(all groups ever). */
   def throttleEvents(events: DataFrame): DataFrame =
     events
       .withColumn("ts_t", timestamp_micros(col("ts_us")))

@@ -629,12 +629,37 @@ class CurationSpec extends AnyFunSuite {
     assert(nb <= math.min(nt, ne), "intersection bounded by both sides")
     assert(nt == run("q22_neardup_jaccard").count(),
       "text side must equal the verified pair set")
-    assert(ne == run("q60_embedding_neardup_pairs").count(),
-      "embedding side must equal q60's pair set")
+    assert(ne == run("q83_embedding_neardup_lsh").count(),
+      "embedding side must equal q83's bucketed pair set")
+    assert(ne <= run("q60_embedding_neardup_pairs").count(),
+      "bucketed side stays a subset of the exact q60 yardstick")
     if (nt + ne - nb > 0) {
       val j = r.getAs[Double]("set_jaccard")
       assert(j >= 0.0 && j <= 1.0)
     }
+  }
+
+  test("q124 a-priori prune preserves the exact unpruned top-20") {
+    import org.apache.spark.sql.functions._
+    // recompute the pair ranking with NO min-support prune and assert
+    // the registered (pruned) query returns the identical 20 rows —
+    // the floor (2) sits at/below the rank-20 pair support, so the
+    // prune can only discard pairs below the ranking cut
+    val op = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val brute = op.select(col("o"), col("p").as("part_a"))
+      .join(op.select(col("o").as("o2"), col("p").as("part_b")),
+        col("o") === col("o2") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
+      .collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_ab"))).toSeq
+    val pruned = run("q124_part_affinity").collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("n_ab"))).toSeq
+    assert(brute.last._3 >= 2, "rank-20 support must clear the floor")
+    assert(pruned == brute, "prune changed the top-20 ranking")
   }
 
   test("q128 purchase latency gaps are complete and ordered within the day span") {

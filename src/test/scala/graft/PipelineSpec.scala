@@ -633,6 +633,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(checked > 0, "at least one q22 pair must clear the containment bar")
   }
 
+  test("q162 prefix-filtered candidates have exact recall vs the raw self-join") {
+    import org.apache.spark.sql.functions._
+    // brute-force reference: EVERY ordered pair sharing any shingle,
+    // then the same containment/dominance filters — the unfiltered
+    // candidate generation the prefix filter replaced
+    val sh = graft.functions.text.shingles(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val p = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val brute = p
+      .join(sz.select(col("doc_id").as("da"), col("sz").as("sz_a")),
+        col("doc_a") === col("da"))
+      .join(sz.select(col("doc_id").as("db"), col("sz").as("sz_b")),
+        col("doc_b") === col("db"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"), col("sz_b"),
+        (round(col("inter").cast("double") / col("sz_a"), 4) + lit(0.0))
+          .as("containment"))
+      .filter(col("containment") >= 0.8 &&
+        (col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Double]("containment"))).toSet
+    val pruned = run("q162_containment_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Double]("containment"))).toSet
+    assert(brute.nonEmpty)
+    assert(pruned == brute,
+      s"prefix filter must lose nothing: ${brute.size} brute vs ${pruned.size}")
+    // and the probe side must be a real reduction: the prefix carries
+    // at most ⌊sz/5⌋+2 of each doc's shingles
+    val probeRows = sz.select(sum(expr("sz div 5") + lit(2))).head.getLong(0)
+    val fullRows = sz.select(sum(col("sz"))).head.getLong(0)
+    assert(probeRows * 2 < fullRows,
+      s"prefix probe ($probeRows shingle rows) should be well under the full set ($fullRows)")
+  }
+
   test("q164 normalization masses are nested and ratios consistent") {
     val rows = run("q164_text_normalization_audit").collect()
     assert(rows.nonEmpty)

@@ -282,6 +282,10 @@ class PlanSpec extends AnyFunSuite {
       "global top-20 must not materialize a full sort")
     assert(!p.contains("CartesianProduct"),
       "the basket self-join must stay an equi-join on the order key")
+    // the a-priori min-support prune must gate BOTH sides of the pair
+    // join: the frequent-part set broadcasts in front of it
+    assert("\\(np#\\d+L? >= 2\\)".r.findFirstIn(p).isDefined,
+      "the support-floor filter must appear ahead of pair generation")
   }
 
   test("q127: the multi-distinct profile is one scan through Expand") {
@@ -545,6 +549,35 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(plan("q163_boilerplate_fraction").contains("BroadcastHashJoin"),
       "the source doc-count table should broadcast")
+  }
+
+  test("q162: candidate generation is prefix-filtered, never the raw shingle self-join") {
+    val p = plan("q162_containment_pairs")
+    // the probe side must rank shingles (rarity order) and cut to the
+    // ⌊sz/5⌋+2 prefix BEFORE any shingle-keyed pair join materializes
+    assert(p.contains("pfx_rank"),
+      "prefix rank must gate the probe side of the candidate join")
+    assert(p.contains("windowspecdefinition"),
+      "the per-doc rarity ranking window must be in the plan")
+    // the cut shows as Filter (cast(pfx_rank#N as bigint) <= ((sz#M div 5) + 2))
+    assert("pfx_rank#\\d+[^\\n]{0,30}<= \\(\\(sz#\\d+L? div 5\\) \\+ 2\\)".r
+      .findFirstIn(p).isDefined,
+      "the ⌊sz/5⌋+2 prefix-length cut must appear as a filter")
+  }
+
+  test("q125: agreement audit has no nested-loop pair scan (bucketed embed side)") {
+    // executedPlan only (the formatted explain would double-count)
+    val p = SparkEntry.queries("q125_dup_signal_agreement")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "q125 must not cartesian anywhere")
+    // the embedding side must come through the LSH probe equi-join;
+    // the only nested loops allowed are the two 1-row×1-row scalar
+    // count combines — a third would be a pair scan sneaking back in
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the scalar count combines may nested-loop")
+    assert("BroadcastHashJoin \\[probe#\\d+\\]".r.findFirstIn(p).isDefined,
+      "embedding candidates must join on the LSH probe key")
   }
 
   test("q164/q165: audits are single-scan, join-free, map-side combinable") {
