@@ -200,10 +200,10 @@ object EventTime {
     * dividing by zero. The window partitions by event_type — bounded
     * cardinality, the same per-key shape a streaming deployment gives
     * the operator for free via watermarked state. */
-  private val q120 = QueryDef(
-    "q120_daily_volume_anomaly",
-    "per-type daily counts z-scored against the trailing 7 days, |z| >= 2 flagged",
-    Some(s"""
+  /** q120's oracle, shared verbatim with the streaming-replay parity
+    * query (q194 in Online) — the online monitor must hash-match the
+    * exact same DuckDB readout as the batch job it mirrors. */
+  private[operators] val dailyAnomalyOracle: String = s"""
       WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
                         CAST(COUNT(*) AS BIGINT) AS n
                  FROM events GROUP BY 1, 2),
@@ -228,7 +228,12 @@ object EventTime {
              z,
              CASE WHEN z IS NOT NULL AND ABS(z) >= 2.0 THEN 1 ELSE 0 END
                AS anomaly
-      FROM z ORDER BY event_type, day"""),
+      FROM z ORDER BY event_type, day"""
+
+  private val q120 = QueryDef(
+    "q120_daily_volume_anomaly",
+    "per-type daily counts z-scored against the trailing 7 days, |z| >= 2 flagged",
+    Some(dailyAnomalyOracle),
     (s, dir) => {
       val d = Tables.events(s, dir)
         .groupBy(col("event_type"),

@@ -574,9 +574,62 @@ object Relational {
         .orderBy("segment")
     })
 
+  /** MapReduce COUNTERS (SURVEY §2.1 M8) as a registered, oracled
+    * query: `Dataset.observe` accumulates job-side metrics — rows
+    * scanned, chars scanned, rows kept by a grep-style filter — on the
+    * executors while the job runs (the `Observation` helper collects
+    * them on completion, exactly how a production job reports custom
+    * counters next to its output write). The observed totals are then
+    * FOLDED INTO the result rows as literal columns, so the DuckDB
+    * oracle independently recomputes every counter: if observe ever
+    * under- or over-counted, the hash gate fails. In production the
+    * counters ride the main output action; the harness contract wants
+    * a returned DataFrame, so here a count() action carries them and
+    * the per-lang readout recomputes — the observe pass costs one scan
+    * of a pushdown-pruned 4-column projection. */
+  private val q195 = QueryDef(
+    "q195_observed_scan_counters",
+    "Dataset.observe job counters (scanned/kept) folded into a grep readout",
+    Some("""
+      WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_scanned,
+                          CAST(SUM(n_chars) AS BIGINT) AS chars_scanned
+                   FROM documents),
+      k AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+            FROM documents WHERE text LIKE '%vector%' GROUP BY lang),
+      kt AS (SELECT CAST(COALESCE(SUM(n_kept), 0) AS BIGINT) AS rows_kept
+             FROM k)
+      SELECT k.lang, k.n_kept, k.kept_chars,
+             t.rows_scanned, t.chars_scanned, kt.rows_kept
+      FROM k CROSS JOIN tot t CROSS JOIN kt
+      ORDER BY k.lang"""),
+    (s, dir) => {
+      val scanObs = org.apache.spark.sql.Observation()
+      val keptObs = org.apache.spark.sql.Observation()
+      val base = Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"), col("text"))
+        .observe(scanObs, count(lit(1)).as("rows_scanned"),
+          sum(col("n_chars")).cast("long").as("chars_scanned"))
+      val kept = base.filter(col("text").like("%vector%"))
+        .observe(keptObs, count(lit(1)).as("rows_kept"))
+      // the action the counters ride (production: the output write)
+      kept.count()
+      val rowsScanned = scanObs.get("rows_scanned").asInstanceOf[Long]
+      val charsScanned = scanObs.get("chars_scanned").asInstanceOf[Long]
+      val rowsKept = keptObs.get("rows_kept").asInstanceOf[Long]
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .select(col("lang"), col("n_kept"), col("kept_chars"),
+          lit(rowsScanned).as("rows_scanned"),
+          lit(charsScanned).as("chars_scanned"),
+          lit(rowsKept).as("rows_kept"))
+        .orderBy("lang")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168, q181)
+      q126, q127, q168, q181, q195)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

@@ -92,7 +92,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q182_dyadic_ema", // 10-term lag chain + rounded quotient
     "q184_peak_concurrency", // boundary ties ordered by (t, delta)
     "q185_funnel_stage_latency", // chained conditional mins + percentiles
-    "q192_supplier_price_dispersion") // float min/max selections + ratio ties
+    "q192_supplier_price_dispersion", // float min/max selections + ratio ties
+    "q194_streaming_anomaly_parity") // replayed stream close + z arithmetic
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -113,6 +113,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(total <= 1000)
   }
 
+  test("q195 observed counters agree with the recomputed readout") {
+    // the registered M8 query folds observe() metrics into its rows;
+    // every counter must equal an independent recomputation
+    val rows = SparkEntry.queries("q195_observed_scan_counters")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "the grep must keep rows at test scale")
+    val docs = Tables.documents(spark, sf)
+    val scanned = rows.head.getAs[Long]("rows_scanned")
+    assert(rows.forall(_.getAs[Long]("rows_scanned") == scanned),
+      "scan counter is a job-level constant")
+    assert(scanned == docs.count())
+    assert(rows.head.getAs[Long]("chars_scanned") ==
+      docs.agg(sum($"n_chars")).head.getLong(0))
+    assert(rows.head.getAs[Long]("rows_kept") ==
+      rows.map(_.getAs[Long]("n_kept")).sum,
+      "job-level kept counter must equal the per-lang readout total")
+    assert(rows.map(_.getAs[Long]("kept_chars")).sum <=
+      rows.head.getAs[Long]("chars_scanned"))
+  }
+
   test("M5 sort guarantee: sortWithinPartitions orders within, not across") {
     val df = Tables.events(spark, sf)
       .repartition(4, $"user_id")

@@ -282,6 +282,20 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q194 registered replay equals batch q120 row-for-row") {
+    // the driver-visible gate: the registered streaming query's output
+    // must BE q120's output — same rows, same order, same schema
+    val online = SparkEntry.queries("q194_streaming_anomaly_parity")(spark, sf)
+    val batch = SparkEntry.queries("q120_daily_volume_anomaly")(spark, sf)
+    assert(online.schema.map(f => (f.name, f.dataType)) ==
+      batch.schema.map(f => (f.name, f.dataType)),
+      "parity query must reproduce q120's schema exactly")
+    val a = online.collect().toSeq
+    val b = batch.collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b, s"online emitted ${a.size} rows vs batch ${b.size}")
+  }
+
   test("v2 timer-based session tracker closes the same sessions as the v1 operator") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
