@@ -40,21 +40,41 @@ object Aggregates {
         .orderBy("o_orderstatus")
     })
 
-  /** HyperLogLog distinct-user estimate per event type. No oracle:
-    * DuckDB's approx_count_distinct is a different sketch, so the driver
-    * records the weaker rows-only check (SparkEntry.oracleSql contract);
-    * the exact counterpart is oracled as q09. Deterministic for a fixed
-    * input regardless of partitioning — HLL merge is commutative. */
+  /** HyperLogLog distinct-user estimate per event type, shipped as an
+    * ACCURACY AUDIT so the opaque sketch still passes the full hash
+    * gate (round-7 VERDICT item 8): Spark's approx_count_distinct
+    * (rsd 0.02) runs live, and what the row carries is the exact
+    * count (oracled directly) plus `est_within_10pct` — 1 iff the
+    * estimate landed within max(1, 10%) of truth. DuckDB cannot
+    * reproduce Spark's HLL++ register values (different sketch), so
+    * the oracle pins the flag at 1: the cell is a Spark-side
+    * assertion, and any estimator drift outside the band flips it to
+    * 0 and FAILS the gate — strictly stronger than the old rows-only
+    * check, without pretending the raw estimate is portable. The
+    * deterministic fully-oracled sketch twin remains q56; the exact
+    * aggregate is oracled as q09. HLL merge is commutative, so the
+    * estimate is partition-independent. */
   private val q37 = QueryDef(
     "q37_approx_distinct_users",
-    "approx_count_distinct (HLL) users per event type",
-    None,
+    "approx_count_distinct (HLL) audited against exact truth per event type",
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             1 AS est_within_10pct
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""),
     (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n_events"))
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          when(abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(1.0), col("exact_users") * 0.1), 1).otherwise(0)
+            .as("est_within_10pct"))
         .orderBy("event_type"))
 
   /** Two-phase SALTED aggregation — the skew-mitigation shape for
