@@ -110,5 +110,48 @@ object Aggregates {
         .orderBy("event_type")
     })
 
-  def defs: Seq[QueryDef] = Seq(q36, q37, q82)
+  /** percentile_approx (the KLL/GK-family mergeable quantile sketch a
+    * 100 TB aggregation uses instead of a global sort) audited the q37
+    * way: the opaque sketch value is not cross-engine portable, so the
+    * row carries the EXACT interpolated p50/p90 (oracled directly via
+    * the percentile ⟷ quantile_cont pairing) plus in-band flags — 1
+    * iff the approx value lies within the exact [p48,p52] / [p88,p92]
+    * rank band, a bound far looser than the sketch's n/accuracy ≤ n/10⁴
+    * rank-error guarantee, so the flag is deterministically 1 unless
+    * the estimator breaks. The oracle pins the flags: sketch drift
+    * fails the hash gate. Both aggregates are map-side mergeable —
+    * this is the shape that replaces q42's exact percentiles when the
+    * group is too wide to sort. */
+  private val q198 = QueryDef(
+    "q198_approx_percentile_audit",
+    "percentile_approx audited against exact rank bands per event type",
+    Some("""
+      SELECT event_type,
+             CAST(COUNT(value) AS BIGINT) AS n,
+             ROUND(quantile_cont(value, 0.50), 4) + 0.0 AS exact_p50,
+             ROUND(quantile_cont(value, 0.90), 4) + 0.0 AS exact_p90,
+             1 AS p50_in_band, 1 AS p90_in_band
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(col("value")).as("n"),
+          (round(expr("percentile(value, 0.50)"), 4) + 0.0).as("exact_p50"),
+          (round(expr("percentile(value, 0.90)"), 4) + 0.0).as("exact_p90"),
+          expr("percentile_approx(value, 0.50, 10000)").as("a50"),
+          expr("percentile_approx(value, 0.90, 10000)").as("a90"),
+          expr("percentile(value, 0.48)").as("lo50"),
+          expr("percentile(value, 0.52)").as("hi50"),
+          expr("percentile(value, 0.88)").as("lo90"),
+          expr("percentile(value, 0.92)").as("hi90"))
+        .select(col("event_type"), col("n"), col("exact_p50"), col("exact_p90"),
+          when(col("a50") >= col("lo50") && col("a50") <= col("hi50"), 1)
+            .otherwise(0).as("p50_in_band"),
+          when(col("a90") >= col("lo90") && col("a90") <= col("hi90"), 1)
+            .otherwise(0).as("p90_in_band"))
+        .orderBy("event_type"))
+
+  def defs: Seq[QueryDef] = Seq(q36, q37, q82, q198)
 }

@@ -551,6 +551,98 @@ object Analytics {
         .limit(20)
     })
 
+  // ---------------------------------------------------------------------
+  // q197 — decision-stump split quality (Gini gain per candidate feature)
+  // ---------------------------------------------------------------------
+
+  /** Feature selection the way a distributed decision-tree builder
+    * scores its first split: for each candidate categorical feature,
+    * the weighted Gini impurity of the induced partition vs the parent,
+    * targeting `order is 1-URGENT`. All impurity arithmetic is RATIONAL
+    * in exact integer counts — gini(S) = 1 − (pos² + neg²)/n², and the
+    * weighted child sum telescopes to Σ_c (n_c² − pos_c² − neg_c²)/n_c
+    * divided by n — so each term is one IEEE divide of exact integers
+    * (< 2^53 through sf100), summed through the decimal accumulator:
+    * no libm, no order sensitivity, the q178/q179 exact-statistics
+    * discipline applied to ML feature scoring. Plan: the three
+    * candidate features unpivot through ONE explode over the joined
+    * row (single fact pass, no per-feature rescans), children collapse
+    * in one (feature, value) hash aggregate, and the parent scalars
+    * broadcast — at 100 TB this is one shuffle of a 3×|values| table
+    * regardless of fact size, the classic map-side histogram build of
+    * distributed tree learners (PLANET-style). */
+  private val q197 = QueryDef(
+    "q197_gini_split_gain",
+    "Gini impurity gain of candidate one-feature splits for urgent-order prediction",
+    Some(s"""
+      WITH base AS (SELECT CASE WHEN o.o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END AS pos,
+                           c.c_mktsegment AS segment,
+                           o.o_orderstatus AS status,
+                           CAST(year(o.o_orderdate) AS VARCHAR) AS yr
+                    FROM orders o JOIN customer c
+                      ON c.c_custkey = o.o_custkey),
+      u AS (SELECT pos, f.feature, f.val
+            FROM base,
+                 unnest([struct_pack(feature := 'c_mktsegment', val := segment),
+                         struct_pack(feature := 'o_orderstatus', val := status),
+                         struct_pack(feature := 'order_year', val := yr)])
+                   AS t(f)),
+      ch AS (SELECT feature, val,
+                    CAST(COUNT(*) AS BIGINT) AS n_c,
+                    CAST(SUM(pos) AS BIGINT) AS pos_c
+             FROM u GROUP BY 1, 2),
+      par AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(pos) AS BIGINT) AS pos
+              FROM base),
+      sc AS (SELECT feature,
+                    CAST(COUNT(*) AS BIGINT) AS n_values,
+                    ${dsumSql("CAST(n_c * n_c - pos_c * pos_c - (n_c - pos_c) * (n_c - pos_c) AS DOUBLE) / n_c")}
+                      AS child_mass
+             FROM ch GROUP BY feature)
+      SELECT sc.feature, sc.n_values, par.n,
+             ROUND(CAST(par.n * par.n - par.pos * par.pos
+                        - (par.n - par.pos) * (par.n - par.pos) AS DOUBLE)
+                   / (CAST(par.n AS DOUBLE) * par.n), 6) + 0.0 AS parent_gini,
+             ROUND(sc.child_mass / par.n, 6) + 0.0 AS weighted_child_gini,
+             ROUND(CAST(par.n * par.n - par.pos * par.pos
+                        - (par.n - par.pos) * (par.n - par.pos) AS DOUBLE)
+                   / (CAST(par.n AS DOUBLE) * par.n)
+                   - sc.child_mass / par.n, 6) + 0.0 AS gini_gain
+      FROM sc CROSS JOIN par
+      ORDER BY sc.feature"""),
+    (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("pos"),
+          col("c_mktsegment").as("segment"),
+          col("o_orderstatus").as("status"),
+          year(col("o_orderdate")).cast("string").as("yr"))
+      val u = base.select(col("pos"), explode(array(
+          struct(lit("c_mktsegment").as("feature"), col("segment").as("val")),
+          struct(lit("o_orderstatus").as("feature"), col("status").as("val")),
+          struct(lit("order_year").as("feature"), col("yr").as("val")))).as("f"))
+        .select(col("pos"), col("f.feature").as("feature"), col("f.val").as("val"))
+      val ch = u.groupBy("feature", "val")
+        .agg(count(lit(1)).as("n_c"), sum(col("pos")).cast("long").as("pos_c"))
+      val sc = ch.groupBy("feature")
+        .agg(count(lit(1)).as("n_values"),
+          dsum((col("n_c") * col("n_c") - col("pos_c") * col("pos_c")
+            - (col("n_c") - col("pos_c")) * (col("n_c") - col("pos_c")))
+            .cast("double") / col("n_c")).as("child_mass"))
+      val par = base.agg(count(lit(1)).as("n"), sum(col("pos")).cast("long").as("pos"))
+      val parentGini = (col("n") * col("n") - col("pos") * col("pos")
+        - (col("n") - col("pos")) * (col("n") - col("pos"))).cast("double") /
+        (col("n").cast("double") * col("n"))
+      sc.crossJoin(broadcast(par))
+        .select(col("feature"), col("n_values"), col("n"),
+          (round(parentGini, 6) + 0.0).as("parent_gini"),
+          (round(col("child_mass") / col("n"), 6) + 0.0).as("weighted_child_gini"),
+          (round(parentGini - col("child_mass") / col("n"), 6) + 0.0).as("gini_gain"))
+        .orderBy("feature")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186, q192)
+    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186, q192, q197)
 }

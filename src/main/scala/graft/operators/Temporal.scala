@@ -1344,7 +1344,97 @@ object Temporal {
         .orderBy("day")
     })
 
+  // ---------------------------------------------------------------------
+  // q196 — churn-model training snapshot (leakage-free by construction)
+  // ---------------------------------------------------------------------
+
+  /** The supervised-training table a churn model consumes, built the
+    * only safe way: pick a CUTOFF day D (max event day − 7, derived
+    * from the data so every scale factor gets a real label window),
+    * compute features STRICTLY BEFORE D and the label STRICTLY ON/AFTER
+    * D — temporal leakage is impossible by construction, not by
+    * convention, because every feature column conditions on
+    * `day < D` inside one conditional aggregate and the label is the
+    * only term allowed to look at `day >= D`. Population = users with
+    * ≥ 1 event before D (a user born inside the label window has no
+    * feature history and would be a label leak dressed as a row).
+    * Features: event counts over trailing 3/7/21-day windows, purchase
+    * count and decimal-exact spend over 21 days, and integer
+    * days-since-last-activity; label: a PURCHASE on/after D (the
+    * propensity target — mere activity is near-universal in the
+    * fixture, which would make the label degenerate). Scale
+    * shape: ONE pass over events (conditional sums inside a single
+    * user-keyed hash aggregate, map-side combinable), with the cutoff
+    * scalar broadcast — no self-joins, no windows, no per-horizon
+    * rescans; the same plan emits any number of horizons at 100 TB.
+    * TemporalPlanningSpec recomputes the label and the monotone
+    * feature-window laws; PlanSpec pins the single-scan shape. */
+  private val q196 = QueryDef(
+    "q196_churn_training_snapshot",
+    "leakage-free churn training table: trailing features before cutoff, label after",
+    Some(s"""
+      WITH mx AS (SELECT MAX(epoch_us(ts)) // 86400000000 - 7 AS d0
+                  FROM events),
+      e AS (SELECT user_id, event_type, value,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+      f AS (SELECT user_id,
+                   CAST(SUM(CASE WHEN day >= d0 - 3 AND day < d0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_events_3d,
+                   CAST(SUM(CASE WHEN day >= d0 - 7 AND day < d0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+                   CAST(SUM(CASE WHEN day >= d0 - 21 AND day < d0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_events_21d,
+                   CAST(SUM(CASE WHEN day >= d0 - 21 AND day < d0
+                                      AND event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_purchases_21d,
+                   ${dsumSql("CASE WHEN day >= d0 - 21 AND day < d0 AND event_type = 'purchase' THEN value ELSE 0.0 END")}
+                     AS spend_21d,
+                   CAST(SUM(CASE WHEN day < d0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_events_pre,
+                   CAST(d0 - MAX(CASE WHEN day < d0 THEN day END) AS BIGINT)
+                     AS days_since_last,
+                   CAST(MAX(CASE WHEN day >= d0 AND event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS INTEGER)
+                     AS label_purchase
+            FROM e CROSS JOIN mx
+            GROUP BY user_id, d0)
+      SELECT user_id, n_events_3d, n_events_7d, n_events_21d,
+             n_purchases_21d, spend_21d, days_since_last, label_purchase
+      FROM f WHERE n_events_pre > 0
+      ORDER BY user_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts_us div 86400000000").as("day"))
+      val mx = e.agg((max(col("day")) - 7).as("d0"))
+      def inWin(lo: Int): org.apache.spark.sql.Column =
+        col("day") >= col("d0") - lo && col("day") < col("d0")
+      e.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+          sum(when(inWin(3), 1).otherwise(0)).cast("long").as("n_events_3d"),
+          sum(when(inWin(7), 1).otherwise(0)).cast("long").as("n_events_7d"),
+          sum(when(inWin(21), 1).otherwise(0)).cast("long").as("n_events_21d"),
+          sum(when(inWin(21) && col("event_type") === "purchase", 1)
+            .otherwise(0)).cast("long").as("n_purchases_21d"),
+          dsum(when(inWin(21) && col("event_type") === "purchase",
+            col("value")).otherwise(0.0)).as("spend_21d"),
+          sum(when(col("day") < col("d0"), 1).otherwise(0)).cast("long")
+            .as("n_events_pre"),
+          (max(col("d0")) - max(when(col("day") < col("d0"), col("day"))))
+            .cast("long").as("days_since_last"),
+          max(when(col("day") >= col("d0") && col("event_type") === "purchase",
+            1).otherwise(0)).cast("int").as("label_purchase"))
+        .filter(col("n_events_pre") > 0)
+        .select("user_id", "n_events_3d", "n_events_7d", "n_events_21d",
+          "n_purchases_21d", "spend_21d", "days_since_last", "label_purchase")
+        .orderBy("user_id")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q132, q133, q140, q141, q142, q145, q148, q152, q153, q155, q156,
-      q160, q161, q169, q171, q173, q174, q182, q184, q185, q189, q191)
+      q160, q161, q169, q171, q173, q174, q182, q184, q185, q189, q191,
+      q196)
 }

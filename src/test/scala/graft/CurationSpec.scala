@@ -639,6 +639,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q197 gini split gains are nonnegative and parent impurity recomputes") {
+    val rows = run("q197_gini_split_gain").collect()
+    assert(rows.length == 3)
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val n = orders.count()
+    val pos = orders.filter(org.apache.spark.sql.functions
+      .col("o_orderpriority") === "1-URGENT").count()
+    val expectParent = BigDecimal(
+      (n.toDouble * n - pos.toDouble * pos - (n - pos).toDouble * (n - pos))
+        / (n.toDouble * n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Double]("parent_gini") == expectParent,
+        s"${r.getAs[String]("feature")}: parent gini recompute")
+      val (pg, wg, gain) = (r.getAs[Double]("parent_gini"),
+        r.getAs[Double]("weighted_child_gini"), r.getAs[Double]("gini_gain"))
+      assert(pg >= 0.0 && pg <= 0.5, "binary gini bounded by 1/2")
+      // splitting never increases impurity (concavity); rounding slack
+      assert(gain >= -2e-6, s"negative gain $gain")
+      assert(math.abs(pg - wg - gain) <= 2e-6, "gain = parent - weighted child")
+      assert(r.getAs[Long]("n_values") >= 2, "a split needs >= 2 branches")
+    }
+  }
+
+  test("q198 approx percentiles sit inside their exact rank bands") {
+    val rows = run("q198_approx_percentile_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("p50_in_band") == 1,
+        s"${r.getAs[String]("event_type")}: p50 sketch out of band")
+      assert(r.getAs[Int]("p90_in_band") == 1)
+      assert(r.getAs[Double]("exact_p50") <= r.getAs[Double]("exact_p90"),
+        "quantile monotonicity")
+    }
+  }
+
   test("q124 a-priori prune preserves the exact unpruned top-20") {
     import org.apache.spark.sql.functions._
     // recompute the pair ranking with NO min-support prune and assert

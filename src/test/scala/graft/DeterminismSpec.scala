@@ -93,7 +93,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q184_peak_concurrency", // boundary ties ordered by (t, delta)
     "q185_funnel_stage_latency", // chained conditional mins + percentiles
     "q192_supplier_price_dispersion", // float min/max selections + ratio ties
-    "q194_streaming_anomaly_parity") // replayed stream close + z arithmetic
+    "q194_streaming_anomaly_parity", // replayed stream close + z arithmetic
+    "q196_churn_training_snapshot", // data-derived cutoff + decimal spend
+    "q197_gini_split_gain", // decimal impurity fold + rounded ratios
+    "q198_approx_percentile_audit") // quantile sketch merge + band flags
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

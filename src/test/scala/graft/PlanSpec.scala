@@ -551,6 +551,20 @@ class PlanSpec extends AnyFunSuite {
       "the source doc-count table should broadcast")
   }
 
+  test("q196: churn snapshot is one fact aggregate with a broadcast cutoff scalar") {
+    val df = SparkEntry.queries("q196_churn_training_snapshot")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one scan feeds the cutoff scalar, one the feature aggregate — no
+    // per-horizon rescans, no self-join, no window
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      "every horizon must come from the same single fact pass")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the cutoff scalar must broadcast, never shuffle the fact side")
+    assert(!p.contains("windowspecdefinition"), "no window operator needed")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "feature sums must combine map-side")
+  }
+
   test("q162: candidate generation is prefix-filtered, never the raw shingle self-join") {
     val p = plan("q162_containment_pairs")
     // the probe side must rank shingles (rarity order) and cut to the

@@ -946,6 +946,39 @@ class TemporalPlanningSpec extends AnyFunSuite {
     assert(math.abs(total - orders) <= rows.length * 1e-4 + 1e-6)
   }
 
+  // ----------------------------------------------------------------- q196
+
+  test("q196 churn snapshot: leakage-free by recomputation, windows nest, label matches") {
+    val rows = run("q196_churn_training_snapshot").collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val d0 = ev.map(_._2).max - 7
+    val pre = ev.filter(_._2 < d0).groupBy(_._1)
+    val post = ev.filter(e => e._2 >= d0 && e._3 == "purchase").map(_._1).toSet
+    // population = exactly the users with pre-cutoff history
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == pre.keySet)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val days = pre(u).map(_._2)
+      // windows nest and recompute exactly
+      assert(r.getAs[Long]("n_events_3d") <= r.getAs[Long]("n_events_7d"))
+      assert(r.getAs[Long]("n_events_7d") <= r.getAs[Long]("n_events_21d"))
+      assert(r.getAs[Long]("n_events_7d") == days.count(d => d >= d0 - 7 && d < d0))
+      // the last pre-cutoff activity is strictly before the cutoff
+      assert(r.getAs[Long]("days_since_last") == d0 - days.max)
+      assert(r.getAs[Long]("days_since_last") >= 1)
+      // label recomputes from post-cutoff purchases alone
+      assert(r.getAs[Int]("label_purchase") == (if (post(u)) 1 else 0))
+    }
+    // class balance is a data property (the tiny fixture keeps every
+    // user purchasing), but the positive class must exist at any scale
+    // and the recompute above already pins each label's value exactly
+    assert(rows.exists(_.getAs[Int]("label_purchase") == 1))
+  }
+
   // ----------------------------------------------------------------- q169
 
   test("q169 time-decay attribution conserves revenue and agrees with q141's total") {
