@@ -643,6 +643,70 @@ object Analytics {
         .orderBy("feature")
     })
 
+  // ---------------------------------------------------------------------
+  // q201 — item-item collaborative filtering (cosine over co-purchases)
+  // ---------------------------------------------------------------------
+
+  /** The recommendation primitive next to q124's association rules:
+    * item-item similarity as the COSINE of binary basket vectors,
+    * cos(a,b) = n_ab / √(n_a·n_b) — q124's lift asks "more often than
+    * chance?", this asks "how aligned are the buyer sets?", the
+    * normalization classic item-based CF ranks neighbors by. Same
+    * scale skeleton as q124, deliberately: distinct (order, part)
+    * pairs, the a-priori support-≥2 broadcast prune ahead of the
+    * basket self-join (a singleton part cannot reach any ranked pair),
+    * map-side-combined pair counts, popularity factors broadcast back,
+    * top-20 through TakeOrdered on the ROUNDED score (both engines
+    * order identical bits) with (part_a, part_b) tie-breaks. √ of an
+    * exact integer product is IEEE correctly-rounded — in the parity
+    * surface sqrt is safe where log is not. */
+  private val q201 = QueryDef(
+    "q201_item_cf_cosine",
+    "top-20 item-item cosine neighbors over co-purchase baskets",
+    Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS np FROM op GROUP BY 1),
+      opf AS (SELECT op.o, op.p FROM op
+              JOIN (SELECT p FROM pc WHERE np >= 2) f USING (p)),
+      pairs AS (SELECT a.p AS part_a, b.p AS part_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM opf a JOIN opf b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2),
+      sc AS (SELECT part_a, part_b, n_ab, pa.np AS n_a, pb.np AS n_b,
+                    ROUND(CAST(n_ab AS DOUBLE)
+                          / sqrt(CAST(pa.np * pb.np AS DOUBLE)), 6) + 0.0
+                      AS cosine
+             FROM pairs JOIN pc pa ON pa.p = part_a
+                        JOIN pc pb ON pb.p = part_b)
+      SELECT part_a, part_b, n_ab, n_a, n_b, cosine
+      FROM sc
+      ORDER BY cosine DESC, part_a, part_b LIMIT 20"""),
+    (s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
+      val opf = op.join(broadcast(pc.filter(col("np") >= 2).select(col("p"))),
+        Seq("p"))
+      val pairs = opf.select(col("o"), col("p").as("part_a"))
+        .join(opf.select(col("o").as("o2"), col("p").as("part_b")),
+          col("o") === col("o2") && col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(pc.select(col("p").as("part_a"), col("np").as("n_a"))),
+          Seq("part_a"))
+        .join(broadcast(pc.select(col("p").as("part_b"), col("np").as("n_b"))),
+          Seq("part_b"))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          (round(col("n_ab").cast("double")
+            / sqrt((col("n_a") * col("n_b")).cast("double")), 6) + 0.0)
+            .as("cosine"))
+        .orderBy(col("cosine").desc, col("part_a"), col("part_b")).limit(20)
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186, q192, q197)
+    Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186, q192, q197,
+      q201)
 }

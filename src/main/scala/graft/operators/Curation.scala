@@ -1923,8 +1923,97 @@ object Curation {
             + lit(0.0)).as("exposed_share"))
     })
 
+  // ---------------------------------------------------------------------
+  // q199 — exact feature AUC (Mann–Whitney from the score histogram)
+  // ---------------------------------------------------------------------
+
+  /** Model-evaluation primitive: the exact ROC AUC of a candidate
+    * ranking feature (trailing-7-day activity, q196's score) against
+    * the purchase label, computed the only way that scales — from the
+    * SCORE HISTOGRAM, never a per-row global rank. AUC is the
+    * Mann–Whitney statistic P(score⁺ > score⁻) + ½P(tie); over a
+    * grouped histogram that is Σ_s pos_s·(negs_below_s + ½·neg_s), so
+    * 2U = Σ_s pos_s·(2·cum_neg_below + neg_s) is an EXACT INTEGER the
+    * query ships verbatim (u2), with AUC = u2 / (2·n_pos·n_neg) as the
+    * one rounded divide — honest NULL when a class is empty. The only
+    * window runs over the score-value domain (≤ max weekly events per
+    * user — bounded, like a calendar axis), while users collapse
+    * map-side into the histogram: at 100 TB the per-row rank form
+    * would global-sort the population; this form shuffles |distinct
+    * scores| rows. Tie handling is exact by construction (the ½·neg_s
+    * term), which per-row midranks only approximate after rounding. */
+  private val q199 = QueryDef(
+    "q199_feature_auc",
+    "exact Mann-Whitney AUC of trailing-7d activity vs the purchase label",
+    Some(s"""
+      WITH mx AS (SELECT MAX(epoch_us(ts)) // 86400000000 - 7 AS d0
+                  FROM events),
+      e AS (SELECT user_id, event_type,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+      per AS (SELECT user_id,
+                     CAST(SUM(CASE WHEN day >= d0 - 7 AND day < d0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS score,
+                     CAST(SUM(CASE WHEN day < d0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pre,
+                     MAX(CASE WHEN day >= d0 AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS label
+              FROM e CROSS JOIN mx
+              GROUP BY user_id, d0),
+      h AS (SELECT score,
+                   CAST(SUM(label) AS BIGINT) AS pos_s,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg_s
+            FROM per WHERE n_pre > 0 GROUP BY score),
+      c AS (SELECT score, pos_s, neg_s,
+                   CAST(COALESCE(SUM(neg_s) OVER (ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cum_neg
+            FROM h)
+      SELECT CAST(SUM(pos_s + neg_s) AS BIGINT) AS n_users,
+             CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+             CAST(SUM(neg_s) AS BIGINT) AS n_neg,
+             CAST(SUM(pos_s * (2 * cum_neg + neg_s)) AS BIGINT) AS u2,
+             CASE WHEN SUM(pos_s) > 0 AND SUM(neg_s) > 0
+                  THEN ROUND(CAST(SUM(pos_s * (2 * cum_neg + neg_s)) AS DOUBLE)
+                             / (2.0 * SUM(pos_s) * SUM(neg_s)), 6) + 0.0
+             END AS auc
+      FROM c"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_us div 86400000000").as("day"))
+      val mx = e.agg((max(col("day")) - 7).as("d0"))
+      val per = e.crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") >= col("d0") - 7 && col("day") < col("d0"), 1)
+            .otherwise(0)).cast("long").as("score"),
+          sum(when(col("day") < col("d0"), 1).otherwise(0)).cast("long")
+            .as("n_pre"),
+          max(when(col("day") >= col("d0") && col("event_type") === "purchase",
+            1).otherwise(0)).as("label"))
+        .filter(col("n_pre") > 0)
+      val h = per.groupBy("score")
+        .agg(sum(col("label")).cast("long").as("pos_s"),
+          (count(lit(1)) - sum(col("label"))).cast("long").as("neg_s"))
+      val c = h.withColumn("cum_neg",
+        coalesce(sum(col("neg_s")).over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      c.agg(
+          sum(col("pos_s") + col("neg_s")).cast("long").as("n_users"),
+          sum(col("pos_s")).cast("long").as("n_pos"),
+          sum(col("neg_s")).cast("long").as("n_neg"),
+          sum(col("pos_s") * (lit(2) * col("cum_neg") + col("neg_s")))
+            .cast("long").as("u2"))
+        .select(col("n_users"), col("n_pos"), col("n_neg"), col("u2"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            round(col("u2").cast("double")
+              / (lit(2.0) * col("n_pos") * col("n_neg")), 6) + 0.0).as("auc"))
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
       q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125,
-      q131, q159, q187, q188)
+      q131, q159, q187, q188, q199)
 }

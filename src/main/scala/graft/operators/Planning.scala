@@ -1630,8 +1630,92 @@ object Planning {
         .orderBy("ta", "tb")
     })
 
+  // ---------------------------------------------------------------------
+  // q200 — rendezvous-hash resharding audit (data placement)
+  // ---------------------------------------------------------------------
+
+  /** Data placement the way a distributed store assigns it: every doc
+    * goes to the node with the HIGHEST-RANDOM-WEIGHT hash (rendezvous /
+    * HRW, Thaler & Ravishankar '98 — the consistent-assignment scheme
+    * that needs no ring state), and the audit measures what a resize
+    * from 16 to 17 nodes moves. HRW's defining property rides as an
+    * in-query law: a doc changes owner iff the NEW node wins it, so
+    * every moved doc lands on node 16 and the expected moved fraction
+    * is 1/17 — the minimal-disruption guarantee that makes consistent
+    * hashing consistent (PlanningSpec asserts gains are node-16-only
+    * and placement recomputes). Arithmetic is md5-exact: the winner is
+    * argmax over (hash, node) encoded as one integer ((h div 32)·32 +
+    * node — total order, deterministic under any tie), so owners are
+    * ONE map-side max aggregate per doc per epoch: no window, no join,
+    * one scan. At 100 TB this audit is how a storage tier prices a
+    * topology change before committing to it. */
+  private val q200 = QueryDef(
+    "q200_rendezvous_sharding_audit",
+    "HRW placement over 16 nodes and the 16->17 resize movement per node",
+    Some(s"""
+      WITH n AS (SELECT unnest(generate_series(0, 16)) AS node),
+      hx AS (SELECT d.doc_id, n.node,
+                    (${text.md5Hash60Sql("'rv:' || CAST(n.node AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}
+                     // 32) * 32 + n.node AS combined
+             FROM documents d CROSS JOIN n),
+      own AS (SELECT doc_id,
+                     MAX(CASE WHEN node < 16 THEN combined END) % 32
+                       AS owner16,
+                     MAX(combined) % 32 AS owner17
+              FROM hx GROUP BY doc_id),
+      pc AS (SELECT owner16, owner17, CAST(COUNT(*) AS BIGINT) AS n
+             FROM own GROUP BY 1, 2),
+      ph AS (SELECT t.s.node AS node, t.s.phase AS phase, n,
+                    CASE WHEN owner16 != owner17 THEN n ELSE 0 END AS moved
+             FROM pc,
+                  unnest([struct_pack(node := owner16, phase := 0),
+                          struct_pack(node := owner17, phase := 1)]) AS t(s))
+      SELECT node,
+             CAST(COALESCE(SUM(CASE WHEN phase = 0 THEN n END), 0)
+                  AS BIGINT) AS n_before,
+             CAST(COALESCE(SUM(CASE WHEN phase = 1 THEN n END), 0)
+                  AS BIGINT) AS n_after,
+             CAST(COALESCE(SUM(CASE WHEN phase = 0 THEN moved END), 0)
+                  AS BIGINT) AS n_lost,
+             CAST(COALESCE(SUM(CASE WHEN phase = 1 THEN moved END), 0)
+                  AS BIGINT) AS n_gained
+      FROM ph GROUP BY node ORDER BY node"""),
+    (s, dir) => {
+      val hx = Tables.documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0), lit(16))).as("node"))
+        .withColumn("combined",
+          shiftright(hkey("rv:", concat(col("node").cast("string"), lit(":"),
+            col("doc_id").cast("string"))), 5) * 32 + col("node"))
+      val own = hx.groupBy("doc_id")
+        .agg((max(when(col("node") < 16, col("combined"))) % 32).as("owner16"),
+          (max(col("combined")) % 32).as("owner17"))
+      // collapse to (owner16, owner17) transition counts FIRST, then
+      // fan the <= 17x17 table out with an explode (not a self-union,
+      // which would duplicate the whole subtree): the documents scan
+      // appears exactly once in the plan (plan-asserted)
+      val pcnt = own.groupBy("owner16", "owner17").agg(count(lit(1)).as("n"))
+      val ph = pcnt.select(col("owner16"), col("owner17"), col("n"),
+          when(col("owner16") =!= col("owner17"), col("n")).otherwise(0L)
+            .as("moved"),
+          explode(array(
+            struct(col("owner16").as("node"), lit(0).as("phase")),
+            struct(col("owner17").as("node"), lit(1).as("phase")))).as("t"))
+        .select(col("t.node").as("node"), col("t.phase").as("phase"),
+          col("n"), col("moved"))
+      ph.groupBy("node")
+        .agg(coalesce(sum(when(col("phase") === 0, col("n"))), lit(0))
+            .cast("long").as("n_before"),
+          coalesce(sum(when(col("phase") === 1, col("n"))), lit(0))
+            .cast("long").as("n_after"),
+          coalesce(sum(when(col("phase") === 0, col("moved"))), lit(0))
+            .cast("long").as("n_lost"),
+          coalesce(sum(when(col("phase") === 1, col("moved"))), lit(0))
+            .cast("long").as("n_gained"))
+        .orderBy("node")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q134, q135, q136, q137, q138, q139, q143, q146, q147, q149, q150,
       q151, q154, q158, q167, q170, q172, q176, q177, q178, q179, q180,
-      q193)
+      q193, q200)
 }

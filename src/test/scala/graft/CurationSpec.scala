@@ -639,6 +639,57 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q199 histogram AUC equals the brute-force pairwise Mann-Whitney") {
+    import org.apache.spark.sql.functions._
+    // recompute per-user (score, label) directly, then count ordered
+    // pairs the O(n^2) way the histogram form replaces
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("user_id"), col("event_type"),
+        expr("ts_us div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val d0 = e.map(_._3).max - 7
+    val perUser = e.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val pre = rows.filter(_._3 < d0)
+      if (pre.isEmpty) None
+      else Some((rows.count(r => r._3 >= d0 - 7 && r._3 < d0).toLong,
+        if (rows.exists(r => r._3 >= d0 && r._2 == "purchase")) 1 else 0))
+    }.toSeq
+    val pos = perUser.filter(_._2 == 1).map(_._1)
+    val neg = perUser.filter(_._2 == 0).map(_._1)
+    val bruteU2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    val r = SparkEntry.queries("q199_feature_auc")(
+      spark, "/root/testdata/sf0.01").collect().head
+    assert(r.getAs[Long]("n_pos") == pos.size && r.getAs[Long]("n_neg") == neg.size)
+    assert(r.getAs[Long]("u2") == bruteU2,
+      s"histogram 2U ${r.getAs[Long]("u2")} != brute $bruteU2")
+    if (pos.nonEmpty && neg.nonEmpty) {
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0)
+      val expect = BigDecimal(bruteU2.toDouble / (2.0 * pos.size * neg.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(auc == expect)
+    }
+  }
+
+  test("q201 CF cosines recompute and are bounded by the geometric overlap") {
+    val rows = run("q201_item_cf_cosine").collect()
+    assert(rows.length == 20)
+    val cs = rows.map(_.getAs[Double]("cosine")).toSeq
+    assert(cs == cs.sorted.reverse, "ordered by cosine desc")
+    rows.foreach { r =>
+      val (ab, na, nb) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(ab >= 1 && ab <= math.min(na, nb),
+        "overlap bounded by either buyer set")
+      val expect = BigDecimal(ab.toDouble / math.sqrt((na * nb).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("cosine") == expect)
+      assert(r.getAs[Double]("cosine") <= 1.0)
+    }
+  }
+
   test("q197 gini split gains are nonnegative and parent impurity recomputes") {
     val rows = run("q197_gini_split_gain").collect()
     assert(rows.length == 3)

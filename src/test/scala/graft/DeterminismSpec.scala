@@ -96,7 +96,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q194_streaming_anomaly_parity", // replayed stream close + z arithmetic
     "q196_churn_training_snapshot", // data-derived cutoff + decimal spend
     "q197_gini_split_gain", // decimal impurity fold + rounded ratios
-    "q198_approx_percentile_audit") // quantile sketch merge + band flags
+    "q198_approx_percentile_audit", // quantile sketch merge + band flags
+    "q199_feature_auc", // score-domain cum window + one rounded divide
+    "q200_rendezvous_sharding_audit", // hash argmax encode + modulo decode
+    "q201_item_cf_cosine") // rounded-cosine ordering ties at the limit cut
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

@@ -551,6 +551,34 @@ class PlanSpec extends AnyFunSuite {
       "the source doc-count table should broadcast")
   }
 
+  test("q199/q200: histogram AUC and HRW audit never rank or join the fact side") {
+    val p199 = SparkEntry.queries("q199_feature_auc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only window may run over the score domain, never user rows:
+    // users must already be collapsed into the histogram by a hash agg
+    assert(!p199.contains("windowspecdefinition(user_id"),
+      "AUC must not rank per-user rows")
+    assert(!p199.contains("SortMergeJoin") && !p199.contains("ShuffledHashJoin"),
+      "cutoff scalar broadcasts; nothing shuffles a join")
+    val p200 = SparkEntry.queries("q200_rendezvous_sharding_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p200.contains("windowspecdefinition"),
+      "HRW owners come from a max aggregate, not a rank window")
+    Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct").foreach(j =>
+      assert(!p200.contains(j), s"placement audit must be join-free ($j)"))
+    assert("Scan parquet".r.findAllIn(p200).size == 1,
+      "one documents scan feeds both epochs")
+  }
+
+  test("q201: CF cosine rides the q124 skeleton — prune, TakeOrdered, equi-join only") {
+    val p = plan("q201_item_cf_cosine")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert("\\(np#\\d+L? >= 2\\)".r.findFirstIn(p).isDefined,
+      "support floor must gate the self-join")
+  }
+
   test("q196: churn snapshot is one fact aggregate with a broadcast cutoff scalar") {
     val df = SparkEntry.queries("q196_churn_training_snapshot")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

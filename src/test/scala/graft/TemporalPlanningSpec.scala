@@ -946,6 +946,50 @@ class TemporalPlanningSpec extends AnyFunSuite {
     assert(math.abs(total - orders) <= rows.length * 1e-4 + 1e-6)
   }
 
+  // ----------------------------------------------------------------- q200
+
+  test("q200 HRW resharding: mass conserves, gains land only on the new node, placement recomputes") {
+    val rows = run("q200_rendezvous_sharding_audit").collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_before")).sum == nDocs, "before mass")
+    assert(rows.map(_.getAs[Long]("n_after")).sum == nDocs, "after mass")
+    assert(rows.map(_.getAs[Long]("n_lost")).sum ==
+      rows.map(_.getAs[Long]("n_gained")).sum, "moves balance")
+    rows.foreach { r =>
+      val node = r.getAs[Long]("node")
+      // HRW minimal disruption: a doc moves iff the NEW node wins it
+      if (node < 16) assert(r.getAs[Long]("n_gained") == 0L,
+        s"node $node gained docs — only node 16 may")
+      else {
+        assert(r.getAs[Long]("n_before") == 0L, "node 16 did not exist before")
+        assert(r.getAs[Long]("n_gained") == r.getAs[Long]("n_after"))
+        assert(r.getAs[Long]("n_lost") == 0L)
+      }
+    }
+    // independent placement recompute straight from md5 arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sx: String): Long = {
+      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def owner(doc: Long, nNodes: Int): Int =
+      ((0 until nNodes).map(n => (h60(s"rv:$n:$doc") >> 5) * 32 + n)
+        .max % 32).toInt
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val before = docs.map(owner(_, 16)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val after = docs.map(owner(_, 17)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val node = r.getAs[Long]("node")
+      assert(r.getAs[Long]("n_before") == before.getOrElse(node.toInt, 0L),
+        s"node $node before recompute")
+      assert(r.getAs[Long]("n_after") == after.getOrElse(node.toInt, 0L),
+        s"node $node after recompute")
+    }
+  }
+
   // ----------------------------------------------------------------- q196
 
   test("q196 churn snapshot: leakage-free by recomputation, windows nest, label matches") {
