@@ -15,7 +15,8 @@ object SparkEntry {
       Dedup.defs ++ TextPipeline.defs ++ Similarity.defs ++
       Aggregates.defs ++ Analytics.defs ++ Extended.defs ++
       Reshape.defs ++ MoreFunctions.defs ++ Pipeline.defs ++ Graph.defs ++
-      Curation.defs ++ Temporal.defs ++ Planning.defs ++ Online.defs
+      Curation.defs ++ Temporal.defs ++ Planning.defs ++ Online.defs ++
+      Formats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

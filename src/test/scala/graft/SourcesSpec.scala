@@ -158,6 +158,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"loser leaked temp dirs: ${leftovers.mkString(",")}")
   }
 
+  test("q202 format fingerprints: csv and json rows identical per lang, checksum recomputes") {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, sum}
+    val rows = SparkEntry.queries("q202_text_source_roundtrip")(spark, sf)
+      .collect()
+    val byFmt = rows.groupBy(_.getAs[String]("format"))
+    assert(byFmt.keySet == Set("csv", "json"))
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("content_checksum"))).toSet
+    assert(key(byFmt("csv")) == key(byFmt("json")),
+      "both text formats must reproduce identical fingerprints")
+    // and the fingerprint equals a direct parquet recompute
+    val direct = Tables.documents(spark, sf)
+      .select(col("lang"),
+        (graft.functions.text.md5Hash60(concat_ws("\u0001", col("doc_id"),
+          col("lang"), col("source"), col("n_chars"), col("text")))
+          % (1L << 40)).as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("h")).cast("long").as("cs"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"),
+        r.getAs[Long]("cs"))).toSet
+    assert(key(byFmt("json")) == direct, "round-trip checksum drifted from source")
+  }
+
   test("results are partition-count independent (4 vs 13 shuffle partitions)") {
     val names = Seq("q01_pricing_summary", "q22_neardup_jaccard",
       "q20_session_windows",
@@ -181,7 +206,14 @@ class SourcesSpec extends AnyFunSuite {
       // bitwise-OR word folds merge from any partitioning; chained
       // decimal matvecs must not see the shuffle layout
       "q170_bitmap_distinct", "q175_principal_component",
-      "q177_bitmap_set_algebra")
+      "q177_bitmap_set_algebra",
+      // round-9 hazard shapes: conditional multi-horizon aggregates off
+      // a broadcast scalar, decimal impurity folds, score-domain
+      // cumulative windows, hash-argmax placement, checksummed
+      // text-source round-trips
+      "q196_churn_training_snapshot", "q197_gini_split_gain",
+      "q199_feature_auc", "q200_rendezvous_sharding_audit",
+      "q202_text_source_roundtrip")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def run(parts: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
