@@ -16,7 +16,7 @@ object SparkEntry {
       Aggregates.defs ++ Analytics.defs ++ Extended.defs ++
       Reshape.defs ++ MoreFunctions.defs ++ Pipeline.defs ++ Graph.defs ++
       Curation.defs ++ Temporal.defs ++ Planning.defs ++ Online.defs ++
-      Formats.defs
+      Formats.defs ++ Learning.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

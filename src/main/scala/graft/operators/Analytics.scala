@@ -706,7 +706,133 @@ object Analytics {
         .orderBy(col("cosine").desc, col("part_a"), col("part_b")).limit(20)
     })
 
+  // ---------------------------------------------------------------------
+  // q206 — recommender evaluation: leave-last-order-out precision@5
+  // ---------------------------------------------------------------------
+
+  /** The evaluation harness for q201's recommender: hold out each
+    * customer's LAST order (temporal split — never random, so no
+    * future leaks into the co-occurrence counts), build item
+    * co-occurrence on the remaining train orders, recommend top-5
+    * unseen parts per customer, and score precision/recall@5 plus the
+    * user hit rate against the held-out basket. Scale discipline:
+    * (a) the per-customer last-order split is a bounded window
+    * (≤ orders-per-customer rows per key, never global); (b) the
+    * co-matrix gets the q124 a-priori support floor AND top-10
+    * NEIGHBOR TRUNCATION per item (rank window over the bounded
+    * per-part neighbor list) — the standard item-CF sparsification
+    * that caps the scoring join at |train parts per user| × 10
+    * candidates regardless of catalog size; (c) the train-set
+    * exclusion is a LEFT ANTI join AFTER score aggregation (the
+    * candidate set is users × truncated neighbors, ≪ the pre-agg
+    * join); (d) the final readout is scalar counts crossed at one
+    * row. Integer co-counts and scores make every ranking tie-break
+    * (score DESC, part ASC) an exact total order; the three rates are
+    * single divides of exact counts. */
+  private val q206 = QueryDef(
+    "q206_cf_holdout_precision",
+    "leave-last-order-out precision/recall@5 of the co-occurrence recommender",
+    Some("""
+      WITH lo AS (SELECT o_custkey AS u, o_orderkey,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+                         COUNT(*) OVER (PARTITION BY o_custkey) AS no
+                  FROM orders),
+      tr AS (SELECT u, o_orderkey FROM lo WHERE rn > 1),
+      ho AS (SELECT u, o_orderkey FROM lo WHERE rn = 1 AND no >= 2),
+      op AS (SELECT DISTINCT tr.o_orderkey AS o, l_partkey AS p
+             FROM tr JOIN lineitem ON l_orderkey = tr.o_orderkey),
+      pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS np FROM op GROUP BY 1),
+      opf AS (SELECT op.o, op.p FROM op JOIN pc USING (p) WHERE np >= 2),
+      co AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS n
+             FROM opf a JOIN opf b ON a.o = b.o AND a.p <> b.p
+             GROUP BY 1, 2),
+      nb AS (SELECT pa, pb, n FROM (
+               SELECT pa, pb, n, ROW_NUMBER() OVER (PARTITION BY pa
+                 ORDER BY n DESC, pb) AS r FROM co)
+             WHERE r <= 10),
+      tp AS (SELECT DISTINCT tr.u, l_partkey AS p
+             FROM tr JOIN lineitem ON l_orderkey = tr.o_orderkey),
+      hp AS (SELECT DISTINCT ho.u, l_partkey AS p
+             FROM ho JOIN lineitem ON l_orderkey = ho.o_orderkey),
+      sc AS (SELECT tp.u, nb.pb, CAST(SUM(nb.n) AS BIGINT) AS score
+             FROM tp JOIN nb ON nb.pa = tp.p
+             GROUP BY 1, 2),
+      scx AS (SELECT * FROM sc WHERE NOT EXISTS
+                (SELECT 1 FROM tp WHERE tp.u = sc.u AND tp.p = sc.pb)),
+      recs AS (SELECT u, pb FROM (
+                 SELECT u, pb, ROW_NUMBER() OVER (PARTITION BY u
+                   ORDER BY score DESC, pb) AS r FROM scx)
+               WHERE r <= 5),
+      s1 AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,
+                    CAST(COUNT(*) AS BIGINT) AS n_recs FROM recs),
+      hits AS (SELECT recs.u FROM recs JOIN hp
+                 ON hp.u = recs.u AND hp.p = recs.pb),
+      s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+                    CAST(COUNT(DISTINCT u) AS BIGINT) AS n_hit_users FROM hits),
+      s3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout FROM hp
+             WHERE EXISTS (SELECT 1 FROM recs WHERE recs.u = hp.u))
+      SELECT 5 AS k, n_users, n_recs, n_hits, n_holdout,
+             ROUND(CAST(n_hits AS DOUBLE) / n_recs, 4) + 0.0 AS precision_at_k,
+             ROUND(CAST(n_hits AS DOUBLE) / n_holdout, 4) + 0.0 AS recall_at_k,
+             ROUND(CAST(n_hit_users AS DOUBLE) / n_users, 4) + 0.0
+               AS user_hit_rate
+      FROM s1 CROSS JOIN s2 CROSS JOIN s3
+      ORDER BY k"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val lo = Tables.orders(s, dir).select(col("o_custkey").as("u"),
+        col("o_orderkey"), row_number().over(byCust).as("rn"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("no"))
+      val tr = lo.filter(col("rn") > 1).select("u", "o_orderkey")
+      val ho = lo.filter(col("rn") === 1 && col("no") >= 2)
+        .select("u", "o_orderkey")
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val op = tr.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
+      val opf = op.join(broadcast(pc.filter(col("np") >= 2).select("p")), Seq("p"))
+      val co = opf.select(col("o"), col("p").as("pa"))
+        .join(opf.select(col("o").as("o2"), col("p").as("pb")),
+          col("o") === col("o2") && col("pa") =!= col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      val byPart = Window.partitionBy("pa").orderBy(col("n").desc, col("pb"))
+      val nb = co.withColumn("r", row_number().over(byPart))
+        .filter(col("r") <= 10).select("pa", "pb", "n")
+      val tp = tr.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(col("u"), col("l_partkey").as("p")).distinct()
+      val hp = ho.join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(col("u"), col("l_partkey").as("p")).distinct()
+      val sc = tp.join(nb, col("pa") === col("p"))
+        .groupBy("u", "pb").agg(sum("n").as("score"))
+      val scx = sc.join(tp.select(col("u"), col("p").as("pb")),
+        Seq("u", "pb"), "left_anti")
+      val byUser = Window.partitionBy("u").orderBy(col("score").desc, col("pb"))
+      val recs = scx.withColumn("r", row_number().over(byUser))
+        .filter(col("r") <= 5).select("u", "pb")
+      val s1 = recs.agg(countDistinct("u").as("n_users"),
+        count(lit(1)).as("n_recs"))
+      val hits = recs.join(hp, recs("u") === hp("u") && recs("pb") === hp("p"))
+        .select(recs("u"))
+      val s2 = hits.agg(count(lit(1)).as("n_hits"),
+        countDistinct("u").as("n_hit_users"))
+      val s3 = hp.join(recs.select("u").distinct(), Seq("u"), "left_semi")
+        .agg(count(lit(1)).as("n_holdout"))
+      s1.crossJoin(s2).crossJoin(s3)
+        .select(lit(5).as("k"), col("n_users"), col("n_recs"), col("n_hits"),
+          col("n_holdout"),
+          (round(col("n_hits").cast("double") / col("n_recs"), 4) + 0.0)
+            .as("precision_at_k"),
+          (round(col("n_hits").cast("double") / col("n_holdout"), 4) + 0.0)
+            .as("recall_at_k"),
+          (round(col("n_hit_users").cast("double") / col("n_users"), 4) + 0.0)
+            .as("user_hit_rate"))
+        .orderBy("k")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q38, q39, q40, q77, q91, q123, q124, q128, q183, q186, q192, q197,
-      q201)
+      q201, q206)
 }

@@ -154,5 +154,77 @@ object Graph {
               + 0.0).as("clustering_coeff"))
     })
 
-  def defs: Seq[QueryDef] = Seq(q73, q119)
+  /** Link prediction — "which doc pairs is the weak-signal graph most
+    * likely MISSING an edge for?" — scored by the resource-allocation
+    * index RA(a,b) = Σ_{z∈N(a)∩N(b)} 1/deg(z), the common-neighbor
+    * family's strongest simple member (Zhou et al. 2009). The graph is
+    * the RARE-SHINGLE co-occurrence graph: docs adjacent iff they share
+    * a shingle with document frequency 2..3 — a weak relatedness signal
+    * (the verified near-dup graph is useless here: its components are
+    * cliques, so no two-hop pair is ever missing). Joining ONLY on rare
+    * shingles makes candidate generation skew-proof BY CONSTRUCTION —
+    * each join key fans out to at most C(3,2) pairs, so the edge build
+    * is linear in vocabulary size and a hot stop-word shingle
+    * contributes nothing (the q162 lesson, enforced structurally
+    * rather than by prefix ranking). RA is kept exact as FIXED-POINT
+    * micro-units: each shared neighbor contributes ⌊10⁶/deg(z)⌋, so
+    * the score is order-independent integer math and the top-20 cut is
+    * an integer total order — the q73 discipline (log-free:
+    * Adamic-Adar's 1/log deg would drag libm into the parity surface;
+    * RA is the same idea without it). The two-hop fan-out is Σ deg(z)²
+    * over the EDGE table (≪ corpus); on a hub-heavy graph the standard
+    * degree-ceiling cap on z applies before the join. Existing edges
+    * leave via LEFT ANTI on the canonical (doc_a < doc_b) key. */
+  private val q209 = QueryDef(
+    "q209_linkpred_resource_allocation",
+    "top-20 predicted missing rare-shingle links by fixed-point resource-allocation score",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+      rare AS (SELECT s.doc_id, s.shingle
+               FROM sh s JOIN df USING (shingle) WHERE df BETWEEN 2 AND 3),
+      ed AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM ed
+            UNION ALL SELECT doc_b, doc_a FROM ed),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1),
+      cand AS (SELECT ea.dst AS doc_a, eb.dst AS doc_b,
+                      CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                      CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+               FROM e ea JOIN e eb ON eb.src = ea.src AND ea.dst < eb.dst
+               JOIN deg d ON d.node = ea.src
+               GROUP BY 1, 2)
+      SELECT doc_a, doc_b, common_neighbors, ra_micro
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM ed v
+                        WHERE v.doc_a = c.doc_a AND v.doc_b = c.doc_b)
+      ORDER BY ra_micro DESC, doc_a, doc_b LIMIT 20"""),
+    (s, dir) => {
+      val sh = Dedup.shingleSet(s, dir)
+      val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 3)).select("shingle"),
+        Seq("shingle"))
+      val ed = rare.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("shingle"), col("doc_id").as("doc_b")),
+          Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val e = ed.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(ed.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val wz = e.join(deg, col("src") === col("node"))
+        .select(col("src"), col("dst"), expr("1000000L div deg").as("w"))
+      val cand = wz.select(col("src"), col("dst").as("doc_a"), col("w"))
+        .join(e.select(col("src").as("src2"), col("dst").as("doc_b")),
+          col("src") === col("src2") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("common_neighbors"), sum("w").as("ra_micro"))
+      cand.join(ed, Seq("doc_a", "doc_b"), "left_anti")
+        .orderBy(col("ra_micro").desc, col("doc_a"), col("doc_b")).limit(20)
+    })
+
+  def defs: Seq[QueryDef] = Seq(q73, q119, q209)
 }

@@ -316,5 +316,58 @@ object Similarity {
       out.orderBy("dim")
     })
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102, q175)
+  /** Index-health audit for q32's IVF layout: per-cell posting-list
+    * loads plus the three scalars that decide whether the coarse
+    * quantizer needs re-training — max/mean imbalance (a hot cell
+    * serializes its probes), load share, and the EXPECTED PROBE COST
+    * Σ load²/N: when queries arrive distributed like the corpus, a
+    * query lands in cell i with probability load_i/N and then scans
+    * load_i candidates, so Σ load²/N is the per-query scan size the
+    * index actually delivers (uniform cells ⇒ N/n_cells, the
+    * advertised speedup; skewed cells ⇒ quadratically worse — the
+    * reason IVF indexes monitor this number). One hash aggregate
+    * collapses the corpus to |cells| rows; the scalar summary
+    * broadcasts back onto them. All integer counts; three final
+    * divides. */
+  private val q211 = QueryDef(
+    "q211_ivf_balance_audit",
+    "IVF cell-load histogram with imbalance factor and expected probe cost",
+    Some("""
+      WITH cells AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS cell_load
+                     FROM embeddings GROUP BY 1),
+      su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                    CAST(SUM(cell_load) AS BIGINT) AS n_vectors,
+                    CAST(MAX(cell_load) AS BIGINT) AS max_load,
+                    CAST(SUM(cell_load * cell_load) AS BIGINT) AS sum_sq
+             FROM cells)
+      SELECT c.label AS cell, c.cell_load, su.n_cells, su.n_vectors,
+             su.max_load,
+             ROUND(CAST(c.cell_load AS DOUBLE) / su.n_vectors, 4) + 0.0
+               AS load_share,
+             ROUND(CAST(su.max_load AS DOUBLE) * su.n_cells / su.n_vectors, 4)
+               + 0.0 AS imbalance,
+             ROUND(CAST(su.sum_sq AS DOUBLE) / su.n_vectors, 4) + 0.0
+               AS exp_probe_cost
+      FROM cells c CROSS JOIN su
+      ORDER BY cell"""),
+    (s, dir) => {
+      val cells = Tables.embeddings(s, dir)
+        .groupBy("label").agg(count(lit(1)).as("cell_load"))
+      val su = cells.agg(count(lit(1)).as("n_cells"),
+        sum("cell_load").as("n_vectors"),
+        max("cell_load").as("max_load"),
+        sum(col("cell_load") * col("cell_load")).as("sum_sq"))
+      cells.crossJoin(broadcast(su))
+        .select(col("label").as("cell"), col("cell_load"), col("n_cells"),
+          col("n_vectors"), col("max_load"),
+          (round(col("cell_load").cast("double") / col("n_vectors"), 4) + 0.0)
+            .as("load_share"),
+          (round(col("max_load").cast("double") * col("n_cells")
+            / col("n_vectors"), 4) + 0.0).as("imbalance"),
+          (round(col("sum_sq").cast("double") / col("n_vectors"), 4) + 0.0)
+            .as("exp_probe_cost"))
+        .orderBy("cell")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102, q175, q211)
 }

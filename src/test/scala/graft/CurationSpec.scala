@@ -826,4 +826,252 @@ class CurationSpec extends AnyFunSuite {
     val counts = rows.map(_.getAs[Long]("n3")).toSeq
     assert(counts == counts.sorted.reverse, "ordered by count desc")
   }
+
+  test("q203 LOO encoding recomputes from the complement identity per row") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q203_loo_target_encoding").collect()
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == orders.length)
+    val bySeg = orders.groupBy(_._2).map { case (seg, rs) =>
+      seg -> (rs.map(r => Math.round(r._3 * 100)).sum, rs.length)
+    }
+    val expect = orders.map { case (k, seg, price) =>
+      val (sum, n) = bySeg(seg)
+      k -> (BigDecimal((sum - Math.round(price * 100)).toDouble
+          / (100.0 * (n - 1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("loo_enc") == expect(r.getAs[Long]("o_orderkey")),
+        s"order ${r.getAs[Long]("o_orderkey")} LOO recompute")
+    }
+  }
+
+  test("q204 calibration bins conserve users and keep scores inside their bin") {
+    val rows = run("q204_calibration_bins").collect()
+    assert(rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users,
+      "every scored user lands in exactly one bin")
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val ms = r.getAs[Double]("mean_score")
+      assert(ms >= bin / 10.0 - 1e-4 && ms < (bin + 1) / 10.0 + 1e-4,
+        s"bin $bin mean score $ms outside its bin")
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_users"))
+      assert(math.abs(ms - rate - r.getAs[Double]("calib_gap")) <= 2e-4,
+        "gap = mean score - observed rate")
+    }
+  }
+
+  test("q205 CUSUM change point recomputes from scratch") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q205_cusum_changepoint").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val daily = graft.sources.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(x => (x.getDate(0), x.getLong(1)))
+      .sortBy(_._1.toString)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var acc = 0L
+    val cusum = daily.map { case (d, c) => acc += n * c - total; (d, acc.abs) }
+    val best = cusum.minBy { case (d, a) => (-a, d.toString) }
+    assert(r.getAs[Long]("n_days") == n)
+    assert(r.getAs[java.sql.Date]("change_day").toString == best._1.toString)
+    assert(r.getAs[Long]("max_abs_cusum") == best._2)
+    val cd = best._1
+    val before = daily.filter(!_._1.after(cd))
+    val after = daily.filter(_._1.after(cd))
+    def mean4(xs: Array[(java.sql.Date, Long)]): Double =
+      BigDecimal(xs.map(_._2).sum.toDouble / (100.0 * xs.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(r.getAs[Double]("mean_before") == mean4(before))
+    if (after.nonEmpty)
+      assert(r.getAs[Double]("mean_after") == mean4(after))
+  }
+
+  test("q207 folds partition the fact; train mean and MSE fully recompute") {
+    val rows = run("q207_kfold_cv_mse").collect()
+    assert(rows.length == 5)
+    val data = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def h60(sx: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val byFold = data.groupBy { case (k, _) => (h60(s"cv:$k") % 5).toInt }
+    val totalN = data.length.toLong
+    val totalC = data.map(x => Math.round(x._2 * 100)).sum
+    assert(rows.map(_.getAs[Long]("n_test")).sum == totalN)
+    rows.foreach { r =>
+      val fold = r.getAs[Int]("fold")
+      val fd = byFold(fold)
+      assert(r.getAs[Long]("n_test") == fd.length.toLong)
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == totalN)
+      val cf = fd.map(x => Math.round(x._2 * 100)).sum
+      val mu = (totalC - cf).toDouble / (100.0 * (totalN - fd.length))
+      assert(r.getAs[Double]("train_mean") ==
+        BigDecimal(mu).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0)
+      val errSum = fd.map { case (_, p) =>
+        BigDecimal((p - mu) * (p - mu))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val mse = BigDecimal(errSum.toDouble / fd.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(r.getAs[Double]("test_mse") == mse, s"fold $fold MSE recompute")
+    }
+  }
+
+  test("q206 holdout eval counts are mutually consistent and rates recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q206_cf_holdout_precision").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nu, nr, nh, nhp) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_recs"),
+      r.getAs[Long]("n_hits"), r.getAs[Long]("n_holdout"))
+    assert(r.getAs[Int]("k") == 5)
+    assert(nr <= 5 * nu, "at most k recs per evaluated user")
+    assert(nh <= nr && nh <= nhp, "hits bounded by both sides")
+    val multi = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(nu <= multi, "only multi-order customers can be evaluated")
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(r.getAs[Double]("precision_at_k") == r4(nh.toDouble / nr))
+    assert(r.getAs[Double]("recall_at_k") == r4(nh.toDouble / nhp))
+    val hr = r.getAs[Double]("user_hit_rate")
+    assert(hr >= 0.0 && hr <= 1.0)
+  }
+
+  test("q208 bucket histogram conserves the feature space") {
+    val rows = run("q208_feature_hash_collisions").collect()
+    assert(rows.nonEmpty)
+    val nf = rows.head.getAs[Long]("n_features")
+    assert(rows.map(r =>
+      r.getAs[Long]("bucket_load") * r.getAs[Long]("n_buckets")).sum == nf,
+      "histogram mass = feature count")
+    val used = rows.head.getAs[Long]("n_buckets_used")
+    assert(rows.map(_.getAs[Long]("n_buckets")).sum == used)
+    assert(used <= 256)
+    assert(rows.map(_.getAs[Long]("bucket_load")).max ==
+      rows.head.getAs[Long]("max_load"))
+    val share = BigDecimal((nf - used).toDouble / nf)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    assert(rows.head.getAs[Double]("collision_share") == share)
+  }
+
+  test("q210 conformal pipeline fully recomputes: slices, grid quantile, coverage") {
+    val rows = run("q210_conformal_coverage").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val data = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    def h60(sx: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val sliced = data.map { case (k, p) => ((h60(s"conf:$k") % 10).toInt, p) }
+    val train = sliced.filter(_._1 <= 5).map(_._2)
+    val calib = sliced.filter(x => x._1 == 6 || x._1 == 7).map(_._2)
+    val test = sliced.filter(_._1 >= 8).map(_._2)
+    val mu = train.map(p => Math.round(p * 100)).sum.toDouble /
+      (100.0 * train.length)
+    def resid(p: Double): Long = Math.round(math.abs(p - mu) * 100)
+    val n = calib.length.toLong
+    val k = math.min((9 * (n + 1) + 9) / 10, n)
+    val sortedBuckets = calib.map(p => resid(p) / 5000).sorted
+    val qhatCents = (sortedBuckets((k - 1).toInt) + 1) * 5000
+    val covered = test.count(p => resid(p) <= qhatCents).toLong
+    assert(r.getAs[Long]("n_train") == train.length.toLong)
+    assert(r.getAs[Long]("n_calib") == n)
+    assert(r.getAs[Long]("n_test") == test.length.toLong)
+    assert(r.getAs[Long]("k_rank") == k)
+    assert(r.getAs[Double]("qhat") ==
+      BigDecimal(qhatCents / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    assert(r.getAs[Double]("coverage") ==
+      BigDecimal(covered.toDouble / test.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    // conservative grid: the edge sits at or above the k-th raw residual
+    val kthResid = calib.map(resid).sorted.apply((k - 1).toInt)
+    assert(qhatCents >= kthResid)
+  }
+
+  test("q211 IVF audit conserves vectors and bounds the probe cost") {
+    val rows = run("q211_ivf_balance_audit").collect()
+    assert(rows.nonEmpty)
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("cell_load")).sum == nVec)
+    val r0 = rows.head
+    assert(r0.getAs[Long]("n_vectors") == nVec)
+    assert(r0.getAs[Long]("n_cells") == rows.length.toLong)
+    assert(r0.getAs[Long]("max_load") ==
+      rows.map(_.getAs[Long]("cell_load")).max)
+    val sumSq = rows.map(l => l.getAs[Long]("cell_load"))
+      .map(l => l * l).sum
+    assert(r0.getAs[Double]("exp_probe_cost") ==
+      BigDecimal(sumSq.toDouble / nVec)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    // probe cost sits between the uniform ideal N/cells and a single hot cell N
+    assert(r0.getAs[Double]("exp_probe_cost") >=
+      nVec.toDouble / rows.length - 1e-4)
+    assert(r0.getAs[Double]("exp_probe_cost") <= nVec.toDouble + 1e-4)
+    assert(r0.getAs[Double]("imbalance") >= 1.0 - 1e-4)
+  }
+
+  test("q209 link predictions equal the brute-force RA ranking on the rare-shingle graph") {
+    val rows = run("q209_linkpred_resource_allocation").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shingles = docs.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => (id, w.slice(i, i + 3).mkString(" ")))
+        .distinct
+    }
+    val df = shingles.groupBy(_._2).map { case (sh, xs) => sh -> xs.length }
+    val rare = shingles.filter(x => df(x._2) >= 2 && df(x._2) <= 3)
+    val edges = rare.groupBy(_._2).values.flatMap { xs =>
+      val ids = xs.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    val cand = adj.toSeq.flatMap { case (z, ns) =>
+      val sorted = ns.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield ((sorted(i), sorted(j)), 1000000L / deg(z))
+    }.groupBy(_._1)
+      .map { case (p, ws) => (p, ws.length.toLong, ws.map(_._2).sum) }
+      .filter(x => !edges.contains(x._1))
+    val expect = cand.toSeq
+      .sortBy { case ((a, b), _, ra) => (-ra, a, b) }.take(20)
+    assert(rows.length == expect.length)
+    rows.zip(expect).foreach { case (r, ((a, b), cn, ra)) =>
+      assert(r.getAs[Long]("doc_a") == a && r.getAs[Long]("doc_b") == b)
+      assert(r.getAs[Long]("common_neighbors") == cn)
+      assert(r.getAs[Long]("ra_micro") == ra)
+    }
+  }
 }

@@ -99,7 +99,14 @@ class DeterminismSpec extends AnyFunSuite {
     "q198_approx_percentile_audit", // quantile sketch merge + band flags
     "q199_feature_auc", // score-domain cum window + one rounded divide
     "q200_rendezvous_sharding_audit", // hash argmax encode + modulo decode
-    "q201_item_cf_cosine") // rounded-cosine ordering ties at the limit cut
+    "q201_item_cf_cosine", // rounded-cosine ordering ties at the limit cut
+    "q203_loo_target_encoding", // broadcast complement identity + rounding
+    "q205_cusum_changepoint", // integer-cusum argmax tie at the limit-1 cut
+    "q206_cf_holdout_precision", // neighbor/rec rank ties at truncation cuts
+    "q207_kfold_cv_mse", // hash folds + decimal squared-error fold
+    "q208_feature_hash_collisions", // hash-bucket loads + histogram re-agg
+    "q209_linkpred_resource_allocation", // two-hop candidates + top-20 tie cut
+    "q210_conformal_coverage") // hash slices + grid-cum rank threshold
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {

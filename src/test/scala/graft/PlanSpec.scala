@@ -696,4 +696,70 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "bin counts must combine map-side")
   }
+
+  test("q203/q207: category and fold statistics broadcast back onto the fact") {
+    for (name <- Seq("q203_loo_target_encoding", "q207_kfold_cv_mse")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the tiny stats side must broadcast")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$name: the fact must never shuffle for a <=5-row join side")
+      assert(p.contains("partial_sum"),
+        s"$name: the stats aggregate must combine map-side")
+    }
+  }
+
+  test("q205: the CUSUM window runs only over the collapsed day axis; argmax is top-1") {
+    val p = plan("q205_cusum_changepoint")
+    // fact collapses to days (partial+final agg) BEFORE the running sum
+    assert(p.contains("partial_sum"), "day collapse must combine map-side")
+    assert(p.contains("windowspecdefinition"), "the running sum is a window")
+    assert(p.contains("TakeOrderedAndProject"),
+      "|CUSUM| argmax must be a top-1 cut, not a global sort")
+    assert(!p.contains("CartesianProduct"),
+      "scalar sides must broadcast, never cartesian")
+  }
+
+  test("q206: every ranking window partitions by a bounded key; the support floor gates the co-join") {
+    val p = plan("q206_cf_holdout_precision")
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(l => l.contains("o_custkey") || l.contains("pa#")
+      || l.contains("u#")),
+      s"window must partition by customer/part/user, never global:\n${specs.mkString("\n")}")
+    assert("\\(np#\\d+L? >= 2\\)".r.findFirstIn(p).isDefined,
+      "a-priori support floor must gate the basket self-join")
+    assert(!p.contains("CartesianProduct"),
+      "scalar readout sides must broadcast-combine")
+  }
+
+  test("q210/q211: scalar-broadcast pipelines; q210's window only runs over the grid") {
+    val p10 = plan("q210_conformal_coverage")
+    assert(!p10.contains("SortMergeJoin") && !p10.contains("ShuffledHashJoin"),
+      "q210: train stats / rank / q-hat must broadcast, never shuffle the fact")
+    assert(p10.contains("windowspecdefinition"),
+      "q210: the grid cumulative is a window")
+    assert(p10.contains("partial_sum"), "q210: slice stats combine map-side")
+    val p11 = plan("q211_ivf_balance_audit")
+    assert(!p11.contains("SortMergeJoin") && !p11.contains("windowspecdefinition"),
+      "q211: one aggregate + broadcast summary, nothing else")
+    assert(p11.contains("partial_count") || p11.contains("partial_sum"),
+      "q211: cell loads combine map-side")
+  }
+
+  test("q208/q209: vocabulary-keyed hashing; the rare-df filter gates the pair join") {
+    val p8 = plan("q208_feature_hash_collisions")
+    assert(p8.contains("partial_count") || p8.contains("partial_sum"),
+      "bucket loads must combine map-side")
+    assert(!p8.contains("Join") || !p8.contains("SortMergeJoin"),
+      "no fact-sized join anywhere in the hashing audit")
+    val p9 = plan("q209_linkpred_resource_allocation")
+    assert("df#\\d+L? >= 2".r.findFirstIn(p9).isDefined &&
+      "df#\\d+L? <= 3".r.findFirstIn(p9).isDefined,
+      "the df BETWEEN 2 AND 3 rarity gate must precede the shingle pair join")
+    assert(!p9.contains("CartesianProduct"))
+    assert(p9.contains("TakeOrderedAndProject"),
+      "top-20 must be a TakeOrdered cut")
+  }
 }
