@@ -16,11 +16,20 @@ object SparkEntry {
       Aggregates.defs ++ Analytics.defs ++ Extended.defs ++
       Reshape.defs ++ MoreFunctions.defs ++ Pipeline.defs ++ Graph.defs ++
       Curation.defs ++ Temporal.defs ++ Planning.defs ++ Online.defs ++
-      Formats.defs ++ Learning.defs
+      Formats.defs ++ Learning.defs ++ Typed.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship also rides a 1-row events probe (max ts_us) so the t1
+    * smoke itself catches an events-fixture schema drift — round 8's
+    * ns→µs regeneration surfaced only in the bench tail because the
+    * smoke never touched the events loader. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, max}
+    val dir = "/root/testdata/sf0.001"
+    val evProbe = graft.sources.Tables.events(spark, dir)
+      .agg(max("ts_us").as("max_ts_us"))
+    Relational.pricingSummary(spark, dir).crossJoin(broadcast(evProbe))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -152,12 +152,10 @@ object Dedup {
     "MinHash(42)+LSH(14x3) candidates, exact-Jaccard verified (J >= 0.5)",
     Some(jaccardOracle),
     (s, dir) => {
-      // ObjectHashAggregate (which runs TypedImperativeAggregate) falls
-      // back to sort-based aggregation — serializing the 128-long buffer
-      // per row — after only 128 groups/partition by default. Docs are
-      // the groups, so raise it; buffers are 1KB each, memory is a
-      // non-issue at any realistic docs-per-partition count.
-      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // ObjectHashAggregate fallback threshold is raised at the SESSION
+      // level (all graft builders) rather than mutated here — the conf is
+      // read at execution time, after this lazy fn returns, so a local
+      // save/restore could not cover it; see Verify/Bench builders.
       // The shingle set feeds 4 plan subtrees (pair join both sides +
       // two size lookups); the materialized view makes each a cheap
       // parquet scan instead of 4 recomputed corpus explosions.
@@ -226,7 +224,7 @@ object Dedup {
       val sig = graft.sources.MaterializedViews.cached(s, dir, "simhash_sig60") {
         // SimHashSketch (one 60-long buffer) instead of 60 generated
         // sum(case...) aggregates — same JIT-bomb avoidance as q23.
-        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+        // (ObjectHashAggregate fallback threshold: session-level conf.)
         Tables.documents(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))

@@ -141,9 +141,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("events scan reads ns timestamps as bigint (nanosAsLong contract)") {
+  test("events scan surfaces ts_us bigint whatever the fixture's physical ts type") {
+    // Tables.events type-dispatches on the parquet footer (int64-ns
+    // through round 7; µs TIMESTAMP_NTZ since the round-8 fixture
+    // regeneration) and always derives epoch-µs `ts_us` — pin that the
+    // scan reads ONE of the two known encodings and that the derived
+    // column is bigint either way.
     val p = plan("q13_global_sort_events")
-    assert(p.contains("ts:bigint"), "events.ts must surface as int64 nanos")
+    assert(p.contains("ts:bigint") || p.contains("ts:timestamp_ntz")
+      || p.contains("ts:timestamp"),
+      "events.ts must scan as int64-ns or a timestamp type")
+    assert(p.contains("ts_us#") && p.contains("L ASC"),
+      "sort must run on the derived bigint ts_us")
   }
 
   test("q71: subqueries decorrelate to semi/anti/outer joins, no per-row re-execution") {
