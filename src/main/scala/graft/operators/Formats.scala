@@ -70,5 +70,88 @@ object Formats {
         .orderBy("format", "lang")
     })
 
-  def defs: Seq[QueryDef] = Seq(q202)
+  // ---------------------------------------------------------------------
+  // q216 — Hive-partitioned layout + partition pruning
+  // ---------------------------------------------------------------------
+
+  /** The 100 TB layout primitive: write the corpus Hive-partitioned by a
+    * low-cardinality column (`lang/`), then read back with a filter on
+    * the partition column. Correctness: the selected partitions'
+    * content checksum must equal the oracle's recomputation from the
+    * flat table — any row routed to the wrong partition directory, lost
+    * in the rewrite, or double-read breaks the sum. Performance: the
+    * filter must prune at the DIRECTORY level (`PartitionFilters` in
+    * the scan, pinned by PlanSpec) — at scale this is the difference
+    * between listing 2 directories and scanning the corpus. The
+    * partition column round-trips through the directory name; reading
+    * it back proves the value→path→value encoding is lossless. */
+  private val q216 = QueryDef(
+    "q216_partitioned_layout_pruning",
+    "Hive-partitioned write + partition-pruned read, checksum-verified vs the flat table",
+    Some(s"""
+      WITH h AS (SELECT lang,
+                        ${text.md5Hash60Sql(
+                          "doc_id || chr(1) || lang || chr(1) || source || chr(1) || n_chars || chr(1) || text")}
+                          % (1::BIGINT << 40) AS h
+                 FROM documents WHERE lang IN ('en', 'de'))
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(h) AS BIGINT) AS content_checksum
+      FROM h GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      val base = java.nio.file.Files.createTempDirectory("graft_q216").toString
+      docs.write.mode("overwrite").partitionBy("lang").parquet(s"$base/bylang")
+      s.read.parquet(s"$base/bylang")
+        .filter(col("lang").isin("en", "de"))
+        .select(col("lang"), rowHash.as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h")).cast("long").as("content_checksum"))
+        .orderBy("lang")
+    })
+
+  // ---------------------------------------------------------------------
+  // q217 — schema evolution via mergeSchema
+  // ---------------------------------------------------------------------
+
+  /** Lakehouse schema evolution: an old writer generation lacks a
+    * column a newer generation added (`quality`), and the reader must
+    * merge footers across generations — old rows surface NULL, new
+    * rows carry values, aggregates see exactly the union. This is the
+    * drift case the round-8 events regeneration proved real: sources
+    * at 100 TB are written by YEARS of pipeline versions, and a reader
+    * that assumes one frozen physical schema breaks on the oldest or
+    * newest file. The deterministic doc_id parity split lets the
+    * DuckDB oracle recompute both generations from the flat table. */
+  private val q217 = QueryDef(
+    "q217_schema_evolution_merge",
+    "mergeSchema read across two writer generations (added column nulls backfilled)",
+    Some("""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (doc_id % 2 = 1) AS BIGINT)
+               AS n_with_quality,
+             CAST(SUM(n_chars) FILTER (doc_id % 2 = 1) AS BIGINT)
+               AS sum_quality
+      FROM documents GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_q217").toString
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "text")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_chars").as("quality"))
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          sum(col("quality")).as("sum_quality"))
+        .orderBy("lang")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q202, q216, q217)
 }

@@ -155,6 +155,19 @@ class PlanSpec extends AnyFunSuite {
       "sort must run on the derived bigint ts_us")
   }
 
+  test("q216: the lang filter prunes at the partition-directory level") {
+    // The filter on the Hive partition column must become a
+    // PartitionFilters entry on the scan of the partitioned layout —
+    // directory-level pruning, not row-level post-filtering. (The query
+    // writes the layout as a side effect of planning; temp-dir cost at
+    // sf0.001 is negligible.)
+    val p = plan("q216_partitioned_layout_pruning")
+    assert(p.contains("PartitionFilters: [") && p.contains("lang#"),
+      "lang filter must reach PartitionFilters on the partitioned scan")
+    assert(p.contains("lang IN (en,de)") || p.contains("lang#") && p.contains(" IN (en,de)"),
+      s"expected the IN filter over the partition column in:\n$p")
+  }
+
   test("q71: subqueries decorrelate to semi/anti/outer joins, no per-row re-execution") {
     val p = plan("q71_correlated_subqueries")
     assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a left-semi join")
