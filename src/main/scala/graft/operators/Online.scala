@@ -70,11 +70,14 @@ object Online {
       // on the driver inside a registered query).
       val sorted = evBase.orderBy(col("ts_us"), col("event_id"))
       // >= 2 data batches so the watermark genuinely advances mid-run;
-      // <= 25k rows per feed batch so driver memory stays bounded as the
-      // fixture scales. Sorted input means later batches are never late
+      // <= 50k rows per feed batch (a few MB) so driver memory stays
+      // bounded as the fixture scales — at sf0.1 that reproduces the
+      // original 4-micro-batch structure (each batch costs ~1 s of fixed
+      // streaming-engine machinery, so the cap IS the query's bench
+      // cost knob). Sorted input means later batches are never late
       // relative to the advancing watermark, so the emitted set is
       // independent of the batch count.
-      val batchSize = math.max(1L, math.min(25000L, (n + 1) / 2)).toInt
+      val batchSize = math.max(1L, math.min(50000L, (n + 1) / 2)).toInt
       val stream = MemoryStream[Event]
       val sink = new java.io.File(
         java.nio.file.Files.createTempDirectory("graft_online_q194").toFile,
