@@ -40,7 +40,8 @@ object Online {
     * IS the thing this gate exists to exercise; the 25k-row batch cap
     * keeps the batch count small at fixture scales.
     */
-  private def replayDailyAnomalies(s: SparkSession, dir: String): Seq[Row] = {
+  private def replayThrough(s: SparkSession, dir: String, tag: String)
+      (pipe: org.apache.spark.sql.Dataset[Event] => DataFrame): (Seq[Row], Long) = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -80,11 +81,11 @@ object Online {
       val batchSize = math.max(1L, math.min(50000L, (n + 1) / 2)).toInt
       val stream = MemoryStream[Event]
       val sink = new java.io.File(
-        java.nio.file.Files.createTempDirectory("graft_online_q194").toFile,
+        java.nio.file.Files.createTempDirectory(s"graft_online_$tag").toFile,
         "out").getPath
-      val ck = java.nio.file.Files.createTempDirectory("graft_online_q194_ck")
+      val ck = java.nio.file.Files.createTempDirectory(s"graft_online_${tag}_ck")
         .toString
-      val q = EventStream.dailyAnomalies(stream.toDS())
+      val q = pipe(stream.toDS())
         .writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ck)
         .outputMode(OutputMode.Append()).start()
@@ -98,7 +99,7 @@ object Online {
             Iterator(Seq(Event(9000000L, far, 0L, "click", 0.0)),
               Seq(Event(9000001L, far + 3600000000L, 0L, "click", 0.0)))
         feeds.foreach { c => stream.addData(c); q.processAllAvailable() }
-        s.read.parquet(sink).collect().toSeq
+        (s.read.parquet(sink).collect().toSeq, far)
       } finally q.stop()
     } finally {
       before match {
@@ -123,7 +124,8 @@ object Online {
     "transformWithState daily anomaly monitor replayed to close; oracle = batch q120",
     Some(EventTime.dailyAnomalyOracle),
     (s, dir) => {
-      val rows = replayDailyAnomalies(s, dir).map { r =>
+      val rows = replayThrough(s, dir, "q194")(ev =>
+        EventStream.dailyAnomalies(ev).toDF())._1.map { r =>
         Row(r.getAs[String]("event_type"),
           java.sql.Date.valueOf(
             java.time.LocalDate.ofEpochDay(r.getAs[Long]("day"))),
@@ -145,5 +147,65 @@ object Online {
         .orderBy("event_type", "day")
     })
 
-  def defs: Seq[QueryDef] = Seq(q194)
+  /** Second externally-gated stateful operator: the
+    * `flatMapGroupsWithState` session tracker (30-minute gap PLUS the
+    * domain rule `session_window` can't express — a signup event ends
+    * its session immediately), replayed to close through the chunked
+    * MemoryStream harness and hash-compared against an INDEPENDENT
+    * island-method DuckDB oracle that encodes the same two rules.
+    * Session ids are numbered canonically on BOTH sides — per user by
+    * (start_us, end_us, n_events), not by discovery order — so
+    * same-timestamp degenerate sessions (possible under the signup
+    * rule) can't make the numbering engine-dependent. The sentinels'
+    * own session never closes (the watermark stops short of it) and is
+    * belt-and-braces filtered by `start_us < far`. The collected set
+    * is bounded by |sessions|, not |events|. */
+  private val q218 = QueryDef(
+    "q218_streaming_session_parity",
+    "flatMapGroupsWithState session tracker replayed to close; independent island oracle",
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                 FROM events),
+      m AS (SELECT user_id, us, event_id,
+              CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                     OR lag(event_type) OVER w = 'signup'
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, us,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS grp
+            FROM m),
+      sess AS (SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM g GROUP BY user_id, grp)
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY start_us, end_us, n_events) AS BIGINT) AS session_id,
+             n_events, start_us, end_us, end_us - start_us AS duration_us
+      FROM sess
+      ORDER BY user_id, session_id"""),
+    (s, dir) => {
+      val (rows, far) = replayThrough(s, dir, "q218")(ev =>
+        EventStream.trackedSessions(ev).toDF())
+      val schema = StructType(Seq(
+        StructField("user_id", LongType, nullable = true),
+        StructField("start_us", LongType, nullable = true),
+        StructField("end_us", LongType, nullable = true),
+        StructField("n_events", LongType, nullable = true)))
+      val sess = s.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+        .filter(col("start_us") < far)
+      val byU = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("start_us", "end_us", "n_events")
+      sess.withColumn("session_id", row_number().over(byU).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"),
+          (col("end_us") - col("start_us")).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q194, q218)
 }
