@@ -24,8 +24,36 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    tsTolerant(s, d, "orders", Seq("o_orderdate"))
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    tsTolerant(s, d, "lineitem", Seq("l_shipdate"))
+
+  /** Drift-tolerant read for tables whose timestamp columns could be
+    * regenerated at ns precision (the round-8 events lesson, applied to
+    * every declared-timestamp column): probe under legacy `nanosAsLong`;
+    * a declared-timestamp column surfacing as LongType can ONLY be a
+    * TIMESTAMP(NANOS) footer (a plain µs/ms timestamp reads as a
+    * timestamp type regardless of the flag), so derive the typed column
+    * back via exact `div 1000` + `timestamp_micros` — value-identical
+    * instants under the pinned UTC session. On the no-drift path the
+    * conf is restored immediately so it can't mask anything else. */
+  private def tsTolerant(s: SparkSession, d: String, name: String,
+      tsCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val raw = apply(s, d, name)
+    val nsCols = tsCols.filter(c =>
+      raw.schema.fieldNames.contains(c) && raw.schema(c).dataType == LongType)
+    if (nsCols.isEmpty) {
+      prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      raw
+    } else // keep nanosAsLong set for execution time on the ns path
+      nsCols.foldLeft(raw)((df, c) =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000"))))
+  }
   /** events.ts physical encoding has drifted between fixture generations:
     * int64 epoch-nanos (which Spark 4 refuses as TimestampType —
     * [PARQUET_TYPE_ILLEGAL]) and µs-precision TIMESTAMP_NTZ. A real
