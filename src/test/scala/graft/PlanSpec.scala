@@ -168,6 +168,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected the IN filter over the partition column in:\n$p")
   }
 
+  test("q206: neighbor lists broadcast into scoring; top-5 rank-limits early") {
+    // The bounded top-10 neighbor list must broadcast (the candidate
+    // join never shuffles the train part sets on the neighbor key) and
+    // the per-user top-5 must use WindowGroupLimit, not a full
+    // per-group sort — the two properties that keep the scoring chain
+    // one candidate-set shuffle at any scale.
+    val p = plan("q206_cf_holdout_precision")
+    assert(p.contains("BroadcastHashJoin"), "nb must broadcast into the scoring join")
+    assert(p.contains("WindowGroupLimit"), "top-5 must rank-limit before the full window")
+    assert(p.contains("LeftAnti"), "train-set exclusion must be a left-anti join")
+  }
+
   test("q71: subqueries decorrelate to semi/anti/outer joins, no per-row re-execution") {
     val p = plan("q71_correlated_subqueries")
     assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a left-semi join")
