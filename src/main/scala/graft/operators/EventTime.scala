@@ -13,9 +13,10 @@ import graft.functions.det._
   * Structured Streaming job would — see graft.streaming for the streaming
   * runtime variant of the tumbling aggregation.
   *
-  * All timestamps are compared in epoch MICROseconds: Spark reads the ns
-  * parquet as int64 (ts_us = ts div 1000), DuckDB reads it as µs
-  * TIMESTAMP, so `epoch_us(ts)` is bit-identical to ts_us.
+  * All timestamps are compared in epoch MICROseconds: `Tables.events`
+  * derives `ts_us` whatever the fixture's physical ts encoding (int64-ns
+  * or µs TIMESTAMP_NTZ — it has drifted between driver generations),
+  * and DuckDB's `epoch_us(ts)` is bit-identical to ts_us either way.
   */
 object EventTime {
 

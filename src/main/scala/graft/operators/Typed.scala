@@ -197,5 +197,45 @@ object Typed {
           col("lines"))
         .orderBy("l_orderkey"))
 
-  def defs: Seq[QueryDef] = Seq(q212, q213, q214, q215)
+  // ---------------------------------------------------------------------
+  // q219 — NULL semantics under join / aggregate / sort
+  // ---------------------------------------------------------------------
+
+  /** The NULL-semantics contract, proved cross-engine on one result:
+    * rows with NULL keys survive a NULL-SAFE equi-join (`<=>` ≡ DuckDB
+    * `IS NOT DISTINCT FROM` — a plain `=` join silently drops the NULL
+    * group and `n_rows` exposes it), NULL forms its own GROUP BY group,
+    * `count(col)` skips NULLs while `count(*)` doesn't, DISTINCT
+    * ignores NULLs, and the total order pins NULLS FIRST explicitly
+    * (Spark's ascending default — DuckDB defaults NULLS LAST, so an
+    * implicit sort would hash-mismatch). NULLs are derived
+    * deterministically via nullif on low-cardinality columns. */
+  private val q219 = QueryDef(
+    "q219_null_semantics",
+    "null-safe join, null groups, count(col) vs count(*), NULLS FIRST ordering",
+    Some("""
+      WITH b AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr,
+                        nullif(o_orderstatus, 'P') AS st
+                 FROM orders),
+      d AS (SELECT DISTINCT pr FROM b),
+      j AS (SELECT b.pr, b.st FROM b
+            JOIN d ON b.pr IS NOT DISTINCT FROM d.pr)
+      SELECT pr, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(st) AS BIGINT) AS n_st,
+             CAST(COUNT(DISTINCT st) AS BIGINT) AS n_distinct_st
+      FROM j GROUP BY pr
+      ORDER BY pr NULLS FIRST"""),
+    (s, dir) => {
+      val b = Tables.orders(s, dir).select(
+        expr("nullif(o_orderpriority, '3-MEDIUM')").as("pr"),
+        expr("nullif(o_orderstatus, 'P')").as("st"))
+      val d = b.select(col("pr").as("pr2")).distinct()
+      b.join(d, col("pr") <=> col("pr2"))
+        .groupBy("pr")
+        .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_st"),
+          count_distinct(col("st")).as("n_distinct_st"))
+        .orderBy(asc_nulls_first("pr"))
+    })
+
+  def defs: Seq[QueryDef] = Seq(q212, q213, q214, q215, q219)
 }
