@@ -737,8 +737,9 @@ object Analytics {
     * tie-break (score DESC, part ASC) an exact total order; the three
     * rates are single divides of exact counts.
     *
-    * Measured at sf0.1/local[32] idle: ~7.5 s steady-state (was 9.5 s
-    * steady / 14.4 s raw in the round-8 driver bench). The remaining
+    * Measured at sf0.1/local[32] idle: 7.5–9.5 s per run, min-of-runs
+    * ~7.5 s (was 9.5 s steady / 14.4 s raw in the round-8 driver
+    * bench; run-to-run variance on this query is ±1.5 s). The remaining
     * cost is the algorithm itself — a full train/evaluate CF cycle is
     * q201's co-matrix (~2 s) PLUS candidate scoring PLUS the holdout
     * readout; each stage is a bounded-key shuffle with no quadratic
