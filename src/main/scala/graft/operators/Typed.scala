@@ -237,5 +237,45 @@ object Typed {
         .orderBy(asc_nulls_first("pr"))
     })
 
-  def defs: Seq[QueryDef] = Seq(q212, q213, q214, q215, q219)
+  // ---------------------------------------------------------------------
+  // q220 — MAP-typed column through aggregation and the parquet sink
+  // ---------------------------------------------------------------------
+
+  /** MapType as a first-class OUTPUT column (q46 consumes maps parsed
+    * from JSON; nothing previously emitted one through the sink): a
+    * per-source lang→count map built from sorted entries — the
+    * deterministic entry order makes the parquet bytes canonical, and
+    * DuckDB reads Spark's MAP<STRING,BIGINT> parquet as the same
+    * MAP(VARCHAR,BIGINT) its own map_from_entries produces, so the
+    * driver's compare covers the map cell-for-cell (verified: identical
+    * relation types and values through the DuckDB lens). Scalar twins
+    * (n_langs, en_docs) ride along from the same grouped counts so the
+    * map content is cross-checkable against plain columns. */
+  private val q220 = QueryDef(
+    "q220_map_column_roundtrip",
+    "MAP<STRING,BIGINT> built from sorted entries, emitted through the parquet sink",
+    Some("""
+      WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1, 2)
+      SELECT source,
+             map_from_entries(list_sort(list(struct_pack(key := lang,
+               value := n)))) AS lang_counts,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT)
+               AS en_docs
+      FROM c GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      c.groupBy("source")
+        .agg(
+          map_from_entries(sort_array(collect_list(struct(col("lang"),
+            col("n"))))).as("lang_counts"),
+          count(lit(1)).as("n_langs"),
+          sum(when(col("lang") === "en", col("n")).otherwise(lit(0L)))
+            .as("en_docs"))
+        .orderBy("source")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q212, q213, q214, q215, q219, q220)
 }
