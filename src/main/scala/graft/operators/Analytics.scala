@@ -849,7 +849,14 @@ object Analytics {
       val byUser = Window.partitionBy("u").orderBy(col("score").desc, col("pb"))
       // recs (≤5 rows/user) and hp feed THREE readout branches (s1, the
       // hit join, the holdout semi-join) — persist both so the whole
-      // recommender pipeline executes ONCE, not once per branch. This
+      // recommender pipeline executes ONCE, not once per branch.
+      // LIFECYCLE CONTRACT: the fn returns a LAZY DataFrame, so it
+      // cannot unpersist (the readout would re-fan the DAG when the
+      // caller finally executes). Graft's harnesses (Verify/Bench/test
+      // specs) call spark.catalog.clearCache() after each query; an
+      // external caller running query fns directly owes the same
+      // teardown or these two small cached results accumulate.
+      // This
       // was the real triplication behind the round-8 bench outlier: the
       // scalar readout fanned the full co-matrix + scoring DAG out 3×.
       val recs = scx.withColumn("r", row_number().over(byUser))

@@ -19,6 +19,23 @@ import graft.functions.text
   */
 object Formats {
 
+  /** Per-JVM scratch root for the format round-trips, removed by a
+    * shutdown hook: each query REUSES its own subdirectory (writes are
+    * mode=overwrite), so repeated verify/bench/test invocations — and
+    * plan()-only calls from PlanSpec — no longer accumulate corpus
+    * copies in /tmp (round-9 ADVICE). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_formats")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(p.toFile)))
+    p
+  }
+  private def delTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(delTree))
+    f.delete(); ()
+  }
+  private def scratch(q: String): String =
+    java.nio.file.Files.createDirectories(scratchRoot.resolve(q)).toString
+
   /** Per-row md5 content hash folded to 40 bits and summed per group —
     * an order-independent exact-integer content checksum both engines
     * compute identically (2^40-bounded terms keep the BIGINT sum exact
@@ -52,7 +69,7 @@ object Formats {
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("source", StringType), StructField("n_chars", LongType),
         StructField("text", StringType)))
-      val base = java.nio.file.Files.createTempDirectory("graft_q202").toString
+      val base = scratch("q202")
       docs.write.mode("overwrite").json(s"$base/json")
       docs.write.mode("overwrite")
         .option("header", "true").option("quoteAll", "true")
@@ -100,7 +117,7 @@ object Formats {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "lang", "source", "n_chars", "text")
-      val base = java.nio.file.Files.createTempDirectory("graft_q216").toString
+      val base = scratch("q216")
       docs.write.mode("overwrite").partitionBy("lang").parquet(s"$base/bylang")
       s.read.parquet(s"$base/bylang")
         .filter(col("lang").isin("en", "de"))
@@ -136,7 +153,7 @@ object Formats {
       FROM documents GROUP BY lang ORDER BY lang"""),
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft_q217").toString
+      val base = scratch("q217")
       docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "lang", "text")
         .write.mode("overwrite").parquet(s"$base/gen1")

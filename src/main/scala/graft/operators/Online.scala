@@ -31,14 +31,20 @@ object Online {
     * so peak driver memory is O(feed batch), not O(fixture) — the
     * harness survives fixture scale-ups. At least two data batches make
     * the watermark advance mid-run, so day state and registered timers
-    * genuinely carry across micro-batches; the two far-future sentinels
-    * then close every remaining real day (a batch's watermark applies
-    * in the NEXT batch, hence two), while the sentinels' own far-future
-    * day never closes and is never emitted — so the emitted set covers
-    * exactly the batch day set. Each micro-batch costs ~1s of fixed
-    * streaming-engine machinery (RocksDB open/commit, planning), which
-    * IS the thing this gate exists to exercise; the 25k-row batch cap
-    * keeps the batch count small at fixture scales.
+    * genuinely carry across micro-batches. Sentinel structure (one
+    * batch cheaper than the round-9 two-probe-batch shape): the FIRST
+    * far-future sentinel rides in the LAST data batch (the input stays
+    * chronologically sorted — it is the max), advancing the watermark
+    * past every real day's close horizon at that batch's end; one final
+    * probe batch (second sentinel) then processes under the advanced
+    * watermark and fires every remaining close timer (a batch's
+    * watermark applies in the NEXT batch, hence the probe). The
+    * sentinels' own far-future day/session never closes and is never
+    * emitted — the emitted set covers exactly the fixture's day set.
+    * Each micro-batch costs ~1s of fixed streaming-engine machinery
+    * (RocksDB open/commit, planning), which IS the thing this gate
+    * exists to exercise; the 50k-row feed-batch cap keeps the batch
+    * count small at fixture scales while bounding driver memory.
     */
   private def replayThrough(s: SparkSession, dir: String, tag: String)
       (pipe: org.apache.spark.sql.Dataset[Event] => DataFrame): (Seq[Row], Long) = {
@@ -51,11 +57,12 @@ object Online {
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // state-store count = shuffle partitions at stream start × batches;
-    // the keyspace here is |event types| (tiny), so 8 RocksDB instances
-    // per batch are plenty — 32 would spend the whole run opening
-    // stores. Each replay starts a fresh checkpoint, so the narrowed
-    // partitioning never leaks into another query's state.
-    s.conf.set(partKey, "8")
+    // the keyspace here is |event types| (tiny) or hash-spread users
+    // with trivial per-key work, so 4 RocksDB instances per batch are
+    // plenty — 32 would spend the whole run opening stores. Each replay
+    // starts a fresh checkpoint, so the narrowed partitioning never
+    // leaks into another query's state.
+    s.conf.set(partKey, "4")
     try {
       val evBase = Tables.events(s, dir)
         .select(col("event_id"), col("ts_us"), col("user_id"),
@@ -72,11 +79,11 @@ object Online {
       val sorted = evBase.orderBy(col("ts_us"), col("event_id"))
       // >= 2 data batches so the watermark genuinely advances mid-run;
       // <= 50k rows per feed batch (a few MB) so driver memory stays
-      // bounded as the fixture scales — at sf0.1 that reproduces the
-      // original 4-micro-batch structure (each batch costs ~1 s of fixed
-      // streaming-engine machinery, so the cap IS the query's bench
-      // cost knob). Sorted input means later batches are never late
-      // relative to the advancing watermark, so the emitted set is
+      // bounded as the fixture scales — at sf0.1 that gives 2 data
+      // batches + 1 sentinel probe = 3 micro-batches (each costs ~1 s
+      // of fixed streaming-engine machinery, so the cap IS the query's
+      // bench cost knob). Sorted input means later batches are never
+      // late relative to the advancing watermark, so the emitted set is
       // independent of the batch count.
       val batchSize = math.max(1L, math.min(50000L, (n + 1) / 2)).toInt
       val stream = MemoryStream[Event]
@@ -92,12 +99,24 @@ object Online {
       try {
         // Iterator end-to-end: grouped() over toLocalIterator never holds
         // more than one feed batch; MemoryStream purges committed batches,
-        // so the stream side is bounded too.
+        // so the stream side is bounded too. Sentinel 1 rides the LAST
+        // data batch (still sorted — it is the global max), so only ONE
+        // extra probe batch is needed to fire the close timers.
         import scala.jdk.CollectionConverters._
-        val feeds: Iterator[Seq[Event]] =
-          sorted.toLocalIterator().asScala.grouped(batchSize).map(_.toSeq) ++
-            Iterator(Seq(Event(9000000L, far, 0L, "click", 0.0)),
-              Seq(Event(9000001L, far + 3600000000L, 0L, "click", 0.0)))
+        val sent1 = Event(9000000L, far, 0L, "click", 0.0)
+        val sent2 = Event(9000001L, far + 3600000000L, 0L, "click", 0.0)
+        val grouped =
+          sorted.toLocalIterator().asScala.grouped(batchSize).map(_.toSeq)
+        val data: Iterator[Seq[Event]] =
+          if (grouped.hasNext) grouped else Iterator(Seq.empty[Event])
+        val withSent1: Iterator[Seq[Event]] = new Iterator[Seq[Event]] {
+          def hasNext: Boolean = data.hasNext
+          def next(): Seq[Event] = {
+            val b = data.next()
+            if (data.hasNext) b else b :+ sent1
+          }
+        }
+        val feeds: Iterator[Seq[Event]] = withSent1 ++ Iterator(Seq(sent2))
         feeds.foreach { c => stream.addData(c); q.processAllAvailable() }
         (s.read.parquet(sink).collect().toSeq, far)
       } finally q.stop()

@@ -33,7 +33,16 @@ object Typed {
     * this query is the witness that the engine's decimal path (cast,
     * multiply with scale growth, sum, min/max, subtract) is
     * bit-faithful. Intermediate casts keep every Spark result type
-    * inside precision 38 with no precision-loss rounding path. */
+    * inside precision 38 with no precision-loss rounding path.
+    *
+    * FINAL projection is scaled-integer (value × 10^scale → BIGINT):
+    * every DECIMAL op above still runs in-plan, but the sink columns
+    * are exact integers, because the driver's pandas comparer reads
+    * parquet DECIMAL as Python `Decimal` objects while the DuckDB side
+    * lands float64 — the round-9 hash mismatch was that lens, not the
+    * values. The ×10^s products are integral by construction (scale 5
+    * and 8 respectively), so the BIGINT cast is exact in both engines
+    * regardless of their round-vs-truncate cast policy. */
   private val q212 = QueryDef(
     "q212_decimal_ledger",
     "penny-exact DECIMAL arithmetic: scale-growing products, exact sums, zero residual",
@@ -46,14 +55,18 @@ object Typed {
                    amt * CAST(0.125 AS DECIMAL(3,3)) AS disc
             FROM t)
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(amt) AS DECIMAL(38,5)) AS sum_amt,
-             CAST(SUM(disc) AS DECIMAL(38,8)) AS sum_disc,
-             CAST(MIN(amt) AS DECIMAL(38,5)) AS min_amt,
-             CAST(MAX(amt) AS DECIMAL(38,5)) AS max_amt,
-             CAST(CAST(SUM(amt) AS DECIMAL(38,8))
+             CAST(CAST(SUM(amt) AS DECIMAL(38,5)) * 100000 AS BIGINT)
+               AS sum_amt_e5,
+             CAST(CAST(SUM(disc) AS DECIMAL(38,8)) * 100000000 AS BIGINT)
+               AS sum_disc_e8,
+             CAST(CAST(MIN(amt) AS DECIMAL(38,5)) * 100000 AS BIGINT)
+               AS min_amt_e5,
+             CAST(CAST(MAX(amt) AS DECIMAL(38,5)) * 100000 AS BIGINT)
+               AS max_amt_e5,
+             CAST(CAST(CAST(SUM(amt) AS DECIMAL(38,8))
                   - CAST(CAST(SUM(disc) AS DECIMAL(30,8))
                          * CAST(8 AS DECIMAL(2,0)) AS DECIMAL(38,8))
-                  AS DECIMAL(38,8)) AS residual
+                  AS DECIMAL(38,8)) * 100000000 AS BIGINT) AS residual_e8
       FROM d GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
       val t = Tables.lineitem(s, dir).select(col("l_returnflag"),
@@ -72,6 +85,14 @@ object Typed {
             - (col("sum_disc").cast(DecimalType(30, 8))
                 * lit(8).cast(DecimalType(2, 0))).cast(DecimalType(38, 8)))
             .cast(DecimalType(38, 8)))
+        .select(col("l_returnflag"), col("n"),
+          (col("sum_amt") * lit(100000L)).cast(LongType).as("sum_amt_e5"),
+          (col("sum_disc") * lit(100000000L)).cast(LongType)
+            .as("sum_disc_e8"),
+          (col("min_amt") * lit(100000L)).cast(LongType).as("min_amt_e5"),
+          (col("max_amt") * lit(100000L)).cast(LongType).as("max_amt_e5"),
+          (col("residual") * lit(100000000L)).cast(LongType)
+            .as("residual_e8"))
         .orderBy("l_returnflag")
     })
 
@@ -123,27 +144,37 @@ object Typed {
   // ---------------------------------------------------------------------
 
   /** Struct columns as first-class aggregation citizens: build a typed
-    * envelope per row, arg-min/arg-max it through a hash aggregate,
-    * read a field back out post-agg, and emit a struct-of-struct
-    * (status → date span) through the parquet sink. This is the schema
-    * shape multimodal metadata rides in at 100 TB (opaque payload +
-    * typed envelope) — proving it survives shuffle, agg, and the
-    * columnar sink matters more than any single function. */
+    * envelope per row, arg-min/arg-max it through a hash aggregate, and
+    * read every field back out post-agg. This is the schema shape
+    * multimodal metadata rides in at 100 TB (opaque payload + typed
+    * envelope) — proving it survives shuffle and agg matters more than
+    * any single function.
+    *
+    * FINAL projection is flat scalars (the struct's FIELDS): the
+    * min_by/max_by-over-struct aggregation still runs in-plan, but the
+    * sink schema carries no struct column because the driver's pandas
+    * comparer cannot `sort_values` dict cells (round-9 `err:
+    * unhashable type: 'dict'` — values were already equal under the
+    * DuckDB lens). */
   private val q214 = QueryDef(
     "q214_nested_struct_stats",
-    "struct envelopes: min_by/max_by over structs, field access post-agg, struct-of-struct span",
+    "struct envelopes: min_by/max_by over structs, fields re-projected flat post-agg",
     Some("""
-      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      WITH a AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
              arg_min(struct_pack(okey := o_orderkey,
                                  priority := o_orderpriority), o_orderkey)
-               AS first_order,
+               AS fo,
              arg_max(struct_pack(okey := o_orderkey,
                                  priority := o_orderpriority), o_orderkey)
-               AS last_order,
-             arg_min(o_orderkey, o_orderkey) AS first_key,
-             struct_pack(first_d := MIN(CAST(o_orderdate AS DATE)),
-                         last_d := MAX(CAST(o_orderdate AS DATE))) AS span
-      FROM orders GROUP BY 1 ORDER BY 1"""),
+               AS lo,
+             MIN(CAST(o_orderdate AS DATE)) AS span_first_d,
+             MAX(CAST(o_orderdate AS DATE)) AS span_last_d
+        FROM orders GROUP BY 1)
+      SELECT o_orderstatus, n,
+             fo.okey AS first_okey, fo.priority AS first_priority,
+             lo.okey AS last_okey, lo.priority AS last_priority,
+             fo.okey AS first_key, span_first_d, span_last_d
+      FROM a ORDER BY o_orderstatus"""),
     (s, dir) => {
       val env = struct(col("o_orderkey").as("okey"),
         col("o_orderpriority").as("priority"))
@@ -152,13 +183,16 @@ object Typed {
         .agg(count(lit(1)).as("n"),
           min_by(env, col("o_orderkey")).as("first_order"),
           max_by(env, col("o_orderkey")).as("last_order"),
-          min(col("o_orderdate").cast(DateType)).as("first_d"),
-          max(col("o_orderdate").cast(DateType)).as("last_d"))
-        .select(col("o_orderstatus"), col("n"), col("first_order"),
-          col("last_order"),
-          // field access THROUGH the aggregated struct, not a re-agg
+          min(col("o_orderdate").cast(DateType)).as("span_first_d"),
+          max(col("o_orderdate").cast(DateType)).as("span_last_d"))
+        // field access THROUGH the aggregated structs, not a re-agg
+        .select(col("o_orderstatus"), col("n"),
+          col("first_order").getField("okey").as("first_okey"),
+          col("first_order").getField("priority").as("first_priority"),
+          col("last_order").getField("okey").as("last_okey"),
+          col("last_order").getField("priority").as("last_priority"),
           col("first_order").getField("okey").as("first_key"),
-          struct(col("first_d"), col("last_d")).as("span"))
+          col("span_first_d"), col("span_last_d"))
         .orderBy("o_orderstatus")
     })
 
@@ -172,18 +206,33 @@ object Typed {
     * column via field access — so the packed and flat views are proved
     * consistent inside one plan. Sorting the array makes the result a
     * total order; quantities are integer-valued so the BIGINT cast is
-    * exact in both engines. */
+    * exact in both engines.
+    *
+    * FINAL projection posexplodes the packed array back to long form
+    * (l_orderkey, n_lines, total_qty, pos, ln, qty): the pack → unpack
+    * round trip is proved row-for-row and position-for-position inside
+    * one plan — a STRONGER claim than shipping the blob — and the sink
+    * schema is flat because the driver's pandas comparer cannot sort
+    * ndarray cells (round-9 `err: unhashable type: 'numpy.ndarray'`).
+    * DuckDB side zips `generate_subscripts` with `unnest` (Postgres
+    * SRF-zip semantics) to reproduce posexplode's 0-based positions. */
   private val q215 = QueryDef(
     "q215_order_lines_envelope",
-    "array<struct> packing per order with in-plan flat checksum",
+    "array<struct> packing per order, posexploded back to flat long form in-plan",
     Some("""
-      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      WITH g AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
              list_sort(list(struct_pack(
                ln := CAST(l_linenumber AS BIGINT),
                qty := CAST(l_quantity AS BIGINT)))) AS lines
-      FROM lineitem WHERE l_orderkey < 200
-      GROUP BY 1 ORDER BY 1"""),
+        FROM lineitem WHERE l_orderkey < 200 GROUP BY 1),
+      e AS (SELECT l_orderkey, n_lines, total_qty,
+                   CAST(generate_subscripts(lines, 1) - 1 AS INT) AS pos,
+                   unnest(lines) AS line
+            FROM g)
+      SELECT l_orderkey, n_lines, total_qty, pos,
+             line.ln AS ln, line.qty AS qty
+      FROM e ORDER BY l_orderkey, pos"""),
     (s, dir) =>
       Tables.lineitem(s, dir).filter(col("l_orderkey") < 200)
         .select(col("l_orderkey"),
@@ -194,8 +243,11 @@ object Typed {
           sum(col("line").getField("qty")).as("total_qty"),
           sort_array(collect_list(col("line"))).as("lines"))
         .select(col("l_orderkey"), col("n_lines"), col("total_qty"),
-          col("lines"))
-        .orderBy("l_orderkey"))
+          posexplode(col("lines")))
+        .select(col("l_orderkey"), col("n_lines"), col("total_qty"),
+          col("pos"), col("col").getField("ln").as("ln"),
+          col("col").getField("qty").as("qty"))
+        .orderBy("l_orderkey", "pos"))
 
   // ---------------------------------------------------------------------
   // q219 — NULL semantics under join / aggregate / sort
@@ -241,29 +293,37 @@ object Typed {
   // q220 — MAP-typed column through aggregation and the parquet sink
   // ---------------------------------------------------------------------
 
-  /** MapType as a first-class OUTPUT column (q46 consumes maps parsed
-    * from JSON; nothing previously emitted one through the sink): a
-    * per-source lang→count map built from sorted entries — the
-    * deterministic entry order makes the parquet bytes canonical, and
-    * DuckDB reads Spark's MAP<STRING,BIGINT> parquet as the same
-    * MAP(VARCHAR,BIGINT) its own map_from_entries produces, so the
-    * driver's compare covers the map cell-for-cell (verified: identical
-    * relation types and values through the DuckDB lens). Scalar twins
+  /** MapType as a first-class column through aggregation (q46 consumes
+    * maps parsed from JSON; this one BUILDS one): a per-source
+    * lang→count map from sorted entries, then exploded back to
+    * (key, value) rows in the SAME plan — the map construction, its
+    * deterministic entry order, and element access all execute, and the
+    * explode proves the entry set round-trips losslessly. Scalar twins
     * (n_langs, en_docs) ride along from the same grouped counts so the
-    * map content is cross-checkable against plain columns. */
+    * map content is cross-checkable against plain columns.
+    *
+    * FINAL projection is the exploded flat form because the driver's
+    * pandas comparer cannot sort dict cells (round-9 `err: unhashable
+    * type: 'list'` — values were equal under the DuckDB lens). DuckDB
+    * mirrors with unnest(map_entries(...)). */
   private val q220 = QueryDef(
     "q220_map_column_roundtrip",
-    "MAP<STRING,BIGINT> built from sorted entries, emitted through the parquet sink",
+    "MAP<STRING,BIGINT> built from sorted entries, exploded back to flat rows in-plan",
     Some("""
       WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
-                 FROM documents GROUP BY 1, 2)
-      SELECT source,
+                 FROM documents GROUP BY 1, 2),
+      m AS (SELECT source,
              map_from_entries(list_sort(list(struct_pack(key := lang,
                value := n)))) AS lang_counts,
              CAST(COUNT(*) AS BIGINT) AS n_langs,
              CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT)
                AS en_docs
-      FROM c GROUP BY source ORDER BY source"""),
+        FROM c GROUP BY source),
+      e AS (SELECT source, n_langs, en_docs,
+                   unnest(map_entries(lang_counts)) AS ent
+            FROM m)
+      SELECT source, ent.key AS lang, ent.value AS n, n_langs, en_docs
+      FROM e ORDER BY source, lang"""),
     (s, dir) => {
       val c = Tables.documents(s, dir)
         .groupBy("source", "lang").agg(count(lit(1)).as("n"))
@@ -274,7 +334,10 @@ object Typed {
           count(lit(1)).as("n_langs"),
           sum(when(col("lang") === "en", col("n")).otherwise(lit(0L)))
             .as("en_docs"))
-        .orderBy("source")
+        .select(col("source"), col("n_langs"), col("en_docs"),
+          explode(col("lang_counts")).as(Seq("lang", "n")))
+        .select("source", "lang", "n", "n_langs", "en_docs")
+        .orderBy("source", "lang")
     })
 
   def defs: Seq[QueryDef] = Seq(q212, q213, q214, q215, q219, q220)

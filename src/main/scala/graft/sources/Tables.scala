@@ -136,9 +136,18 @@ object Tables {
     val drifts = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { t =>
       try {
-        // events needs its type-dispatching loader even to probe (ns
-        // footers throw on plain read); all other tables read directly.
-        val schema = (if (t == "events") events(s, sfDir) else apply(s, sfDir, t)).schema
+        // Tables with declared-timestamp columns are probed through their
+        // OWN drift-tolerant loaders (a ns-encoded fixture throws
+        // [PARQUET_TYPE_ILLEGAL] on a plain read, and probing the raw
+        // reader would report an encoding the loader explicitly supports
+        // as UNREADABLE/drift — round-9 ADVICE); everything else reads
+        // directly.
+        val schema = (t match {
+          case "events"   => events(s, sfDir)
+          case "orders"   => orders(s, sfDir)
+          case "lineitem" => lineitem(s, sfDir)
+          case _          => apply(s, sfDir, t)
+        }).schema
         val have = schema.fields.map(f => f.name -> f.dataType.typeName).toMap
         expected(t).foreach { case (col, okTypes) =>
           have.get(col) match {

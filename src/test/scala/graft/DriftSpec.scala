@@ -71,4 +71,19 @@ class DriftSpec extends AnyFunSuite {
     val drifts = Tables.validate(spark, dir)
     assert(drifts.isEmpty, s"unexpected drift lines: $drifts")
   }
+
+  test("Tables.validate reports a ns-encoded orders fixture as in-contract") {
+    // round-9 ADVICE: validate used to probe orders through the RAW
+    // reader, so a ns o_orderdate — an encoding tsTolerant supports —
+    // was reported UNREADABLE, and the outcome depended on whether a
+    // prior events() probe left nanosAsLong set. Probing through the
+    // loader makes the verdict encoding- and order-independent.
+    val dir = dirWith("orders", "orders_ns.parquet")
+    for (t <- Tables.names if t != "orders") {
+      val src = java.nio.file.Paths.get(sf, s"$t.parquet")
+      java.nio.file.Files.copy(src, java.nio.file.Paths.get(dir, s"$t.parquet"))
+    }
+    val drifts = Tables.validate(spark, dir)
+    assert(drifts.isEmpty, s"unexpected drift lines: $drifts")
+  }
 }

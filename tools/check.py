@@ -40,6 +40,30 @@ def norm(v):
         return ("i", v)
     return v
 
+def pandas_lens(parquet_path, name):
+    """Return an error string if the driver's pandas comparer would choke
+    on this Spark output (unsortable object cells / Decimal objects),
+    else None. Mirrors the driver: pyarrow -> pandas -> sort_values."""
+    import decimal
+    import pandas as pd
+    import pyarrow.parquet as pq
+    df = pq.read_table(parquet_path).to_pandas()
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c].head(50):
+                if isinstance(v, (dict, list, tuple)) or hasattr(v, "ndim"):
+                    return (f"column '{c}' holds {type(v).__name__} cells — "
+                            "driver sort_values raises 'unhashable type'")
+                if isinstance(v, decimal.Decimal):
+                    return (f"column '{c}' holds Decimal objects — DuckDB "
+                            "side lands float64, driver hash mismatches")
+    try:
+        df.sort_values(by=list(df.columns))
+    except Exception as e:
+        return f"sort_values failed: {str(e)[:150]}"
+    return None
+
+
 for name in sorted(oracle):
     if only and name not in only:
         continue
@@ -89,6 +113,17 @@ for name in sorted(oracle):
     if bad:
         ri, ov, sv = bad
         print(f"FAIL {name}: row {ri} differs\n  cols : {sorted(ocols)}\n  oracle: {ov}\n  spark : {sv}")
+        fails.append(name); continue
+    # Driver-lens emulation (round-9 process bug: the DuckDB-relation
+    # compare above passed q212/q214/q215/q220 while the driver's pandas
+    # `sort_values` comparer could not ingest them at all). Reproduce
+    # that lens: read the Spark parquet via pyarrow→pandas, sort_values
+    # on every column, and reject any cell the pandas path can't hash or
+    # hashes differently across engines (dict/list/ndarray from nested
+    # types, Decimal objects from DECIMAL columns).
+    lens_err = pandas_lens(files[0], name)
+    if lens_err:
+        print(f"FAIL {name}: driver-lens: {lens_err}")
         fails.append(name)
     else:
         print(f"PASS {name}: {len(orows)} rows")
