@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // cheap-conjuncts-first join conditions (see the rule's scaladoc for
     // the measured misplan motivating it)
     e.injectOptimizerRule(_ => graft.plans.ReorderJoinPredicates)
+    // native as-of join (whole-operator ladder: AsOfJoinPlan ->
+    // AsOfJoinStrategy -> AsOfJoinExec); running sessions can also get
+    // it via AsOfJoin.ensureOn (experimental.extraStrategies)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -608,10 +608,11 @@ object Pipeline {
   // ---------------------------------------------------------------------
 
   /** Forward as-of: the FIRST view strictly after each signup per user
-    * (activation tracking). Same equi-join + per-key rank shape as the
-    * backward as-of — at scale both sides hash-partition on user_id once
-    * and WindowGroupLimit keeps only the rank-1 row per signup before
-    * the final sort. */
+    * (activation tracking), on the NATIVE as-of operator
+    * (graft.plans.AsOfJoinPlan — forward direction; q10 exercises
+    * backward). One co-partitioned merge pass, no pair fan-out; the
+    * unchanged oracle SQL (equi-join + rank-1 window) stays the
+    * semantic spec the operator must hash-match. */
   private val q69 = QueryDef(
     "q69_asof_forward_view_after_signup",
     "forward as-of join: earliest view strictly after each signup per user",
@@ -636,11 +637,8 @@ object Pipeline {
       val v = e.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
           col("us").as("v_us"))
-      val w = Window.partitionBy(col("signup_id"))
-        .orderBy(col("v_us").asc_nulls_last, col("view_id").asc_nulls_last)
-      sg.join(v, col("user_id") === col("v_uid") && col("v_us") > col("s_us"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.plans.AsOfJoin
+        .forward(sg, v, "user_id", "v_uid", "s_us", "v_us", "view_id")
         .select(col("user_id"), col("signup_id"), col("view_id"),
           (col("v_us") - col("s_us")).as("gap_us"))
         .orderBy("user_id", "signup_id")

@@ -245,12 +245,18 @@ object Relational {
           dsum(col("value")).as("sum_value"))
         .orderBy("event_type"))
 
-  /** As-of join (no native Spark SQL operator — composed per SURVEY.md
-    * §2.4): for each purchase, the latest click by the same user at or
-    * before it. Equi-join on user_id bounds the pair explosion (events
-    * per user is O(1) in the fixtures); rank-1 window picks the as-of
-    * match. All comparisons in epoch MICROseconds — both engines read the
-    * ns parquet at µs precision, so ordering is bit-identical. */
+  /** As-of join on the NATIVE operator (graft.plans.AsOfJoinPlan — the
+    * full §2.10 extension ladder: LogicalPlan + SparkStrategy +
+    * SparkPlan): for each purchase, the latest click by the same user
+    * at or before it, in one co-partitioned merge pass. Through round 9
+    * this was composed as equi-join + rank-1 window — correct, but it
+    * materializes every (purchase, earlier-click) pair per user before
+    * the rank filter and pays a second window sort; the native operator
+    * is O(1) memory per task with zero pair fan-out (see
+    * AsOfJoinPlan.scala). The oracle SQL is unchanged — the window
+    * composition remains the SEMANTIC SPEC the operator must match.
+    * All comparisons in epoch MICROseconds — both engines read the
+    * parquet at µs precision, so ordering is bit-identical. */
   private val q10 = QueryDef(
     "q10_asof_click_before_purchase",
     "as-of join: latest click at-or-before each purchase per user",
@@ -275,11 +281,8 @@ object Relational {
       val c = e.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
           col("us").as("c_us"))
-      val w = Window.partitionBy(col("purchase_id"))
-        .orderBy(col("c_us").desc_nulls_last, col("click_id").desc_nulls_last)
-      p.join(c, col("user_id") === col("c_uid") && col("c_us") <= col("p_us"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.plans.AsOfJoin
+        .backward(p, c, "user_id", "c_uid", "p_us", "c_us", "click_id")
         .select(col("user_id"), col("purchase_id"), col("click_id"),
           (col("p_us") - col("c_us")).as("gap_us"))
         .orderBy("user_id", "purchase_id")

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator Catalyst extension ladder (SURVEY §2.10 tier (c)): a
+  * NATIVE distributed as-of join — logical node, planner strategy and
+  * physical sort-merge operator — replacing the equi-join + rank-1
+  * window composition q10/q69 shipped through round 9.
+  *
+  * Why a custom operator instead of the composition: the window form
+  * materializes EVERY (left, right-candidate) pair before the rank-1
+  * filter — per-key fan-out that is quadratic in events-per-user — and
+  * then pays a second full sort for the window. This operator is the
+  * plan a native engine would pick: co-partition both sides on the key
+  * (the same exchange a shuffle join needs), sort each side once within
+  * partitions ((key, time) left; (key, time, tie) right), and emit each
+  * left row's match in ONE forward merge pass — O(n log n) in the sort,
+  * O(n) in the scan, zero pair fan-out, no second window sort. At 100 TB
+  * the composition's intermediate pair set is the difference between a
+  * job that finishes and one that doesn't.
+  *
+  * Semantics (both directions LEFT OUTER, null-extended on no match):
+  *  - backward: latest right row with rTime <= lTime; ties on rTime
+  *    broken toward the LARGEST rightTie (matches `ORDER BY t DESC,
+  *    tie DESC ... rn = 1`).
+  *  - forward: earliest right row with rTime > lTime; ties broken toward
+  *    the SMALLEST rightTie (matches `ORDER BY t ASC, tie ASC ... rn=1`).
+  * Equi-key NULL semantics match a plain join: a NULL key or NULL left
+  * time never matches; right rows with NULL key or time are skipped.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression, forward: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. Registered per-session via
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or at
+  * runtime through `experimental.extraStrategies` (AsOfJoin.ensureOn). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, fwd) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical sort-merge as-of join.
+  *
+  * Distribution/ordering contract: both children clustered on their key
+  * (EnsureRequirements co-partitions them exactly as it would a
+  * sort-merge join — one hash exchange per side, reused if the input is
+  * already partitioned that way) and sorted within partitions; the merge
+  * is then a single forward pass per partition with ONE buffered
+  * lookahead row — no per-key buffering, so memory is O(1) per task
+  * regardless of key skew (a hot key costs time, never heap).
+  */
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression, forward: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  // key-clustered, (key, time)-sorted output: downstream equi-key ops
+  // reuse the exchange; a final global orderBy still sorts (as it must)
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val fwd = forward
+    val attrs = output
+    val nRight = right.output.size
+    // zipPartitions is safe here: EnsureRequirements satisfied both
+    // ClusteredDistributions with compatible same-count partitionings
+    // (and it throws loudly, never silently misjoins, if that ever
+    // stopped holding).
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(nRight)
+        val proj = UnsafeProjection.create(attrs, attrs)
+        val rBuf = rIter.buffered
+        new Iterator[InternalRow] {
+          // the one remembered candidate (backward direction), valid for
+          // curKey only; rows from the buffered iterator are reused
+          // mutable buffers, so retaining one requires copy()
+          private var curKey: Any = null
+          private var haveKey = false
+          private var lastMatch: InternalRow = null
+          override def hasNext: Boolean = lIter.hasNext
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            val k = lKeyB.eval(l)
+            val t = lTimeB.eval(l)
+            var m: InternalRow = null
+            if (k != null && t != null) {
+              if (!haveKey || keyOrd.compare(k, curKey) != 0) {
+                // new left key: drop the old candidate, advance the right
+                // side past smaller (or NULL — they sort first) keys
+                curKey = k; haveKey = true; lastMatch = null
+                var adv = true
+                while (adv && rBuf.hasNext) {
+                  val rk = rKeyB.eval(rBuf.head)
+                  if (rk == null || keyOrd.compare(rk, k) < 0) rBuf.next()
+                  else adv = false
+                }
+              }
+              // consume same-key rows with time <= left time (NULL right
+              // times sort first and never match in either direction)
+              var adv = true
+              while (adv && rBuf.hasNext) {
+                val h = rBuf.head
+                val rk = rKeyB.eval(h)
+                if (rk != null && keyOrd.compare(rk, k) == 0) {
+                  val rt = rTimeB.eval(h)
+                  if (rt == null) rBuf.next()
+                  else if (timeOrd.compare(rt, t) <= 0) {
+                    if (!fwd) lastMatch = h.copy()
+                    rBuf.next()
+                  } else adv = false
+                } else adv = false
+              }
+              if (fwd) {
+                // first same-key row strictly after t, if any
+                if (rBuf.hasNext) {
+                  val h = rBuf.head
+                  val rk = rKeyB.eval(h)
+                  if (rk != null && keyOrd.compare(rk, k) == 0) m = h
+                }
+              } else m = lastMatch
+            }
+            proj(joined(l, if (m == null) nullRight else m))
+          }
+        }
+    }
+  }
+}

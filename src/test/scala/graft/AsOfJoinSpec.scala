@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.AsOfJoin
+
+/** Native as-of join operator (graft.plans.AsOfJoinPlan): differential
+  * testing against the rank-1 window composition it replaced — the
+  * composition is the executable SPEC, the operator must match it
+  * row-for-row on randomized inputs engineered for merge edge cases
+  * (duplicate times, ties, keys on one side only, null keys/times,
+  * empty right partitions). */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // deterministic generator: heavy key collision (0..9), heavy time
+  // collision (0..19), nulls sprinkled on key and time
+  private def mkSide(seed: Long, n: Int, tag: String): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      val k = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(10).toLong)
+      val t = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(20).toLong)
+      (i.toLong, k, t)
+    }
+    rows.toDF(s"${tag}_id", s"${tag}_k", s"${tag}_t")
+  }
+
+  /** The spec: equi-join + rank-1 window, exactly the pre-round-10
+    * q10/q69 shape (including its null semantics). */
+  private def windowSpec(l: DataFrame, r: DataFrame, forward: Boolean): DataFrame = {
+    val cond = col("l_k") === col("r_k") &&
+      (if (forward) col("r_t") > col("l_t") else col("r_t") <= col("l_t"))
+    val w = Window.partitionBy(col("l_id")).orderBy(
+      if (forward) col("r_t").asc_nulls_last else col("r_t").desc_nulls_last,
+      if (forward) col("r_id").asc_nulls_last else col("r_id").desc_nulls_last)
+    l.join(r, cond, "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("l_id", "r_id")
+  }
+
+  private def collectPairs(df: DataFrame): Set[(Long, Option[Long])] =
+    df.collect().map(row => (row.getLong(row.fieldIndex("l_id")),
+      if (row.isNullAt(row.fieldIndex("r_id"))) None
+      else Some(row.getLong(row.fieldIndex("r_id"))))).toSet
+
+  for (forward <- Seq(false, true); (nl, nr, seed) <- Seq(
+      (300, 300, 1L), (100, 500, 2L), (500, 100, 3L), (50, 0, 4L))) {
+    val dir = if (forward) "forward" else "backward"
+    test(s"$dir as-of matches the window-composition spec (nl=$nl nr=$nr)") {
+      val l = mkSide(seed, nl, "l")
+      val r = mkSide(seed + 100, nr, "r")
+      val native =
+        (if (forward) AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+         else AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id"))
+          .select("l_id", "r_id")
+      val spec = windowSpec(l, r, forward)
+      assert(native.count() == nl.toLong, "left outer: one row per left row")
+      assert(collectPairs(native) == collectPairs(spec))
+    }
+  }
+
+  test("operator requires disjoint column names") {
+    val l = mkSide(7L, 10, "l")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, l, "l_k", "l_k", "l_t", "l_t", "l_id")
+    }
+  }
+
+  test("q10/q69 plans carry the native operator and exactly one exchange per side") {
+    for (name <- Seq("q10_asof_click_before_purchase",
+        "q69_asof_forward_view_after_signup")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // AsOfJoinExec renders as "AsOfJoin" (TreeNode strips the Exec suffix)
+      assert("""\+- AsOfJoin """.r.findFirstIn(p).isDefined,
+        s"$name lost the native as-of operator")
+      assert(!p.contains("WindowGroupLimit") && !"Window \\[row_number".r
+        .findFirstIn(p).isDefined, s"$name still has the window composition")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+        s"$name should shuffle each side exactly once")
+    }
+  }
+}
