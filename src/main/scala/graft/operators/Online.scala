@@ -46,7 +46,8 @@ object Online {
     * exists to exercise; the 50k-row feed-batch cap keeps the batch
     * count small at fixture scales while bounding driver memory.
     */
-  private def replayThrough(s: SparkSession, dir: String, tag: String)
+  private def replayThrough(s: SparkSession, dir: String, tag: String,
+      rocksDb: Boolean = true)
       (pipe: org.apache.spark.sql.Dataset[Event] => DataFrame): (Seq[Row], Long) = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -54,8 +55,14 @@ object Online {
     val partKey = "spark.sql.shuffle.partitions"
     val before = s.conf.getOption(key)
     val beforeParts = s.conf.getOption(partKey)
-    s.conf.set(key,
+    // RocksDB is transformWithState's backing CONTRACT (q194 must run on
+    // it — that is the production store the gate certifies); the v1
+    // stateful APIs (q218's flatMapGroupsWithState) run on the default
+    // in-memory HDFS-backed provider, which skips the per-micro-batch
+    // RocksDB instance open/commit cost entirely.
+    if (rocksDb) s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    else before.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     // state-store count = shuffle partitions at stream start × batches;
     // the keyspace here is |event types| (tiny) or hash-spread users
     // with trivial per-key work, so 4 RocksDB instances per batch are
@@ -206,7 +213,7 @@ object Online {
       FROM sess
       ORDER BY user_id, session_id"""),
     (s, dir) => {
-      val (rows, far) = replayThrough(s, dir, "q218")(ev =>
+      val (rows, far) = replayThrough(s, dir, "q218", rocksDb = false)(ev =>
         EventStream.trackedSessions(ev).toDF())
       val schema = StructType(Seq(
         StructField("user_id", LongType, nullable = true),
