@@ -7,6 +7,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev-only subset filter (comma-separated query names): lets a tuning
+    // session time one query at sf0.1 without the full 220-query sweep.
+    // The driver never sets it, so the official artifact is unaffected.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -49,12 +55,16 @@ object Bench {
       if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
     }
     warmDir.foreach { wd =>
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only(n) }
+        .foreach { case (_, fn) =>
         try fn(spark, wd).count() catch { case _: Throwable => () }
         finally spark.catalog.clearCache()
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       // 1-min loadavg sampled around EVERY query (max of before/after):
       // round-3's single end-of-run sample couldn't see a mid-run load
       // spike that tripled timeline-contiguous spans of queries, and the

@@ -60,8 +60,24 @@ object Online {
     // stateful APIs (q218's flatMapGroupsWithState) run on the default
     // in-memory HDFS-backed provider, which skips the per-micro-batch
     // RocksDB instance open/commit cost entirely.
-    if (rocksDb) s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (rocksDb) {
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit uploads the per-batch delta
+      // instead of a full RocksDB snapshot — the per-micro-batch commit
+      // cost becomes O(changed keys), not O(store). The state here is
+      // tiny, but snapshot commits still pay fixed sst/zip machinery;
+      // deltas skip it. This is also the setting a 100 TB deployment
+      // would run with (it bounds commit time by update rate, not by
+      // accumulated state size).
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+      // The store's row-count metric does a RocksDB scan per commit when
+      // tracking is on; the gate asserts on EMITTED rows, not store
+      // metrics, so skip it.
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+        "trackTotalNumberOfRows", "false")
+    }
     else before.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     // state-store count = shuffle partitions at stream start × batches;
     // the keyspace here is |event types| (tiny) or hash-spread users
@@ -70,6 +86,18 @@ object Online {
     // starts a fresh checkpoint, so the narrowed partitioning never
     // leaks into another query's state.
     s.conf.set(partKey, "4")
+    // No-data micro-batches exist to EMIT EARLY in a live deployment
+    // (fire watermark timers as soon as the watermark passes instead of
+    // waiting for the next data batch). In a replay-to-close harness they
+    // only duplicate work: every timer they would fire also fires in the
+    // final probe batch, whose watermark (from the far-future sentinel)
+    // covers the whole calendar. Profiled at sf0.1: each data batch was
+    // followed by a ~0.3 s no-data batch — a third of the gate's batches
+    // doing nothing the probe batch doesn't redo. The emitted set is
+    // unchanged (hash-gated against the oracle either way).
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val beforeNoData = s.conf.getOption(noDataKey)
+    s.conf.set(noDataKey, "false")
     try {
       val evBase = Tables.events(s, dir)
         .select(col("event_id"), col("ts_us"), col("user_id"),
@@ -94,14 +122,31 @@ object Online {
       // independent of the batch count.
       val batchSize = math.max(1L, math.min(50000L, (n + 1) / 2)).toInt
       val stream = MemoryStream[Event]
-      val sink = new java.io.File(
-        java.nio.file.Files.createTempDirectory(s"graft_online_$tag").toFile,
-        "out").getPath
-      val ck = java.nio.file.Files.createTempDirectory(s"graft_online_${tag}_ck")
-        .toString
+      // Memory sink, not a parquet sink: the emitted result is bounded by
+      // the calendar / session count (thousands of rows), never by the
+      // event volume, so driver-side accumulation is safe — and it skips
+      // the per-micro-batch file-sink machinery (task commit, manifest
+      // log, directory listing) that was pure overhead for a result this
+      // small. A production deployment writing unbounded output would use
+      // the parquet sink (exercised by q202/q216's batch writers); the
+      // REPLAY HARNESS's job is state/timer semantics, not sink IO.
+      val qname = s"graft_replay_${tag}_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      // Offset/commit WAL writes fsync per micro-batch; on a RAM disk the
+      // sync is free. The checkpoint is harness-scoped scratch (each
+      // replay starts fresh), so tmpfs durability is irrelevant — a real
+      // deployment points this at reliable storage.
+      val ckBase = {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) shm.toPath
+        else new java.io.File(System.getProperty("java.io.tmpdir")).toPath
+      }
+      val ckDir = java.nio.file.Files
+        .createTempDirectory(ckBase, s"graft_online_${tag}_ck")
+      val ck = ckDir.toString
       val q = pipe(stream.toDS())
-        .writeStream.format("parquet")
-        .option("path", sink).option("checkpointLocation", ck)
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ck)
         .outputMode(OutputMode.Append()).start()
       try {
         // Iterator end-to-end: grouped() over toLocalIterator never holds
@@ -124,9 +169,35 @@ object Online {
           }
         }
         val feeds: Iterator[Seq[Event]] = withSent1 ++ Iterator(Seq(sent2))
-        feeds.foreach { c => stream.addData(c); q.processAllAvailable() }
-        (s.read.parquet(sink).collect().toSeq, far)
-      } finally q.stop()
+        val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+        feeds.foreach { c =>
+          val t0 = System.nanoTime()
+          stream.addData(c)
+          val t1 = System.nanoTime()
+          q.processAllAvailable()
+          if (dbg) System.err.println(
+            s"[stream-debug] $tag batch=${c.size} add=${(t1-t0)/1e6}ms " +
+            s"wait=${(System.nanoTime()-t1)/1e6}ms " +
+            s"progress=${Option(q.lastProgress).map(_.json).getOrElse("-")}")
+        }
+        if (dbg) q.recentProgress.foreach { p =>
+          System.err.println(s"[stream-debug-all] $tag id=${p.batchId} " +
+            s"rows=${p.numInputRows} dur=${p.durationMs}")
+        }
+        (s.table(qname).collect().toSeq, far)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(qname)
+        // The checkpoint is per-replay scratch (often on tmpfs) — delete
+        // it eagerly so repeated verify/bench/test runs don't accumulate
+        // WAL files in RAM.
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckDir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
     } finally {
       before match {
         case Some(v) => s.conf.set(key, v)
@@ -135,6 +206,10 @@ object Online {
       beforeParts match {
         case Some(v) => s.conf.set(partKey, v)
         case None => s.conf.unset(partKey)
+      }
+      beforeNoData match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
       }
     }
   }
