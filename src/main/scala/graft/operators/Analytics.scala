@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
 import graft.functions.det._
+import graft.functions.TopKLongPairs
 
 /** Remaining §2.5/§2.6 surface: supplier-side star join, CUBE with full
   * subtotal lattice, and the analytic-window family (running sums via
@@ -719,10 +720,11 @@ object Analytics {
     * (a) the per-customer last-order split is a bounded window
     * (≤ orders-per-customer rows per key, never global); (b) the
     * co-matrix gets the q124 a-priori support floor AND top-10
-    * NEIGHBOR TRUNCATION per item (rank window over the bounded
-    * per-part neighbor list) — the standard item-CF sparsification
-    * that caps the scoring join at |train parts per user| × 10
-    * candidates regardless of catalog size; (c) the train-set
+    * NEIGHBOR TRUNCATION per item, fused into the aggregation as a
+    * k-bounded-heap TypedImperativeAggregate ([[TopKLongPairs]]) — the
+    * standard item-CF sparsification that caps the scoring join at
+    * |train parts per user| × 10 candidates regardless of catalog
+    * size, without the rank window's sort-exchange-sort-window pass; (c) the train-set
     * exclusion is a LEFT ANTI on the candidate rows BEFORE score
     * aggregation — the exclusion key is the group key, so the filtered
     * sum is exactly the oracle's NOT EXISTS, and the agg reuses the
@@ -737,10 +739,14 @@ object Analytics {
     * tie-break (score DESC, part ASC) an exact total order; the three
     * rates are single divides of exact counts.
     *
-    * Measured at sf0.1/local[32] idle: 7.5–9.5 s per run, min-of-runs
-    * ~7.5 s (was 9.5 s steady / 14.4 s raw in the round-8 driver
-    * bench; run-to-run variance on this query is ±1.5 s). The remaining
-    * cost is the algorithm itself — a full train/evaluate CF cycle is
+    * Measured (round-10 host, ~1.3× slower than round-9's): an
+    * interleaved same-JVM A/B of the rank-window form vs this heap-
+    * aggregate form over 4 alternating runs each at sf0.1 gave
+    * window min/mean 6.9/10.2 s vs heap 6.6/8.4 s — a modest ~18%
+    * mean win (WindowGroupLimit had already capped the window form's
+    * shuffle volume; what the fusion removes is the residual
+    * sort-exchange-sort and the WindowExec pass). The remaining cost
+    * is the algorithm itself — a full train/evaluate CF cycle is
     * q201's co-matrix (~2 s) PLUS candidate scoring PLUS the holdout
     * readout; each stage is a bounded-key shuffle with no quadratic
     * blowup, which is the shape that survives a 100× scale-up. */
@@ -827,9 +833,16 @@ object Analytics {
         .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
       val co = half.unionByName(
         half.select(col("pb").as("pa"), col("pa").as("pb"), col("n")))
-      val byPart = Window.partitionBy("pa").orderBy(col("n").desc, col("pb"))
-      val nb = co.withColumn("r", row_number().over(byPart))
-        .filter(col("r") <= 10).select("pa", "pb", "n")
+      // Top-10 neighbor truncation FUSED INTO the aggregation (the
+      // round-9 verdict's named lever): one k-bounded-heap aggregate per
+      // pa replaces the rank window's sort + exchange + sort + window
+      // pass. The heap ordering (n desc, pb asc) is exactly the window's
+      // ORDER BY, so the kept set is row-identical; TopKSpec pins the
+      // equivalence on randomized inputs including ties.
+      val nb = co.groupBy("pa")
+        .agg(TopKLongPairs.topkPairs(col("n"), col("pb"), 10).as("top"))
+        .select(col("pa"), explode(col("top")).as("t"))
+        .select(col("pa"), col("t.v").as("pb"), col("t.ord").as("n"))
       val tp = trli.select("u", "p").distinct()
       val hp = ho.join(li, col("l_orderkey") === col("o_orderkey"))
         .select(col("u"), col("l_partkey").as("p")).distinct().persist()
@@ -846,7 +859,6 @@ object Analytics {
       val scx = cand.join(tp.select(col("u"), col("p").as("pb")),
           Seq("u", "pb"), "left_anti")
         .groupBy("u", "pb").agg(sum("n").as("score"))
-      val byUser = Window.partitionBy("u").orderBy(col("score").desc, col("pb"))
       // recs (≤5 rows/user) and hp feed THREE readout branches (s1, the
       // hit join, the holdout semi-join) — persist both so the whole
       // recommender pipeline executes ONCE, not once per branch.
@@ -859,8 +871,11 @@ object Analytics {
       // This
       // was the real triplication behind the round-8 bench outlier: the
       // scalar readout fanned the full co-matrix + scoring DAG out 3×.
-      val recs = scx.withColumn("r", row_number().over(byUser))
-        .filter(col("r") <= 5).select("u", "pb").persist()
+      // Same fusion for the per-user top-5: heap aggregate on (score
+      // desc, pb asc) instead of the WindowGroupLimit rank filter.
+      val recs = scx.groupBy("u")
+        .agg(TopKLongPairs.topkPairs(col("score"), col("pb"), 5).as("top"))
+        .select(col("u"), explode(col("top.v")).as("pb")).persist()
       val s1 = recs.agg(countDistinct("u").as("n_users"),
         count(lit(1)).as("n_recs"))
       val hits = recs.join(hp, recs("u") === hp("u") && recs("pb") === hp("p"))

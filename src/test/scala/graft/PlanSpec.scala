@@ -168,15 +168,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected the IN filter over the partition column in:\n$p")
   }
 
-  test("q206: neighbor lists broadcast into scoring; top-5 rank-limits early") {
+  test("q206: neighbor lists broadcast into scoring; top-k fuses into the aggregate") {
     // The bounded top-10 neighbor list must broadcast (the candidate
     // join never shuffles the train part sets on the neighbor key) and
-    // the per-user top-5 must use WindowGroupLimit, not a full
-    // per-group sort — the two properties that keep the scoring chain
-    // one candidate-set shuffle at any scale.
+    // both rank truncations (top-10 neighbors, top-5 recs) must run as
+    // the k-bounded-heap aggregate — no rank window, and so no
+    // sort-exchange-sort pass, anywhere in the scoring chain.
     val p = plan("q206_cf_holdout_precision")
     assert(p.contains("BroadcastHashJoin"), "nb must broadcast into the scoring join")
-    assert(p.contains("WindowGroupLimit"), "top-5 must rank-limit before the full window")
+    assert(p.contains("graft_topk_pairs"), "rank truncation must be the heap aggregate")
+    assert(p.contains("ObjectHashAggregate"), "heap aggregate rides ObjectHashAggregate")
+    assert(!p.contains("WindowGroupLimit"),
+      "no rank window should remain in the scoring chain")
     assert(p.contains("LeftAnti"), "train-set exclusion must be a left-anti join")
   }
 

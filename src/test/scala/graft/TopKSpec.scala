@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TopKLongPairs
+
+/** [[TopKLongPairs]] is a drop-in replacement for the rank-window
+  * truncation `row_number() OVER (PARTITION BY key ORDER BY ord DESC,
+  * v ASC) <= k` — these tests pin row-level equivalence on randomized
+  * inputs (ties on ord, duplicate (ord, v) pairs, groups smaller and
+  * larger than k, null ord rows) plus the emitted array's order. */
+class TopKSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference: the window form over the same rows. */
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("key").orderBy(col("ord").desc, col("v"))
+    df.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      .select("key", "ord", "v")
+  }
+
+  private def heapTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy("key")
+      .agg(TopKLongPairs.topkPairs(col("ord"), col("v"), k).as("top"))
+      .select(col("key"), explode(col("top")).as("t"))
+      .select(col("key"), col("t.ord").as("ord"), col("t.v").as("v"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  test("matches the rank window on randomized input with ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(5000)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(12).toLong, rnd.nextInt(500).toLong))
+    val df = rows.toDF("key", "ord", "v")
+    for (k <- Seq(1, 3, 10)) {
+      assert(canon(heapTopK(df, k)) == canon(windowTopK(df, k)),
+        s"k=$k differs from the window form")
+    }
+  }
+
+  test("groups smaller than k emit every row; duplicates are preserved") {
+    val df = Seq(
+      (1L, 5L, 9L), (1L, 5L, 9L), (1L, 2L, 1L), // dup (ord,v) pair
+      (2L, 7L, 7L))
+      .toDF("key", "ord", "v")
+    val got = canon(heapTopK(df, 10))
+    assert(got == Seq((1L, 2L, 1L), (1L, 5L, 9L), (1L, 5L, 9L), (2L, 7L, 7L)))
+  }
+
+  test("emitted array is best-first (ord desc, v asc)") {
+    val df = Seq((1L, 3L, 5L), (1L, 9L, 2L), (1L, 9L, 1L), (1L, 4L, 0L))
+      .toDF("key", "ord", "v")
+    val arr = df.groupBy("key")
+      .agg(TopKLongPairs.topkPairs(col("ord"), col("v"), 3).as("top"))
+      .select(col("top.ord"), col("top.v")).head()
+    assert(arr.getSeq[Long](0) == Seq(9L, 9L, 4L))
+    assert(arr.getSeq[Long](1) == Seq(1L, 2L, 0L))
+  }
+
+  test("null ord or v rows are skipped, like a k<<n DESC rank filter") {
+    val df = Seq(
+      (1L, Some(5L), Some(9L)), (1L, None, Some(3L)), (1L, Some(1L), None))
+      .toDF("key", "ord", "v")
+    assert(canon(heapTopK(df, 2)) == Seq((1L, 5L, 9L)))
+  }
+
+  test("merge across partitions keeps the global top-k") {
+    // force many input partitions so partial buffers genuinely merge
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(4000)((1L, rnd.nextInt(100000).toLong, rnd.nextLong().abs))
+    val df = rows.toDF("key", "ord", "v").repartition(16)
+    assert(canon(heapTopK(df, 5)) == canon(windowTopK(df, 5)))
+  }
+}
