@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, TopKLongPairs}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    // k-bounded-heap top-k-per-group aggregate:
+    // `SELECT key, graft_topk_pairs(ord, v, 10) ... GROUP BY key`
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk_pairs"),
+      new ExpressionInfo(classOf[TopKLongPairs].getName, "graft_topk_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKLongPairs(children(0), children(1),
+          TopKLongPairs.literalK(children(2)))))
     // cheap-conjuncts-first join conditions (see the rule's scaladoc for
     // the measured misplan motivating it)
     e.injectOptimizerRule(_ => graft.plans.ReorderJoinPredicates)
@@ -31,7 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Register the same functions on an already-running session (the
     * extensions path only applies at session build time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_pairs",
+      exprs => TopKLongPairs(exprs(0), exprs(1),
+        TopKLongPairs.literalK(exprs(2))),
+      "scala_udf")
+  }
 }

@@ -44,7 +44,17 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // full cause chain + trace head: a wrapped INTERNAL_ERROR's
+        // getMessage alone once hid the actual failing frame for a
+        // whole round-10 debugging session
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        var c = e
+        while (c != null) {
+          System.err.println(s"[verify]   cause: $c")
+          c.getStackTrace.take(6).foreach(f =>
+            System.err.println(s"[verify]     at $f"))
+          c = if (c.getCause ne c) c.getCause else null
+        }
       }
       // Query fns are pure; caches they persisted (dedup shingle sets,
       // CC labels) are dead after the write — don't accumulate them

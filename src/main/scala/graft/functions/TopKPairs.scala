@@ -127,4 +127,13 @@ object TopKLongPairs {
     GraftBridge.column(
       TopKLongPairs(GraftBridge.expression(ord), GraftBridge.expression(v), k)
         .toAggregateExpression())
+
+  /** SQL-registration helper: the third argument must be an integer
+    * literal (the aggregate's buffer bound is fixed at plan time). */
+  def literalK(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"graft_topk_pairs k must be an integer literal, got $other")
+  }
 }

@@ -288,6 +288,48 @@ object Relational {
         .orderBy("user_id", "purchase_id")
     })
 
+  /** q10's as-of with the BOUNDED-distance form every mature as-of
+    * surface exposes (pandas merge_asof `tolerance`, kdb `wj`, QuestDB
+    * `ASOF ... TOLERANCE`): only a click within the last 30 minutes
+    * counts as the purchase's attribution source; staler matches fall
+    * back to NULL exactly like no-match rows. Runs on the NATIVE
+    * operator's tolerance path — emit-time bound check inside the same
+    * O(1)-memory merge pass (plans/AsOfJoinPlan.scala), differential-
+    * tested against the bounded window composition in AsOfJoinSpec —
+    * while the oracle states the composition directly. */
+  private val q221 = QueryDef(
+    "q221_asof_tolerance_attribution",
+    "as-of with 30-min tolerance: attributing click within bound, else NULL",
+    Some("""
+      SELECT user_id, purchase_id, click_id, gap_us FROM (
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+               row_number() OVER (PARTITION BY p.event_id
+                 ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+         AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000)
+      WHERE rn = 1
+      ORDER BY user_id, purchase_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("us").as("c_us"))
+      graft.plans.AsOfJoin
+        .backward(p, c, "user_id", "c_uid", "p_us", "c_us", "click_id",
+          tolerance = Some(1800000000L))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+        .orderBy("user_id", "purchase_id")
+    })
+
   /** Multiset (ALL) set operations: bag difference/intersection preserve
     * duplicate multiplicities — exceptAll keeps max(m_a - m_b, 0) copies,
     * intersectAll min(m_a, m_b) — identical semantics in Spark and
@@ -632,7 +674,7 @@ object Relational {
 
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168, q181, q195)
+      q126, q127, q168, q181, q195, q221)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

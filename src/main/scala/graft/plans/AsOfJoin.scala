@@ -21,24 +21,29 @@ object AsOfJoin {
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
 
   /** Backward as-of: latest `right` row with rightTime <= leftTime per
-    * key; ties toward the largest rightTie. Left outer. */
+    * key; ties toward the largest rightTie. Left outer. `tolerance`
+    * (time-column units; integral time columns only) additionally
+    * requires rightTime >= leftTime - tolerance. */
   def backward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
-      rightTie: String): DataFrame =
+      rightTie: String, tolerance: Option[Long] = None): DataFrame =
     build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
-      forward = false)
+      forward = false, tolerance)
 
   /** Forward as-of: earliest `right` row with rightTime > leftTime per
-    * key; ties toward the smallest rightTie. Left outer. */
+    * key; ties toward the smallest rightTie. Left outer. `tolerance`
+    * (time-column units; integral time columns only) additionally
+    * requires rightTime <= leftTime + tolerance. */
   def forward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
-      rightTie: String): DataFrame =
+      rightTie: String, tolerance: Option[Long] = None): DataFrame =
     build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
-      forward = true)
+      forward = true, tolerance)
 
   private def build(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
-      rightTie: String, forward: Boolean): DataFrame = {
+      rightTie: String, forward: Boolean,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureOn(spark)
     val lp = left.queryExecution.analyzed
@@ -49,9 +54,19 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String, side: String) =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"$side side has no column '$n' (has: ${p.output.map(_.name).mkString(", ")})"))
+    val lt = attr(lp, leftTime, "left")
+    val rt = attr(rp, rightTime, "right")
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      require(tolerance.get >= 0, "as-of tolerance must be >= 0")
+      val ok = Set[Any](LongType, IntegerType, ShortType, ByteType,
+        TimestampType, TimestampNTZType, DateType)
+      require(ok(lt.dataType) && ok(rt.dataType),
+        s"as-of tolerance needs integral-backed time columns, got " +
+        s"${lt.dataType}/${rt.dataType}")
+    }
     GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey, "left"), attr(rp, rightKey, "right"),
-      attr(lp, leftTime, "left"), attr(rp, rightTime, "right"),
-      attr(rp, rightTie, "right"), forward))
+      lt, rt, attr(rp, rightTie, "right"), forward, tolerance))
   }
 }

@@ -36,12 +36,22 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    the SMALLEST rightTie (matches `ORDER BY t ASC, tie ASC ... rn=1`).
   * Equi-key NULL semantics match a plain join: a NULL key or NULL left
   * time never matches; right rows with NULL key or time are skipped.
+  *
+  * `tolerance` (the bound every mature as-of implementation exposes —
+  * pandas merge_asof, kdb wj, QuestDB ASOF ... TOLERANCE) caps the
+  * match distance IN THE TIME COLUMN'S PHYSICAL UNITS (µs for
+  * timestamps): backward additionally requires rTime >= lTime - tol,
+  * forward rTime <= lTime + tol. Emit-time check only — a candidate
+  * that falls out of tolerance for one left row can never re-enter for
+  * a later (larger-time) row in backward mode, so the merge pass and
+  * its O(1) memory are unchanged. Integral time columns only.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, forward: Boolean) extends BinaryNode {
+    rightTie: Expression, forward: Boolean,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -54,8 +64,9 @@ case class AsOfJoinPlan(
   * runtime through `experimental.extraStrategies` (AsOfJoin.ensureOn). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, fwd) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, fwd,
+        tol) :: Nil
     case _ => Nil
   }
 }
@@ -74,7 +85,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, forward: Boolean) extends BinaryExecNode {
+    rightTie: Expression, forward: Boolean,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -105,6 +117,18 @@ case class AsOfJoinExec(
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val fwd = forward
+    val tol = tolerance
+    // tolerance bounds need time ARITHMETIC, not just ordering — the
+    // API restricts it to integral-backed time columns (long/int
+    // physical values; TimestampType evals to epoch-µs longs)
+    def timeLong(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case other => throw new IllegalStateException(
+        s"as-of tolerance requires an integral time column, got $other")
+    }
     val attrs = output
     val nRight = right.output.size
     // zipPartitions is safe here: EnsureRequirements satisfied both
@@ -124,6 +148,7 @@ case class AsOfJoinExec(
           private var curKey: Any = null
           private var haveKey = false
           private var lastMatch: InternalRow = null
+          private var lastMatchTime: Any = null
           override def hasNext: Boolean = lIter.hasNext
           override def next(): InternalRow = {
             val l = lIter.next()
@@ -135,6 +160,7 @@ case class AsOfJoinExec(
                 // new left key: drop the old candidate, advance the right
                 // side past smaller (or NULL — they sort first) keys
                 curKey = k; haveKey = true; lastMatch = null
+                lastMatchTime = null
                 var adv = true
                 while (adv && rBuf.hasNext) {
                   val rk = rKeyB.eval(rBuf.head)
@@ -152,19 +178,24 @@ case class AsOfJoinExec(
                   val rt = rTimeB.eval(h)
                   if (rt == null) rBuf.next()
                   else if (timeOrd.compare(rt, t) <= 0) {
-                    if (!fwd) lastMatch = h.copy()
+                    if (!fwd) { lastMatch = h.copy(); lastMatchTime = rt }
                     rBuf.next()
                   } else adv = false
                 } else adv = false
               }
               if (fwd) {
-                // first same-key row strictly after t, if any
+                // first same-key row strictly after t, if any — within
+                // t + tol when a tolerance bounds the look-ahead
                 if (rBuf.hasNext) {
                   val h = rBuf.head
                   val rk = rKeyB.eval(h)
-                  if (rk != null && keyOrd.compare(rk, k) == 0) m = h
+                  if (rk != null && keyOrd.compare(rk, k) == 0 &&
+                      tol.forall(d => timeLong(rTimeB.eval(h)) <= timeLong(t) + d))
+                    m = h
                 }
-              } else m = lastMatch
+              } else if (lastMatch != null &&
+                  tol.forall(d => timeLong(lastMatchTime) >= timeLong(t) - d))
+                m = lastMatch
             }
             proj(joined(l, if (m == null) nullRight else m))
           }

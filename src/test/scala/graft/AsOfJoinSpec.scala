@@ -29,10 +29,16 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   /** The spec: equi-join + rank-1 window, exactly the pre-round-10
-    * q10/q69 shape (including its null semantics). */
-  private def windowSpec(l: DataFrame, r: DataFrame, forward: Boolean): DataFrame = {
-    val cond = col("l_k") === col("r_k") &&
+    * q10/q69 shape (including its null semantics); `tol` adds the
+    * bounded-distance predicate the operator's tolerance implements. */
+  private def windowSpec(l: DataFrame, r: DataFrame, forward: Boolean,
+      tol: Option[Long] = None): DataFrame = {
+    val base = col("l_k") === col("r_k") &&
       (if (forward) col("r_t") > col("l_t") else col("r_t") <= col("l_t"))
+    val cond = tol.fold(base) { d =>
+      base && (if (forward) col("r_t") <= col("l_t") + d
+               else col("r_t") >= col("l_t") - d)
+    }
     val w = Window.partitionBy(col("l_id")).orderBy(
       if (forward) col("r_t").asc_nulls_last else col("r_t").desc_nulls_last,
       if (forward) col("r_id").asc_nulls_last else col("r_id").desc_nulls_last)
@@ -59,6 +65,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       val spec = windowSpec(l, r, forward)
       assert(native.count() == nl.toLong, "left outer: one row per left row")
       assert(collectPairs(native) == collectPairs(spec))
+    }
+  }
+
+  for (forward <- Seq(false, true); tol <- Seq(0L, 3L, 7L)) {
+    val dir = if (forward) "forward" else "backward"
+    test(s"$dir as-of with tolerance=$tol matches the bounded window spec") {
+      val l = mkSide(11L, 300, "l")
+      val r = mkSide(211L, 300, "r")
+      val native =
+        (if (forward)
+          AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(tol))
+        else
+          AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(tol)))
+          .select("l_id", "r_id")
+      assert(native.count() == 300L, "left outer: one row per left row")
+      assert(collectPairs(native) ==
+        collectPairs(windowSpec(l, r, forward, Some(tol))))
+    }
+  }
+
+  test("tolerance rejects non-integral time columns and negative bounds") {
+    val l = mkSide(21L, 10, "l").withColumn("l_d", col("l_t").cast("double"))
+    val r = mkSide(22L, 10, "r").withColumn("r_d", col("r_t").cast("double"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "l_k", "r_k", "l_d", "r_d", "r_id", Some(5L))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(-1L))
     }
   }
 

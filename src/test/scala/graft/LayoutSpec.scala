@@ -154,4 +154,23 @@ class LayoutSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(got == 11.0)
   }
+
+  test("graft_topk_pairs is SQL-callable as a grouped aggregate") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql("""
+      SELECT key, t.ord, t.v FROM (
+        SELECT key, graft_topk_pairs(ord, v, 2) AS top
+        FROM VALUES (1L, 5L, 10L), (1L, 9L, 20L), (1L, 7L, 30L),
+                    (2L, 1L, 40L) AS t(key, ord, v)
+        GROUP BY key)
+      LATERAL VIEW explode(top) AS t
+      ORDER BY key, t.ord DESC, t.v""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 9L, 20L), (1L, 7L, 30L), (2L, 1L, 40L)))
+    // k must be a literal — the buffer bound is fixed at plan time
+    intercept[Exception] {
+      spark.sql("SELECT graft_topk_pairs(ord, v, v) FROM VALUES (1L, 1L) AS t(ord, v)")
+        .collect()
+    }
+  }
 }
