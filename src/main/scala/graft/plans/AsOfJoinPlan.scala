@@ -132,10 +132,21 @@ case class AsOfJoinExec(
     val attrs = output
     val nRight = right.output.size
     // zipPartitions is safe here: EnsureRequirements satisfied both
-    // ClusteredDistributions with compatible same-count partitionings
-    // (and it throws loudly, never silently misjoins, if that ever
-    // stopped holding).
-    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+    // ClusteredDistributions with compatible same-count partitionings,
+    // and under AQE both child exchanges sit in one coalesce group
+    // (binary nodes don't split groups — only Union does), so
+    // CoalesceShufflePartitions assigns them the same coalesced spec.
+    // Guard it anyway with an actionable message: a silent misjoin is
+    // impossible (zip would throw), but zip's own error names neither
+    // the operator nor the likely cause.
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children diverged to ${lRdd.getNumPartitions}/" +
+      s"${rRdd.getNumPartitions} partitions — co-partitioning violated " +
+      "(AQE coalescing divergence?); rerun with " +
+      "spark.sql.adaptive.coalescePartitions.enabled=false to confirm")
+    lRdd.zipPartitions(rRdd, preservesPartitioning = true) {
       (lIter, rIter) =>
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(nRight)
