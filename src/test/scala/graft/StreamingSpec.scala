@@ -464,6 +464,58 @@ class StreamingSpec extends AnyFunSuite {
       s"restart must neither duplicate nor lose events, got $ids")
   }
 
+  test("file-source readStream discovers files incrementally and matches batch") {
+    // Everything else in this suite drives the transforms through
+    // MemoryStream; this pins the PRODUCTION ingestion path — schema'd
+    // readStream.parquet over a watched directory, maxFilesPerTrigger
+    // forcing one micro-batch per file, new files picked up by a
+    // running query — and that the result equals the batch formulation
+    // over the union of the files.
+    import java.nio.file.{Files => JFiles, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def tmp(tag: String): Path = JFiles.createTempDirectory(tag)
+    val watched = tmp("graft_filestream_in")
+    val stage = tmp("graft_filestream_stage")
+    val ck = tmp("graft_filestream_ck")
+    val all = batch1 ++ batch2
+    def publish(events: Seq[Event], name: String): Unit = {
+      // file-source contract: files must APPEAR atomically in the
+      // watched dir — write to a staging dir, then move the part file in
+      val dir = stage.resolve(name)
+      events.toDS().coalesce(1).write.parquet(dir.toString)
+      val part = JFiles.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      JFiles.move(part, watched.resolve(s"$name.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    publish(batch1, "f1")
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watched.toString)
+    val q = EventStream.tumblingDaily(src)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val afterF1 = spark.table("file_tumbling").count()
+      publish(batch2, "f2") // discovered by the RUNNING query
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "each file should arrive in its own micro-batch")
+      val got = spark.table("file_tumbling")
+        .orderBy("day", "event_type").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+        .toSeq
+      val want = EventStream.tumblingDaily(all.toDF())
+        .orderBy("day", "event_type").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+        .toSeq
+      assert(got == want, s"file-source result diverged from batch: $got vs $want")
+      assert(afterF1 <= got.size, "complete-mode result must only grow")
+    } finally q.stop()
+  }
+
   test("streaming session windows close 30-min-gapped sessions") {
     val stream = MemoryStream[Event]
     val q = EventStream.sessionCounts(stream.toDF())
