@@ -41,8 +41,9 @@ PATTERNS = {
         r"""|PATH\b|HOME\b|TMPDIR\b|USER\b)[A-Z][A-Z0-9_]*"""),
 }
 SCAN_EXT = {".scala", ".py", ".md", ".sbt", ".json", ".sql", ".txt"}
-# artifacts the driver writes (benchmarks, verdicts) are not library code
-SKIP_NAMES = {"LEAKCHECK.json"}
+# artifacts the driver writes (benchmarks, verdicts) are not library
+# code; the scanner's own pattern definitions would self-match
+SKIP_NAMES = {"LEAKCHECK.json", "leakscan.py"}
 
 def tracked_files():
     out = subprocess.run(["git", "-C", root, "ls-files"],
