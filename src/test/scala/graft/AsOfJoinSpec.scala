@@ -103,9 +103,10 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("q10/q69 plans carry the native operator and exactly one exchange per side") {
+  test("q10/q69/q221 plans carry the native operator and exactly one exchange per side") {
     for (name <- Seq("q10_asof_click_before_purchase",
-        "q69_asof_forward_view_after_signup")) {
+        "q69_asof_forward_view_after_signup",
+        "q221_asof_tolerance_attribution")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       // AsOfJoinExec renders as "AsOfJoin" (TreeNode strips the Exec suffix)
