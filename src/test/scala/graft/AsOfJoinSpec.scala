@@ -96,6 +96,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("q221 is exactly q10 filtered by the 30-min bound (subset law)") {
+    // house-style sibling law (like the LSH/brute pairs in PipelineSpec):
+    // the tolerance form must agree with the unbounded form wherever the
+    // unbounded match lies within the bound, and be null exactly where
+    // it does not — on the real fixture, not synthetic rows.
+    val q10 = SparkEntry.queries("q10_asof_click_before_purchase")(spark, sf)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    val q221 = SparkEntry.queries("q221_asof_tolerance_attribution")(spark, sf)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    assert(q10.keySet == q221.keySet, "both emit one row per purchase")
+    val tol = 1800000000L
+    q10.foreach { case (purchase, m10) =>
+      val want = m10.filter(_._2 <= tol)
+      assert(q221(purchase) == want,
+        s"purchase $purchase: q221=${q221(purchase)} vs filtered q10=$want")
+    }
+    assert(q10.values.exists(m => m.exists(_._2 > tol)),
+      "fixture must exercise the out-of-tolerance → null branch")
+    assert(q221.values.exists(_.isDefined),
+      "fixture must exercise the within-tolerance branch")
+  }
+
   test("operator requires disjoint column names") {
     val l = mkSide(7L, 10, "l")
     intercept[IllegalArgumentException] {
