@@ -53,8 +53,14 @@ object Online {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
     val partKey = "spark.sql.shuffle.partitions"
+    val clogKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val trackKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "trackTotalNumberOfRows"
     val before = s.conf.getOption(key)
     val beforeParts = s.conf.getOption(partKey)
+    val beforeClog = s.conf.getOption(clogKey)
+    val beforeTrack = s.conf.getOption(trackKey)
     // RocksDB is transformWithState's backing CONTRACT (q194 must run on
     // it — that is the production store the gate certifies); the v1
     // stateful APIs (q218's flatMapGroupsWithState) run on the default
@@ -70,13 +76,11 @@ object Online {
       // deltas skip it. This is also the setting a 100 TB deployment
       // would run with (it bounds commit time by update rate, not by
       // accumulated state size).
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-        "changelogCheckpointing.enabled", "true")
+      s.conf.set(clogKey, "true")
       // The store's row-count metric does a RocksDB scan per commit when
       // tracking is on; the gate asserts on EMITTED rows, not store
       // metrics, so skip it.
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
-        "trackTotalNumberOfRows", "false")
+      s.conf.set(trackKey, "false")
     }
     else before.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     // state-store count = shuffle partitions at stream start × batches;
@@ -210,6 +214,14 @@ object Online {
       beforeNoData match {
         case Some(v) => s.conf.set(noDataKey, v)
         case None => s.conf.unset(noDataKey)
+      }
+      beforeClog match {
+        case Some(v) => s.conf.set(clogKey, v)
+        case None => s.conf.unset(clogKey)
+      }
+      beforeTrack match {
+        case Some(v) => s.conf.set(trackKey, v)
+        case None => s.conf.unset(trackKey)
       }
     }
   }
