@@ -91,6 +91,14 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // standard operator citizenship: per-node SQL metrics (UI / explain
+  // with statistics); matched vs output tells the null-extension rate
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) ::
       ClusteredDistribution(rightKey :: Nil) :: Nil
@@ -131,6 +139,8 @@ case class AsOfJoinExec(
     }
     val attrs = output
     val nRight = right.output.size
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
     // zipPartitions is safe here: EnsureRequirements satisfied both
     // ClusteredDistributions with compatible same-count partitionings,
     // and under AQE both child exchanges sit in one coalesce group
@@ -208,6 +218,8 @@ case class AsOfJoinExec(
                   tol.forall(d => timeLong(lastMatchTime) >= timeLong(t) - d))
                 m = lastMatch
             }
+            outRows += 1
+            if (m != null) matched += 1
             proj(joined(l, if (m == null) nullRight else m))
           }
         }

@@ -120,6 +120,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       "fixture must exercise the within-tolerance branch")
   }
 
+  test("exec metrics count output and matched rows") {
+    val k = "spark.sql.adaptive.enabled"
+    val before = spark.conf.getOption(k)
+    spark.conf.set(k, "false") // direct plan traversal, no AQE wrapper
+    try {
+      val l = mkSide(31L, 200, "l")
+      val r = mkSide(231L, 200, "r")
+      val df = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+      val wantMatched = windowSpec(l, r, forward = false)
+        .filter(col("r_id").isNotNull).count()
+      df.collect()
+      val node = df.queryExecution.executedPlan.collect {
+        case a: graft.plans.AsOfJoinExec => a
+      }
+      assert(node.size == 1)
+      assert(node.head.metrics("numOutputRows").value == 200L)
+      assert(node.head.metrics("numMatched").value == wantMatched)
+    } finally before.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+  }
+
   test("operator requires disjoint column names") {
     val l = mkSide(7L, 10, "l")
     intercept[IllegalArgumentException] {
