@@ -473,7 +473,19 @@ class StreamingSpec extends AnyFunSuite {
     // over the union of the files.
     import java.nio.file.{Files => JFiles, Path, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    def tmp(tag: String): Path = JFiles.createTempDirectory(tag)
+    def tmp(tag: String): Path = {
+      val p = JFiles.createTempDirectory(tag)
+      // tiny (a few KB), but suites run many times per round — don't
+      // accumulate dead dirs in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+          f.delete(); ()
+        }
+        del(p.toFile)
+      }))
+      p
+    }
     val watched = tmp("graft_filestream_in")
     val stage = tmp("graft_filestream_stage")
     val ck = tmp("graft_filestream_ck")
