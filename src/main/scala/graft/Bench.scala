@@ -142,8 +142,14 @@ object Bench {
     //    costs ~5 bytes/query instead of ~35 for a name-keyed map. A
     //    1800-byte guard drops the array rather than ever risking
     //    decapitation again.
+    // A SPARK_GRAFT_ONLY subset run must be self-evidently partial: the
+    // artifact files land at the same paths as a full run, and a subset
+    // "total" mistaken for a full-run total would corrupt any baseline
+    // comparison that doesn't cross-check n_queries.
+    val subset = if (only.isEmpty) ""
+      else s""","subset":${only.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive","queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive"$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
     // Locale.ROOT: the f-interpolator follows the default locale, and a
     // comma decimal separator would corrupt the compact JSON line.
     val qSec = results.map { case (_, v, _, _, _) =>
@@ -151,7 +157,7 @@ object Bench {
       .mkString("[", ",", "]")
     def compactLine(withSecs: Boolean) = {
       val secs = if (withSecs) s""","q_order":"name_asc","q_sec":$qSec""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"loadavg_max":$lMax,"sf":"$sfDir"$secs,"detail":"bench_out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}$subset,"failed":$failed,"loadavg_max":$lMax,"sf":"$sfDir"$secs,"detail":"bench_out.json"}"""
     }
     val compact = {
       val c = compactLine(withSecs = true)

@@ -48,12 +48,17 @@ object Verify {
         // getMessage alone once hid the actual failing frame for a
         // whole round-10 debugging session
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Bounded walk: a direct self-cause is guarded below, but a
+        // cause CYCLE of length >1 (initCause misuse) would loop
+        // forever — 10 causes is deeper than any real Spark wrap chain.
         var c = e
-        while (c != null) {
+        var depth = 0
+        while (c != null && depth < 10) {
           System.err.println(s"[verify]   cause: $c")
           c.getStackTrace.take(6).foreach(f =>
             System.err.println(s"[verify]     at $f"))
           c = if (c.getCause ne c) c.getCause else null
+          depth += 1
         }
       }
       // Query fns are pure; caches they persisted (dedup shingle sets,

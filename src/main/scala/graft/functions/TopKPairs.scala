@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -35,13 +35,20 @@ case class TopKLongPairs(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Long, Long)]] {
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Long, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, "topk_pairs requires k > 0")
 
   import TopKLongPairs.worstFirst
 
   override def children: Seq[Expression] = Seq(ordChild, valChild)
+  // SQL-registered (graft_topk_pairs), so arbitrary column types reach
+  // analysis: declare LongType inputs so narrower integrals (the INT a
+  // `VALUES (1, 2)` literal produces) widen via an implicit cast and
+  // anything non-castable fails ANALYSIS, not update() at execution.
+  // (narrowed to Seq[DataType]: AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("ord", LongType, nullable = false),

@@ -190,15 +190,25 @@ object Online {
         }
         (s.table(qname).collect().toSeq, far)
       } finally {
-        q.stop()
-        s.catalog.dropTempView(qname)
+        // Each teardown step in its own try: the result was already
+        // collected above, so a failing stop() must not leak the temp
+        // view or the checkpoint dir (they'd accumulate across a
+        // 221-query verify run). Failures are reported, not rethrown.
+        try q.stop()
+        catch { case e: Throwable =>
+          System.err.println(s"[online] $qname stop failed: $e") }
+        try s.catalog.dropTempView(qname): Unit
+        catch { case _: Throwable => () }
         // The checkpoint is per-replay scratch (often on tmpfs) — delete
         // it eagerly so repeated verify/bench/test runs don't accumulate
-        // WAL files in RAM.
+        // WAL files in RAM. Files.walk streams hold OPEN DIRECTORY
+        // HANDLES until closed (full consumption does not auto-close) —
+        // close in a finally so replays don't leak descriptors.
         try {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckDir).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
+          val walk = java.nio.file.Files.walk(ckDir)
+          val paths = try walk.iterator().asScala.toSeq finally walk.close()
+          paths.sortBy(-_.getNameCount)
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         } catch { case _: Throwable => () }
       }

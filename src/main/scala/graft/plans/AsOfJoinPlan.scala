@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
   UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan,
+  Statistics}
+import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -54,6 +56,28 @@ case class AsOfJoinPlan(
     tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  // Honest cardinality: a LEFT OUTER as-of emits EXACTLY one row per
+  // left row. BinaryNode's default size visitor multiplies the
+  // children's sizes (the safe guess for an unconstrained join), which
+  // at scale poisons every broadcast/AQE decision DOWNSTREAM of an
+  // as-of output — a few-MB result estimated at |left|×|right| bytes
+  // is never broadcast and always sort-merge-joined. Estimate instead
+  // as left rows × combined row width (rowCount-based when the left
+  // carries one, else scaling the left's byte size by the width ratio).
+  override def maxRows: Option[Long] = left.maxRows
+  override def maxRowsPerPartition: Option[Long] = left.maxRowsPerPartition
+  override def stats: Statistics = {
+    val ls = left.stats
+    val leftW = EstimationUtils.getSizePerRow(left.output).max(1)
+    val outW = EstimationUtils.getSizePerRow(output).max(1)
+    val size = ls.rowCount match {
+      case Some(rc) => EstimationUtils.getOutputSize(output, rc)
+      case None => (ls.sizeInBytes * outW / leftW).max(1)
+    }
+    Statistics(sizeInBytes = size, rowCount = ls.rowCount)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -206,16 +230,32 @@ case class AsOfJoinExec(
               }
               if (fwd) {
                 // first same-key row strictly after t, if any — within
-                // t + tol when a tolerance bounds the look-ahead
+                // t + tol when a tolerance bounds the look-ahead.
+                // Overflow-safe form: the candidate satisfies rt > t, so
+                // the true distance rt - t is positive; if the Long
+                // subtraction wraps (distance > Long.MaxValue, e.g. a
+                // MaxValue sentinel vs a negative epoch) it wraps
+                // NEGATIVE, and `0 <= diff <= d` correctly rejects it —
+                // unlike `rt <= t + d`, where t + d itself can overflow
+                // and silently flip the comparison.
                 if (rBuf.hasNext) {
                   val h = rBuf.head
                   val rk = rKeyB.eval(h)
                   if (rk != null && keyOrd.compare(rk, k) == 0 &&
-                      tol.forall(d => timeLong(rTimeB.eval(h)) <= timeLong(t) + d))
+                      tol.forall { d =>
+                        val diff = timeLong(rTimeB.eval(h)) - timeLong(t)
+                        diff >= 0 && diff <= d
+                      })
                     m = h
                 }
               } else if (lastMatch != null &&
-                  tol.forall(d => timeLong(lastMatchTime) >= timeLong(t) - d))
+                  tol.forall { d =>
+                    // same overflow-safe form: lastMatchTime <= t, so the
+                    // true distance t - lastMatchTime is >= 0 and a
+                    // wrapped subtraction is always negative
+                    val diff = timeLong(t) - timeLong(lastMatchTime)
+                    diff >= 0 && diff <= d
+                  })
                 m = lastMatch
             }
             outRows += 1

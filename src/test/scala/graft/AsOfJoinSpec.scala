@@ -140,6 +140,131 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally before.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
   }
 
+  test("tolerance distance check is overflow-safe at extreme time values") {
+    // Regression (round-10 ADVICE): the bound was checked as
+    // `rt <= t + d` / `lmt >= t - d`, whose addition/subtraction can
+    // overflow for sentinel-scale times and silently flip the verdict.
+    // The overflow-safe difference form must match these by-hand cases:
+    //  - forward near Long.MaxValue: t + d would wrap negative and
+    //    reject a genuinely in-tolerance candidate
+    val lF = Seq((1L, 1L, Long.MaxValue - 5L)).toDF("l_id", "l_k", "l_t")
+    val rF = Seq((10L, 1L, Long.MaxValue - 2L)).toDF("r_id", "r_k", "r_t")
+    val fwd = AsOfJoin.forward(lF, rF, "l_k", "r_k", "l_t", "r_t", "r_id",
+      Some(10L)).select("l_id", "r_id")
+    assert(collectPairs(fwd) == Set((1L, Some(10L))),
+      "distance 3 within tolerance 10 must match despite t+d overflow")
+    //  - backward near Long.MinValue: t - d would wrap positive and
+    //    reject a genuinely in-tolerance candidate
+    val lB = Seq((1L, 1L, Long.MinValue + 5L)).toDF("l_id", "l_k", "l_t")
+    val rB = Seq((10L, 1L, Long.MinValue + 1L)).toDF("r_id", "r_k", "r_t")
+    val bwd = AsOfJoin.backward(lB, rB, "l_k", "r_k", "l_t", "r_t", "r_id",
+      Some(10L)).select("l_id", "r_id")
+    assert(collectPairs(bwd) == Set((1L, Some(10L))),
+      "distance 4 within tolerance 10 must match despite t-d underflow")
+    //  - a genuinely astronomical distance (MaxValue - MinValue wraps to
+    //    -1) must still be rejected, not wrapped into tolerance
+    val lX = Seq((1L, 1L, Long.MaxValue)).toDF("l_id", "l_k", "l_t")
+    val rX = Seq((10L, 1L, Long.MinValue)).toDF("r_id", "r_k", "r_t")
+    val far = AsOfJoin.backward(lX, rX, "l_k", "r_k", "l_t", "r_t", "r_id",
+      Some(10L)).select("l_id", "r_id")
+    assert(collectPairs(far) == Set((1L, None)),
+      "a 2^64-scale distance must null-extend, not wrap into tolerance")
+  }
+
+  test("as-of output carries honest left-row statistics, not the product default") {
+    val l = mkSide(41L, 1000, "l")
+    val r = mkSide(241L, 1000, "r")
+    val asof = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+    val st = asof.queryExecution.optimizedPlan.stats
+    val lSize = l.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rSize = r.queryExecution.optimizedPlan.stats.sizeInBytes
+    // BinaryNode's default visitor would report lSize × rSize; the honest
+    // estimate is left rows × combined width — strictly under lSize+rSize
+    // scaled by the width ratio, and categorically under the product.
+    assert(st.sizeInBytes < lSize * rSize / 100,
+      s"stats ${st.sizeInBytes} look like the child-size product " +
+      s"($lSize × $rSize)")
+    assert(st.sizeInBytes <= (lSize + rSize) * 4,
+      s"stats ${st.sizeInBytes} should be on the order of the input sizes")
+  }
+
+  test("downstream join BROADCASTS an as-of output under honest stats") {
+    // The scale scenario the stats fix exists for: a plan built ON TOP
+    // of an as-of output. With the inflated product default the
+    // optimizer refuses to broadcast the (actually tiny) as-of result
+    // against a big fact and sort-merge-joins; with honest stats it
+    // broadcasts. AQE off so the decision under test is the STATIC
+    // estimator's, not a runtime rescue.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val beforeAqe = spark.conf.getOption(aqeKey)
+    val beforeThr = spark.conf.getOption(thrKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(thrKey, (1024 * 1024).toString) // 1 MiB
+    try {
+      val l = mkSide(51L, 1000, "l")
+      val r = mkSide(251L, 1000, "r")
+      // fact side: ~16 MB estimated (2M longs) — over the 1 MiB threshold
+      val fact = spark.range(2000000).select(col("id").as("f_k"))
+      val asof = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+      val joined = fact.join(asof, col("f_k") === col("l_id"))
+      val p = joined.queryExecution.executedPlan
+      val bhj = p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"as-of output should be broadcast under honest stats; plan:\n$p")
+      assert(bhj.head.collectLeaves().exists(_ => true) && p.collect {
+        case a: graft.plans.AsOfJoinExec => a }.nonEmpty,
+        "native as-of operator missing from the broadcast plan")
+    } finally {
+      beforeAqe.fold(spark.conf.unset(aqeKey))(v => spark.conf.set(aqeKey, v))
+      beforeThr.fold(spark.conf.unset(thrKey))(v => spark.conf.set(thrKey, v))
+    }
+  }
+
+  // Round-10 verdict item 5: the exec's co-partitioning `require`
+  // documents the AQE-coalescing assumption ("binary nodes don't split
+  // coalesce groups"). Pin it adversarially: AQE on/off × a heavily
+  // skewed key × DIFFERING pre-partitioning on the two sides (7 vs 3
+  // hash partitions — EnsureRequirements must reconcile them), each
+  // checked against the window-composition spec. A future Spark upgrade
+  // that changes coalesce-group semantics fails here, not in production.
+  for (aqe <- Seq(true, false); forward <- Seq(false, true)) {
+    val dir = if (forward) "forward" else "backward"
+    test(s"$dir as-of under AQE=$aqe × skew × differing pre-partitioning") {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val advKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val before = Seq(aqeKey, coalKey, advKey).map(k => k -> spark.conf.getOption(k))
+      spark.conf.set(aqeKey, aqe.toString)
+      spark.conf.set(coalKey, "true")
+      // tiny advisory size forces the coalescer to actually engage on
+      // these small shuffles instead of collapsing everything to 1
+      spark.conf.set(advKey, "1024")
+      try {
+        // 90% of rows on key 0 (skew), the rest spread over 1..9
+        val rnd = new scala.util.Random(61L)
+        val lRows = (0 until 400).map { i =>
+          val k = if (rnd.nextInt(10) < 9) 0L else 1L + rnd.nextInt(9)
+          (i.toLong, Option(k), Option(rnd.nextInt(20).toLong))
+        }
+        val rRows = (0 until 400).map { i =>
+          val k = if (rnd.nextInt(10) < 9) 0L else 1L + rnd.nextInt(9)
+          (i.toLong, Option(k), Option(rnd.nextInt(20).toLong))
+        }
+        val l = lRows.toDF("l_id", "l_k", "l_t").repartition(7, col("l_k"))
+        val r = rRows.toDF("r_id", "r_k", "r_t").repartition(3, col("r_k"))
+        val native =
+          (if (forward) AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+           else AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id"))
+            .select("l_id", "r_id")
+        assert(collectPairs(native) == collectPairs(windowSpec(l, r, forward)))
+      } finally before.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(x => spark.conf.set(k, x)) }
+    }
+  }
+
   test("operator requires disjoint column names") {
     val l = mkSide(7L, 10, "l")
     intercept[IllegalArgumentException] {

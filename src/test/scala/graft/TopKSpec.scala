@@ -68,6 +68,31 @@ class TopKSpec extends AnyFunSuite {
     assert(canon(heapTopK(df, 2)) == Seq((1L, 5L, 9L)))
   }
 
+  test("SQL path widens INT inputs and rejects non-castable types at analysis") {
+    // Round-10 ADVICE: `VALUES (1, 2)` produces INT literals; without
+    // declared input types those passed analysis and threw
+    // ClassCastException in update() at execution. ImplicitCastInputTypes
+    // must widen them to LONG instead.
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_topk_pairs(o, v, 2) AS top
+        |FROM VALUES (1, 10), (3, 30), (2, 20) AS t(o, v)""".stripMargin)
+      .select(col("top.ord"), col("top.v")).head()
+    assert(got.getSeq[Long](0) == Seq(3L, 2L))
+    assert(got.getSeq[Long](1) == Seq(30L, 20L))
+    // an ARRAY column cannot implicitly cast to LONG → analysis error,
+    // not an executor-side ClassCastException (strings DO implicitly
+    // cast in non-ANSI mode — they become null and are skipped, which
+    // the null-row test above already covers)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT graft_topk_pairs(o, v, 2)
+          |FROM VALUES (array(1), array(2)) AS t(o, v)""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_topk_pairs") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
+
   test("merge across partitions keeps the global top-k") {
     // force many input partitions so partial buffers genuinely merge
     val rnd = new scala.util.Random(13)
