@@ -3,15 +3,19 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
-  BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder,
-  UnsafeProjection}
+  BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan,
   Statistics}
 import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
+  SparkPlan, SparkStrategy}
 
 /** Whole-operator Catalyst extension ladder (SURVEY §2.10 tier (c)): a
   * NATIVE distributed as-of join — logical node, planner strategy and
@@ -110,7 +114,8 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, forward: Boolean,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None)
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -141,30 +146,198 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // -------------------------------------------------------------------
+  // Whole-stage codegen (round-10 verdict item 2): the merge joins the
+  // stage like SortMergeJoinExec does — both sorted children feed the
+  // generated class as plain row iterators (inputs[0]/inputs[1], zipped
+  // per partition by WholeStageCodegenExec), the merge loop is emitted
+  // as straight-line Java over primitive longs, and the matched row's
+  // columns flow to the DOWNSTREAM operator's consume() as codegen
+  // variables — no per-row UnsafeProjection, no iterator virtual calls,
+  // no boxing. Supported for the hot shape (long-backed keys/times as
+  // direct attribute refs, i.e. every graft call site); anything else
+  // — and spark.graft.asof.codegen=false — falls back to doExecute's
+  // volcano merge, which AsOfJoinSpec differential-tests against this
+  // path on identical inputs.
+  // -------------------------------------------------------------------
+
+  /** Bound ordinals when all four key/time columns are long-backed
+    * attribute refs — the precondition for both the primitive volcano
+    * path and the codegen path. */
+  private lazy val primBound: Option[(AsOfJoinExec.LongAt, AsOfJoinExec.LongAt,
+      AsOfJoinExec.LongAt, AsOfJoinExec.LongAt)] = for {
+    lk <- AsOfJoinExec.longAt(BindReferences.bindReference(leftKey, left.output))
+    lt <- AsOfJoinExec.longAt(BindReferences.bindReference(leftTime, left.output))
+    rk <- AsOfJoinExec.longAt(BindReferences.bindReference(rightKey, right.output))
+    rt <- AsOfJoinExec.longAt(BindReferences.bindReference(rightTime, right.output))
+  } yield (lk, lt, rk, rt)
+
+  override def supportCodegen: Boolean = primBound.isDefined &&
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.asof.codegen", "true") == "true"
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = {
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfJoinExec children diverged to ${lRdd.getNumPartitions}/" +
+      s"${rRdd.getNumPartitions} partitions — co-partitioning violated " +
+      "(AQE coalescing divergence?); rerun with " +
+      "spark.sql.adaptive.coalescePartitions.enabled=false to confirm")
+    lRdd :: rRdd :: Nil
+  }
+
+  // rows stream out of a mutable merge state; a buffering parent (sort,
+  // agg) must copy — same contract as SortMergeJoinExec
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val (lk, lt, rk, rt) = primBound.get
+    val row = "org.apache.spark.sql.catalyst.InternalRow"
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val rightHead = ctx.addMutableState(row, "asofRightHead")
+    val rightInited = ctx.addMutableState("boolean", "asofRightInited")
+    val lastMatch = ctx.addMutableState(row, "asofLastMatch")
+    val curKey = ctx.addMutableState("long", "asofCurKey")
+    val haveKey = ctx.addMutableState("boolean", "asofHaveKey")
+    val lastMatchTime = ctx.addMutableState("long", "asofLastMatchTime")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matchedRow = ctx.freshName("asofMatchedRow")
+    val advance =
+      s"$rightHead = $rightInput.hasNext() ? ($row) $rightInput.next() : null;"
+    // unboxed reads; narrower integrals widen with a java cast
+    def kOf(r: String, at: AsOfJoinExec.LongAt): String =
+      s"(long) ${CodeGenerator.getValue(r, at.readType, at.ord.toString)}"
+    def nullCheck(r: String, at: AsOfJoinExec.LongAt, nullable: Boolean) =
+      if (nullable) s"$r.isNullAt(${at.ord})" else "false"
+    val lKeyNullable = left.output(lk.ord).nullable
+    val lTimeNullable = left.output(lt.ord).nullable
+    val rKeyNullable = right.output(rk.ord).nullable
+    val rTimeNullable = right.output(rt.ord).nullable
+    val k = ctx.freshName("asofK")
+    val t = ctx.freshName("asofT")
+    val rtVal = ctx.freshName("asofRt")
+    val diff = ctx.freshName("asofDiff")
+    val tolCheck = tolerance.fold("true")(d => s"($diff >= 0L && $diff <= ${d}L)")
+    val matchBlock = if (forward) {
+      s"""
+         |if ($rightHead != null && !${nullCheck(rightHead, rk, rKeyNullable)}
+         |    && ${kOf(rightHead, rk)} == $k) {
+         |  long $diff = ${kOf(rightHead, rt)} - $t;
+         |  if ($tolCheck) $matchedRow = $rightHead;
+         |}
+       """.stripMargin
+    } else {
+      s"""
+         |if ($lastMatch != null) {
+         |  long $diff = $t - $lastMatchTime;
+         |  if ($tolCheck) $matchedRow = $lastMatch;
+         |}
+       """.stripMargin
+    }
+    val keepCandidate = if (forward) "" else
+      s"$lastMatch = $rightHead.copy(); $lastMatchTime = $rtVal;"
+    // output columns: left side reads from leftRow via ordinary bound
+    // refs; right side is null-extended when matchedRow == null
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val cde =
+        code"""
+          |boolean $isNull = $matchedRow == null || $matchedRow.isNullAt($i);
+          |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)}
+          |  : (${CodeGenerator.getValue(matchedRow, a.dataType, i.toString)});
+        """.stripMargin
+      ExprCode(cde, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    s"""
+       |if (!$rightInited) { $rightInited = true; $advance }
+       |while ($leftInput.hasNext()) {
+       |  $row $leftRow = ($row) $leftInput.next();
+       |  $row $matchedRow = null;
+       |  if (!${nullCheck(leftRow, lk, lKeyNullable)} &&
+       |      !${nullCheck(leftRow, lt, lTimeNullable)}) {
+       |    long $k = ${kOf(leftRow, lk)};
+       |    long $t = ${kOf(leftRow, lt)};
+       |    if (!$haveKey || $k != $curKey) {
+       |      // new left key: drop the old candidate, advance the right
+       |      // side past smaller (or NULL — they sort first) keys
+       |      $curKey = $k; $haveKey = true; $lastMatch = null;
+       |      while ($rightHead != null &&
+       |          (${nullCheck(rightHead, rk, rKeyNullable)} ||
+       |           ${kOf(rightHead, rk)} < $k)) {
+       |        $advance
+       |      }
+       |    }
+       |    // consume same-key rows with time <= left time (NULL right
+       |    // times sort first and never match in either direction)
+       |    while ($rightHead != null &&
+       |        !${nullCheck(rightHead, rk, rKeyNullable)} &&
+       |        ${kOf(rightHead, rk)} == $k) {
+       |      if (${nullCheck(rightHead, rt, rTimeNullable)}) {
+       |        $advance
+       |      } else {
+       |        long $rtVal = ${kOf(rightHead, rt)};
+       |        if ($rtVal <= $t) {
+       |          $keepCandidate
+       |          $advance
+       |        } else break;
+       |      }
+       |    }
+       |    // overflow-safe tolerance: true distance >= 0 by merge
+       |    // position, so a wrapped subtraction is negative and rejected
+       |    $matchBlock
+       |  }
+       |  $numOutput.add(1);
+       |  if ($matchedRow != null) $numMatched.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val fwd = forward
     val tol = tolerance
-    // tolerance bounds need time ARITHMETIC, not just ordering — the
-    // API restricts it to integral-backed time columns (long/int
-    // physical values; TimestampType evals to epoch-µs longs)
-    def timeLong(v: Any): Long = v match {
-      case l: java.lang.Long => l.longValue
-      case i: java.lang.Integer => i.longValue
-      case s: java.lang.Short => s.longValue
-      case b: java.lang.Byte => b.longValue
-      case other => throw new IllegalStateException(
-        s"as-of tolerance requires an integral time column, got $other")
-    }
     val attrs = output
     val nRight = right.output.size
     val outRows = longMetric("numOutputRows")
     val matched = longMetric("numMatched")
+    // Two merge loops, one semantics (differential-tested against each
+    // other and the window-composition oracle in AsOfJoinSpec):
+    //  - PRIMITIVE: keys and times are bound attribute refs with a
+    //    long-backed physical type (the hot case: bigint keys, epoch-µs
+    //    times). Reads go straight to the UnsafeRow ordinal
+    //    (getLong/isNullAt) and every comparison is an unboxed long
+    //    compare — no Expression.eval, no boxing, no interpreted
+    //    ordering allocation per row. This was the round-10 verdict's
+    //    named gap: the one operator outside whole-stage codegen paid
+    //    an interpreted constant factor per row.
+    //  - GENERIC: any other type (string keys, decimals) falls back to
+    //    interpreted eval + interpreted ordering, same loop shape.
+    // spark.graft.asof.forceInterpreted=true pins the generic path so
+    // tests can drive both on identical primitive-typed inputs.
+    val forceInterpreted = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.asof.forceInterpreted", "false") == "true"
+    val prim = (AsOfJoinExec.longAt(lKeyB), AsOfJoinExec.longAt(lTimeB),
+      AsOfJoinExec.longAt(rKeyB), AsOfJoinExec.longAt(rTimeB))
     // zipPartitions is safe here: EnsureRequirements satisfied both
     // ClusteredDistributions with compatible same-count partitionings,
     // and under AQE both child exchanges sit in one coalesce group
@@ -182,87 +355,232 @@ case class AsOfJoinExec(
       "spark.sql.adaptive.coalescePartitions.enabled=false to confirm")
     lRdd.zipPartitions(rRdd, preservesPartitioning = true) {
       (lIter, rIter) =>
-        val joined = new JoinedRow
-        val nullRight = new GenericInternalRow(nRight)
-        val proj = UnsafeProjection.create(attrs, attrs)
+        val emit = new AsOfJoinExec.Emit(new JoinedRow,
+          new GenericInternalRow(nRight), UnsafeProjection.create(attrs, attrs),
+          outRows, matched)
         val rBuf = rIter.buffered
-        new Iterator[InternalRow] {
-          // the one remembered candidate (backward direction), valid for
-          // curKey only; rows from the buffered iterator are reused
-          // mutable buffers, so retaining one requires copy()
-          private var curKey: Any = null
-          private var haveKey = false
-          private var lastMatch: InternalRow = null
-          private var lastMatchTime: Any = null
-          override def hasNext: Boolean = lIter.hasNext
-          override def next(): InternalRow = {
-            val l = lIter.next()
-            val k = lKeyB.eval(l)
-            val t = lTimeB.eval(l)
-            var m: InternalRow = null
-            if (k != null && t != null) {
-              if (!haveKey || keyOrd.compare(k, curKey) != 0) {
-                // new left key: drop the old candidate, advance the right
-                // side past smaller (or NULL — they sort first) keys
-                curKey = k; haveKey = true; lastMatch = null
-                lastMatchTime = null
-                var adv = true
-                while (adv && rBuf.hasNext) {
-                  val rk = rKeyB.eval(rBuf.head)
-                  if (rk == null || keyOrd.compare(rk, k) < 0) rBuf.next()
-                  else adv = false
-                }
-              }
-              // consume same-key rows with time <= left time (NULL right
-              // times sort first and never match in either direction)
-              var adv = true
-              while (adv && rBuf.hasNext) {
-                val h = rBuf.head
-                val rk = rKeyB.eval(h)
-                if (rk != null && keyOrd.compare(rk, k) == 0) {
-                  val rt = rTimeB.eval(h)
-                  if (rt == null) rBuf.next()
-                  else if (timeOrd.compare(rt, t) <= 0) {
-                    if (!fwd) { lastMatch = h.copy(); lastMatchTime = rt }
-                    rBuf.next()
-                  } else adv = false
-                } else adv = false
-              }
-              if (fwd) {
-                // first same-key row strictly after t, if any — within
-                // t + tol when a tolerance bounds the look-ahead.
-                // Overflow-safe form: the candidate satisfies rt > t, so
-                // the true distance rt - t is positive; if the Long
-                // subtraction wraps (distance > Long.MaxValue, e.g. a
-                // MaxValue sentinel vs a negative epoch) it wraps
-                // NEGATIVE, and `0 <= diff <= d` correctly rejects it —
-                // unlike `rt <= t + d`, where t + d itself can overflow
-                // and silently flip the comparison.
-                if (rBuf.hasNext) {
-                  val h = rBuf.head
-                  val rk = rKeyB.eval(h)
-                  if (rk != null && keyOrd.compare(rk, k) == 0 &&
-                      tol.forall { d =>
-                        val diff = timeLong(rTimeB.eval(h)) - timeLong(t)
-                        diff >= 0 && diff <= d
-                      })
-                    m = h
-                }
-              } else if (lastMatch != null &&
-                  tol.forall { d =>
-                    // same overflow-safe form: lastMatchTime <= t, so the
-                    // true distance t - lastMatchTime is >= 0 and a
-                    // wrapped subtraction is always negative
-                    val diff = timeLong(t) - timeLong(lastMatchTime)
-                    diff >= 0 && diff <= d
-                  })
-                m = lastMatch
-            }
-            outRows += 1
-            if (m != null) matched += 1
-            proj(joined(l, if (m == null) nullRight else m))
-          }
+        prim match {
+          case (Some(lk), Some(lt), Some(rk), Some(rt)) if !forceInterpreted =>
+            AsOfJoinExec.primitiveMerge(lIter, rBuf, lk, lt, rk, rt, fwd, tol,
+              emit)
+          case _ =>
+            AsOfJoinExec.genericMerge(lIter, rBuf, lKeyB, lTimeB, rKeyB,
+              rTimeB, leftKey.dataType, leftTime.dataType, fwd, tol, emit)
         }
     }
   }
+}
+
+object AsOfJoinExec {
+
+  /** Unboxed ordinal accessor for a long-backed column: `get` reads the
+    * physical value AS a long directly from the row (UnsafeRow ordinal
+    * access — no Expression.eval, no boxing). One final class per
+    * physical width so each call site stays at most bimorphic.
+    * `readType` is the column's declared type — the codegen path feeds
+    * it to CodeGenerator.getValue for the same unboxed read. */
+  sealed abstract class LongAt(val ord: Int,
+      val readType: org.apache.spark.sql.types.DataType) extends Serializable {
+    final def isNull(r: InternalRow): Boolean = r.isNullAt(ord)
+    def get(r: InternalRow): Long
+  }
+  private final class LongAt8(o: Int, dt: org.apache.spark.sql.types.DataType)
+    extends LongAt(o, dt) {
+    override def get(r: InternalRow): Long = r.getLong(ord)
+  }
+  private final class LongAt4(o: Int, dt: org.apache.spark.sql.types.DataType)
+    extends LongAt(o, dt) {
+    override def get(r: InternalRow): Long = r.getInt(ord).toLong
+  }
+  private final class LongAt2(o: Int, dt: org.apache.spark.sql.types.DataType)
+    extends LongAt(o, dt) {
+    override def get(r: InternalRow): Long = r.getShort(ord).toLong
+  }
+  private final class LongAt1(o: Int, dt: org.apache.spark.sql.types.DataType)
+    extends LongAt(o, dt) {
+    override def get(r: InternalRow): Long = r.getByte(ord).toLong
+  }
+
+  /** A bound attribute ref whose physical value is an integral the
+    * merge can compare as an unboxed long; None → generic path. */
+  def longAt(e: Expression): Option[LongAt] = e match {
+    case b: BoundReference => b.dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.TimestampType
+         | org.apache.spark.sql.types.TimestampNTZType =>
+        Some(new LongAt8(b.ordinal, b.dataType))
+      case org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.DateType =>
+        Some(new LongAt4(b.ordinal, b.dataType))
+      case org.apache.spark.sql.types.ShortType =>
+        Some(new LongAt2(b.ordinal, b.dataType))
+      case org.apache.spark.sql.types.ByteType =>
+        Some(new LongAt1(b.ordinal, b.dataType))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Per-partition output assembly: joins the left row with its match
+    * (or the null-extension), projects to UnsafeRow, bumps metrics.
+    * One instance per task — allocation-free per row. */
+  final class Emit(joined: JoinedRow, nullRight: GenericInternalRow,
+      proj: UnsafeProjection,
+      outRows: org.apache.spark.sql.execution.metric.SQLMetric,
+      matched: org.apache.spark.sql.execution.metric.SQLMetric)
+    extends Serializable {
+    def apply(l: InternalRow, m: InternalRow): InternalRow = {
+      outRows += 1
+      if (m != null) matched += 1
+      proj(joined(l, if (m == null) nullRight else m))
+    }
+  }
+
+  /** Primitive merge: one forward pass per partition, one remembered
+    * candidate, every key/time access an unboxed long. Rows from the
+    * buffered right iterator are reused mutable buffers, so retaining
+    * one requires copy(). */
+  def primitiveMerge(
+      lIter: Iterator[InternalRow], rBuf: BufferedIterator[InternalRow],
+      lKey: LongAt, lTime: LongAt, rKey: LongAt, rTime: LongAt,
+      fwd: Boolean, tol: Option[Long],
+      emit: Emit): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var curKey: Long = 0L
+      private var haveKey = false
+      private var lastMatch: InternalRow = null
+      private var lastMatchTime: Long = 0L
+      private val hasTol = tol.isDefined
+      private val tolD = tol.getOrElse(0L)
+      override def hasNext: Boolean = lIter.hasNext
+      override def next(): InternalRow = {
+        val l = lIter.next()
+        var m: InternalRow = null
+        if (!lKey.isNull(l) && !lTime.isNull(l)) {
+          val k = lKey.get(l)
+          val t = lTime.get(l)
+          if (!haveKey || k != curKey) {
+            // new left key: drop the old candidate, advance the right
+            // side past smaller (or NULL — they sort first) keys
+            curKey = k; haveKey = true; lastMatch = null
+            var adv = true
+            while (adv && rBuf.hasNext) {
+              val h = rBuf.head
+              if (rKey.isNull(h) || rKey.get(h) < k) { rBuf.next(); () }
+              else adv = false
+            }
+          }
+          // consume same-key rows with time <= left time (NULL right
+          // times sort first and never match in either direction)
+          var adv = true
+          while (adv && rBuf.hasNext) {
+            val h = rBuf.head
+            if (!rKey.isNull(h) && rKey.get(h) == k) {
+              if (rTime.isNull(h)) { rBuf.next(); () }
+              else {
+                val rt = rTime.get(h)
+                if (rt <= t) {
+                  if (!fwd) { lastMatch = h.copy(); lastMatchTime = rt }
+                  rBuf.next(); ()
+                } else adv = false
+              }
+            } else adv = false
+          }
+          // overflow-safe tolerance: the true distance is >= 0 by merge
+          // position, so a wrapped subtraction is always negative and
+          // `0 <= diff <= d` rejects it (see AsOfJoinSpec extreme cases)
+          if (fwd) {
+            if (rBuf.hasNext) {
+              val h = rBuf.head
+              if (!rKey.isNull(h) && rKey.get(h) == k) {
+                val diff = rTime.get(h) - t
+                if (!hasTol || (diff >= 0 && diff <= tolD)) m = h
+              }
+            }
+          } else if (lastMatch != null) {
+            val diff = t - lastMatchTime
+            if (!hasTol || (diff >= 0 && diff <= tolD)) m = lastMatch
+          }
+        }
+        emit(l, m)
+      }
+    }
+
+  /** Generic merge: interpreted eval + interpreted ordering, for key or
+    * time types outside the long-backed set. Same loop, same contract. */
+  def genericMerge(
+      lIter: Iterator[InternalRow], rBuf: BufferedIterator[InternalRow],
+      lKeyB: Expression, lTimeB: Expression, rKeyB: Expression,
+      rTimeB: Expression, keyType: org.apache.spark.sql.types.DataType,
+      timeType: org.apache.spark.sql.types.DataType,
+      fwd: Boolean, tol: Option[Long], emit: Emit): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      private val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      // tolerance bounds need time ARITHMETIC, not just ordering — the
+      // API restricts it to integral-backed time columns (long/int
+      // physical values; TimestampType evals to epoch-µs longs)
+      private def timeLong(v: Any): Long = v match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case s: java.lang.Short => s.longValue
+        case b: java.lang.Byte => b.longValue
+        case other => throw new IllegalStateException(
+          s"as-of tolerance requires an integral time column, got $other")
+      }
+      private var curKey: Any = null
+      private var haveKey = false
+      private var lastMatch: InternalRow = null
+      private var lastMatchTime: Any = null
+      override def hasNext: Boolean = lIter.hasNext
+      override def next(): InternalRow = {
+        val l = lIter.next()
+        val k = lKeyB.eval(l)
+        val t = lTimeB.eval(l)
+        var m: InternalRow = null
+        if (k != null && t != null) {
+          if (!haveKey || keyOrd.compare(k, curKey) != 0) {
+            curKey = k; haveKey = true; lastMatch = null
+            lastMatchTime = null
+            var adv = true
+            while (adv && rBuf.hasNext) {
+              val rk = rKeyB.eval(rBuf.head)
+              if (rk == null || keyOrd.compare(rk, k) < 0) { rBuf.next(); () }
+              else adv = false
+            }
+          }
+          var adv = true
+          while (adv && rBuf.hasNext) {
+            val h = rBuf.head
+            val rk = rKeyB.eval(h)
+            if (rk != null && keyOrd.compare(rk, k) == 0) {
+              val rt = rTimeB.eval(h)
+              if (rt == null) { rBuf.next(); () }
+              else if (timeOrd.compare(rt, t) <= 0) {
+                if (!fwd) { lastMatch = h.copy(); lastMatchTime = rt }
+                rBuf.next(); ()
+              } else adv = false
+            } else adv = false
+          }
+          if (fwd) {
+            if (rBuf.hasNext) {
+              val h = rBuf.head
+              val rk = rKeyB.eval(h)
+              if (rk != null && keyOrd.compare(rk, k) == 0 &&
+                  tol.forall { d =>
+                    val diff = timeLong(rTimeB.eval(h)) - timeLong(t)
+                    diff >= 0 && diff <= d
+                  })
+                m = h
+            }
+          } else if (lastMatch != null &&
+              tol.forall { d =>
+                val diff = timeLong(t) - timeLong(lastMatchTime)
+                diff >= 0 && diff <= d
+              })
+            m = lastMatch
+        }
+        emit(l, m)
+      }
+    }
 }
