@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AsOfJoinStrategy -> AsOfJoinExec); running sessions can also get
     // it via AsOfJoin.ensureOn (experimental.extraStrategies)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL surface for the native as-of join:
+    // SELECT * FROM graft_asof('backward', 'lview', 'rview',
+    //   'lk', 'rk', 'lt', 'rt', 'tie'[, tolerance])
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(graft.plans.AsOfJoin.getClass.getName, "graft_asof"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.plans.AsOfJoin.sqlBuilder(children)))
   }
 }
 
@@ -46,6 +54,9 @@ object GraftExtensions {
       "graft_topk_pairs",
       exprs => TopKLongPairs(exprs(0), exprs(1),
         TopKLongPairs.literalK(exprs(2))),
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_asof", exprs => graft.plans.AsOfJoin.sqlBuilder(exprs),
       "scala_udf")
   }
 }

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** DataFrame-level API over the native [[AsOfJoinPlan]] operator.
@@ -39,6 +40,54 @@ object AsOfJoin {
       rightTie: String, tolerance: Option[Long] = None): DataFrame =
     build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
       forward = true, tolerance)
+
+  /** SQL surface (round-10 verdict item 4): a table-valued function so
+    * the native operator is reachable without Scala plumbing —
+    *
+    *   SELECT * FROM graft_asof('backward', 'purchases', 'clicks',
+    *     'user_id', 'c_uid', 'p_us', 'c_us', 'click_id'[, tolerance])
+    *
+    * The two table arguments are temp-view/table NAMES as string
+    * literals (resolved eagerly against the active session — the same
+    * relation resolution `spark.table` performs), the five column
+    * arguments name key/time/tie columns exactly like the Scala API,
+    * and the optional 9th argument is an integer tolerance in the time
+    * column's physical units. Registered per-session by
+    * GraftExtensions (injectTableFunction) or at runtime via
+    * GraftExtensions.register. */
+  def sqlBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(exprs.length == 8 || exprs.length == 9,
+      "graft_asof takes (direction, leftView, rightView, leftKey, " +
+      "rightKey, leftTime, rightTime, rightTie[, tolerance]); got " +
+      s"${exprs.length} arguments")
+    def str(i: Int, what: String): String = exprs(i) match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_asof $what (arg ${i + 1}) must be a string literal, got $other")
+    }
+    val dir = str(0, "direction").toLowerCase(java.util.Locale.ROOT)
+    require(dir == "backward" || dir == "forward",
+      s"graft_asof direction must be 'backward' or 'forward', got '$dir'")
+    val tol = exprs.lift(8).map {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_asof tolerance must be an integer literal, got $other")
+    }
+    val spark = SparkSession.active
+    val l = spark.table(str(1, "left view/table name"))
+    val r = spark.table(str(2, "right view/table name"))
+    val df =
+      if (dir == "forward")
+        forward(l, r, str(3, "leftKey"), str(4, "rightKey"),
+          str(5, "leftTime"), str(6, "rightTime"), str(7, "rightTie"), tol)
+      else
+        backward(l, r, str(3, "leftKey"), str(4, "rightKey"),
+          str(5, "leftTime"), str(6, "rightTime"), str(7, "rightTie"), tol)
+    df.queryExecution.analyzed
+  }
 
   private def build(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,

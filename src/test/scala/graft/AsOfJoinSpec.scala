@@ -349,6 +349,48 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL table function graft_asof plans the native operator") {
+    GraftExtensions.register(spark)
+    val l = mkSide(101L, 200, "l")
+    val r = mkSide(301L, 200, "r")
+    l.createOrReplaceTempView("asof_sql_l")
+    r.createOrReplaceTempView("asof_sql_r")
+    try {
+      for (dir <- Seq("backward", "forward")) {
+        val sqlDf = spark.sql(
+          s"""SELECT l_id, r_id FROM graft_asof('$dir', 'asof_sql_l',
+             |'asof_sql_r', 'l_k', 'r_k', 'l_t', 'r_t', 'r_id')""".stripMargin)
+        // the SQL route must reach the NATIVE operator, not a rewrite
+        assert(sqlDf.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+          s"graft_asof('$dir', ...) lost the native operator")
+        val api =
+          (if (dir == "forward")
+            AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+          else AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id"))
+            .select("l_id", "r_id")
+        assert(collectPairs(sqlDf) == collectPairs(api))
+      }
+      // tolerance as the optional 9th argument
+      val sqlTol = spark.sql(
+        """SELECT l_id, r_id FROM graft_asof('backward', 'asof_sql_l',
+          |'asof_sql_r', 'l_k', 'r_k', 'l_t', 'r_t', 'r_id', 3)""".stripMargin)
+      val apiTol = AsOfJoin
+        .backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(3L))
+        .select("l_id", "r_id")
+      assert(collectPairs(sqlTol) == collectPairs(apiTol))
+      // malformed calls fail analysis with an actionable message
+      val bad = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_asof('sideways', 'asof_sql_l', " +
+          "'asof_sql_r', 'l_k', 'r_k', 'l_t', 'r_t', 'r_id')").collect()
+      }
+      assert(bad.getMessage.contains("backward") ||
+        Option(bad.getCause).exists(_.getMessage.contains("backward")))
+    } finally {
+      spark.catalog.dropTempView("asof_sql_l"): Unit
+      spark.catalog.dropTempView("asof_sql_r"): Unit
+    }
+  }
+
   test("operator requires disjoint column names") {
     val l = mkSide(7L, 10, "l")
     intercept[IllegalArgumentException] {
