@@ -241,5 +241,62 @@ object Extended {
         .orderBy("event_type")
     })
 
-  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165, q166)
+  /** KEYLESS interval self-join via BANDING — the at-scale sibling of
+    * q41's equi-keyed range join. q41 bounds its pair space with the
+    * user_id equi-key; a burst detector ("event pairs within 5 s of
+    * each other, ANY users") has no such key, and the naive form is an
+    * all-pairs theta join — quadratic in the corpus, a scale-killer.
+    * The published fix (DuckDB's IEJoin paper ICDE'15 applies it
+    * engine-side; Spark users band manually) maps each row to a time
+    * band of the bound's width: a pair with 0 <= Δt <= W has its later
+    * event in the earlier event's band or the next one, so exploding
+    * the earlier side to {band, band+1} and EQUI-joining on the band
+    * finds every pair EXACTLY ONCE (the later event's band is a single
+    * value, so no dedup pass is needed). Candidate volume is events ×
+    * events-per-band — linear in the corpus for a fixed rate — and the
+    * band key shuffles like any equi-join (a hot burst second is a hot
+    * key: AQE skew-split applies, heap stays O(1) per task in SMJ).
+    * Canonical pair order (time, then event_id) keeps ties exact; all
+    * arithmetic is integral (µs, integer division), so both engines
+    * agree bit-for-bit. The DuckDB oracle states the NAIVE theta join
+    * (its IEJoin evaluates it efficiently) — proving the banded
+    * rewrite's exact equivalence on real data. */
+  private val q223 = QueryDef(
+    "q223_banded_burst_pairs",
+    "keyless range self-join via banding: event pairs within 5s, per day",
+    Some("""
+      SELECT epoch_us(a.ts) // 86400000000 AS day_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN a.user_id <> b.user_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cross_user,
+             CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS sum_gap_us
+      FROM events a JOIN events b
+        ON (epoch_us(b.ts) > epoch_us(a.ts) OR
+            (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+       AND epoch_us(b.ts) - epoch_us(a.ts) <= 5000000
+      GROUP BY 1
+      ORDER BY day_bucket"""),
+    (s, dir) => {
+      val w = 5000000L // band width = the pair bound (5 s in µs)
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_uid"),
+          col("ts_us").as("a_us"))
+        .withColumn("band",
+          explode(array(expr(s"a_us div $w"), expr(s"a_us div $w") + lit(1L))))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_uid"),
+          col("ts_us").as("b_us"), expr(s"ts_us div $w").as("band"))
+      a.join(b, Seq("band"))
+        .filter((col("b_us") > col("a_us") ||
+            (col("b_us") === col("a_us") && col("b_id") > col("a_id"))) &&
+          col("b_us") - col("a_us") <= w)
+        .groupBy(expr("a_us div 86400000000").as("day_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("a_uid") =!= col("b_uid"), 1L).otherwise(0L))
+            .as("n_cross_user"),
+          sum(col("b_us") - col("a_us")).as("sum_gap_us"))
+        .orderBy("day_bucket")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165, q166, q223)
 }

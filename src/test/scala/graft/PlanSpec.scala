@@ -183,6 +183,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "train-set exclusion must be a left-anti join")
   }
 
+  test("q223: keyless range join runs as the band equi-join, no nested loop") {
+    // the banded rewrite's whole point: the 5s-proximity self-join must
+    // shuffle on the band key like any equi-join — an all-pairs
+    // BroadcastNestedLoopJoin here is quadratic in the corpus
+    val p = plan("q223_banded_burst_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "burst pairs must come from the band equi-join, not an all-pairs scan")
+    assert("hashpartitioning\\(band#\\d+".r.findFirstIn(p).isDefined ||
+      p.contains("band#"),
+      "the join must key on the exploded time band")
+  }
+
   test("q71: subqueries decorrelate to semi/anti/outer joins, no per-row re-execution") {
     val p = plan("q71_correlated_subqueries")
     assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a left-semi join")
@@ -319,10 +331,16 @@ class PlanSpec extends AnyFunSuite {
       "global top-20 must not materialize a full sort")
     assert(!p.contains("CartesianProduct"),
       "the basket self-join must stay an equi-join on the order key")
-    // the a-priori min-support prune must gate BOTH sides of the pair
-    // join: the frequent-part set broadcasts in front of it
-    assert("\\(np#\\d+L? >= 2\\)".r.findFirstIn(p).isDefined,
-      "the support-floor filter must appear ahead of pair generation")
+    // round 11: the a-priori support floor moved INTO the copairs_sup2
+    // materialized view (CoPurchaseSpec proves the view ≡ the inline
+    // floored self-join) — the consumer plan must now be MV scans +
+    // broadcast joins, with no basket self-join left at all
+    assert("graft-mv".r.findAllIn(p).nonEmpty,
+      "pair counts must come from the co-purchase MV parquet")
+    // (the remaining o-keyed exchange is the n_orders COUNT(DISTINCT o)
+    // over the incidence MV — a count, not a self-join)
+    assert(!"SortMergeJoin .*\\(o#".r.findFirstIn(p).isDefined,
+      "no order-keyed self-join should remain in the consumer")
   }
 
   test("q127: the multi-distinct profile is one scan through Expand") {
@@ -612,8 +630,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q201_item_cf_cosine")
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
-    assert("\\(np#\\d+L? >= 2\\)".r.findFirstIn(p).isDefined,
-      "support floor must gate the self-join")
+    // round 11: the floored pair matrix comes from the copairs_sup2 MV
+    // (floor proven at view build by CoPurchaseSpec); the consumer is
+    // MV scan + broadcast popularity joins, no self-join left
+    assert("graft-mv".r.findAllIn(p).nonEmpty,
+      "pair counts must come from the co-purchase MV parquet")
+    assert(p.contains("BroadcastHashJoin"),
+      "popularity factors must broadcast onto the pair scan")
   }
 
   test("q196: churn snapshot is one fact aggregate with a broadcast cutoff scalar") {
@@ -765,8 +788,14 @@ class PlanSpec extends AnyFunSuite {
     assert(specs.forall(l => l.contains("o_custkey") || l.contains("pa#")
       || l.contains("u#")),
       s"window must partition by customer/part/user, never global:\n${specs.mkString("\n")}")
-    assert("\\(np#\\d+L? >= 2\\)".r.findFirstIn(p).isDefined,
-      "a-priori support floor must gate the basket self-join")
+    // round 11: the full-corpus pair matrix comes from the copairs_sup2
+    // MV and the TRAIN floor is the delta filter np - np_exc >= 2
+    // (applied after differencing; CoPurchaseSpec proves delta ≡ the
+    // inline train-side floor+self-join)
+    assert("graft-mv".r.findAllIn(p).nonEmpty,
+      "co_all must come from the co-purchase MV parquet")
+    assert(p.contains(">= 2)"),
+      "the train-support floor (np - np_exc >= 2) must gate the delta")
     assert(!p.contains("CartesianProduct"),
       "scalar readout sides must broadcast-combine")
   }
