@@ -384,6 +384,54 @@ object Relational {
       }
     })
 
+  /** direction='nearest' — the third as-of mode every mature surface
+    * exposes (pandas merge_asof direction='nearest'): each purchase is
+    * attributed to its temporally CLOSEST click within ±2 h, in either
+    * direction, with equal distances breaking toward the backward
+    * (click-before) candidate and the per-direction tie rules of
+    * q10/q69 (backward largest, forward smallest click id). The signed
+    * gap (positive = click before purchase) reveals which side won.
+    * Runs on the native operator's nearest path — both per-direction
+    * candidates fall out of the same single merge pass, distances
+    * compare unsigned so ordering is exact at any magnitude
+    * (plans/AsOfJoinPlan.scala) — while the oracle states the explicit
+    * two-sided bounded composition. */
+  private val q224 = QueryDef(
+    "q224_asof_nearest_attribution",
+    "nearest as-of: closest click within ±2h of each purchase, backward ties",
+    Some("""
+      SELECT user_id, purchase_id, click_id, gap_us FROM (
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+               row_number() OVER (PARTITION BY p.event_id ORDER BY
+                 ABS(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                 CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                 CASE WHEN c.ts <= p.ts THEN -c.event_id
+                      ELSE c.event_id END ASC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND ABS(epoch_us(c.ts) - epoch_us(p.ts)) <= 7200000000)
+      WHERE rn = 1
+      ORDER BY user_id, purchase_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us").as("us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("us").as("c_us"))
+      graft.plans.AsOfJoin
+        .nearest(p, c, "user_id", "c_uid", "p_us", "c_us", "click_id",
+          tolerance = Some(7200000000L))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+        .orderBy("user_id", "purchase_id")
+    })
+
   /** Multiset (ALL) set operations: bag difference/intersection preserve
     * duplicate multiplicities — exceptAll keeps max(m_a - m_b, 0) copies,
     * intersectAll min(m_a, m_b) — identical semantics in Spark and
@@ -728,7 +776,7 @@ object Relational {
 
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168, q181, q195, q221, q222)
+      q126, q127, q168, q181, q195, q221, q222, q224)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

@@ -29,7 +29,7 @@ object AsOfJoin {
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
       rightTie: String, tolerance: Option[Long] = None): DataFrame =
     build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
-      forward = false, tolerance)
+      AsOfDirection.Backward, tolerance)
 
   /** Forward as-of: earliest `right` row with rightTime > leftTime per
     * key; ties toward the smallest rightTie. Left outer. `tolerance`
@@ -39,7 +39,17 @@ object AsOfJoin {
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
       rightTie: String, tolerance: Option[Long] = None): DataFrame =
     build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
-      forward = true, tolerance)
+      AsOfDirection.Forward, tolerance)
+
+  /** Nearest as-of (pandas merge_asof direction='nearest'): the closer
+    * of the backward and forward matches above; equal distance breaks
+    * toward backward. Needs time ARITHMETIC, so (like tolerance) it is
+    * restricted to integral-backed time columns. Left outer. */
+  def nearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String, rightTime: String,
+      rightTie: String, tolerance: Option[Long] = None): DataFrame =
+    build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      AsOfDirection.Nearest, tolerance)
 
   /** SQL surface (round-10 verdict item 4): a table-valued function so
     * the native operator is reachable without Scala plumbing —
@@ -67,9 +77,7 @@ object AsOfJoin {
       case other => throw new IllegalArgumentException(
         s"graft_asof $what (arg ${i + 1}) must be a string literal, got $other")
     }
-    val dir = str(0, "direction").toLowerCase(java.util.Locale.ROOT)
-    require(dir == "backward" || dir == "forward",
-      s"graft_asof direction must be 'backward' or 'forward', got '$dir'")
+    val dir = AsOfDirection.parse(str(0, "direction"))
     val tol = exprs.lift(8).map {
       case Literal(v: Int, IntegerType) => v.toLong
       case Literal(v: Long, LongType) => v
@@ -79,19 +87,14 @@ object AsOfJoin {
     val spark = SparkSession.active
     val l = spark.table(str(1, "left view/table name"))
     val r = spark.table(str(2, "right view/table name"))
-    val df =
-      if (dir == "forward")
-        forward(l, r, str(3, "leftKey"), str(4, "rightKey"),
-          str(5, "leftTime"), str(6, "rightTime"), str(7, "rightTie"), tol)
-      else
-        backward(l, r, str(3, "leftKey"), str(4, "rightKey"),
-          str(5, "leftTime"), str(6, "rightTime"), str(7, "rightTie"), tol)
-    df.queryExecution.analyzed
+    build(l, r, str(3, "leftKey"), str(4, "rightKey"), str(5, "leftTime"),
+      str(6, "rightTime"), str(7, "rightTie"), dir, tol)
+      .queryExecution.analyzed
   }
 
   private def build(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTime: String, rightTime: String,
-      rightTie: String, forward: Boolean,
+      rightTie: String, dir: AsOfDirection,
       tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureOn(spark)
@@ -105,17 +108,20 @@ object AsOfJoin {
         s"$side side has no column '$n' (has: ${p.output.map(_.name).mkString(", ")})"))
     val lt = attr(lp, leftTime, "left")
     val rt = attr(rp, rightTime, "right")
-    if (tolerance.isDefined) {
+    // tolerance and nearest both need time ARITHMETIC (distances), not
+    // just ordering — integral-backed time columns only
+    if (tolerance.isDefined || dir == AsOfDirection.Nearest) {
       import org.apache.spark.sql.types._
-      require(tolerance.get >= 0, "as-of tolerance must be >= 0")
+      tolerance.foreach(t => require(t >= 0, "as-of tolerance must be >= 0"))
       val ok = Set[Any](LongType, IntegerType, ShortType, ByteType,
         TimestampType, TimestampNTZType, DateType)
+      val what = if (tolerance.isDefined) "tolerance" else "direction=nearest"
       require(ok(lt.dataType) && ok(rt.dataType),
-        s"as-of tolerance needs integral-backed time columns, got " +
+        s"as-of $what needs integral-backed time columns, got " +
         s"${lt.dataType}/${rt.dataType}")
     }
     GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey, "left"), attr(rp, rightKey, "right"),
-      lt, rt, attr(rp, rightTie, "right"), forward, tolerance))
+      lt, rt, attr(rp, rightTie, "right"), dir, tolerance))
   }
 }

@@ -34,12 +34,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
   * the composition's intermediate pair set is the difference between a
   * job that finishes and one that doesn't.
   *
-  * Semantics (both directions LEFT OUTER, null-extended on no match):
+  * Semantics (all directions LEFT OUTER, null-extended on no match):
   *  - backward: latest right row with rTime <= lTime; ties on rTime
   *    broken toward the LARGEST rightTie (matches `ORDER BY t DESC,
   *    tie DESC ... rn = 1`).
   *  - forward: earliest right row with rTime > lTime; ties broken toward
   *    the SMALLEST rightTie (matches `ORDER BY t ASC, tie ASC ... rn=1`).
+  *  - nearest (pandas merge_asof direction='nearest'): the closer of the
+  *    best-backward and best-forward candidates above; equal distance
+  *    breaks toward BACKWARD. Distances compare UNSIGNED, so even
+  *    2^63-exceeding gaps order exactly (a wrapped difference is the
+  *    true distance mod 2^64, and true distances are < 2^64).
   * Equi-key NULL semantics match a plain join: a NULL key or NULL left
   * time never matches; right rows with NULL key or time are skipped.
   *
@@ -47,16 +52,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
   * pandas merge_asof, kdb wj, QuestDB ASOF ... TOLERANCE) caps the
   * match distance IN THE TIME COLUMN'S PHYSICAL UNITS (µs for
   * timestamps): backward additionally requires rTime >= lTime - tol,
-  * forward rTime <= lTime + tol. Emit-time check only — a candidate
-  * that falls out of tolerance for one left row can never re-enter for
-  * a later (larger-time) row in backward mode, so the merge pass and
-  * its O(1) memory are unchanged. Integral time columns only.
+  * forward rTime <= lTime + tol, nearest bounds both candidates before
+  * choosing. Emit-time check only — a candidate that falls out of
+  * tolerance for one left row can never re-enter for a later
+  * (larger-time) row in backward mode, so the merge pass and its O(1)
+  * memory are unchanged. Integral time columns only.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, forward: Boolean,
+    rightTie: Expression, dir: AsOfDirection,
     tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -87,13 +93,35 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Match direction of the as-of join — the three modes pandas
+  * merge_asof exposes. */
+sealed trait AsOfDirection extends Serializable
+object AsOfDirection {
+  /** Latest right row at-or-before the left time. */
+  case object Backward extends AsOfDirection
+  /** Earliest right row strictly after the left time. */
+  case object Forward extends AsOfDirection
+  /** Closer of the two; equal distance breaks toward backward. */
+  case object Nearest extends AsOfDirection
+
+  def parse(s: String): AsOfDirection =
+    s.toLowerCase(java.util.Locale.ROOT) match {
+      case "backward" => Backward
+      case "forward" => Forward
+      case "nearest" => Nearest
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be 'backward', 'forward' or 'nearest', " +
+        s"got '$other'")
+    }
+}
+
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. Registered per-session via
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or at
   * runtime through `experimental.extraStrategies` (AsOfJoin.ensureOn). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, fwd, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, fwd,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, dir,
         tol) :: Nil
     case _ => Nil
   }
@@ -113,7 +141,7 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, forward: Boolean,
+    rightTie: Expression, dir: AsOfDirection,
     tolerance: Option[Long] = None)
   extends BinaryExecNode with CodegenSupport {
 
@@ -224,23 +252,54 @@ case class AsOfJoinExec(
     val rtVal = ctx.freshName("asofRt")
     val diff = ctx.freshName("asofDiff")
     val tolCheck = tolerance.fold("true")(d => s"($diff >= 0L && $diff <= ${d}L)")
-    val matchBlock = if (forward) {
-      s"""
-         |if ($rightHead != null && !${nullCheck(rightHead, rk, rKeyNullable)}
-         |    && ${kOf(rightHead, rk)} == $k) {
-         |  long $diff = ${kOf(rightHead, rt)} - $t;
-         |  if ($tolCheck) $matchedRow = $rightHead;
-         |}
-       """.stripMargin
-    } else {
-      s"""
-         |if ($lastMatch != null) {
-         |  long $diff = $t - $lastMatchTime;
-         |  if ($tolCheck) $matchedRow = $lastMatch;
-         |}
-       """.stripMargin
+    val matchBlock = dir match {
+      case AsOfDirection.Forward =>
+        s"""
+           |if ($rightHead != null && !${nullCheck(rightHead, rk, rKeyNullable)}
+           |    && ${kOf(rightHead, rk)} == $k) {
+           |  long $diff = ${kOf(rightHead, rt)} - $t;
+           |  if ($tolCheck) $matchedRow = $rightHead;
+           |}
+         """.stripMargin
+      case AsOfDirection.Backward =>
+        s"""
+           |if ($lastMatch != null) {
+           |  long $diff = $t - $lastMatchTime;
+           |  if ($tolCheck) $matchedRow = $lastMatch;
+           |}
+         """.stripMargin
+      case AsOfDirection.Nearest =>
+        // both candidates, each tolerance-bounded; distances compare
+        // UNSIGNED (a wrapped difference is the exact distance mod 2^64,
+        // and true distances are < 2^64, so the ordering stays exact
+        // even past Long.MaxValue); ties break toward backward
+        val bwDiff = ctx.freshName("asofBwDiff")
+        val fwDiff = ctx.freshName("asofFwDiff")
+        val bwOk = ctx.freshName("asofBwOk")
+        val fwOk = ctx.freshName("asofFwOk")
+        def bounded(d: String) =
+          tolerance.fold("true")(x => s"($d >= 0L && $d <= ${x}L)")
+        s"""
+           |long $bwDiff = 0L; boolean $bwOk = false;
+           |if ($lastMatch != null) {
+           |  $bwDiff = $t - $lastMatchTime;
+           |  $bwOk = ${bounded(bwDiff)};
+           |}
+           |long $fwDiff = 0L; boolean $fwOk = false;
+           |if ($rightHead != null && !${nullCheck(rightHead, rk, rKeyNullable)}
+           |    && ${kOf(rightHead, rk)} == $k) {
+           |  $fwDiff = ${kOf(rightHead, rt)} - $t;
+           |  $fwOk = ${bounded(fwDiff)};
+           |}
+           |if ($bwOk && (!$fwOk ||
+           |    java.lang.Long.compareUnsigned($bwDiff, $fwDiff) <= 0)) {
+           |  $matchedRow = $lastMatch;
+           |} else if ($fwOk) {
+           |  $matchedRow = $rightHead;
+           |}
+         """.stripMargin
     }
-    val keepCandidate = if (forward) "" else
+    val keepCandidate = if (dir == AsOfDirection.Forward) "" else
       s"$lastMatch = $rightHead.copy(); $lastMatchTime = $rtVal;"
     // output columns: left side reads from leftRow via ordinary bound
     // refs; right side is null-extended when matchedRow == null
@@ -314,7 +373,7 @@ case class AsOfJoinExec(
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
-    val fwd = forward
+    val d = dir
     val tol = tolerance
     val attrs = output
     val nRight = right.output.size
@@ -361,11 +420,11 @@ case class AsOfJoinExec(
         val rBuf = rIter.buffered
         prim match {
           case (Some(lk), Some(lt), Some(rk), Some(rt)) if !forceInterpreted =>
-            AsOfJoinExec.primitiveMerge(lIter, rBuf, lk, lt, rk, rt, fwd, tol,
+            AsOfJoinExec.primitiveMerge(lIter, rBuf, lk, lt, rk, rt, d, tol,
               emit)
           case _ =>
             AsOfJoinExec.genericMerge(lIter, rBuf, lKeyB, lTimeB, rKeyB,
-              rTimeB, leftKey.dataType, leftTime.dataType, fwd, tol, emit)
+              rTimeB, leftKey.dataType, leftTime.dataType, d, tol, emit)
         }
     }
   }
@@ -443,9 +502,11 @@ object AsOfJoinExec {
   def primitiveMerge(
       lIter: Iterator[InternalRow], rBuf: BufferedIterator[InternalRow],
       lKey: LongAt, lTime: LongAt, rKey: LongAt, rTime: LongAt,
-      fwd: Boolean, tol: Option[Long],
+      dir: AsOfDirection, tol: Option[Long],
       emit: Emit): Iterator[InternalRow] =
     new Iterator[InternalRow] {
+      private val fwd = dir == AsOfDirection.Forward
+      private val nearest = dir == AsOfDirection.Nearest
       private var curKey: Long = 0L
       private var haveKey = false
       private var lastMatch: InternalRow = null
@@ -471,7 +532,7 @@ object AsOfJoinExec {
             }
           }
           // consume same-key rows with time <= left time (NULL right
-          // times sort first and never match in either direction)
+          // times sort first and never match in any direction)
           var adv = true
           while (adv && rBuf.hasNext) {
             val h = rBuf.head
@@ -489,18 +550,30 @@ object AsOfJoinExec {
           // overflow-safe tolerance: the true distance is >= 0 by merge
           // position, so a wrapped subtraction is always negative and
           // `0 <= diff <= d` rejects it (see AsOfJoinSpec extreme cases)
-          if (fwd) {
+          def fwdCandidate: InternalRow = {
             if (rBuf.hasNext) {
               val h = rBuf.head
-              if (!rKey.isNull(h) && rKey.get(h) == k) {
-                val diff = rTime.get(h) - t
-                if (!hasTol || (diff >= 0 && diff <= tolD)) m = h
-              }
+              if (!rKey.isNull(h) && rKey.get(h) == k) return h
             }
-          } else if (lastMatch != null) {
-            val diff = t - lastMatchTime
-            if (!hasTol || (diff >= 0 && diff <= tolD)) m = lastMatch
+            null
           }
+          def inTol(diff: Long): Boolean =
+            !hasTol || (diff >= 0 && diff <= tolD)
+          if (fwd) {
+            val h = fwdCandidate
+            if (h != null && inTol(rTime.get(h) - t)) m = h
+          } else if (nearest) {
+            // both candidates, each tolerance-bounded; distances compare
+            // UNSIGNED (a wrapped difference is the exact distance mod
+            // 2^64 and true distances are < 2^64), ties toward backward
+            val bwOk = lastMatch != null && inTol(t - lastMatchTime)
+            val h = fwdCandidate
+            val fwOk = h != null && inTol(rTime.get(h) - t)
+            if (bwOk && (!fwOk || java.lang.Long.compareUnsigned(
+                t - lastMatchTime, rTime.get(h) - t) <= 0)) m = lastMatch
+            else if (fwOk) m = h
+          } else if (lastMatch != null && inTol(t - lastMatchTime))
+            m = lastMatch
         }
         emit(l, m)
       }
@@ -513,8 +586,10 @@ object AsOfJoinExec {
       lKeyB: Expression, lTimeB: Expression, rKeyB: Expression,
       rTimeB: Expression, keyType: org.apache.spark.sql.types.DataType,
       timeType: org.apache.spark.sql.types.DataType,
-      fwd: Boolean, tol: Option[Long], emit: Emit): Iterator[InternalRow] =
+      dir: AsOfDirection, tol: Option[Long], emit: Emit): Iterator[InternalRow] =
     new Iterator[InternalRow] {
+      private val fwd = dir == AsOfDirection.Forward
+      private val nearest = dir == AsOfDirection.Nearest
       private val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
       private val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
       // tolerance bounds need time ARITHMETIC, not just ordering — the
@@ -562,22 +637,34 @@ object AsOfJoinExec {
               } else adv = false
             } else adv = false
           }
-          if (fwd) {
+          def fwdCandidate: InternalRow = {
             if (rBuf.hasNext) {
               val h = rBuf.head
               val rk = rKeyB.eval(h)
-              if (rk != null && keyOrd.compare(rk, k) == 0 &&
-                  tol.forall { d =>
-                    val diff = timeLong(rTimeB.eval(h)) - timeLong(t)
-                    diff >= 0 && diff <= d
-                  })
-                m = h
+              if (rk != null && keyOrd.compare(rk, k) == 0) return h
             }
+            null
+          }
+          def inTol(diff: Long): Boolean =
+            tol.forall(d => diff >= 0 && diff <= d)
+          if (fwd) {
+            val h = fwdCandidate
+            if (h != null && inTol(timeLong(rTimeB.eval(h)) - timeLong(t)))
+              m = h
+          } else if (nearest) {
+            // nearest needs time ARITHMETIC (distances), so like
+            // tolerance it is restricted to integral-backed time columns
+            val bwOk = lastMatch != null &&
+              inTol(timeLong(t) - timeLong(lastMatchTime))
+            val h = fwdCandidate
+            val fwOk = h != null &&
+              inTol(timeLong(rTimeB.eval(h)) - timeLong(t))
+            if (bwOk && (!fwOk || java.lang.Long.compareUnsigned(
+                timeLong(t) - timeLong(lastMatchTime),
+                timeLong(rTimeB.eval(h)) - timeLong(t)) <= 0)) m = lastMatch
+            else if (fwOk) m = h
           } else if (lastMatch != null &&
-              tol.forall { d =>
-                val diff = timeLong(t) - timeLong(lastMatchTime)
-                diff >= 0 && diff <= d
-              })
+              inTol(timeLong(t) - timeLong(lastMatchTime)))
             m = lastMatch
         }
         emit(l, m)

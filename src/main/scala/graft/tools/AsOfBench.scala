@@ -102,13 +102,13 @@ object AsOfBench {
     def onceP(): Double = {
       val t0 = System.nanoTime()
       drain(AsOfJoinExec.primitiveMerge(lRows.iterator, rRows.iterator.buffered,
-        kAt, tAt, kAt, tAt, fwd = false, None, emit())): Unit
+        kAt, tAt, kAt, tAt, graft.plans.AsOfDirection.Backward, None, emit())): Unit
       (System.nanoTime() - t0) / 1e9
     }
     def onceG(): Double = {
       val t0 = System.nanoTime()
       drain(AsOfJoinExec.genericMerge(lRows.iterator, rRows.iterator.buffered,
-        kB, tB, kB, tB, LongType, LongType, fwd = false, None, emit())): Unit
+        kB, tB, kB, tB, LongType, LongType, graft.plans.AsOfDirection.Backward, None, emit())): Unit
       (System.nanoTime() - t0) / 1e9
     }
     onceP(); onceG() // warmup/JIT

@@ -47,6 +47,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("l_id", "r_id")
   }
 
+  /** Nearest spec: closer of the two directions, distance ties toward
+    * backward, then the per-direction tie rule (backward largest r_id,
+    * forward smallest r_id). */
+  private def nearestSpec(l: DataFrame, r: DataFrame,
+      tol: Option[Long] = None): DataFrame = {
+    val isBw = col("r_t") <= col("l_t")
+    val dist = when(isBw, col("l_t") - col("r_t"))
+      .otherwise(col("r_t") - col("l_t"))
+    // null times on EITHER side are never candidates (the operator
+    // skips null right times and emits no-match for null left times;
+    // unlike the directional specs this condition carries no time
+    // inequality, so the null exclusions must be explicit or null-time
+    // rows would survive the join and win rank-1)
+    val base = col("l_k") === col("r_k") &&
+      col("r_t").isNotNull && col("l_t").isNotNull
+    val cond = tol.fold(base)(d => base && dist <= d)
+    val w = Window.partitionBy(col("l_id")).orderBy(
+      dist.asc_nulls_last,
+      when(isBw, 0).otherwise(1).asc_nulls_last,
+      when(isBw, -col("r_id")).otherwise(col("r_id")).asc_nulls_last)
+    l.join(r, cond, "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("l_id", "r_id")
+  }
+
   private def collectPairs(df: DataFrame): Set[(Long, Option[Long])] =
     df.collect().map(row => (row.getLong(row.fieldIndex("l_id")),
       if (row.isNullAt(row.fieldIndex("r_id"))) None
@@ -82,6 +107,66 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(native.count() == 300L, "left outer: one row per left row")
       assert(collectPairs(native) ==
         collectPairs(windowSpec(l, r, forward, Some(tol))))
+    }
+  }
+
+  // direction='nearest' (round 11): closer of the per-direction best
+  // candidates, distance ties toward backward — differential-tested
+  // against the explicit both-sides window composition, with and
+  // without tolerance, across all three execution paths.
+  for ((nl, nr, seed) <- Seq((300, 300, 31L), (100, 500, 32L),
+      (500, 100, 33L), (50, 0, 34L)); tol <- Seq(None, Some(3L))) {
+    test(s"nearest as-of matches the two-sided window spec (nl=$nl nr=$nr tol=$tol)") {
+      val l = mkSide(seed, nl, "l")
+      val r = mkSide(seed + 100, nr, "r")
+      val native = AsOfJoin
+        .nearest(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", tol)
+        .select("l_id", "r_id")
+      assert(native.count() == nl.toLong, "left outer: one row per left row")
+      assert(collectPairs(native) == collectPairs(nearestSpec(l, r, tol)))
+    }
+  }
+
+  test("nearest: codegen ≡ primitive ≡ interpreted") {
+    val cgKey = "spark.graft.asof.codegen"
+    val interpKey = "spark.graft.asof.forceInterpreted"
+    val l = mkSide(41L, 400, "l")
+    val r = mkSide(141L, 400, "r")
+    def run(): Set[(Long, Option[Long])] = collectPairs(
+      AsOfJoin.nearest(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(5L))
+        .select("l_id", "r_id"))
+    val codegen = run()
+    spark.conf.set(cgKey, "false")
+    val primitive = try run() finally spark.conf.unset(cgKey)
+    spark.conf.set(interpKey, "true"); spark.conf.set(cgKey, "false")
+    val interpreted = try run() finally {
+      spark.conf.unset(interpKey); spark.conf.unset(cgKey)
+    }
+    assert(codegen == primitive && primitive == interpreted)
+    assert(codegen == collectPairs(nearestSpec(l, r, Some(5L))))
+  }
+
+  test("nearest: equal-distance ties break toward backward") {
+    val l = Seq((1L, 1L, 10L)).toDF("l_id", "l_k", "l_t")
+    // backward candidate at distance 2 (t=8), forward at distance 2 (t=12)
+    val r = Seq((10L, 1L, 8L), (11L, 1L, 12L)).toDF("r_id", "r_k", "r_t")
+    val got = collectPairs(AsOfJoin
+      .nearest(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+      .select("l_id", "r_id"))
+    assert(got == Set((1L, Some(10L))), "equal distance must pick backward")
+    // and a strictly closer forward candidate must win
+    val r2 = Seq((10L, 1L, 7L), (11L, 1L, 12L)).toDF("r_id", "r_k", "r_t")
+    val got2 = collectPairs(AsOfJoin
+      .nearest(l, r2, "l_k", "r_k", "l_t", "r_t", "r_id")
+      .select("l_id", "r_id"))
+    assert(got2 == Set((1L, Some(11L))), "closer forward candidate must win")
+  }
+
+  test("nearest rejects non-integral time columns (needs distance arithmetic)") {
+    val l = mkSide(21L, 10, "l").withColumn("l_d", col("l_t").cast("double"))
+    val r = mkSide(22L, 10, "r").withColumn("r_d", col("r_t").cast("double"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(l, r, "l_k", "r_k", "l_d", "r_d", "r_id")
     }
   }
 
@@ -370,6 +455,14 @@ class AsOfJoinSpec extends AnyFunSuite {
             .select("l_id", "r_id")
         assert(collectPairs(sqlDf) == collectPairs(api))
       }
+      // direction='nearest' through SQL
+      val sqlNear = spark.sql(
+        """SELECT l_id, r_id FROM graft_asof('nearest', 'asof_sql_l',
+          |'asof_sql_r', 'l_k', 'r_k', 'l_t', 'r_t', 'r_id')""".stripMargin)
+      val apiNear = AsOfJoin
+        .nearest(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+        .select("l_id", "r_id")
+      assert(collectPairs(sqlNear) == collectPairs(apiNear))
       // tolerance as the optional 9th argument
       val sqlTol = spark.sql(
         """SELECT l_id, r_id FROM graft_asof('backward', 'asof_sql_l',
