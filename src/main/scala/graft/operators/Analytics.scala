@@ -921,6 +921,11 @@ object Analytics {
       // hash agg then reuses the anti join's (u, pb) partitioning — one
       // candidate-set shuffle total where agg-then-anti paid two
       // (measured 2× cold / 25% warm on the 4.8M-row candidate set).
+      // (measured and rejected: pre-repartitioning tp by u so the whole
+      // scoring pipeline shares one hash(u) exchange — subset
+      // co-partition — read ~10% SLOWER in an interleaved same-JVM A/B
+      // than letting the anti+agg shuffle on (u, pb) and the top-5 on u
+      // under AQE's coalescing, 2.30 vs 2.05 s min-of-4 at sf0.1)
       val cand = tp.join(broadcast(nb), col("pa") === col("p"))
         .select(col("u"), col("pb"), col("n"))
       val scx = cand.join(tp.select(col("u"), col("p").as("pb")),
