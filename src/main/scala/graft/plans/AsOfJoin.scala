@@ -51,6 +51,41 @@ object AsOfJoin {
     build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
       AsOfDirection.Nearest, tolerance)
 
+  /** COMPOSITE equi-key form (pandas merge_asof `by=[...]` parity): the
+    * key lists zip into a single struct key per side — struct equality,
+    * hashing and ordering are fieldwise, so the merge semantics are
+    * exactly "all key columns equal". Struct keys are outside the
+    * primitive/codegen fast path (they are not single long-backed
+    * attribute refs), so this form runs on the interpreted generic
+    * merge — the right trade for the long tail of multi-key call sites;
+    * promote hot ones to a derived single key column if they ever
+    * dominate a profile. */
+  def byKeys(left: DataFrame, right: DataFrame, direction: AsOfDirection,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String, rightTie: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"as-of byKeys needs equally many key columns on both sides, got " +
+      s"${leftKeys.size}/${rightKeys.size}")
+    if (leftKeys.size == 1)
+      return build(left, right, leftKeys.head, rightKeys.head, leftTime,
+        rightTime, rightTie, direction, tolerance)
+    import org.apache.spark.sql.functions.{col, struct}
+    // a NULL in any key column must mean no-match (plain-join NULL
+    // semantics); a struct with a null FIELD is itself non-null, so the
+    // composite key is nulled out explicitly when any field is null
+    def keyed(df: DataFrame, keys: Seq[String], name: String): DataFrame = {
+      val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+      df.withColumn(name,
+        org.apache.spark.sql.functions.when(!anyNull, struct(keys.map(col): _*)))
+    }
+    val lname = "__graft_asof_lkey"
+    val rname = "__graft_asof_rkey"
+    val out = build(keyed(left, leftKeys, lname), keyed(right, rightKeys, rname),
+      lname, rname, leftTime, rightTime, rightTie, direction, tolerance)
+    out.drop(lname, rname)
+  }
+
   /** SQL surface (round-10 verdict item 4): a table-valued function so
     * the native operator is reachable without Scala plumbing —
     *

@@ -484,6 +484,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("composite byKeys as-of matches the two-key window composition") {
+    // pandas merge_asof by=[k1, k2] parity: struct-composite key through
+    // the generic merge; NULL in ANY key column means no-match (the
+    // multi-column equi-join NULL rule)
+    val rnd = new scala.util.Random(51L)
+    def mk(n: Int, tag: String): DataFrame = {
+      val rows = (0 until n).map { i =>
+        val k1 = if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(4).toLong)
+        val k2 = if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(3).toLong)
+        val t = if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(20).toLong)
+        (i.toLong, k1, k2, t)
+      }
+      rows.toDF(s"${tag}_id", s"${tag}_k1", s"${tag}_k2", s"${tag}_t")
+    }
+    val l = mk(300, "l")
+    val r = mk(300, "r")
+    for (dirName <- Seq("backward", "forward")) {
+      val forward = dirName == "forward"
+      val native = AsOfJoin.byKeys(l, r, graft.plans.AsOfDirection.parse(dirName),
+          Seq("l_k1", "l_k2"), Seq("r_k1", "r_k2"), "l_t", "r_t", "r_id")
+        .select("l_id", "r_id")
+      val base = col("l_k1") === col("r_k1") && col("l_k2") === col("r_k2") &&
+        (if (forward) col("r_t") > col("l_t") else col("r_t") <= col("l_t"))
+      val w = Window.partitionBy(col("l_id")).orderBy(
+        if (forward) col("r_t").asc_nulls_last else col("r_t").desc_nulls_last,
+        if (forward) col("r_id").asc_nulls_last else col("r_id").desc_nulls_last)
+      val spec = l.join(r, base, "left")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("l_id", "r_id")
+      assert(native.count() == 300L, s"$dirName: one row per left row")
+      assert(collectPairs(native) == collectPairs(spec), s"$dirName mismatch")
+      // synthetic struct key columns must not leak into the output
+      assert(!native.columns.exists(_.startsWith("__graft_asof")))
+    }
+    // single-key byKeys degenerates to the primitive/codegen form
+    val one = AsOfJoin.byKeys(l, r, graft.plans.AsOfDirection.Backward,
+        Seq("l_k1"), Seq("r_k1"), "l_t", "r_t", "r_id")
+      .select("l_id", "r_id")
+    val oneDirect = AsOfJoin.backward(l, r, "l_k1", "r_k1", "l_t", "r_t", "r_id")
+      .select("l_id", "r_id")
+    assert(collectPairs(one) == collectPairs(oneDirect))
+  }
+
   test("operator requires disjoint column names") {
     val l = mkSide(7L, 10, "l")
     intercept[IllegalArgumentException] {
@@ -494,7 +537,9 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("q10/q69/q221 plans carry the native operator and exactly one exchange per side") {
     for (name <- Seq("q10_asof_click_before_purchase",
         "q69_asof_forward_view_after_signup",
-        "q221_asof_tolerance_attribution")) {
+        "q221_asof_tolerance_attribution",
+        "q222_asof_sql_conversion_window",
+        "q224_asof_nearest_attribution")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       // AsOfJoinExec renders as "AsOfJoin" (TreeNode strips the Exec suffix)
