@@ -432,6 +432,50 @@ object Relational {
         .orderBy("user_id", "purchase_id")
     })
 
+  /** COMPOSITE-key as-of (pandas merge_asof `by=[...]` parity) through
+    * `AsOfJoin.byKeys`: for each shipment, the gap to the PREVIOUS
+    * shipment of the same (supplier, part) pair — repeat-supply cadence,
+    * the replenishment-interval signal. Strict past is encoded by
+    * probing at t−1 µs (backward as-of includes ties; the probe shift
+    * excludes same-instant rows exactly), and the two key columns ride
+    * as one struct key with any-field-null → no-match. The oracle is a
+    * genuinely different formulation: a RANGE-frame window MAX
+    * (UNBOUNDED PRECEDING .. 1 PRECEDING over epoch-µs), which states
+    * "latest strictly-earlier time per key" without any join — the
+    * as-of must agree row-for-row. Self-as-of at scale beats the
+    * window form for the same reason as q10: no pair fan-out. */
+  private val q225 = QueryDef(
+    "q225_asof_bykeys_repeat_shipment",
+    "composite-key as-of: gap to the previous shipment of the same (supplier, part)",
+    Some("""
+      SELECT l_suppkey, l_partkey, l_orderkey * 8 + l_linenumber AS line_uid,
+             epoch_us(l_shipdate) - MAX(epoch_us(l_shipdate)) OVER (
+               PARTITION BY l_suppkey, l_partkey
+               ORDER BY epoch_us(l_shipdate)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gap_us
+      FROM lineitem
+      ORDER BY l_suppkey, l_partkey, line_uid"""),
+    (s, dir) => {
+      // ship date may scan as TIMESTAMP_NTZ (fixture drift; see
+      // Tables.tsTolerant) — cast under the pinned UTC session like
+      // q213, so epoch-µs agree with DuckDB's epoch_us bit-for-bit
+      val li = Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_partkey"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("line_uid"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      val lSide = li.select(col("l_suppkey").as("ls"), col("l_partkey").as("lp"),
+        col("line_uid"), col("ship_us"),
+        (col("ship_us") - 1).as("probe_us"))
+      val rSide = li.select(col("l_suppkey").as("rs"), col("l_partkey").as("rp"),
+        col("line_uid").as("r_uid"), col("ship_us").as("r_us"))
+      graft.plans.AsOfJoin.byKeys(lSide, rSide,
+          graft.plans.AsOfDirection.Backward,
+          Seq("ls", "lp"), Seq("rs", "rp"), "probe_us", "r_us", "r_uid")
+        .select(col("ls").as("l_suppkey"), col("lp").as("l_partkey"),
+          col("line_uid"), (col("ship_us") - col("r_us")).as("gap_us"))
+        .orderBy("l_suppkey", "l_partkey", "line_uid")
+    })
+
   /** Multiset (ALL) set operations: bag difference/intersection preserve
     * duplicate multiplicities — exceptAll keeps max(m_a - m_b, 0) copies,
     * intersectAll min(m_a, m_b) — identical semantics in Spark and
@@ -776,7 +820,7 @@ object Relational {
 
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168, q181, q195, q221, q222, q224)
+      q126, q127, q168, q181, q195, q221, q222, q224, q225)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)
