@@ -143,6 +143,23 @@ object AsOfJoin {
         s"$side side has no column '$n' (has: ${p.output.map(_.name).mkString(", ")})"))
     val lt = attr(lp, leftTime, "left")
     val rt = attr(rp, rightTime, "right")
+    val lk = attr(lp, leftKey, "left")
+    val rk = attr(rp, rightKey, "right")
+    // the merge compares right values with orderings/accessors derived
+    // from the LEFT side's types — silently wrong matches on type drift
+    // (e.g. int keys joined to long keys) unless rejected here. Shape
+    // compare ignores nullability and struct field NAMES (byKeys builds
+    // struct keys from differently-named columns on each side).
+    def sameShape(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.types.DataType
+        .equalsStructurally(a, b, ignoreNullability = true)
+    require(sameShape(lk.dataType, rk.dataType),
+      s"as-of key columns must have matching types, got " +
+      s"${lk.dataType.catalogString} vs ${rk.dataType.catalogString}")
+    require(sameShape(lt.dataType, rt.dataType),
+      s"as-of time columns must have matching types, got " +
+      s"${lt.dataType.catalogString} vs ${rt.dataType.catalogString}")
     // tolerance and nearest both need time ARITHMETIC (distances), not
     // just ordering — integral-backed time columns only
     if (tolerance.isDefined || dir == AsOfDirection.Nearest) {
@@ -155,8 +172,7 @@ object AsOfJoin {
         s"as-of $what needs integral-backed time columns, got " +
         s"${lt.dataType}/${rt.dataType}")
     }
-    GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
-      attr(lp, leftKey, "left"), attr(rp, rightKey, "right"),
+    GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk,
       lt, rt, attr(rp, rightTie, "right"), dir, tolerance))
   }
 }

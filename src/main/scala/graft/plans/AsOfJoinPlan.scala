@@ -187,6 +187,15 @@ case class AsOfJoinExec(
   // — and spark.graft.asof.codegen=false — falls back to doExecute's
   // volcano merge, which AsOfJoinSpec differential-tests against this
   // path on identical inputs.
+  //
+  // Known, accepted trade: CollapseCodegenStages special-cases only
+  // SortMergeJoinExec/ShuffledHashJoinExec when inserting InputAdapters,
+  // so this node's child SortExecs sit INSIDE the as-of's stage and run
+  // via doExecute rather than their own codegen stages. In these plans
+  // each sort reads an exchange directly (no fusable ops below it), so
+  // the sort's codegen would only replace one plain insert-row loop with
+  // a generated one over the same iterator — no measurable win to buy
+  // back with an execution-time WholeStageCodegenExec wrapper.
   // -------------------------------------------------------------------
 
   /** Bound ordinals when all four key/time columns are long-backed
@@ -324,7 +333,7 @@ case class AsOfJoinExec(
     }
     s"""
        |if (!$rightInited) { $rightInited = true; $advance }
-       |while ($leftInput.hasNext()) {
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
        |  $row $leftRow = ($row) $leftInput.next();
        |  $row $matchedRow = null;
        |  if (!${nullCheck(leftRow, lk, lKeyNullable)} &&
@@ -645,26 +654,32 @@ object AsOfJoinExec {
             }
             null
           }
-          def inTol(diff: Long): Boolean =
-            tol.forall(d => diff >= 0 && diff <= d)
+          // bound check against a PRESENT tolerance (callers guard on
+          // tol.isEmpty first — timeLong distance arithmetic must only
+          // run when a tolerance is set or the direction is nearest, so
+          // the plain backward/forward generic path keeps working on ANY
+          // ordered time type (double, string, decimal) exactly as it
+          // did before tolerances existed)
+          def withinTol(diff: Long): Boolean = diff >= 0 && diff <= tol.get
           if (fwd) {
             val h = fwdCandidate
-            if (h != null && inTol(timeLong(rTimeB.eval(h)) - timeLong(t)))
+            if (h != null && (tol.isEmpty ||
+                withinTol(timeLong(rTimeB.eval(h)) - timeLong(t))))
               m = h
           } else if (nearest) {
             // nearest needs time ARITHMETIC (distances), so like
             // tolerance it is restricted to integral-backed time columns
-            val bwOk = lastMatch != null &&
-              inTol(timeLong(t) - timeLong(lastMatchTime))
+            val bwOk = lastMatch != null && (tol.isEmpty ||
+              withinTol(timeLong(t) - timeLong(lastMatchTime)))
             val h = fwdCandidate
-            val fwOk = h != null &&
-              inTol(timeLong(rTimeB.eval(h)) - timeLong(t))
+            val fwOk = h != null && (tol.isEmpty ||
+              withinTol(timeLong(rTimeB.eval(h)) - timeLong(t)))
             if (bwOk && (!fwOk || java.lang.Long.compareUnsigned(
                 timeLong(t) - timeLong(lastMatchTime),
                 timeLong(rTimeB.eval(h)) - timeLong(t)) <= 0)) m = lastMatch
             else if (fwOk) m = h
-          } else if (lastMatch != null &&
-              inTol(timeLong(t) - timeLong(lastMatchTime)))
+          } else if (lastMatch != null && (tol.isEmpty ||
+              withinTol(timeLong(t) - timeLong(lastMatchTime))))
             m = lastMatch
         }
         emit(l, m)

@@ -56,7 +56,7 @@ object AsOfBench {
     println(s"whole-query codegen:     ${fmt(ps)}")
     println(s"whole-query interpreted: ${fmt(is)}")
     println(f"whole-query speedup (min/min): ${is.min / ps.min}%.2fx")
-    mergeLoopBench(spark, n.toInt.min(8000000), keys)
+    mergeLoopBench(spark, n.min(8000000L).toInt, keys)
     spark.stop()
   }
 

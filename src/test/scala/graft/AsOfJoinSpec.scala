@@ -285,6 +285,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     } finally before.fold(spark.conf.unset(fbKey))(v => spark.conf.set(fbKey, v))
   }
 
+  test("non-integral (double) TIME columns work on the directional generic path") {
+    // regression pin (round-11 review): the generic merge must not
+    // evaluate distance arithmetic when no tolerance is set — plain
+    // backward/forward on any ORDERED time type predates tolerances and
+    // must keep working (only tolerance/nearest require integral times)
+    val l0 = mkSide(61L, 200, "l")
+    val r0 = mkSide(261L, 200, "r")
+    val l = l0.withColumn("l_t", col("l_t").cast("double") / 2)
+    val r = r0.withColumn("r_t", col("r_t").cast("double") / 2)
+    for (forward <- Seq(false, true)) {
+      val native =
+        (if (forward) AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+         else AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id"))
+          .select("l_id", "r_id")
+      assert(collectPairs(native) == collectPairs(windowSpec(l, r, forward)))
+    }
+  }
+
+  test("mismatched key or time types are rejected at build, not mis-merged") {
+    // the merge derives orderings/accessors from the LEFT types; an
+    // int-vs-long key pair would silently corrupt comparisons on the
+    // generic path — must fail fast instead
+    val l = mkSide(63L, 10, "l").withColumn("l_ki", col("l_k").cast("int"))
+    val r = mkSide(64L, 10, "r")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "l_ki", "r_k", "l_t", "r_t", "r_id")
+    }
+    val r2 = r.withColumn("r_ti", col("r_t").cast("int"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r2, "l_k", "r_k", "l_t", "r_ti", "r_id")
+    }
+  }
+
+  test("a LIMIT fused into the as-of codegen stage stops the merge early") {
+    val l = mkSide(65L, 500, "l")
+    val r = mkSide(265L, 500, "r")
+    val limited = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+      .limit(7)
+    assert(limited.collect().length == 7)
+  }
+
   test("string keys take the generic path and match the window spec") {
     // a non-long-backed key type must fall back to interpreted eval —
     // same semantics, including NULL keys sorting first and never
