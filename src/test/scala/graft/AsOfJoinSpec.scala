@@ -580,7 +580,8 @@ class AsOfJoinSpec extends AnyFunSuite {
         "q69_asof_forward_view_after_signup",
         "q221_asof_tolerance_attribution",
         "q222_asof_sql_conversion_window",
-        "q224_asof_nearest_attribution")) {
+        "q224_asof_nearest_attribution",
+        "q225_asof_bykeys_repeat_shipment")) {
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       // AsOfJoinExec renders as "AsOfJoin" (TreeNode strips the Exec suffix)
