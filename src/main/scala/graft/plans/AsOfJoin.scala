@@ -145,15 +145,23 @@ object AsOfJoin {
     val rt = attr(rp, rightTime, "right")
     val lk = attr(lp, leftKey, "left")
     val rk = attr(rp, rightKey, "right")
-    // the merge compares right values with orderings/accessors derived
+    // the GENERIC merge compares right values with orderings derived
     // from the LEFT side's types — silently wrong matches on type drift
-    // (e.g. int keys joined to long keys) unless rejected here. Shape
-    // compare ignores nullability and struct field NAMES (byKeys builds
-    // struct keys from differently-named columns on each side).
+    // unless rejected here. Mixed types WITHIN the long-backed integral
+    // family (int key vs bigint key — warehouse schema drift) are fine:
+    // the primitive/codegen paths widen each side independently, and
+    // AsOfJoinExec routes such pairs to the primitive path even under
+    // the forceInterpreted test knob. Shape compare ignores nullability
+    // and struct field NAMES (byKeys builds struct keys from
+    // differently-named columns on each side).
     def sameShape(a: org.apache.spark.sql.types.DataType,
-        b: org.apache.spark.sql.types.DataType) =
-      org.apache.spark.sql.types.DataType
-        .equalsStructurally(a, b, ignoreNullability = true)
+        b: org.apache.spark.sql.types.DataType) = {
+      import org.apache.spark.sql.types._
+      val longBacked = Set[DataType](LongType, IntegerType, ShortType,
+        ByteType, TimestampType, TimestampNTZType, DateType)
+      DataType.equalsStructurally(a, b, ignoreNullability = true) ||
+        (longBacked(a) && longBacked(b))
+    }
     require(sameShape(lk.dataType, rk.dataType),
       s"as-of key columns must have matching types, got " +
       s"${lk.dataType.catalogString} vs ${rk.dataType.catalogString}")

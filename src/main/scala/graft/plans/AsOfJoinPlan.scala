@@ -228,6 +228,13 @@ case class AsOfJoinExec(
   // agg) must copy — same contract as SortMergeJoinExec
   override def needCopyResult: Boolean = true
 
+  // this node's produce loop DRIVES the stage (children are consumed as
+  // iterators, not via produce), so it is the right place to check a
+  // fused limit — same contract as SortMergeJoinExec. Without this
+  // override, limitNotReachedCond throws under Utils.isTesting and logs
+  // a spurious "[BUG]" warning otherwise (non-leaf default).
+  override def canCheckLimitNotReached: Boolean = true
+
   override protected def doProduce(ctx: CodegenContext): String = {
     val (lk, lt, rk, rt) = primBound.get
     val row = "org.apache.spark.sql.catalyst.InternalRow"
@@ -406,6 +413,12 @@ case class AsOfJoinExec(
       .getConfString("spark.graft.asof.forceInterpreted", "false") == "true"
     val prim = (AsOfJoinExec.longAt(lKeyB), AsOfJoinExec.longAt(lTimeB),
       AsOfJoinExec.longAt(rKeyB), AsOfJoinExec.longAt(rTimeB))
+    // MIXED-width integral key/time pairs (int vs bigint) widen
+    // correctly on the primitive path but would mis-compare through the
+    // generic path's left-type interpreted ordering — never honor the
+    // forceInterpreted test knob for them
+    val mixedIntegral = leftKey.dataType != rightKey.dataType ||
+      leftTime.dataType != rightTime.dataType
     // zipPartitions is safe here: EnsureRequirements satisfied both
     // ClusteredDistributions with compatible same-count partitionings,
     // and under AQE both child exchanges sit in one coalesce group
@@ -428,7 +441,8 @@ case class AsOfJoinExec(
           outRows, matched)
         val rBuf = rIter.buffered
         prim match {
-          case (Some(lk), Some(lt), Some(rk), Some(rt)) if !forceInterpreted =>
+          case (Some(lk), Some(lt), Some(rk), Some(rt))
+              if !forceInterpreted || mixedIntegral =>
             AsOfJoinExec.primitiveMerge(lIter, rBuf, lk, lt, rk, rt, d, tol,
               emit)
           case _ =>
@@ -624,7 +638,15 @@ object AsOfJoinExec {
         var m: InternalRow = null
         if (k != null && t != null) {
           if (!haveKey || keyOrd.compare(k, curKey) != 0) {
-            curKey = k; haveKey = true; lastMatch = null
+            // copyValue: eval on string/struct/array keys returns a VIEW
+            // into the child iterator's reused buffer (stable for
+            // in-memory sort pages, but a spill reader reuses ONE byte
+            // array across rows) — retaining the view would let curKey
+            // mutate into the CURRENT row's key, so the key-change test
+            // above never fires at a real boundary and stale candidates
+            // leak across keys. Boxed primitives copy to themselves.
+            curKey = InternalRow.copyValue(k); haveKey = true
+            lastMatch = null
             lastMatchTime = null
             var adv = true
             while (adv && rBuf.hasNext) {
@@ -669,14 +691,17 @@ object AsOfJoinExec {
           } else if (nearest) {
             // nearest needs time ARITHMETIC (distances), so like
             // tolerance it is restricted to integral-backed time columns
-            val bwOk = lastMatch != null && (tol.isEmpty ||
-              withinTol(timeLong(t) - timeLong(lastMatchTime)))
+            // (distances hoisted: one interpreted eval per candidate row)
+            val bwDiff = if (lastMatch == null) 0L
+              else timeLong(t) - timeLong(lastMatchTime)
+            val bwOk = lastMatch != null && (tol.isEmpty || withinTol(bwDiff))
             val h = fwdCandidate
-            val fwOk = h != null && (tol.isEmpty ||
-              withinTol(timeLong(rTimeB.eval(h)) - timeLong(t)))
-            if (bwOk && (!fwOk || java.lang.Long.compareUnsigned(
-                timeLong(t) - timeLong(lastMatchTime),
-                timeLong(rTimeB.eval(h)) - timeLong(t)) <= 0)) m = lastMatch
+            val fwDiff = if (h == null) 0L
+              else timeLong(rTimeB.eval(h)) - timeLong(t)
+            val fwOk = h != null && (tol.isEmpty || withinTol(fwDiff))
+            if (bwOk && (!fwOk ||
+                java.lang.Long.compareUnsigned(bwDiff, fwDiff) <= 0))
+              m = lastMatch
             else if (fwOk) m = h
           } else if (lastMatch != null && (tol.isEmpty ||
               withinTol(timeLong(t) - timeLong(lastMatchTime))))

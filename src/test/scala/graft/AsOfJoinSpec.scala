@@ -303,27 +303,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("mismatched key or time types are rejected at build, not mis-merged") {
-    // the merge derives orderings/accessors from the LEFT types; an
-    // int-vs-long key pair would silently corrupt comparisons on the
-    // generic path — must fail fast instead
-    val l = mkSide(63L, 10, "l").withColumn("l_ki", col("l_k").cast("int"))
-    val r = mkSide(64L, 10, "r")
+  test("mixed INTEGRAL key widths widen correctly; non-integral mismatches reject") {
+    // int key joined to bigint key (warehouse schema drift) widens on
+    // the primitive/codegen paths — accepted and correct, even under
+    // the forceInterpreted knob (which is ignored for mixed pairs
+    // because the generic path's left-type ordering would mis-compare)
+    val l = mkSide(63L, 200, "l").withColumn("l_k", col("l_k").cast("int"))
+    val r = mkSide(64L, 200, "r")
+    val native = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+      .select("l_id", "r_id")
+    assert(collectPairs(native) == collectPairs(windowSpec(l, r, forward = false)))
+    spark.conf.set("spark.graft.asof.forceInterpreted", "true")
+    try {
+      val forced = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+        .select("l_id", "r_id")
+      assert(collectPairs(forced) == collectPairs(native))
+    } finally spark.conf.unset("spark.graft.asof.forceInterpreted")
+    // a mismatch OUTSIDE the integral family must fail fast at build —
+    // the generic path would silently mis-compare
+    val lStr = l.withColumn("l_ks", col("l_k").cast("string"))
     intercept[IllegalArgumentException] {
-      AsOfJoin.backward(l, r, "l_ki", "r_k", "l_t", "r_t", "r_id")
+      AsOfJoin.backward(lStr, r, "l_ks", "r_k", "l_t", "r_t", "r_id")
     }
-    val r2 = r.withColumn("r_ti", col("r_t").cast("int"))
+    val rD = r.withColumn("r_td", col("r_t").cast("double"))
     intercept[IllegalArgumentException] {
-      AsOfJoin.backward(l, r2, "l_k", "r_k", "l_t", "r_ti", "r_id")
+      AsOfJoin.backward(l, rD, "l_k", "r_k", "l_t", "r_td", "r_id")
     }
   }
 
   test("a LIMIT fused into the as-of codegen stage stops the merge early") {
+    // an agg ABOVE the limit keeps the LocalLimit inside the codegen
+    // stage (a bare .limit() plans as CollectLimit above the stage and
+    // never exercises the fused check); canCheckLimitNotReached must be
+    // true or codegen itself fails under Utils.isTesting
     val l = mkSide(65L, 500, "l")
     val r = mkSide(265L, 500, "r")
     val limited = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
-      .limit(7)
-    assert(limited.collect().length == 7)
+      .limit(7).groupBy().count()
+    assert(limited.collect().head.getLong(0) == 7L)
+    val p = limited.queryExecution.executedPlan.toString
+    val asofStage = """\*\((\d+)\) AsOfJoin""".r.findFirstMatchIn(p)
+      .map(_.group(1))
+    assert(asofStage.isDefined, s"as-of not codegen'd:\n$p")
+    assert(p.contains(s"*(${asofStage.get}) LocalLimit"),
+      s"LocalLimit not fused into the as-of stage:\n$p")
   }
 
   test("string keys take the generic path and match the window spec") {
