@@ -591,6 +591,61 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(collectPairs(one) == collectPairs(oneDirect))
   }
 
+  test("generic merge is safe against row-buffer reuse on both inputs (spill contract)") {
+    // UnsafeSorterSpillReader returns every row through ONE reused
+    // buffer; eval() on string/struct keys yields views into it, so any
+    // state the merge retains across next() must be a copy. Simulate
+    // the reader directly: the same sorted rows served through a
+    // single-buffer iterator must produce byte-identical output to the
+    // plain iterator (without the curKey copyValue fix, retained key
+    // views mutate into the CURRENT key and candidates leak across key
+    // boundaries).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+      GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.{AsOfDirection, AsOfJoinExec}
+    val types: Array[org.apache.spark.sql.types.DataType] =
+      Array(StringType, LongType, LongType) // key, time, id
+    val toUnsafe = UnsafeProjection.create(types)
+    val rnd = new scala.util.Random(97L)
+    def mkRows(n: Int): Array[UnsafeRow] =
+      (0 until n).map { i =>
+        (s"key${rnd.nextInt(6)}", rnd.nextInt(15).toLong, i.toLong)
+      }.sorted.map { case (k, t, id) =>
+        toUnsafe(InternalRow(UTF8String.fromString(k), t, id)).copy()
+      }.toArray
+    val lRows = mkRows(200)
+    val rRows = mkRows(200)
+    def reusing(rows: Array[UnsafeRow]): Iterator[InternalRow] = {
+      val buf = new UnsafeRow(3)
+      rows.iterator.map { r => buf.copyFrom(r); buf }
+    }
+    val kB = BoundReference(0, StringType, nullable = false)
+    val tB = BoundReference(1, LongType, nullable = false)
+    val sc = spark.sparkContext
+    def emit() = new AsOfJoinExec.Emit(new JoinedRow,
+      new GenericInternalRow(3),
+      UnsafeProjection.create(types ++ types),
+      org.apache.spark.sql.execution.metric.SQLMetrics.createMetric(sc, "o"),
+      org.apache.spark.sql.execution.metric.SQLMetrics.createMetric(sc, "m"))
+    def run(reuse: Boolean, dir: AsOfDirection): Seq[(Long, Any)] =
+      AsOfJoinExec.genericMerge(
+        if (reuse) reusing(lRows) else lRows.iterator.map(identity[InternalRow]),
+        (if (reuse) reusing(rRows) else rRows.iterator.map(identity[InternalRow]))
+          .buffered,
+        kB, tB, kB, tB, StringType, LongType, dir, None, emit())
+        .map(r => (r.getLong(2), if (r.isNullAt(5)) null else r.getLong(5)))
+        .toVector
+    for (dir <- Seq(AsOfDirection.Backward, AsOfDirection.Forward)) {
+      val plain = run(reuse = false, dir)
+      val reused = run(reuse = true, dir)
+      assert(plain == reused, s"$dir: buffer reuse changed the merge output")
+      assert(plain.exists(_._2 != null), s"$dir: fixture must produce matches")
+    }
+  }
+
   test("operator requires disjoint column names") {
     val l = mkSide(7L, 10, "l")
     intercept[IllegalArgumentException] {
