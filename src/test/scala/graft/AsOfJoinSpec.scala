@@ -610,16 +610,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       Array(StringType, LongType, LongType) // key, time, id
     val toUnsafe = UnsafeProjection.create(types)
     val rnd = new scala.util.Random(97L)
-    def mkRows(n: Int): Array[UnsafeRow] =
-      (0 until n).map { i =>
-        (s"key${rnd.nextInt(6)}", rnd.nextInt(15).toLong, i.toLong)
-      }.sorted.map { case (k, t, id) =>
+    def rowsOf(tups: Seq[(String, Long, Long)]): Array[UnsafeRow] =
+      tups.sorted.map { case (k, t, id) =>
         toUnsafe(InternalRow(UTF8String.fromString(k), t, id)).copy()
       }.toArray
-    val lRows = mkRows(200)
-    val rRows = mkRows(200)
+    def rand(n: Int): Seq[(String, Long, Long)] =
+      (0 until n).map(i =>
+        (s"key${rnd.nextInt(6)}", rnd.nextInt(15).toLong, i.toLong))
+    // The random block alone cannot catch a stale retained key: every
+    // key's right times span the whole domain, so right rows never
+    // straddle a key boundary and lastMatch is always overwritten
+    // before it could leak. The zk* rows are the adversarial shape a
+    // stale curKey corrupts: zkA's right rows OUTLAST its left rows
+    // (a leftover sits at the buffer head across the key boundary) and
+    // zkB's first left row PRECEDES zkB's first right row (backward
+    // must emit null there, and forward must advance past the zkA
+    // leftover to find zkB's candidate).
+    val lRows = rowsOf(rand(200) ++
+      Seq(("zkA", 10L, 900L), ("zkB", 1L, 901L), ("zkB", 200L, 902L)))
+    val rRows = rowsOf(rand(200) ++
+      Seq(("zkA", 5L, 950L), ("zkA", 50L, 951L), ("zkB", 100L, 952L)))
     def reusing(rows: Array[UnsafeRow]): Iterator[InternalRow] = {
+      // copyFrom requires a row already pointing at a byte[] at
+      // BYTE_ARRAY_OFFSET (its guard is an assert, disabled at runtime);
+      // a fresh UnsafeRow has baseOffset 0 and copyFrom would write the
+      // row bytes over the array object header — heap corruption. Point
+      // the buffer at a real backing array first; copyFrom grows it.
       val buf = new UnsafeRow(3)
+      val backing = new Array[Byte](64)
+      buf.pointTo(backing, backing.length)
       rows.iterator.map { r => buf.copyFrom(r); buf }
     }
     val kB = BoundReference(0, StringType, nullable = false)
