@@ -49,6 +49,30 @@ case class TopKLongPairs(
   // anything non-castable fails ANALYSIS, not update() at execution.
   // (narrowed to Seq[DataType]: AbstractDataType itself is private[sql])
   override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  // ImplicitCastInputTypes would also let FRACTIONAL columns
+  // (double/float/decimal) cast to long — silently truncating the
+  // ordering values instead of failing. Coercion rewrites such a child
+  // to Cast(fractional, LongType), so reject that shape at analysis.
+  // (This also rejects an explicit CAST(double AS BIGINT) — acceptable:
+  // the caller should state the rounding, e.g. CAST(round(x) AS BIGINT),
+  // rather than rely on truncation for a ranking column.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val fractional = children.collectFirst {
+      case c: Cast if c.child.dataType == DoubleType ||
+          c.child.dataType == FloatType ||
+          c.child.dataType.isInstanceOf[DecimalType] => c.child.dataType
+    }
+    fractional match {
+      case Some(dt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk_pairs requires integral ord/id columns; a " +
+          s"${dt.catalogString} input would silently truncate — round " +
+          "explicitly first (e.g. CAST(round(x * 1000) AS BIGINT))")
+      case None => super.checkInputDataTypes()
+    }
+  }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("ord", LongType, nullable = false),

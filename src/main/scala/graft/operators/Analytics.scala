@@ -153,10 +153,11 @@ object Analytics {
     * per-customer revenue is an exact-decimal sum rounded at 4 dp (so
     * both engines rank identical values; ties break on custkey), and
     * Σ(i·xᵢ)/Σx ride the decimal accumulator again — the only float
-    * ops are two final divisions of identical doubles. The rank window
-    * partitions by segment (bounded groups); at 100 TB the same shape
-    * runs per key-range with the merge trick any rank-sum statistic
-    * uses, or G is estimated from the q70/q80 quantile histogram. */
+    * ops are two final divisions of identical doubles. The rank runs
+    * BUCKET-DECOMPOSED (q154/q149 pattern: local rank within
+    * (segment, rev-bucket) + broadcast prefix counts), so no task ever
+    * sorts a whole segment — the at-scale form of the rank-sum merge
+    * trick; G can also be estimated from the q70/q80 histogram. */
   private val q91 = QueryDef(
     "q91_revenue_gini_by_segment",
     "Gini coefficient of per-customer revenue within each market segment",
@@ -189,9 +190,29 @@ object Analytics {
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("rev"))
-      val ranked = rev.withColumn("i", row_number().over(
-        Window.partitionBy("c_mktsegment").orderBy(col("rev"), col("o_custkey")))
-        .cast("long"))
+      // The oracle's rank window partitions by segment alone — the
+      // 5-partition one-task-per-segment sort (round-11 verdict item
+      // 3). Executed: the q154/q149 bucket-prefix decomposition —
+      // local rank within (segment, rev-bucket) + broadcast per-bucket
+      // count prefix. Ranks are exact integers (bucket = pure function
+      // of rev, ascending bucket order = ascending rev order, ties
+      // stay inside one bucket), so the decomposition is provably
+      // rank-identical and the hash gate proves it on real data.
+      val revB = rev.withColumn("bkt", floor(col("rev") / 100000).cast("long"))
+      val wLoc = Window.partitionBy("c_mktsegment", "bkt")
+        .orderBy(col("rev"), col("o_custkey"))
+      val bt = revB.groupBy(col("c_mktsegment").as("bseg"), col("bkt").as("bbkt"))
+        .agg(count(lit(1)).as("n_b"))
+      val wB = Window.partitionBy("bseg").orderBy(col("bbkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bt
+        .withColumn("off_n", coalesce(sum(col("n_b")).over(wB), lit(0L)))
+        .select(col("bseg"), col("bbkt"), col("off_n"))
+      val ranked = revB
+        .withColumn("i_l", row_number().over(wLoc).cast("long"))
+        .join(broadcast(pre),
+          col("c_mktsegment") === col("bseg") && col("bkt") === col("bbkt"))
+        .withColumn("i", col("off_n") + col("i_l"))
       import org.apache.spark.sql.types.DecimalType
       def exactSum(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(30, 10))).cast("double")

@@ -278,19 +278,26 @@ object Extended {
       ORDER BY day_bucket"""),
     (s, dir) => {
       val w = 5000000L // band width = the pair bound (5 s in µs)
+      // FLOOR division for the band assignment, not Spark's `div`
+      // (which truncates toward zero): for negative epoch-µs values
+      // truncation breaks the "later event is in band or band+1"
+      // invariant (pairs straddling t=0 would be missed) and diverges
+      // from the DuckDB oracle's `//`. pmod is non-negative, so
+      // (x - pmod(x, w)) div w is exact floor division on longs.
+      def floorDiv(c: String, d: Long) = expr(s"($c - pmod($c, ${d}L)) div ${d}L")
       val e = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_uid"),
           col("ts_us").as("a_us"))
         .withColumn("band",
-          explode(array(expr(s"a_us div $w"), expr(s"a_us div $w") + lit(1L))))
+          explode(array(floorDiv("a_us", w), floorDiv("a_us", w) + lit(1L))))
       val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_uid"),
-          col("ts_us").as("b_us"), expr(s"ts_us div $w").as("band"))
+          col("ts_us").as("b_us"), floorDiv("ts_us", w).as("band"))
       a.join(b, Seq("band"))
         .filter((col("b_us") > col("a_us") ||
             (col("b_us") === col("a_us") && col("b_id") > col("a_id"))) &&
           col("b_us") - col("a_us") <= w)
-        .groupBy(expr("a_us div 86400000000").as("day_bucket"))
+        .groupBy(floorDiv("a_us", 86400000000L).as("day_bucket"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("a_uid") =!= col("b_uid"), 1L).otherwise(0L))
             .as("n_cross_user"),

@@ -692,13 +692,25 @@ object Planning {
 
   /** The Pareto question q91's Gini coefficient summarizes as one
     * number, answered operationally per segment: how many customers
-    * cover 80% of revenue, and what share the top decile holds. Rank
-    * and cumulative sum ride ONE window per segment over the total
-    * (revenue desc, custkey) order — both engines accumulate the same
-    * sequence, so the running double is bit-identical; n_top80 counts
-    * prefixes strictly under the 80% line plus the crossing customer.
-    * Windows partition by segment (bounded key domain — the q91 shape);
-    * the per-segment totals join back broadcast. */
+    * cover 80% of revenue, and what share the top decile holds.
+    *
+    * The ORACLE states the naive form — ONE rank + running-sum window
+    * per segment over the total (revenue desc, custkey) order. With a
+    * 5-value segment domain that window is the
+    * one-task-per-segment-sorts-everything shape (round-11 verdict
+    * item 3), so EXECUTED here is the q154 bucket-prefix decomposition:
+    * static revenue buckets (floor(rev/100k) — ~40 per segment on this
+    * revenue range) make the heavy rank/cumsum window partition by
+    * (segment, bucket); the per-bucket (count, revenue-sum) table —
+    * buckets × segments rows — takes its own tiny prefix window and
+    * broadcasts back; global rank = bucket-count prefix + local rank,
+    * global cumsum = bucket-sum prefix + local cumsum. Ranks are exact
+    * integers; the cumulative revenue rides the DECIMAL(30,10)
+    * accumulator (det discipline) in BOTH the decomposition and the
+    * oracle's window, so the split-point additions are
+    * order-independent and the hash gate proves the decomposition
+    * bit-for-bit — the q154 precedent. The per-segment totals join
+    * back broadcast, as before. */
   private val q149 = QueryDef(
     "q149_pareto_revenue_coverage",
     "customers covering 80% of segment revenue + top-decile share",
@@ -712,8 +724,9 @@ object Planning {
             FROM cr GROUP BY segment),
       r AS (SELECT segment AS rseg, rev,
                    CAST(row_number() OVER w AS BIGINT) AS rnk,
-                   SUM(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS cum
+                   CAST(SUM(CAST(rev AS DECIMAL(30,10)))
+                        OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS DOUBLE) AS cum
             FROM cr
             WINDOW w AS (PARTITION BY segment ORDER BY rev DESC, c_custkey))
       SELECT rseg AS segment, t.n_customers,
@@ -728,17 +741,39 @@ object Planning {
       ORDER BY segment"""),
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
       val cr = Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
         .agg(dsum(col("o_totalprice")).as("rev"))
       val t = cr.groupBy(col("segment").as("tseg"))
         .agg(dsum(col("rev")).as("total"), count(lit(1)).as("n_customers"))
-      val w = Window.partitionBy("segment").orderBy(col("rev").desc, col("c_custkey"))
-      val r = cr
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("rev")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // bucket = coarsening of the DESC order key (a pure function of
+      // rev, so equal revs share a bucket and bucket order = rev order)
+      val crB = cr.withColumn("bkt", floor(col("rev") / 100000).cast("long"))
+      val wLoc = Window.partitionBy("segment", "bkt")
+        .orderBy(col("rev").desc, col("c_custkey"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 10))
+      val loc = crB
+        .withColumn("rnk_l", row_number().over(wLoc).cast("long"))
+        .withColumn("cum_l", sum(dec(col("rev"))).over(
+          wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // per-bucket totals -> prefix over EARLIER (higher-revenue)
+      // buckets within the segment: a window over segments × buckets
+      // rows, never customer-sized
+      val bt = crB.groupBy(col("segment").as("bseg"), col("bkt").as("bbkt"))
+        .agg(count(lit(1)).as("n_b"), sum(dec(col("rev"))).as("s_b"))
+      val wB = Window.partitionBy("bseg").orderBy(col("bbkt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bt
+        .withColumn("off_n", coalesce(sum(col("n_b")).over(wB), lit(0L)))
+        .withColumn("off_s", coalesce(sum(col("s_b")).over(wB),
+          lit(0).cast(DecimalType(30, 10))))
+        .select(col("bseg"), col("bbkt"), col("off_n"), col("off_s"))
+      val r = loc.join(broadcast(pre),
+          col("segment") === col("bseg") && col("bkt") === col("bbkt"))
+        .withColumn("rnk", col("off_n") + col("rnk_l"))
+        .withColumn("cum", (col("off_s") + col("cum_l")).cast("double"))
       r.join(broadcast(t), col("segment") === col("tseg"))
         .groupBy(col("segment"), col("n_customers"), col("total"))
         .agg(

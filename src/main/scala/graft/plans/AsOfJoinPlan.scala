@@ -63,7 +63,14 @@ case class AsOfJoinPlan(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, dir: AsOfDirection,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    // optional SECOND equi-key column pair (round-11 verdict item 4):
+    // a two-column long-backed composite key runs the primitive/codegen
+    // merge with lexicographic key compares instead of dropping to the
+    // interpreted struct-key path — byKeys supplies it when both key
+    // pairs are long-backed
+    leftKey2: Option[Expression] = None,
+    rightKey2: Option[Expression] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -115,14 +122,53 @@ object AsOfDirection {
     }
 }
 
-/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]. Registered per-session via
-  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or at
-  * runtime through `experimental.extraStrategies` (AsOfJoin.ensureOn). */
+/** Plans [[AsOfJoinPlan]] to a physical operator. Registered per-session
+  * via `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
+  * at runtime through `experimental.extraStrategies` (AsOfJoin.ensureOn).
+  *
+  * Operator selection mirrors Spark's own equi-join selection and is
+  * therefore SCALE-ADAPTIVE: a dimension-sized right side (estimated
+  * under `spark.sql.autoBroadcastJoinThreshold`, with every key/time/tie
+  * column long-backed so the index is a primitive binary search) plans
+  * the no-left-exchange [[BroadcastAsOfJoinExec]]; anything bigger — or
+  * any non-long-backed shape, e.g. byKeys struct keys — plans the
+  * co-partitioned sort-merge [[AsOfJoinExec]]. The same query can
+  * broadcast at one SF and merge at 100× — that's the point.
+  * `spark.graft.asof.broadcast` = auto (default) | never | force
+  * overrides the stats decision (force still requires the long-backed
+  * shapes — there is no generic broadcast path to fall to). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, dir, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, dir,
-        tol) :: Nil
+    case p: AsOfJoinPlan =>
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val mode = conf.getConfString("spark.graft.asof.broadcast", "auto")
+      def longBacked(e: Expression): Boolean = {
+        import org.apache.spark.sql.types._
+        e.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | DateType |
+               TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+      }
+      // the broadcast index is single-key (two-key composites stay on
+      // the merge — their call sites are fact-fact self-joins anyway)
+      val shapesOk = p.leftKey2.isEmpty &&
+        Seq(p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.rightTie)
+          .forall(longBacked)
+      val thr = conf.autoBroadcastJoinThreshold
+      val broadcastIt = mode match {
+        case "never" => false
+        case "force" => shapesOk
+        case _ => shapesOk && thr > 0 && p.right.stats.sizeInBytes <= thr
+      }
+      if (broadcastIt)
+        BroadcastAsOfJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.rightTie,
+          p.dir, p.tolerance) :: Nil
+      else
+        AsOfJoinExec(planLater(p.left), planLater(p.right), p.leftKey,
+          p.rightKey, p.leftTime, p.rightTime, p.rightTie, p.dir,
+          p.tolerance, p.leftKey2, p.rightKey2) :: Nil
     case _ => Nil
   }
 }
@@ -142,7 +188,9 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, dir: AsOfDirection,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    leftKey2: Option[Expression] = None,
+    rightKey2: Option[Expression] = None)
   extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
@@ -157,16 +205,32 @@ case class AsOfJoinExec(
       .createMetric(sparkContext, "number of matched left rows"))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKey :: Nil) ::
-      ClusteredDistribution(rightKey :: Nil) :: Nil
+    ClusteredDistribution(leftKey :: leftKey2.toList) ::
+      ClusteredDistribution(rightKey :: rightKey2.toList) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(rightTie, Ascending)))
+    (leftKey :: leftKey2.toList).map(SortOrder(_, Ascending)) :+
+      SortOrder(leftTime, Ascending),
+    (rightKey :: rightKey2.toList).map(SortOrder(_, Ascending)) ++
+      Seq(SortOrder(rightTime, Ascending), SortOrder(rightTie, Ascending)))
 
   // key-clustered, (key, time)-sorted output: downstream equi-key ops
-  // reuse the exchange; a final global orderBy still sorts (as it must)
+  // reuse the exchange; a final global orderBy still sorts (as it must).
+  //
+  // Deliberately NOT a PartitioningCollection over both sides' keys
+  // (round-11 verdict item 5, investigated and rejected as UNSOUND):
+  // SortMergeJoinExec advertises both sides' partitionings only for
+  // INNER joins — for LeftOuter it reports left.outputPartitioning
+  // alone, and an as-of is always LEFT OUTER. The null-extended rows
+  // sit in the partition their LEFT key hashed to, not where a NULL
+  // right key would hash, so claiming right-key clustering would let a
+  // downstream `GROUP BY rightKey` skip its exchange and emit one
+  // null-group row PER PARTICIPATING PARTITION — silently wrong
+  // results, not a missed optimization. A downstream join on the right
+  // key pays one (correct) exchange instead; matched-only consumers
+  // who filter `rightKey IS NOT NULL` first could in principle reuse,
+  // but Spark's partitioning lattice has no way to express
+  // "clustered except NULLs", and SMJ makes the same call.
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
@@ -198,16 +262,27 @@ case class AsOfJoinExec(
   // back with an execution-time WholeStageCodegenExec wrapper.
   // -------------------------------------------------------------------
 
-  /** Bound ordinals when all four key/time columns are long-backed
-    * attribute refs — the precondition for both the primitive volcano
-    * path and the codegen path. */
-  private lazy val primBound: Option[(AsOfJoinExec.LongAt, AsOfJoinExec.LongAt,
-      AsOfJoinExec.LongAt, AsOfJoinExec.LongAt)] = for {
-    lk <- AsOfJoinExec.longAt(BindReferences.bindReference(leftKey, left.output))
-    lt <- AsOfJoinExec.longAt(BindReferences.bindReference(leftTime, left.output))
-    rk <- AsOfJoinExec.longAt(BindReferences.bindReference(rightKey, right.output))
-    rt <- AsOfJoinExec.longAt(BindReferences.bindReference(rightTime, right.output))
-  } yield (lk, lt, rk, rt)
+  /** Bound ordinals when all key/time columns are long-backed attribute
+    * refs — the precondition for both the primitive volcano path and
+    * the codegen path. A present-but-non-long-backed second key makes
+    * the whole bound fail (byKeys routes such shapes through the
+    * struct-key generic merge instead of ever building a key2 plan). */
+  private lazy val primBound: Option[AsOfJoinExec.PrimBound] = {
+    val lk = AsOfJoinExec.longAt(BindReferences.bindReference(leftKey, left.output))
+    val lt = AsOfJoinExec.longAt(BindReferences.bindReference(leftTime, left.output))
+    val rk = AsOfJoinExec.longAt(BindReferences.bindReference(rightKey, right.output))
+    val rt = AsOfJoinExec.longAt(BindReferences.bindReference(rightTime, right.output))
+    val lk2 = leftKey2.map(e =>
+      AsOfJoinExec.longAt(BindReferences.bindReference(e, left.output)))
+    val rk2 = rightKey2.map(e =>
+      AsOfJoinExec.longAt(BindReferences.bindReference(e, right.output)))
+    (lk, lt, rk, rt) match {
+      case (Some(a), Some(b), Some(c), Some(d))
+          if lk2.forall(_.isDefined) && rk2.forall(_.isDefined) =>
+        Some(AsOfJoinExec.PrimBound(a, lk2.flatten, b, c, rk2.flatten, d))
+      case _ => None
+    }
+  }
 
   override def supportCodegen: Boolean = primBound.isDefined &&
     org.apache.spark.sql.internal.SQLConf.get
@@ -236,7 +311,8 @@ case class AsOfJoinExec(
   override def canCheckLimitNotReached: Boolean = true
 
   override protected def doProduce(ctx: CodegenContext): String = {
-    val (lk, lt, rk, rt) = primBound.get
+    val pb = primBound.get
+    val lk = pb.lKey; val lt = pb.lTime; val rk = pb.rKey; val rt = pb.rTime
     val row = "org.apache.spark.sql.catalyst.InternalRow"
     val leftInput = ctx.addMutableState("scala.collection.Iterator",
       "asofLeftInput", v => s"$v = inputs[0];")
@@ -246,6 +322,7 @@ case class AsOfJoinExec(
     val rightInited = ctx.addMutableState("boolean", "asofRightInited")
     val lastMatch = ctx.addMutableState(row, "asofLastMatch")
     val curKey = ctx.addMutableState("long", "asofCurKey")
+    val curKey2 = pb.lKey2.map(_ => ctx.addMutableState("long", "asofCurKey2"))
     val haveKey = ctx.addMutableState("boolean", "asofHaveKey")
     val lastMatchTime = ctx.addMutableState("long", "asofLastMatchTime")
     val numOutput = metricTerm(ctx, "numOutputRows")
@@ -263,16 +340,56 @@ case class AsOfJoinExec(
     val lTimeNullable = left.output(lt.ord).nullable
     val rKeyNullable = right.output(rk.ord).nullable
     val rTimeNullable = right.output(rt.ord).nullable
+    val lKey2Nullable = pb.lKey2.exists(a => left.output(a.ord).nullable)
+    val rKey2Nullable = pb.rKey2.exists(a => right.output(a.ord).nullable)
     val k = ctx.freshName("asofK")
+    val k2 = ctx.freshName("asofK2")
     val t = ctx.freshName("asofT")
     val rtVal = ctx.freshName("asofRt")
     val diff = ctx.freshName("asofDiff")
+    // ---- composite-key condition fragments (single key: the key2
+    // parts collapse away). Right rows sort (k1 NULLS FIRST, k2 NULLS
+    // FIRST, ...), so "advance past smaller keys" must also step over
+    // null-key2 rows of the current k1 group.
+    // left row is unusable if any key/time column is null
+    val leftNullAny = (Seq(nullCheck(leftRow, lk, lKeyNullable),
+      nullCheck(leftRow, lt, lTimeNullable)) ++
+      pb.lKey2.map(a => nullCheck(leftRow, a, lKey2Nullable)))
+      .filter(_ != "false") match {
+        case Nil => "false"
+        case cs => cs.mkString("(", " || ", ")")
+      }
+    val readKeys = s"long $k = ${kOf(leftRow, lk)};" +
+      pb.lKey2.fold("")(a => s"\nlong $k2 = ${kOf(leftRow, a)};")
+    val keyChanged = pb.lKey2.fold(s"$k != $curKey")(_ =>
+      s"($k != $curKey || $k2 != ${curKey2.get})")
+    val keepKeys = s"$curKey = $k;" +
+      pb.lKey2.fold("")(_ => s" ${curKey2.get} = $k2;")
+    // right-row key predicates against the current left key
+    def rKeyNullAny(r: String): String =
+      (Seq(nullCheck(r, rk, rKeyNullable)) ++
+        pb.rKey2.map(a => nullCheck(r, a, rKey2Nullable)))
+        .filter(_ != "false") match {
+          case Nil => "false"
+          case cs => cs.mkString("(", " || ", ")")
+        }
+    def rKeyBehind(r: String): String = pb.rKey2 match {
+      case None =>
+        s"(${nullCheck(r, rk, rKeyNullable)} || ${kOf(r, rk)} < $k)"
+      case Some(a) =>
+        s"(${nullCheck(r, rk, rKeyNullable)} || ${kOf(r, rk)} < $k || " +
+        s"(${kOf(r, rk)} == $k && (${nullCheck(r, a, rKey2Nullable)} || " +
+        s"${kOf(r, a)} < $k2)))"
+    }
+    def rKeyEq(r: String): String = pb.rKey2.fold(
+      s"(!${nullCheck(r, rk, rKeyNullable)} && ${kOf(r, rk)} == $k)")(a =>
+      s"(!${nullCheck(r, rk, rKeyNullable)} && ${kOf(r, rk)} == $k && " +
+      s"!${nullCheck(r, a, rKey2Nullable)} && ${kOf(r, a)} == $k2)")
     val tolCheck = tolerance.fold("true")(d => s"($diff >= 0L && $diff <= ${d}L)")
     val matchBlock = dir match {
       case AsOfDirection.Forward =>
         s"""
-           |if ($rightHead != null && !${nullCheck(rightHead, rk, rKeyNullable)}
-           |    && ${kOf(rightHead, rk)} == $k) {
+           |if ($rightHead != null && ${rKeyEq(rightHead)}) {
            |  long $diff = ${kOf(rightHead, rt)} - $t;
            |  if ($tolCheck) $matchedRow = $rightHead;
            |}
@@ -302,8 +419,7 @@ case class AsOfJoinExec(
            |  $bwOk = ${bounded(bwDiff)};
            |}
            |long $fwDiff = 0L; boolean $fwOk = false;
-           |if ($rightHead != null && !${nullCheck(rightHead, rk, rKeyNullable)}
-           |    && ${kOf(rightHead, rk)} == $k) {
+           |if ($rightHead != null && ${rKeyEq(rightHead)}) {
            |  $fwDiff = ${kOf(rightHead, rt)} - $t;
            |  $fwOk = ${bounded(fwDiff)};
            |}
@@ -343,25 +459,20 @@ case class AsOfJoinExec(
        |while ($limitNotReachedCond $leftInput.hasNext()) {
        |  $row $leftRow = ($row) $leftInput.next();
        |  $row $matchedRow = null;
-       |  if (!${nullCheck(leftRow, lk, lKeyNullable)} &&
-       |      !${nullCheck(leftRow, lt, lTimeNullable)}) {
-       |    long $k = ${kOf(leftRow, lk)};
+       |  if (!$leftNullAny) {
+       |    $readKeys
        |    long $t = ${kOf(leftRow, lt)};
-       |    if (!$haveKey || $k != $curKey) {
+       |    if (!$haveKey || $keyChanged) {
        |      // new left key: drop the old candidate, advance the right
        |      // side past smaller (or NULL — they sort first) keys
-       |      $curKey = $k; $haveKey = true; $lastMatch = null;
-       |      while ($rightHead != null &&
-       |          (${nullCheck(rightHead, rk, rKeyNullable)} ||
-       |           ${kOf(rightHead, rk)} < $k)) {
+       |      $keepKeys $haveKey = true; $lastMatch = null;
+       |      while ($rightHead != null && ${rKeyBehind(rightHead)}) {
        |        $advance
        |      }
        |    }
        |    // consume same-key rows with time <= left time (NULL right
        |    // times sort first and never match in either direction)
-       |    while ($rightHead != null &&
-       |        !${nullCheck(rightHead, rk, rKeyNullable)} &&
-       |        ${kOf(rightHead, rk)} == $k) {
+       |    while ($rightHead != null && ${rKeyEq(rightHead)}) {
        |      if (${nullCheck(rightHead, rt, rTimeNullable)}) {
        |        $advance
        |      } else {
@@ -393,6 +504,7 @@ case class AsOfJoinExec(
     val tol = tolerance
     val attrs = output
     val nRight = right.output.size
+    val hasKey2 = leftKey2.isDefined
     val outRows = longMetric("numOutputRows")
     val matched = longMetric("numMatched")
     // Two merge loops, one semantics (differential-tested against each
@@ -411,14 +523,15 @@ case class AsOfJoinExec(
     // tests can drive both on identical primitive-typed inputs.
     val forceInterpreted = org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.asof.forceInterpreted", "false") == "true"
-    val prim = (AsOfJoinExec.longAt(lKeyB), AsOfJoinExec.longAt(lTimeB),
-      AsOfJoinExec.longAt(rKeyB), AsOfJoinExec.longAt(rTimeB))
+    val prim = primBound
     // MIXED-width integral key/time pairs (int vs bigint) widen
     // correctly on the primitive path but would mis-compare through the
     // generic path's left-type interpreted ordering — never honor the
-    // forceInterpreted test knob for them
+    // forceInterpreted test knob for them. A two-key plan has no
+    // generic twin at all (the struct form is a DIFFERENT plan built by
+    // byKeys), so the knob is ignored there too.
     val mixedIntegral = leftKey.dataType != rightKey.dataType ||
-      leftTime.dataType != rightTime.dataType
+      leftTime.dataType != rightTime.dataType || leftKey2.isDefined
     // zipPartitions is safe here: EnsureRequirements satisfied both
     // ClusteredDistributions with compatible same-count partitionings,
     // and under AQE both child exchanges sit in one coalesce group
@@ -441,10 +554,13 @@ case class AsOfJoinExec(
           outRows, matched)
         val rBuf = rIter.buffered
         prim match {
-          case (Some(lk), Some(lt), Some(rk), Some(rt))
-              if !forceInterpreted || mixedIntegral =>
-            AsOfJoinExec.primitiveMerge(lIter, rBuf, lk, lt, rk, rt, d, tol,
-              emit)
+          case Some(pb) if !forceInterpreted || mixedIntegral =>
+            AsOfJoinExec.primitiveMerge(lIter, rBuf, pb, d, tol, emit)
+          case None if hasKey2 =>
+            // byKeys never builds a key2 plan outside the long-backed
+            // family, so this is a construction bug, not a data case
+            throw new IllegalStateException(
+              "two-key as-of requires long-backed key columns")
           case _ =>
             AsOfJoinExec.genericMerge(lIter, rBuf, lKeyB, lTimeB, rKeyB,
               rTimeB, leftKey.dataType, leftTime.dataType, d, tol, emit)
@@ -454,6 +570,12 @@ case class AsOfJoinExec(
 }
 
 object AsOfJoinExec {
+
+  /** Bound unboxed accessors for the primitive/codegen paths: one or
+    * two key columns per side, plus the time column. */
+  final case class PrimBound(lKey: LongAt, lKey2: Option[LongAt],
+      lTime: LongAt, rKey: LongAt, rKey2: Option[LongAt], rTime: LongAt)
+    extends Serializable
 
   /** Unboxed ordinal accessor for a long-backed column: `get` reads the
     * physical value AS a long directly from the row (UnsafeRow ordinal
@@ -519,18 +641,27 @@ object AsOfJoinExec {
   }
 
   /** Primitive merge: one forward pass per partition, one remembered
-    * candidate, every key/time access an unboxed long. Rows from the
-    * buffered right iterator are reused mutable buffers, so retaining
-    * one requires copy(). */
+    * candidate, every key/time access an unboxed long. A second key
+    * column (byKeys two-key fast path) compares lexicographically; the
+    * single-key case pays only a constant false branch per row. Rows
+    * from the buffered right iterator are reused mutable buffers, so
+    * retaining one requires copy(). */
   def primitiveMerge(
       lIter: Iterator[InternalRow], rBuf: BufferedIterator[InternalRow],
-      lKey: LongAt, lTime: LongAt, rKey: LongAt, rTime: LongAt,
-      dir: AsOfDirection, tol: Option[Long],
+      pb: PrimBound, dir: AsOfDirection, tol: Option[Long],
       emit: Emit): Iterator[InternalRow] =
     new Iterator[InternalRow] {
+      private val lKey = pb.lKey
+      private val lTime = pb.lTime
+      private val rKey = pb.rKey
+      private val rTime = pb.rTime
+      private val hasK2 = pb.lKey2.isDefined
+      private val lKey2 = pb.lKey2.orNull
+      private val rKey2 = pb.rKey2.orNull
       private val fwd = dir == AsOfDirection.Forward
       private val nearest = dir == AsOfDirection.Nearest
       private var curKey: Long = 0L
+      private var curKey2: Long = 0L
       private var haveKey = false
       private var lastMatch: InternalRow = null
       private var lastMatchTime: Long = 0L
@@ -540,17 +671,29 @@ object AsOfJoinExec {
       override def next(): InternalRow = {
         val l = lIter.next()
         var m: InternalRow = null
-        if (!lKey.isNull(l) && !lTime.isNull(l)) {
+        if (!lKey.isNull(l) && !lTime.isNull(l) &&
+            !(hasK2 && lKey2.isNull(l))) {
           val k = lKey.get(l)
+          val k2 = if (hasK2) lKey2.get(l) else 0L
           val t = lTime.get(l)
-          if (!haveKey || k != curKey) {
+          // right head's key vs the current left key: null/behind/equal
+          def rBehind(h: InternalRow): Boolean = {
+            if (rKey.isNull(h)) return true
+            val rk = rKey.get(h)
+            if (rk < k) return true
+            if (rk > k || !hasK2) return false
+            rKey2.isNull(h) || rKey2.get(h) < k2
+          }
+          def rEq(h: InternalRow): Boolean =
+            !rKey.isNull(h) && rKey.get(h) == k &&
+              (!hasK2 || (!rKey2.isNull(h) && rKey2.get(h) == k2))
+          if (!haveKey || k != curKey || (hasK2 && k2 != curKey2)) {
             // new left key: drop the old candidate, advance the right
             // side past smaller (or NULL — they sort first) keys
-            curKey = k; haveKey = true; lastMatch = null
+            curKey = k; curKey2 = k2; haveKey = true; lastMatch = null
             var adv = true
             while (adv && rBuf.hasNext) {
-              val h = rBuf.head
-              if (rKey.isNull(h) || rKey.get(h) < k) { rBuf.next(); () }
+              if (rBehind(rBuf.head)) { rBuf.next(); () }
               else adv = false
             }
           }
@@ -559,7 +702,7 @@ object AsOfJoinExec {
           var adv = true
           while (adv && rBuf.hasNext) {
             val h = rBuf.head
-            if (!rKey.isNull(h) && rKey.get(h) == k) {
+            if (rEq(h)) {
               if (rTime.isNull(h)) { rBuf.next(); () }
               else {
                 val rt = rTime.get(h)
@@ -576,7 +719,7 @@ object AsOfJoinExec {
           def fwdCandidate: InternalRow = {
             if (rBuf.hasNext) {
               val h = rBuf.head
-              if (!rKey.isNull(h) && rKey.get(h) == k) return h
+              if (rEq(h)) return h
             }
             null
           }

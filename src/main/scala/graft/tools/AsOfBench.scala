@@ -102,7 +102,8 @@ object AsOfBench {
     def onceP(): Double = {
       val t0 = System.nanoTime()
       drain(AsOfJoinExec.primitiveMerge(lRows.iterator, rRows.iterator.buffered,
-        kAt, tAt, kAt, tAt, graft.plans.AsOfDirection.Backward, None, emit())): Unit
+        AsOfJoinExec.PrimBound(kAt, None, tAt, kAt, None, tAt),
+        graft.plans.AsOfDirection.Backward, None, emit())): Unit
       (System.nanoTime() - t0) / 1e9
     }
     def onceG(): Double = {

@@ -77,19 +77,45 @@ class AsOfJoinSpec extends AnyFunSuite {
       if (row.isNullAt(row.fieldIndex("r_id"))) None
       else Some(row.getLong(row.fieldIndex("r_id"))))).toSet
 
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val before = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally before.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(x => spark.conf.set(k, x)) }
+  }
+
+  /** Pin the co-partitioned SORT-MERGE operator: the tiny fixtures in
+    * this suite sit under the broadcast threshold, so with the default
+    * `auto` selection every long-backed test here would silently
+    * exercise [[graft.plans.BroadcastAsOfJoinExec]] instead of the
+    * merge paths the test was written for. */
+  private def mergeOnly[T](body: => T): T =
+    withConf("spark.graft.asof.broadcast" -> "never")(body)
+
+  private def broadcastOnly[T](body: => T): T =
+    withConf("spark.graft.asof.broadcast" -> "force")(body)
+
   for (forward <- Seq(false, true); (nl, nr, seed) <- Seq(
       (300, 300, 1L), (100, 500, 2L), (500, 100, 3L), (50, 0, 4L))) {
     val dir = if (forward) "forward" else "backward"
     test(s"$dir as-of matches the window-composition spec (nl=$nl nr=$nr)") {
       val l = mkSide(seed, nl, "l")
       val r = mkSide(seed + 100, nr, "r")
-      val native =
+      def native =
         (if (forward) AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
          else AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id"))
           .select("l_id", "r_id")
-      val spec = windowSpec(l, r, forward)
-      assert(native.count() == nl.toLong, "left outer: one row per left row")
-      assert(collectPairs(native) == collectPairs(spec))
+      val spec = collectPairs(windowSpec(l, r, forward))
+      // BOTH physical operators must match the spec on the same input —
+      // the merge (the 100 TB fact-fact shape) and the broadcast lookup
+      // (the small-right shape this fixture would auto-select anyway)
+      mergeOnly {
+        assert(native.count() == nl.toLong, "left outer: one row per left row")
+        assert(collectPairs(native) == spec, "merge operator diverged")
+      }
+      broadcastOnly {
+        assert(collectPairs(native) == spec, "broadcast operator diverged")
+      }
     }
   }
 
@@ -98,15 +124,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     test(s"$dir as-of with tolerance=$tol matches the bounded window spec") {
       val l = mkSide(11L, 300, "l")
       val r = mkSide(211L, 300, "r")
-      val native =
+      def native =
         (if (forward)
           AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(tol))
         else
           AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(tol)))
           .select("l_id", "r_id")
-      assert(native.count() == 300L, "left outer: one row per left row")
-      assert(collectPairs(native) ==
-        collectPairs(windowSpec(l, r, forward, Some(tol))))
+      val spec = collectPairs(windowSpec(l, r, forward, Some(tol)))
+      mergeOnly {
+        assert(native.count() == 300L, "left outer: one row per left row")
+        assert(collectPairs(native) == spec, "merge operator diverged")
+      }
+      broadcastOnly {
+        assert(collectPairs(native) == spec, "broadcast operator diverged")
+      }
     }
   }
 
@@ -119,11 +150,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     test(s"nearest as-of matches the two-sided window spec (nl=$nl nr=$nr tol=$tol)") {
       val l = mkSide(seed, nl, "l")
       val r = mkSide(seed + 100, nr, "r")
-      val native = AsOfJoin
+      def native = AsOfJoin
         .nearest(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", tol)
         .select("l_id", "r_id")
-      assert(native.count() == nl.toLong, "left outer: one row per left row")
-      assert(collectPairs(native) == collectPairs(nearestSpec(l, r, tol)))
+      val spec = collectPairs(nearestSpec(l, r, tol))
+      mergeOnly {
+        assert(native.count() == nl.toLong, "left outer: one row per left row")
+        assert(collectPairs(native) == spec, "merge operator diverged")
+      }
+      broadcastOnly {
+        assert(collectPairs(native) == spec, "broadcast operator diverged")
+      }
     }
   }
 
@@ -132,9 +169,9 @@ class AsOfJoinSpec extends AnyFunSuite {
     val interpKey = "spark.graft.asof.forceInterpreted"
     val l = mkSide(41L, 400, "l")
     val r = mkSide(141L, 400, "r")
-    def run(): Set[(Long, Option[Long])] = collectPairs(
+    def run(): Set[(Long, Option[Long])] = mergeOnly(collectPairs(
       AsOfJoin.nearest(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", Some(5L))
-        .select("l_id", "r_id"))
+        .select("l_id", "r_id")))
     val codegen = run()
     spark.conf.set(cgKey, "false")
     val primitive = try run() finally spark.conf.unset(cgKey)
@@ -209,7 +246,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val k = "spark.sql.adaptive.enabled"
     val before = spark.conf.getOption(k)
     spark.conf.set(k, "false") // direct plan traversal, no AQE wrapper
-    try {
+    try mergeOnly {
       val l = mkSide(31L, 200, "l")
       val r = mkSide(231L, 200, "r")
       val df = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
@@ -238,12 +275,12 @@ class AsOfJoinSpec extends AnyFunSuite {
       val interpKey = "spark.graft.asof.forceInterpreted"
       val l = mkSide(71L, 400, "l")
       val r = mkSide(271L, 400, "r")
-      def run(): Set[(Long, Option[Long])] = collectPairs(
+      def run(): Set[(Long, Option[Long])] = mergeOnly(collectPairs(
         (if (forward)
           AsOfJoin.forward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", tol)
         else
           AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id", tol))
-          .select("l_id", "r_id"))
+          .select("l_id", "r_id")))
       val codegen = run()
       spark.conf.set(cgKey, "false")
       val primitive = try run() finally spark.conf.unset(cgKey)
@@ -265,7 +302,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val fbKey = "spark.sql.codegen.fallback"
     val before = spark.conf.getOption(fbKey)
     spark.conf.set(fbKey, "false")
-    try {
+    try mergeOnly {
       val l = mkSide(91L, 200, "l")
       val r = mkSide(291L, 200, "r")
       val df = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
@@ -310,14 +347,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     // because the generic path's left-type ordering would mis-compare)
     val l = mkSide(63L, 200, "l").withColumn("l_k", col("l_k").cast("int"))
     val r = mkSide(64L, 200, "r")
-    val native = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
-      .select("l_id", "r_id")
-    assert(collectPairs(native) == collectPairs(windowSpec(l, r, forward = false)))
+    val native = mergeOnly(
+      collectPairs(AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+        .select("l_id", "r_id")))
+    assert(native == collectPairs(windowSpec(l, r, forward = false)))
     spark.conf.set("spark.graft.asof.forceInterpreted", "true")
-    try {
+    try mergeOnly {
       val forced = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
         .select("l_id", "r_id")
-      assert(collectPairs(forced) == collectPairs(native))
+      assert(collectPairs(forced) == native)
     } finally spark.conf.unset("spark.graft.asof.forceInterpreted")
     // a mismatch OUTSIDE the integral family must fail fast at build —
     // the generic path would silently mis-compare
@@ -338,6 +376,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     // true or codegen itself fails under Utils.isTesting
     val l = mkSide(65L, 500, "l")
     val r = mkSide(265L, 500, "r")
+    mergeOnly {
     val limited = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
       .limit(7).groupBy().count()
     assert(limited.collect().head.getLong(0) == 7L)
@@ -347,6 +386,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(asofStage.isDefined, s"as-of not codegen'd:\n$p")
     assert(p.contains(s"*(${asofStage.get}) LocalLimit"),
       s"LocalLimit not fused into the as-of stage:\n$p")
+    }
   }
 
   test("string keys take the generic path and match the window spec") {
@@ -374,6 +414,8 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("tolerance distance check is overflow-safe at extreme time values") {
+   for (mode <- Seq("never", "force"))
+    withConf("spark.graft.asof.broadcast" -> mode) {
     // Regression (round-10 ADVICE): the bound was checked as
     // `rt <= t + d` / `lmt >= t - d`, whose addition/subtraction can
     // overflow for sentinel-scale times and silently flip the verdict.
@@ -402,6 +444,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       Some(10L)).select("l_id", "r_id")
     assert(collectPairs(far) == Set((1L, None)),
       "a 2^64-scale distance must null-extend, not wrap into tolerance")
+    }
   }
 
   test("as-of output carries honest left-row statistics, not the product default") {
@@ -434,7 +477,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val beforeThr = spark.conf.getOption(thrKey)
     spark.conf.set(aqeKey, "false")
     spark.conf.set(thrKey, (1024 * 1024).toString) // 1 MiB
-    try {
+    try mergeOnly {
       val l = mkSide(51L, 1000, "l")
       val r = mkSide(251L, 1000, "r")
       // fact side: ~16 MB estimated (2M longs) — over the 1 MiB threshold
@@ -475,7 +518,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       // tiny advisory size forces the coalescer to actually engage on
       // these small shuffles instead of collapsing everything to 1
       spark.conf.set(advKey, "1024")
-      try {
+      try mergeOnly {
         // 90% of rows on key 0 (skew), the rest spread over 1..9
         val rnd = new scala.util.Random(61L)
         val lRows = (0 until 400).map { i =>
@@ -566,6 +609,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     val r = mk(300, "r")
     for (dirName <- Seq("backward", "forward")) {
       val forward = dirName == "forward"
+      // default: both keys long-backed -> the TWO-KEY primitive/codegen
+      // fast path (no struct key, lexicographic compares)
       val native = AsOfJoin.byKeys(l, r, graft.plans.AsOfDirection.parse(dirName),
           Seq("l_k1", "l_k2"), Seq("r_k1", "r_k2"), "l_t", "r_t", "r_id")
         .select("l_id", "r_id")
@@ -578,9 +623,36 @@ class AsOfJoinSpec extends AnyFunSuite {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("l_id", "r_id")
       assert(native.count() == 300L, s"$dirName: one row per left row")
-      assert(collectPairs(native) == collectPairs(spec), s"$dirName mismatch")
+      val specPairs = collectPairs(spec)
+      assert(collectPairs(native) == specPairs, s"$dirName mismatch")
       // synthetic struct key columns must not leak into the output
       assert(!native.columns.exists(_.startsWith("__graft_asof")))
+      // differential: the struct-key generic path (knob off) must agree
+      // with the fast path row-for-row on the same inputs
+      withConf("spark.graft.asof.twoKeyFastPath" -> "false") {
+        val structPath = AsOfJoin.byKeys(l, r,
+            graft.plans.AsOfDirection.parse(dirName),
+            Seq("l_k1", "l_k2"), Seq("r_k1", "r_k2"), "l_t", "r_t", "r_id")
+          .select("l_id", "r_id")
+        assert(collectPairs(structPath) == specPairs,
+          s"$dirName: struct path diverged from the spec")
+      }
+    }
+    // the fast path runs in a whole-stage-codegen stage (round-11
+    // verdict item 4: q225's shape must not drop to the interpreted
+    // generic merge) — fallback disabled so a janino failure FAILS
+    withConf("spark.sql.codegen.fallback" -> "false",
+        "spark.graft.asof.broadcast" -> "never") {
+      val fused = AsOfJoin.byKeys(l, r, graft.plans.AsOfDirection.Backward,
+          Seq("l_k1", "l_k2"), Seq("r_k1", "r_k2"), "l_t", "r_t", "r_id")
+        .groupBy("l_k1").agg(count("r_id").as("n"))
+      fused.collect()
+      val p = fused.queryExecution.executedPlan.toString
+      val asofStage = """\*\((\d+)\) AsOfJoin""".r.findFirstMatchIn(p)
+        .map(_.group(1))
+      assert(asofStage.isDefined, s"two-key as-of not in a codegen stage:\n$p")
+      assert(p.contains(s"*(${asofStage.get}) HashAggregate"),
+        s"agg not fused into the two-key as-of stage:\n$p")
     }
     // single-key byKeys degenerates to the primitive/codegen form
     val one = AsOfJoin.byKeys(l, r, graft.plans.AsOfDirection.Backward,
@@ -672,22 +744,136 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("q10/q69/q221 plans carry the native operator and exactly one exchange per side") {
-    for (name <- Seq("q10_asof_click_before_purchase",
-        "q69_asof_forward_view_after_signup",
-        "q221_asof_tolerance_attribution",
-        "q222_asof_sql_conversion_window",
-        "q224_asof_nearest_attribution",
-        "q225_asof_bykeys_repeat_shipment")) {
+  test("broadcast as-of: a small right side leaves the left unshuffled and unsorted") {
+    // The round-11 verdict's done criterion for the broadcast mode:
+    // ZERO exchanges and ZERO sorts on the left side — the left flows
+    // from its source straight into the as-of, only the dimension-sized
+    // right side moves (one BroadcastExchange).
+    val l = mkSide(55L, 300, "l")
+    val r = mkSide(255L, 300, "r")
+    val df = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+      .select("l_id", "r_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastAsOfJoin"),
+      s"small right side should auto-select the broadcast as-of:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"broadcast as-of must not shuffle either side:\n$p")
+    assert(!"""Sort \[""".r.findFirstIn(p).isDefined,
+      s"broadcast as-of must not sort the left side:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"right side should move by broadcast:\n$p")
+  }
+
+  test("broadcast selection rejects non-long-backed shapes even under force") {
+    // string keys have no primitive index — force must still plan the
+    // (generic) merge, not fail or mis-plan
+    val rnd = new scala.util.Random(83L)
+    val l = (0 until 50).map(i => (i.toLong, s"k${i % 5}", i.toLong / 3))
+      .toDF("l_id", "l_k", "l_t")
+    val r = (0 until 50).map(i => (i.toLong, s"k${i % 5}", i.toLong / 2))
+      .toDF("r_id", "r_k", "r_t")
+    broadcastOnly {
+      val df = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+        .select("l_id", "r_id")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastAsOfJoin"), s"string key broadcast?\n$p")
+      assert(collectPairs(df) == collectPairs(windowSpec(l, r, forward = false)))
+    }
+  }
+
+  test("time-column type mixes outside one physical unit are rejected") {
+    // ADVICE (round 11): DateType (physical DAYS) vs TimestampType
+    // (physical µs) are both long-backed but mean different units —
+    // the guard must reject them, while Timestamp↔TimestampNTZ (same
+    // µs representation, identical under the pinned UTC session) and
+    // pure integer width mixes stay accepted.
+    val l = mkSide(85L, 20, "l")
+      .withColumn("l_d", expr("date_add(date '2020-01-01', cast(l_t as int))"))
+      .withColumn("l_ts", expr("timestamp_micros(l_t)"))
+      .withColumn("l_ntz", expr("cast(timestamp_micros(l_t) as timestamp_ntz)"))
+    val r = mkSide(86L, 20, "r")
+      .withColumn("r_ts", expr("timestamp_micros(r_t)"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "l_k", "r_k", "l_d", "r_ts", "r_id")
+    }
+    // Timestamp ↔ TimestampNTZ accepted (same epoch-µs physical value)
+    AsOfJoin.backward(l, r, "l_k", "r_k", "l_ntz", "r_ts", "r_id")
+    // Date ↔ integer also rejected (days vs a bare count is a unit mix)
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "l_k", "r_k", "l_d", "r_t", "r_id")
+    }
+  }
+
+  test("driver as-of plans: merge shape under never; scale-adaptive broadcast under auto") {
+    val queries = Seq(
+      "q10_asof_click_before_purchase",
+      "q69_asof_forward_view_after_signup",
+      "q221_asof_tolerance_attribution",
+      "q222_asof_sql_conversion_window",
+      "q224_asof_nearest_attribution",
+      "q225_asof_bykeys_repeat_shipment")
+    for (name <- queries) {
+      // the 100 TB fact-fact shape: co-partitioned merge, exactly one
+      // exchange per side (AsOfJoinExec renders as "AsOfJoin" —
+      // TreeNode strips the Exec suffix)
+      mergeOnly {
+        val df = SparkEntry.queries(name)(spark, sf)
+        val p = df.queryExecution.executedPlan.toString
+        assert("""\+- AsOfJoin """.r.findFirstIn(p).isDefined,
+          s"$name lost the native as-of operator")
+        assert(!p.contains("WindowGroupLimit") && !"Window \\[row_number".r
+          .findFirstIn(p).isDefined, s"$name still has the window composition")
+        assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+          s"$name should shuffle each side exactly once")
+      }
+      // under the default auto selection at this fixture SF every
+      // long-backed right side is dimension-sized -> broadcast, with NO
+      // shuffle below the as-of on the left; q225's struct byKeys shape
+      // stays on the merge by design
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
-      // AsOfJoinExec renders as "AsOfJoin" (TreeNode strips the Exec suffix)
-      assert("""\+- AsOfJoin """.r.findFirstIn(p).isDefined,
-        s"$name lost the native as-of operator")
       assert(!p.contains("WindowGroupLimit") && !"Window \\[row_number".r
         .findFirstIn(p).isDefined, s"$name still has the window composition")
-      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
-        s"$name should shuffle each side exactly once")
+      if (name == "q225_asof_bykeys_repeat_shipment") {
+        // two-key fast path: stays on the merge (the broadcast index is
+        // single-key), and the merge runs in a whole-stage-codegen
+        // stage — execute so AQE finalizes and prints the stage marker
+        assert("""\+- AsOfJoin """.r.findFirstIn(p).isDefined,
+          s"$name (two-key) should stay on the merge operator")
+        df.collect()
+        val executed = df.queryExecution.executedPlan.toString
+        assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(executed).isDefined,
+          s"$name two-key merge should be codegen-staged:\n$executed")
+      } else {
+        assert(p.contains("BroadcastAsOfJoin"),
+          s"$name should broadcast its dimension-sized right side at sf:\n$p")
+      }
+    }
+  }
+
+  test("q226 plan: the fact side reaches the as-of with zero exchanges and zero sorts") {
+    // the driver-gated broadcast query (round-11 verdict item 2 done
+    // criterion): under auto at this SF the checkpoint table broadcasts,
+    // so the ONLY hash exchanges in the whole plan are the checkpoint
+    // build's aggregate and the final returnflag aggregate — the
+    // lineitem fact is never shuffled or sorted for the as-of itself
+    val df = SparkEntry.queries("q226_asof_broadcast_monthly_checkpoint")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastAsOfJoin"), s"q226 must plan the broadcast as-of:\n$p")
+    assert(p.contains("BroadcastExchange"), s"checkpoint table should broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"only the checkpoint build + final agg may shuffle:\n$p")
+    assert("""Sort \[""".r.findAllIn(p).size == 1,
+      s"only the final ORDER BY may sort — the fact side must not:\n$p")
+    // under never the same query pays the fact shuffle the broadcast
+    // mode exists to remove: left + right as-of exchanges appear
+    mergeOnly {
+      val pm = SparkEntry.queries("q226_asof_broadcast_monthly_checkpoint")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("""\+- AsOfJoin """.r.findFirstIn(pm).isDefined)
+      assert("Exchange hashpartitioning".r.findAllIn(pm).size == 4,
+        s"merge mode should add one exchange per as-of side:\n$pm")
     }
   }
 }

@@ -500,14 +500,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "moment sums must map-side combine")
   }
 
-  test("q149: rank/cumsum windows partition by segment, totals broadcast back") {
+  test("q149: heavy rank/cumsum windows partition by (segment, bucket); prefixes broadcast") {
+    // round-11 verdict item 3: the customer-sized window must NOT
+    // partition by the 5-value segment alone (one task per segment
+    // sorts everything) — it partitions by (segment, revenue bucket)
+    // with the per-bucket prefix table broadcast back, q154 pattern
     val p = plan("q149_pareto_revenue_coverage")
     val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(specs.nonEmpty)
-    assert(specs.forall(_.contains("segment")),
-      s"pareto windows must partition by segment:\n${specs.mkString("\n")}")
-    assert(p.contains("BroadcastHashJoin"),
-      "the 5-row per-segment totals table should broadcast")
+    val heavy = specs.filter(_.contains("segment"))
+    assert(heavy.nonEmpty && heavy.forall(_.contains("bkt")),
+      s"customer-sized pareto windows must partition by (segment, bkt):\n${specs.mkString("\n")}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both the bucket-prefix table and the per-segment totals should broadcast")
+  }
+
+  test("q91: the Gini rank window partitions by (segment, bucket); prefix broadcasts") {
+    val p = plan("q91_revenue_gini_by_segment")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val heavy = specs.filter(_.contains("c_mktsegment"))
+    assert(heavy.nonEmpty && heavy.forall(_.contains("bkt")),
+      s"the customer-sized rank must be bucket-partitioned:\n${specs.mkString("\n")}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "customer dim + bucket-prefix table should broadcast")
   }
 
   test("q150: reconciliation is one co-partitioned agg + left join, no window") {
