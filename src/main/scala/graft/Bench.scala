@@ -16,6 +16,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
+      // the standard library-integration path: native expressions, the
+      // as-of planner strategy, the graft_asof TVF and its
+      // identifier-argument analyzer rule all ride SparkSessionExtensions
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -34,19 +34,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // it via AsOfJoin.ensureOn (experimental.extraStrategies)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // SQL surface for the native as-of join:
-    // SELECT * FROM graft_asof('backward', 'lview', 'rview',
-    //   'lk', 'rk', 'lt', 'rt', 'tie'[, tolerance])
+    // SELECT * FROM graft_asof(backward, lview, rview,
+    //   lk, rk, lt, rt, tie[, tolerance])   -- or string literals
     e.injectTableFunction((
       new FunctionIdentifier("graft_asof"),
       new ExpressionInfo(graft.plans.AsOfJoin.getClass.getName, "graft_asof"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.plans.AsOfJoin.sqlBuilder(children)))
+    // identifier-style graft_asof arguments: the analyzer resolves a
+    // TVF only once every argument expression is resolved, and a bare
+    // identifier parses as an UnresolvedAttribute that nothing can
+    // resolve (there is no input row). Rewrite such args to string
+    // literals first (same fixed-point batch), so users can write
+    // table/column references the way every other TVF takes them.
+    e.injectResolutionRule(_ => GraftExtensions.AsOfTvfIdentifierArgs)
   }
 }
 
 object GraftExtensions {
+
+  /** Turns bare-identifier graft_asof arguments into string literals
+    * before the built-in TVF resolution runs (it requires resolved
+    * args). Dotted identifiers keep their parts quoted so multipart
+    * references round-trip. Only active in sessions built WITH
+    * GraftExtensions — the runtime [[register]] path cannot inject
+    * analyzer rules, so there graft_asof takes string literals only. */
+  object AsOfTvfIdentifierArgs
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+      UnresolvedTableValuedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        case u: UnresolvedTableValuedFunction
+            if u.name.map(_.toLowerCase(java.util.Locale.ROOT))
+              .lastOption.contains("graft_asof") =>
+          u.copy(functionArgs = u.functionArgs.map {
+            case ua: UnresolvedAttribute => Literal(ua.nameParts
+              .map(p => if (p.contains(".") || p.contains("`"))
+                s"`${p.replace("`", "``")}`" else p)
+              .mkString("."))
+            case other => other
+          })
+      }
+  }
+
   /** Register the same functions on an already-running session (the
-    * extensions path only applies at session build time). */
+    * extensions path only applies at session build time; graft_asof
+    * then accepts string-literal arguments only — identifier-style
+    * args need the analyzer rule GraftExtensions injects at build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")

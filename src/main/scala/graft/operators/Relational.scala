@@ -370,11 +370,15 @@ object Relational {
           col("user_id").as("p_uid"), col("us").as("p_us"))
         .createOrReplaceTempView("graft_q222_purchases")
       try {
+        // identifier-style arguments (round-11 ADVICE item 7): table
+        // and column references written the way every other TVF takes
+        // them — GraftExtensions' analyzer rule literalizes them before
+        // TVF resolution (string literals remain accepted)
         s.sql("""SELECT user_id, click_id, purchase_id,
                  |       p_us - c_us AS gap_us
-                 |FROM graft_asof('forward', 'graft_q222_clicks',
-                 |  'graft_q222_purchases', 'user_id', 'p_uid', 'c_us',
-                 |  'p_us', 'purchase_id', 86400000000)""".stripMargin)
+                 |FROM graft_asof(forward, graft_q222_clicks,
+                 |  graft_q222_purchases, user_id, p_uid, c_us,
+                 |  p_us, purchase_id, 86400000000)""".stripMargin)
           .orderBy("user_id", "click_id")
       } finally {
         // sqlBuilder resolved the views eagerly during analysis above —

@@ -570,6 +570,18 @@ class AsOfJoinSpec extends AnyFunSuite {
         .nearest(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
         .select("l_id", "r_id")
       assert(collectPairs(sqlNear) == collectPairs(apiNear))
+      // bare identifiers instead of string literals — how users
+      // actually write TVF arguments (round-11 ADVICE item 7): the
+      // parser delivers them as UnresolvedAttributes and the builder
+      // reads their nameParts as the table/column references
+      val sqlIdent = spark.sql(
+        """SELECT l_id, r_id FROM graft_asof(backward, asof_sql_l,
+          |asof_sql_r, l_k, r_k, l_t, r_t, r_id)""".stripMargin)
+      val apiIdent = AsOfJoin
+        .backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+        .select("l_id", "r_id")
+      assert(collectPairs(sqlIdent) == collectPairs(apiIdent),
+        "identifier-style arguments diverged from the API route")
       // tolerance as the optional 9th argument
       val sqlTol = spark.sql(
         """SELECT l_id, r_id FROM graft_asof('backward', 'asof_sql_l',

@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      // the standard library-integration path: native expressions, the
+      // as-of planner strategy, the graft_asof TVF and its
+      // identifier-argument analyzer rule all ride SparkSessionExtensions
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
