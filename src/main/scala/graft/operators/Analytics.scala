@@ -949,7 +949,17 @@ object Analytics {
       // under AQE's coalescing, 2.30 vs 2.05 s min-of-4 at sf0.1)
       val cand = tp.join(broadcast(nb), col("pa") === col("p"))
         .select(col("u"), col("pb"), col("n"))
-      val scx = cand.join(tp.select(col("u"), col("p").as("pb")),
+      // SHUFFLE_HASH on the anti side: the per-partition (u, p) slice
+      // builds a hash set and the 4.8M candidate rows stream through it
+      // unsorted — Spark would otherwise SMJ the anti join and pay a
+      // sort on BOTH sides of the exchange (5.3 task-seconds of sort in
+      // the round-12 StageMetrics profile). Interleaved same-JVM A/B at
+      // sf0.1: hint mean 7.26 s / min 6.83 vs SMJ mean 7.84 / min 6.98
+      // over 5 alternating runs. Scale-safe: the build side is the
+      // partition's OWN slice of tp (shrinks with partition count) and
+      // Spark's shuffled-hash join spills since 3.1.
+      val scx = cand.join(
+          tp.select(col("u"), col("p").as("pb")).hint("SHUFFLE_HASH"),
           Seq("u", "pb"), "left_anti")
         .groupBy("u", "pb").agg(sum("n").as("score"))
       // recs (≤5 rows/user) and hp feed THREE readout branches (s1, the
