@@ -3,10 +3,15 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences,
-  Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+  BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
   Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
+  SparkPlan}
 
 /** Broadcast variant of the native as-of join (round-11 verdict item 2).
   *
@@ -47,7 +52,7 @@ case class BroadcastAsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression, dir: AsOfDirection,
     tolerance: Option[Long] = None)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -71,13 +76,135 @@ case class BroadcastAsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // strategy guarantees long-backed shapes (it falls back to the
+  // merge exec otherwise), so all five binds succeed
+  private def at(e: Expression, out: Seq[Attribute]): AsOfJoinExec.LongAt =
+    AsOfJoinExec.longAt(BindReferences.bindReference(e, out)).getOrElse(
+      throw new IllegalStateException(
+        s"broadcast as-of planned over a non-long-backed column: $e"))
+
+  // -------------------------------------------------------------------
+  // Whole-stage codegen, BroadcastHashJoinExec-style: this node rides
+  // the STREAMED (left) child's produce loop — doConsume receives each
+  // left row's column variables, does the per-key binary search inline,
+  // and hands (left vars ++ null-extended right vars) to the downstream
+  // consume(). scan -> as-of -> partial agg is ONE generated stage: no
+  // iterator breaks, no per-row projection, exactly what the merge
+  // exec's codegen already does for the shuffle shape.
+  // -------------------------------------------------------------------
+
+  override def supportCodegen: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.asof.codegen", "true") == "true"
+
+  // binary node: the default needCopyResult throws on 2 children.
+  // Output vars are fresh locals (right values read out of stable
+  // broadcast rows), so only the streamed side's own requirement
+  // propagates — the BroadcastHashJoinExec contract.
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val lk = at(leftKey, left.output)
+    val lt = at(leftTime, left.output)
+    val group = classOf[BroadcastAsOfJoinExec.Group].getName
+    // executor-side lazy index build: a Function0 closure carrying the
+    // broadcast and the right-side accessors ships as a reference
+    // object; indexFor memoizes per broadcast value, so 32 tasks on one
+    // executor share one build
+    val relFactory = {
+      val rk = at(rightKey, right.output)
+      val rt = at(rightTime, right.output)
+      val tie = at(rightTie, right.output)
+      val rel = right.executeBroadcast[Array[InternalRow]]()
+      () => BroadcastAsOfJoinExec.indexFor(rel.value, rk, rt, tie)
+    }
+    val factoryRef = ctx.addReferenceObj("asofIndexFactory", relFactory,
+      "scala.Function0")
+    val index = ctx.addMutableState("java.util.HashMap", "asofBcIndex",
+      v => s"$v = (java.util.HashMap) $factoryRef.apply();")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    // left key/time evaluated from the incoming column variables
+    ctx.currentVars = input
+    val keyEv = BoundReference(lk.ord, left.output(lk.ord).dataType,
+      left.output(lk.ord).nullable).genCode(ctx)
+    val timeEv = BoundReference(lt.ord, left.output(lt.ord).dataType,
+      left.output(lt.ord).nullable).genCode(ctx)
+    val g = ctx.freshName("asofGroup")
+    val m = ctx.freshName("asofMatched")
+    val fi = ctx.freshName("asofFi")
+    val bi = ctx.freshName("asofBi")
+    val t = ctx.freshName("asofT")
+    def inTol(diff: String): String =
+      tolerance.fold("true")(d => s"($diff >= 0L && $diff <= ${d}L)")
+    val pick = dir match {
+      case AsOfDirection.Forward =>
+        s"""
+           |if ($fi < $g.times().length &&
+           |    ${inTol(s"$g.times()[$fi] - $t")}) $m = $g.rows()[$fi];
+         """.stripMargin
+      case AsOfDirection.Backward =>
+        s"""
+           |if ($bi >= 0 && ${inTol(s"$t - $g.times()[$bi]")}) $m = $g.rows()[$bi];
+         """.stripMargin
+      case AsOfDirection.Nearest =>
+        val bwOk = ctx.freshName("asofBwOk")
+        val fwOk = ctx.freshName("asofFwOk")
+        s"""
+           |boolean $bwOk = $bi >= 0 && ${inTol(s"$t - $g.times()[$bi]")};
+           |boolean $fwOk = $fi < $g.times().length &&
+           |  ${inTol(s"$g.times()[$fi] - $t")};
+           |if ($bwOk && (!$fwOk || java.lang.Long.compareUnsigned(
+           |    $t - $g.times()[$bi], $g.times()[$fi] - $t) <= 0)) {
+           |  $m = $g.rows()[$bi];
+           |} else if ($fwOk) {
+           |  $m = $g.rows()[$fi];
+           |}
+         """.stripMargin
+    }
+    // right-side output columns read from the matched row (or null)
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val cde =
+        code"""
+          |boolean $isNull = $m == null || $m.isNullAt($i);
+          |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)}
+          |  : (${CodeGenerator.getValue(m, a.dataType, i.toString)});
+        """.stripMargin
+      ExprCode(cde, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    s"""
+       |${keyEv.code}
+       |${timeEv.code}
+       |org.apache.spark.sql.catalyst.InternalRow $m = null;
+       |if (!${keyEv.isNull} && !${timeEv.isNull}) {
+       |  $group $g = ($group) $index.get(
+       |    java.lang.Long.valueOf((long) ${keyEv.value}));
+       |  if ($g != null) {
+       |    long $t = (long) ${timeEv.value};
+       |    int $fi = $g.upperBound($t);
+       |    int $bi = $fi - 1;
+       |    $pick
+       |  }
+       |}
+       |$numOutput.add(1);
+       |if ($m != null) $numMatched.add(1);
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
-    // strategy guarantees long-backed shapes (it falls back to the
-    // merge exec otherwise), so all five binds succeed
-    def at(e: Expression, out: Seq[Attribute]): AsOfJoinExec.LongAt =
-      AsOfJoinExec.longAt(BindReferences.bindReference(e, out)).getOrElse(
-        throw new IllegalStateException(
-          s"broadcast as-of planned over a non-long-backed column: $e"))
     val lk = at(leftKey, left.output)
     val lt = at(leftTime, left.output)
     val rk = at(rightKey, right.output)

@@ -116,6 +116,13 @@ class AsOfJoinSpec extends AnyFunSuite {
       broadcastOnly {
         assert(collectPairs(native) == spec, "broadcast operator diverged")
       }
+      // and the broadcast VOLCANO path (codegen off) — the third
+      // executable form of the broadcast operator
+      withConf("spark.graft.asof.broadcast" -> "force",
+          "spark.graft.asof.codegen" -> "false") {
+        assert(collectPairs(native) == spec,
+          "broadcast volcano path diverged")
+      }
     }
   }
 
@@ -160,6 +167,11 @@ class AsOfJoinSpec extends AnyFunSuite {
       }
       broadcastOnly {
         assert(collectPairs(native) == spec, "broadcast operator diverged")
+      }
+      withConf("spark.graft.asof.broadcast" -> "force",
+          "spark.graft.asof.codegen" -> "false") {
+        assert(collectPairs(native) == spec,
+          "broadcast volcano path diverged")
       }
     }
   }
@@ -320,6 +332,27 @@ class AsOfJoinSpec extends AnyFunSuite {
       assert(p.contains(s"*(${asofStage.get}) HashAggregate"),
         s"agg not fused into the as-of codegen stage:\n$p")
     } finally before.fold(spark.conf.unset(fbKey))(v => spark.conf.set(fbKey, v))
+  }
+
+  test("the broadcast as-of fuses into the downstream agg's codegen stage") {
+    // BroadcastHashJoinExec-style: the broadcast as-of rides the left
+    // child's produce loop, so scan -> as-of -> partial agg is ONE
+    // generated stage. fallback=false makes a janino failure FAIL the
+    // test instead of silently dropping to the volcano path.
+    withConf("spark.sql.codegen.fallback" -> "false",
+        "spark.graft.asof.broadcast" -> "force") {
+      val l = mkSide(93L, 200, "l")
+      val r = mkSide(293L, 200, "r")
+      val df = AsOfJoin.backward(l, r, "l_k", "r_k", "l_t", "r_t", "r_id")
+        .groupBy("l_k").agg(count("r_id").as("n"))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val st = """\*\((\d+)\) BroadcastAsOfJoin""".r.findFirstMatchIn(p)
+        .map(_.group(1))
+      assert(st.isDefined, s"broadcast as-of not in a codegen stage:\n$p")
+      assert(p.contains(s"*(${st.get}) HashAggregate"),
+        s"agg not fused into the broadcast as-of stage:\n$p")
+    }
   }
 
   test("non-integral (double) TIME columns work on the directional generic path") {
