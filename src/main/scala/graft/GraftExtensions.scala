@@ -72,10 +72,8 @@ object GraftExtensions {
             if u.name.map(_.toLowerCase(java.util.Locale.ROOT))
               .lastOption.contains("graft_asof") =>
           u.copy(functionArgs = u.functionArgs.map {
-            case ua: UnresolvedAttribute => Literal(ua.nameParts
-              .map(p => if (p.contains(".") || p.contains("`"))
-                s"`${p.replace("`", "``")}`" else p)
-              .mkString("."))
+            case ua: UnresolvedAttribute =>
+              Literal(graft.plans.AsOfJoin.quoteNameParts(ua.nameParts))
             case other => other
           })
       }

@@ -53,23 +53,31 @@ case class TopKLongPairs(
   // ImplicitCastInputTypes would also let FRACTIONAL columns
   // (double/float/decimal) cast to long — silently truncating the
   // ordering values instead of failing. Coercion rewrites such a child
-  // to Cast(fractional, LongType), so reject that shape at analysis.
-  // (This also rejects an explicit CAST(double AS BIGINT) — acceptable:
-  // the caller should state the rounding, e.g. CAST(round(x) AS BIGINT),
-  // rather than rely on truncation for a ranking column.)
+  // to Cast(fractional, LongType), so reject that shape at analysis —
+  // UNLESS the fractional value is itself an explicit round()/bround()
+  // (integer-valued by construction, so the cast is exact within long
+  // range and the caller has STATED the rounding; floor/ceil already
+  // return BIGINT and never hit this check).
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.catalyst.expressions.{BRound, Cast, Round}
+    def isFractional(dt: DataType): Boolean = dt == DoubleType ||
+      dt == FloatType || dt.isInstanceOf[DecimalType]
+    def statedRounding(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e match {
+        case _: Round | _: BRound => true
+        case _ => false
+      }
     val fractional = children.collectFirst {
-      case c: Cast if c.child.dataType == DoubleType ||
-          c.child.dataType == FloatType ||
-          c.child.dataType.isInstanceOf[DecimalType] => c.child.dataType
+      case c: Cast if isFractional(c.child.dataType) &&
+          !statedRounding(c.child) => c.child.dataType
     }
     fractional match {
       case Some(dt) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"graft_topk_pairs requires integral ord/id columns; a " +
-          s"${dt.catalogString} input would silently truncate — round " +
-          "explicitly first (e.g. CAST(round(x * 1000) AS BIGINT))")
+          s"${dt.catalogString} input would silently truncate — state " +
+          "the rounding first (e.g. CAST(round(x * 1000) AS BIGINT), " +
+          "or floor()/ceil() which are already BIGINT)")
       case None => super.checkInputDataTypes()
     }
   }

@@ -78,17 +78,18 @@ object AsOfJoin {
     if (leftKeys.size == 1)
       return build(left, right, leftKeys.head, rightKeys.head, leftTime,
         rightTime, rightTie, direction, tolerance)
-    def isLongBacked(df: DataFrame, n: String): Boolean = {
-      import org.apache.spark.sql.types._
-      df.schema.fields.find(_.name == n).map(_.dataType).exists {
-        case LongType | IntegerType | ShortType | ByteType | DateType |
-             TimestampType | TimestampNTZType => true
-        case _ => false
-      }
-    }
+    def isLongBacked(df: DataFrame, n: String): Boolean =
+      df.schema.fields.find(_.name == n)
+        .exists(f => AsOfJoinExec.isLongBacked(f.dataType))
+    // the fast path also requires LONG-BACKED TIME columns: build()
+    // permits e.g. double times on the (struct) generic merge when no
+    // tolerance/nearest is set, and a key2 plan has no generic twin —
+    // routing such a call to the fast path would throw at execution
+    // instead of running the struct path it ran before
     val fastOk = leftKeys.size == 2 &&
       leftKeys.forall(isLongBacked(left, _)) &&
       rightKeys.forall(isLongBacked(right, _)) &&
+      isLongBacked(left, leftTime) && isLongBacked(right, rightTime) &&
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.asof.twoKeyFastPath", "true") == "true"
     if (fastOk)
@@ -110,6 +111,15 @@ object AsOfJoin {
       lname, rname, leftTime, rightTime, rightTie, direction, tolerance)
     out.drop(lname, rname)
   }
+
+  /** Re-quote a parsed multipart identifier so dotted/backtick-bearing
+    * parts survive table resolution — the ONE quoting rule both the
+    * identifier-literalizing analyzer rule (GraftExtensions) and the
+    * TVF builder's own identifier path must share. */
+  def quoteNameParts(parts: Seq[String]): String = parts
+    .map(p => if (p.contains(".") || p.contains("`"))
+      s"`${p.replace("`", "``")}`" else p)
+    .mkString(".")
 
   /** SQL surface (round-10 verdict item 4): a table-valued function so
     * the native operator is reachable without Scala plumbing —
@@ -141,10 +151,7 @@ object AsOfJoin {
     // resolution so `parquet`.`/path` style references survive intact.
     def str(i: Int, what: String): String = exprs(i) match {
       case Literal(v, StringType) if v != null => v.toString
-      case ua: UnresolvedAttribute => ua.nameParts
-        .map(p => if (p.contains(".") || p.contains("`")) // re-quote
-          s"`${p.replace("`", "``")}`" else p)
-        .mkString(".")
+      case ua: UnresolvedAttribute => quoteNameParts(ua.nameParts)
       case other => throw new IllegalArgumentException(
         s"graft_asof $what (arg ${i + 1}) must be an identifier or a " +
         s"string literal, got $other")

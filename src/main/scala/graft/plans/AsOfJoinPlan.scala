@@ -142,19 +142,11 @@ object AsOfJoinStrategy extends SparkStrategy {
     case p: AsOfJoinPlan =>
       val conf = org.apache.spark.sql.internal.SQLConf.get
       val mode = conf.getConfString("spark.graft.asof.broadcast", "auto")
-      def longBacked(e: Expression): Boolean = {
-        import org.apache.spark.sql.types._
-        e.dataType match {
-          case LongType | IntegerType | ShortType | ByteType | DateType |
-               TimestampType | TimestampNTZType => true
-          case _ => false
-        }
-      }
       // the broadcast index is single-key (two-key composites stay on
       // the merge — their call sites are fact-fact self-joins anyway)
       val shapesOk = p.leftKey2.isEmpty &&
         Seq(p.leftKey, p.rightKey, p.leftTime, p.rightTime, p.rightTie)
-          .forall(longBacked)
+          .forall(e => AsOfJoinExec.isLongBacked(e.dataType))
       val thr = conf.autoBroadcastJoinThreshold
       val broadcastIt = mode match {
         case "never" => false
@@ -366,13 +358,6 @@ case class AsOfJoinExec(
     val keepKeys = s"$curKey = $k;" +
       pb.lKey2.fold("")(_ => s" ${curKey2.get} = $k2;")
     // right-row key predicates against the current left key
-    def rKeyNullAny(r: String): String =
-      (Seq(nullCheck(r, rk, rKeyNullable)) ++
-        pb.rKey2.map(a => nullCheck(r, a, rKey2Nullable)))
-        .filter(_ != "false") match {
-          case Nil => "false"
-          case cs => cs.mkString("(", " || ", ")")
-        }
     def rKeyBehind(r: String): String = pb.rKey2 match {
       case None =>
         s"(${nullCheck(r, rk, rKeyNullable)} || ${kOf(r, rk)} < $k)"
@@ -603,6 +588,21 @@ object AsOfJoinExec {
   private final class LongAt1(o: Int, dt: org.apache.spark.sql.types.DataType)
     extends LongAt(o, dt) {
     override def get(r: InternalRow): Long = r.getByte(ord).toLong
+  }
+
+  /** The physical types every unboxed fast path (primitive merge,
+    * codegen merge, broadcast index) can read as a long — exactly
+    * [[longAt]]'s domain. The strategy's broadcast selection and
+    * byKeys' two-key routing must use THIS predicate, not their own
+    * copies: a type added to longAt but not to a copy would make plan
+    * selection disagree with what the executor paths can bind. */
+  def isLongBacked(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
   }
 
   /** A bound attribute ref whose physical value is an integral the

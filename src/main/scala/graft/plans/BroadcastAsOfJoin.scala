@@ -280,23 +280,34 @@ object BroadcastAsOfJoinExec {
   }
 
   /** Index build is O(n log n) in the BROADCAST side only — dimension
-    * work, never fact work. Built once per executor per broadcast: the
-    * cache is keyed weakly on the broadcast value array itself, so
-    * repeated partitions (32 tasks on one executor, or a reused
-    * broadcast across stages) share one build and the index dies with
-    * the broadcast. */
-  private val cache =
-    new java.util.WeakHashMap[AnyRef, java.util.HashMap[Long, Group]]
+    * work, never fact work. Built once per executor per (broadcast,
+    * column-triple): the outer cache is keyed weakly on the broadcast
+    * value array (so repeated partitions share one build and the index
+    * dies with the broadcast), and the inner key carries the
+    * (key, time, tie) ORDINALS that built it — ReuseExchange dedupes
+    * identical broadcasts, so two as-of joins against the same
+    * dimension through DIFFERENT columns share one rows array and
+    * must NOT share one index (they'd silently binary-search the
+    * wrong column). */
+  private val cache = new java.util.WeakHashMap[AnyRef,
+    java.util.HashMap[(Int, Int, Int), java.util.HashMap[Long, Group]]]
 
   def indexFor(rows: Array[InternalRow], rk: AsOfJoinExec.LongAt,
       rt: AsOfJoinExec.LongAt,
       tie: AsOfJoinExec.LongAt): java.util.HashMap[Long, Group] =
     cache.synchronized {
-      val hit = cache.get(rows)
+      var byCols = cache.get(rows)
+      if (byCols == null) {
+        byCols = new java.util.HashMap[(Int, Int, Int),
+          java.util.HashMap[Long, Group]]
+        cache.put(rows, byCols)
+      }
+      val colKey = (rk.ord, rt.ord, tie.ord)
+      val hit = byCols.get(colKey)
       if (hit != null) hit
       else {
         val built = build(rows, rk, rt, tie)
-        cache.put(rows, built)
+        byCols.put(colKey, built)
         built
       }
     }

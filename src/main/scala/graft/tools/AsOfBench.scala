@@ -16,7 +16,8 @@ object AsOfBench {
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toLong).getOrElse(5000000L)
     val keys = args.lift(1).map(_.toLong).getOrElse(200000L)
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

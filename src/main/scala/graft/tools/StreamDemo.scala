@@ -12,6 +12,7 @@ import graft.streaming.{Event, EventStream}
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val spark: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.TimeQ <queryName> [more ...] */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       // ObjectHashAggregate (TypedImperativeAggregate: MinHash/SimHash

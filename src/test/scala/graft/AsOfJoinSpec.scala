@@ -708,6 +708,88 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(collectPairs(one) == collectPairs(oneDirect))
   }
 
+  test("broadcast index cache distinguishes column triples on a REUSED broadcast") {
+    // ReuseExchange dedupes identical IdentityBroadcastMode exchanges:
+    // two as-of joins against the SAME dimension through DIFFERENT
+    // time columns share one broadcast rows array per executor, so the
+    // executor index cache must key on the building column ordinals,
+    // not just the array — or the second join binary-searches the
+    // first join's time column (review finding, round 12).
+    broadcastOnly {
+      val dim = (0 until 100).map(i => (i.toLong % 5,
+          (i * 3 % 17).toLong, (i * 7 % 23).toLong, i.toLong))
+        .toDF("d_k", "d_t1", "d_t2", "d_id")
+      val a = mkSide(95L, 200, "a")
+      val b = mkSide(96L, 200, "b")
+      // BOTH time columns stay in both outputs: column pruning would
+      // otherwise give each join a differently-projected broadcast side
+      // and exchange reuse (the hazard under test) could never fire
+      val j1 = AsOfJoin.backward(a, dim, "a_k", "d_k", "a_t", "d_t1", "d_id")
+        .select(col("a_id").as("l_id"), col("d_id").as("r_id"),
+          col("d_t1"), col("d_t2"))
+      val j2 = AsOfJoin.backward(b, dim, "b_k", "d_k", "b_t", "d_t2", "d_id")
+        .select(col("b_id").as("l_id"), col("d_id").as("r_id"),
+          col("d_t1"), col("d_t2"))
+      // ONE query so ReuseExchange can fire; tag the branches apart
+      val u = j1.withColumn("src", lit(1))
+        .unionByName(j2.withColumn("src", lit(2)))
+      val got = u.collect().map(r => (r.getInt(r.fieldIndex("src")),
+        r.getLong(r.fieldIndex("l_id")),
+        if (r.isNullAt(r.fieldIndex("r_id"))) None
+        else Some(r.getLong(r.fieldIndex("r_id"))))).toSet
+      def specOf(l: DataFrame, tag: String, tCol: String, src: Int) = {
+        val w = Window.partitionBy(col(s"${tag}_id")).orderBy(
+          col(tCol).desc_nulls_last, col("d_id").desc_nulls_last)
+        l.join(dim, col(s"${tag}_k") === col("d_k") &&
+            col(tCol) <= col(s"${tag}_t"), "left")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .collect().map(r => (src, r.getLong(r.fieldIndex(s"${tag}_id")),
+            if (r.isNullAt(r.fieldIndex("d_id"))) None
+            else Some(r.getLong(r.fieldIndex("d_id"))))).toSet
+      }
+      val want = specOf(a, "a", "d_t1", 1) ++ specOf(b, "b", "d_t2", 2)
+      // the hazard must actually be present: both joins broadcast and
+      // the second exchange is a reuse of the first
+      u.collect(): Unit // materialize so AQE prints the FINAL stages
+      val plan = u.queryExecution.executedPlan.toString
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert("BroadcastAsOfJoin".r.findAllIn(finalPlan).size == 2, plan)
+      assert(finalPlan.contains("ReusedExchange") ||
+        "BroadcastQueryStage 0".r.findAllIn(finalPlan).size == 2,
+        s"the two joins must SHARE one broadcast for the test to bite:\n$plan")
+      assert(got == want,
+        "a reused broadcast must not serve an index built for a DIFFERENT column triple")
+    }
+  }
+
+  test("two-key byKeys with non-integral TIME columns stays on the struct path") {
+    // keys long-backed but times DOUBLE and no tolerance: this ran the
+    // struct generic merge before the two-key fast path existed and
+    // must KEEP doing so — the fast path has no generic twin and would
+    // throw at execution (review finding, round 12)
+    val rnd = new scala.util.Random(97L)
+    def mk(n: Int, tag: String): DataFrame = {
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(3).toLong,
+          rnd.nextInt(20).toDouble / 2)
+      }
+      rows.toDF(s"${tag}_id", s"${tag}_k1", s"${tag}_k2", s"${tag}_t")
+    }
+    val l = mk(200, "l")
+    val r = mk(200, "r")
+    val native = AsOfJoin.byKeys(l, r, graft.plans.AsOfDirection.Backward,
+        Seq("l_k1", "l_k2"), Seq("r_k1", "r_k2"), "l_t", "r_t", "r_id")
+      .select("l_id", "r_id")
+    val w = Window.partitionBy(col("l_id")).orderBy(
+      col("r_t").desc_nulls_last, col("r_id").desc_nulls_last)
+    val spec = l.join(r,
+        col("l_k1") === col("r_k1") && col("l_k2") === col("r_k2") &&
+          col("r_t") <= col("l_t"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("l_id", "r_id")
+    assert(collectPairs(native) == collectPairs(spec))
+  }
+
   test("generic merge is safe against row-buffer reuse on both inputs (spill contract)") {
     // UnsafeSorterSpillReader returns every row through ONE reused
     // buffer; eval() on string/struct keys yields views into it, so any
