@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // cheap-conjuncts-first join conditions (see the rule's scaladoc for
     // the measured misplan motivating it)
     e.injectOptimizerRule(_ => graft.plans.ReorderJoinPredicates)
+    // keyless range joins (point-in-interval / band predicates) become
+    // banded equi-joins instead of nested-loop joins — q223's manual
+    // rewrite, applied automatically to naive join conditions
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // native as-of join (whole-operator ladder: AsOfJoinPlan ->
     // AsOfJoinStrategy -> AsOfJoinExec); running sessions can also get
     // it via AsOfJoin.ensureOn (experimental.extraStrategies)

@@ -305,5 +305,64 @@ object Extended {
         .orderBy("day_bucket")
     })
 
-  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165, q166, q223)
+  /** The NAIVE form of q223's problem — saved by the optimizer, not by
+    * the query. q223 bands its keyless range join BY HAND; q227 writes
+    * the natural thing — a plain `join` whose only cross-side
+    * predicates are interval bounds — and relies on
+    * [[graft.plans.RangeJoinRewrite]] to turn it into the banded
+    * equi-join. Both bounds are literal offsets of the anchor
+    * timestamp, so the rule infers the provably-safe bin width (the
+    * window length: each window spans at most two bins) with zero
+    * configuration; PlanSpec pins the rewritten shape (bin equi-join,
+    * no nested-loop join), and the DuckDB oracle states the same naive
+    * theta join (its IEJoin evaluates it), so the hash gate proves the
+    * automatic rewrite exact on real data. Without the rule this plan
+    * is a BroadcastNestedLoopJoin — quadratic in the corpus at 100 TB.
+    * Semantics: store-wide click rush in the 2 h after ANY high-value
+    * purchase (cross-user by design — no equi-key exists). */
+  private val q227 = QueryDef(
+    "q227_auto_banded_click_rush",
+    "naive keyless range join auto-banded by RangeJoinRewrite: clicks within 2h after any high-value purchase",
+    Some("""
+      WITH w AS (
+        SELECT user_id AS w_uid, epoch_us(ts) AS w_us
+        FROM events WHERE event_type = 'purchase' AND value >= 50.0
+      ), c AS (
+        SELECT user_id AS c_uid, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+      )
+      SELECT w_us // 86400000000 AS day_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN c_uid <> w_uid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cross_user,
+             CAST(COUNT(DISTINCT c_uid) AS BIGINT) AS n_clickers,
+             CAST(SUM(c_us - w_us) AS BIGINT) AS sum_lead_us
+      FROM c JOIN w
+        ON c_us > w_us AND c_us <= w_us + 7200000000
+      GROUP BY 1
+      ORDER BY day_bucket"""),
+    (s, dir) => {
+      val win = 7200000000L // 2 h in µs
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_us"), col("value"))
+      val w = e.filter(col("event_type") === "purchase" && col("value") >= 50.0)
+        .select(col("user_id").as("w_uid"), col("ts_us").as("w_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts_us").as("c_us"))
+      // deliberately naive: no banding, no equi-key — the optimizer rule
+      // owns the scale shape (floor division as in q223 for the grouping)
+      c.join(w, col("c_us") > col("w_us") &&
+          col("c_us") <= col("w_us") + lit(win))
+        .groupBy(expr("(w_us - pmod(w_us, 86400000000L)) div 86400000000L")
+          .as("day_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("c_uid") =!= col("w_uid"), 1L).otherwise(0L))
+            .as("n_cross_user"),
+          countDistinct(col("c_uid")).as("n_clickers"),
+          sum(col("c_us") - col("w_us")).as("sum_lead_us"))
+        .orderBy("day_bucket")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165, q166, q223, q227)
 }

@@ -195,6 +195,17 @@ class PlanSpec extends AnyFunSuite {
       "the join must key on the exploded time band")
   }
 
+  test("q227: NAIVE keyless range join is auto-banded by the optimizer rule") {
+    // q223 bands by hand; q227 writes the plain theta join and
+    // RangeJoinRewrite must turn it into the bin equi-join (static
+    // width inference from the literal-offset bounds — no conf set)
+    val p = plan("q227_auto_banded_click_rush")
+    assert(p.contains("__graft_range_bin"),
+      "RangeJoinRewrite must fire on the naive bounds")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "click-rush pairs must come from the bin equi-join, not an all-pairs scan")
+  }
+
   test("q71: subqueries decorrelate to semi/anti/outer joins, no per-row re-execution") {
     val p = plan("q71_correlated_subqueries")
     assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a left-semi join")

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential + guard suite for [[graft.plans.RangeJoinRewrite]]: the
+  * optimizer rule that bands a keyless range join into an equi-join.
+  *
+  * The differential protocol mirrors AsOfJoinSpec: the same naive join
+  * runs with the rule enabled (banded plan) and disabled (nested-loop
+  * plan) over an adversarial fixture — negatives straddling bin
+  * boundaries, NULL bounds, inverted intervals, duplicate timestamps —
+  * and additionally against a Scala brute-force evaluation of the
+  * predicate, so a bug that broke BOTH Spark paths the same way would
+  * still fail. Guard tests pin every no-fire edge of the safety
+  * envelope (equi-key present, single bound, variable width with no
+  * conf, disabled, non-inner join types).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val BinMark = "__graft_range_bin"
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val before = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally before.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(x => spark.conf.set(k, x)) }
+  }
+
+  /** Adversarial fixture: points and variable-length intervals around
+    * zero (bins must use FLOOR, not truncation), with nulls, inverted
+    * and empty intervals, and duplicated values. Seeded — the suite is
+    * deterministic. */
+  private val rnd = new scala.util.Random(227)
+  private val points: Seq[(Long, Option[Long])] =
+    (1L to 400L).map { id =>
+      id -> (if (id % 37 == 0) None else Some(rnd.nextLong(2001L) - 1000L))
+    } ++ Seq(401L -> Some(-1000L), 402L -> Some(1000L), 403L -> Some(0L))
+  private val intervals: Seq[(Long, Option[Long], Option[Long])] =
+    (1L to 120L).map { id =>
+      val lo = rnd.nextLong(2001L) - 1000L
+      val len = rnd.nextLong(120L) - 10L // ~8% inverted (negative length)
+      (id, if (id % 41 == 0) None else Some(lo),
+        if (id % 43 == 0) None else Some(lo + len))
+    } ++ Seq((121L, Some(-3L), Some(3L)), (122L, Some(5L), Some(5L)),
+      (123L, Some(10L), Some(2L)))
+
+  private def pts: DataFrame = points.toDF("pid", "t")
+  private def ivs: DataFrame = intervals.toDF("iid", "lo", "hi")
+
+  private def bruteForce(
+      pred: (Long, Long, Long) => Boolean): Set[(Long, Long)] =
+    (for {
+      (pid, Some(t)) <- points
+      (iid, Some(lo), Some(hi)) <- intervals
+      if pred(t, lo, hi)
+    } yield (pid, iid)).toSet
+
+  private def resultSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("variable intervals with conf binSize: banded ≡ naive ≡ brute force") {
+    def mk() = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+    val banded = withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val df = mk()
+      assert(optimized(df).contains(BinMark), "rule should fire under conf width")
+      resultSet(df)
+    }
+    val naive = withConf("spark.graft.rangeJoin.enabled" -> "false") {
+      val df = mk()
+      assert(!optimized(df).contains(BinMark))
+      resultSet(df)
+    }
+    val expected = bruteForce((t, lo, hi) => t >= lo && t <= hi)
+    assert(banded == expected, "banded vs brute force")
+    assert(naive == expected, "naive vs brute force")
+  }
+
+  test("bin width never affects correctness (1, 7, 1000, huge)") {
+    val expected = bruteForce((t, lo, hi) => t >= lo && t <= hi)
+    Seq("1", "7", "1000", "100000000").foreach { w =>
+      val got = withConf("spark.graft.rangeJoin.binSize" -> w) {
+        resultSet(pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi")))
+      }
+      assert(got == expected, s"binSize=$w")
+    }
+  }
+
+  test("static band shape infers its width with zero configuration") {
+    def mk() = pts.join(ivs,
+      col("t") >= col("lo") - lit(5L) && col("t") <= col("lo") + lit(7L))
+    val df = mk()
+    assert(optimized(df).contains(BinMark),
+      "literal-offset bounds of a shared base must infer width statically")
+    // this condition only reads lo — intervals with a NULL hi still match
+    val expected = (for {
+      (pid, Some(t)) <- points
+      (iid, Some(lo), _) <- intervals
+      if t >= lo - 5L && t <= lo + 7L
+    } yield (pid, iid)).toSet
+    assert(resultSet(df) == expected)
+    val naive = withConf("spark.graft.rangeJoin.enabled" -> "false")(resultSet(mk()))
+    assert(naive == expected)
+  }
+
+  test("strict bounds stay strict through the rewrite") {
+    def mk() = pts.join(ivs, col("t") > col("lo") && col("t") < col("hi"))
+    val banded = withConf("spark.graft.rangeJoin.binSize" -> "50") {
+      val df = mk()
+      assert(optimized(df).contains(BinMark))
+      resultSet(df)
+    }
+    assert(banded == bruteForce((t, lo, hi) => t > lo && t < hi))
+  }
+
+  test("extra cross-side non-equi conjuncts are retained, not lost") {
+    def mk() = pts.join(ivs,
+      col("t") >= col("lo") && col("t") <= col("hi") &&
+        (col("pid") + col("iid")) % 3 =!= 0)
+    val banded = withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val df = mk()
+      assert(optimized(df).contains(BinMark))
+      resultSet(df)
+    }
+    val expectedPairs = bruteForce((t, lo, hi) => t >= lo && t <= hi)
+      .filter { case (p, i) => (p + i) % 3 != 0 }
+    assert(banded == expectedPairs)
+  }
+
+  test("no fire: cross-side equi-key already present (Spark hash-joins it)") {
+    val df = withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      pts.join(ivs, col("pid") === col("iid") &&
+        col("t") >= col("lo") && col("t") <= col("hi"))
+    }
+    assert(!optimized(df).contains(BinMark),
+      "an existing equi-conjunct must suppress the rewrite")
+  }
+
+  test("no fire: single bound, variable width without conf, disabled") {
+    val oneBound = withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      pts.join(ivs, col("t") >= col("lo"))
+    }
+    assert(!optimized(oneBound).contains(BinMark), "one bound is not a range")
+    val noWidth = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+    assert(!optimized(noWidth).contains(BinMark),
+      "variable intervals without a conf width must stay as written")
+    val disabled = withConf(
+      "spark.graft.rangeJoin.enabled" -> "false",
+      "spark.graft.rangeJoin.binSize" -> "64") {
+      pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+    }
+    assert(!optimized(disabled).contains(BinMark))
+  }
+
+  test("no fire: non-inner join types keep their multiplicity semantics") {
+    withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      Seq("left", "left_semi", "left_anti", "full").foreach { jt =>
+        val df = pts.join(ivs,
+          col("t") >= col("lo") && col("t") <= col("hi"), jt)
+        assert(!optimized(df).contains(BinMark), s"joinType=$jt must not band")
+      }
+    }
+  }
+
+  test("the rewrite fires exactly once (idempotent under the fixed point)") {
+    withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val p = optimized(
+        pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi")))
+      assert(s"${BinMark}_gen".r.findAllIn(p).toSeq.nonEmpty)
+      // one Generate, one bin alias — not re-banded on later iterations
+      assert("Generate explode".r.findAllIn(p).size == 1)
+    }
+  }
+
+  test("output schema and column order survive the rewrite") {
+    withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val df = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(df.columns.toSeq == Seq("pid", "t", "iid", "lo", "hi"))
+      assert(!df.columns.exists(_.contains(BinMark)),
+        "helper bin columns must not leak into the user schema")
+    }
+  }
+
+  test("int-typed columns band through the comparison coercion") {
+    val p32 = Seq((1, 10), (2, 250), (3, -7)).toDF("pid32", "t32")
+    val i32 = Seq((10, 5, 30), (11, -10, -1), (12, 240, 260)).toDF("iid32", "lo32", "hi32")
+    withConf("spark.graft.rangeJoin.binSize" -> "16") {
+      val df = p32.join(i32, col("t32") >= col("lo32") && col("t32") <= col("hi32"))
+      assert(optimized(df).contains(BinMark), "int columns are long-backed: must band")
+      val got = df.select("pid32", "iid32").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got == Set((1, 10), (2, 12), (3, 11)))
+    }
+  }
+
+  test("q227 runs as the banded equi-join and matches its rule-off twin") {
+    def run() = SparkEntry.queries("q227_auto_banded_click_rush")(spark, sf)
+    val banded = run()
+    val pb = banded.queryExecution.executedPlan.toString
+    assert(pb.contains(BinMark), "q227 must ride the automatic banding")
+    assert(!pb.contains("BroadcastNestedLoopJoin") && !pb.contains("CartesianProduct"))
+    val bandedRows = banded.collect().map(_.toSeq).toSeq
+    val naiveRows = withConf("spark.graft.rangeJoin.enabled" -> "false") {
+      val df = run()
+      val pn = df.queryExecution.executedPlan.toString
+      assert(!pn.contains(BinMark))
+      df.collect().map(_.toSeq).toSeq
+    }
+    assert(bandedRows == naiveRows)
+    assert(bandedRows.nonEmpty)
+  }
+}
