@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
@@ -2012,8 +2012,101 @@ object Curation {
               / (lit(2.0) * col("n_pos") * col("n_neg")), 6) + 0.0).as("auc"))
     })
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS — public
+    * method): score every raw document by the log-likelihood ratio of
+    * its hashed token features under a target-domain bag model vs the
+    * raw-pool model, then keep the documents the target distribution
+    * up-weights. Target here = the English slice of the corpus; the
+    * feature hash maps tokens to 8 buckets via integer arithmetic both
+    * engines share (`(31·len(term) + ascii(term)) mod 8` — DSIR's
+    * hashed n-grams scaled to the fixture vocabulary). Bucket
+    * probabilities use add-1 smoothing over the FULL 0..7 bucket
+    * domain (a generated frame, so empty target buckets still smooth
+    * correctly), giving per-bucket log-ratios; a document's weight is
+    * the count-weighted sum of ≤8 bucket ratios through the
+    * exact-decimal accumulator. 100 TB shape: the model is a
+    * B-row broadcast built in one map-side-combinable pass — the
+    * corpus is touched twice (model, score), shuffles only on doc_id,
+    * and resampling reads the weight column. q75 mixes sources by
+    * PRESCRIBED weights; q229 computes the weights from data. */
+  private val q229 = QueryDef(
+    "q229_dsir_importance_weights",
+    "DSIR hashed-feature log-likelihood-ratio importance weight per document (target = en)",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, lang, source,
+                          unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      bt AS (SELECT doc_id, lang, source,
+                    (31 * length(term) + ascii(term)) % 8 AS bucket
+             FROM tok),
+      frame AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(8)),
+      tgt AS (SELECT f.bucket,
+                     CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt_t
+              FROM frame f LEFT JOIN (
+                SELECT bucket, COUNT(*) AS cnt FROM bt WHERE lang = 'en'
+                GROUP BY 1) c USING (bucket)),
+      raw AS (SELECT f.bucket,
+                     CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt_r
+              FROM frame f LEFT JOIN (
+                SELECT bucket, COUNT(*) AS cnt FROM bt GROUP BY 1) c
+                USING (bucket)),
+      tot AS (SELECT (SELECT SUM(cnt_t) FROM tgt) AS tot_t,
+                     (SELECT SUM(cnt_r) FROM raw) AS tot_r),
+      model AS (SELECT t.bucket,
+                       ln((t.cnt_t + 1.0) / (o.tot_t + 8.0)) -
+                         ln((r.cnt_r + 1.0) / (o.tot_r + 8.0)) AS lr
+                FROM tgt t JOIN raw r USING (bucket) CROSS JOIN tot o),
+      dbuck AS (SELECT doc_id, source, bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM bt GROUP BY 1, 2, 3)
+      SELECT d.doc_id, d.source,
+             CAST(SUM(d.n) AS BIGINT) AS n_tok,
+             ${graft.functions.det.dsumSql("d.n * m.lr")} AS w,
+             CAST(CASE WHEN ${graft.functions.det.dsumSql("d.n * m.lr")} >= 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM dbuck d JOIN model m USING (bucket)
+      GROUP BY 1, 2
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      import graft.functions.det
+      val bt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .withColumn("bucket",
+          pmod(lit(31) * length(col("term")) + ascii(col("term")), lit(8))
+            .cast("long"))
+        .drop("term")
+      val frame = s.range(8).toDF("bucket")
+      def smoothed(counts: DataFrame, cname: String): DataFrame =
+        frame.join(counts, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as(cname))
+      val tgt = smoothed(bt.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("cnt")), "cnt_t")
+      val raw = smoothed(bt.groupBy("bucket").agg(count(lit(1)).as("cnt")),
+        "cnt_r")
+      val tot = tgt.agg(sum("cnt_t").as("tot_t"))
+        .crossJoin(raw.agg(sum("cnt_r").as("tot_r")))
+      // operand mirror of the oracle: (BIGINT + 1.0) / (BIGINT + 8.0)
+      // then ln, subtracted — identical IEEE ops both engines
+      val model = tgt.join(raw, Seq("bucket")).crossJoin(tot)
+        .withColumn("lr",
+          log((col("cnt_t") + lit(1.0)) / (col("tot_t") + lit(8.0))) -
+            log((col("cnt_r") + lit(1.0)) / (col("tot_r") + lit(8.0))))
+        .select("bucket", "lr")
+      val dbuck = bt.groupBy("doc_id", "source", "bucket")
+        .agg(count(lit(1)).as("n"))
+      dbuck.join(broadcast(model), Seq("bucket"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("n")).as("n_tok"),
+          det.dsum(col("n") * col("lr")).as("w"),
+          when(det.dsum(col("n") * col("lr")) >= 0, 1L).otherwise(0L)
+            .as("keep"))
+        .orderBy("doc_id")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
       q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125,
-      q131, q159, q187, q188, q199)
+      q131, q159, q187, q188, q199, q229)
 }

@@ -583,6 +583,79 @@ object TextPipeline {
         .orderBy("phrase")
     })
 
+  /** Okapi BM25 (Robertson et al., TREC-3; the Lucene-default scoring
+    * function) for a fixed 3-term query over the corpus — the
+    * probabilistic-retrieval sibling of q99's tf-idf cosine. Per term:
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)), weighted by the
+    * saturating tf ratio tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)) with
+    * the standard k1=1.2, b=0.75. Every per-row operand mirrors the
+    * oracle token-for-token (same IEEE ops on the same integer inputs),
+    * the ≤3-term score sum rides the exact-decimal accumulator, and the
+    * rank windows over the ROUNDED score (ties by doc_id), so both
+    * engines rank identically. Scale shape: tf is corpus-sized but
+    * keyed by doc_id (one shuffle); df and the corpus stats are
+    * term-count-sized broadcasts; ranking all scored docs is a global
+    * window here for the oracle's sake — a 100 TB top-k retrieval
+    * would TakeOrdered instead (q99 shows that shape). */
+  private val q228 = QueryDef(
+    "q228_bm25_retrieval",
+    "Okapi BM25 (k1=1.2, b=0.75) document ranking for a 3-term query",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs FROM len),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+             WHERE term IN ('scan', 'window', 'sort') GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             FROM tok WHERE term IN ('scan', 'window', 'sort') GROUP BY 1),
+      contrib AS (
+        SELECT t.doc_id, l.dl,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+                   (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS c
+        FROM tf t JOIN df d USING (term) JOIN len l USING (doc_id)
+        CROSS JOIN stats s),
+      scored AS (SELECT doc_id, dl, ${graft.functions.det.dsumSql("c")} AS score
+                 FROM contrib GROUP BY 1, 2)
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rn, doc_id, dl, score
+      FROM scored
+      ORDER BY rn"""),
+    (s, dir) => {
+      val terms = Seq("scan", "window", "sort")
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val len = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = len.agg(sum(col("dl")).as("sum_dl"),
+        count(lit(1)).as("n_docs"))
+      val qtok = tok.filter(col("term").isin(terms: _*))
+      val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = qtok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      // operand-for-operand mirror of the oracle's contrib expression:
+      // identical IEEE ops on identical integer inputs -> identical bits
+      val avgdl = col("sum_dl").cast("double") / col("n_docs")
+      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val c = idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+      val scored = tf.join(broadcast(dfT), Seq("term"))
+        .join(len, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c", c)
+        .groupBy("doc_id", "dl")
+        .agg(graft.functions.det.dsum(col("c")).as("score"))
+      scored
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("rn", "doc_id", "dl", "score")
+        .orderBy("rn")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190)
+    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190, q228)
 }
