@@ -19,6 +19,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // range-join banding default: engine time columns are epoch-µs,
+      // so variable-interval range joins band at 1 h out of the box
+      // (RangeJoinRewrite scaladoc; static-width shapes ignore this)
+      .config("spark.graft.rangeJoin.binSize", "3600000000")
       // ObjectHashAggregate (TypedImperativeAggregate: MinHash/SimHash
       // sketches) falls back to sort-based agg after 128 groups/partition
       // by default, serializing the sketch buffer per row. Session-level

@@ -364,5 +364,67 @@ object Extended {
         .orderBy("day_bucket")
     })
 
-  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165, q166, q223, q227)
+  /** The OTHER classic range-join shape: interval OVERLAP, written
+    * naively — `a.hi >= b.lo AND b.hi >= a.lo` — and auto-banded by
+    * [[graft.plans.RangeJoinRewrite]]'s overlap form (both sides
+    * explode their bin ranges, pairs dedup at the first shared bin;
+    * the harness sessions' 1 h default bin width applies since window
+    * lengths are data-dependent). Without the rule this is a
+    * BroadcastNestedLoopJoin over all window pairs. Semantics:
+    * incident correlation — per-user error windows (first..last error
+    * that user emitted that day, ≥2 errors) that OVERLAP another
+    * user's window signal a shared outage; ordered pairs (a < b) so
+    * each co-occurrence counts once. Windows are day-bounded by
+    * construction, so overlapping pairs share the day and the per-day
+    * rollup is total. */
+  private val q230 = QueryDef(
+    "q230_overlap_incident_windows",
+    "naive interval-overlap join auto-banded: co-occurring per-user error windows per day",
+    Some("""
+      WITH win AS (
+        SELECT user_id AS uid, epoch_us(ts) // 86400000000 AS day,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2)
+      SELECT a.day AS day_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+               AS sum_overlap_us,
+             CAST(MAX(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+               AS max_overlap_us,
+             CAST(COUNT(DISTINCT a.uid) AS BIGINT) AS n_lead_users
+      FROM win a JOIN win b
+        ON a.hi >= b.lo AND b.hi >= a.lo AND a.uid < b.uid
+      GROUP BY 1
+      ORDER BY day_bucket"""),
+    (s, dir) => {
+      def floorDiv(c: String, d: Long) = expr(s"($c - pmod($c, ${d}L)) div ${d}L")
+      val win = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("uid"),
+          floorDiv("ts_us", 86400000000L).as("day"))
+        .agg(min("ts_us").as("lo"), max("ts_us").as("hi"),
+          count(lit(1)).as("n_err"))
+        .filter(col("n_err") >= 2)
+        .drop("n_err")
+      val a = win.select(col("uid").as("a_uid"), col("day").as("a_day"),
+        col("lo").as("a_lo"), col("hi").as("a_hi"))
+      val b = win.select(col("uid").as("b_uid"),
+        col("lo").as("b_lo"), col("hi").as("b_hi"))
+      val ov = least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo"))
+      // deliberately naive overlap condition — bounds first (pairing is
+      // chosen in condition order), then the ordering tie-break
+      a.join(b, col("a_hi") >= col("b_lo") && col("b_hi") >= col("a_lo") &&
+          col("a_uid") < col("b_uid"))
+        .groupBy(col("a_day").as("day_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(ov).as("sum_overlap_us"),
+          max(ov).as("max_overlap_us"),
+          countDistinct(col("a_uid")).as("n_lead_users"))
+        .orderBy("day_bucket")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q41, q42, q43, q165, q166, q223, q227, q230)
 }

@@ -26,16 +26,30 @@ import org.apache.spark.sql.types._
   * (`SparkSessionExtensions.injectOptimizerRule` via
   * [[graft.GraftExtensions]]).
   *
+  * Two shapes are recognized, tried in order:
+  *  - POINT-IN-INTERVAL: `lo <= t <= hi`, `t` from one side, both
+  *    bounds from the other. Point side gets one bin, interval side
+  *    explodes; exactly-once because the point's bin is single-valued.
+  *  - INTERVAL OVERLAP: `loL <= hiR AND loR <= hiL` (each side bounds
+  *    the other). BOTH sides explode their normalized bin ranges and
+  *    the dedup conjunct keeps only the first shared bin
+  *    (`max(startL, startR)`), so each qualifying pair survives
+  *    exactly once.
+  *
   * Bin width selection, in order:
   *  1. Static inference: when both bounds are offsets of one shared
   *     base expression (`t BETWEEN base - w1 AND base + w2` — the as-of
   *     / burst-window shape), the interval length `w1 + w2` is known at
   *     plan time and is the provably safe width: every interval spans
-  *     at most two bins.
+  *     at most two bins. (Overlap: both sides must infer; the smaller
+  *     length wins.)
   *  2. `spark.graft.rangeJoin.binSize` (positive long, in the column's
   *     own units) for genuinely variable-length intervals, where no
   *     static width exists. The user owns the width/explosion trade:
-  *     an interval spans `len/W + 1` bins.
+  *     an interval spans `len/W + 1` bins. The graft harness sessions
+  *     default this to 1 h in µs — the engine's event-time unit — so
+  *     variable-interval joins over `ts_us` columns band out of the
+  *     box; workloads in other units override per session.
   * No width -> no rewrite (the join is left exactly as written).
   *
   * Safety envelope (everything outside it is left untouched):
@@ -127,6 +141,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       point: Expression, lower: Expression, upper: Expression,
       pointOnLeft: Boolean)
 
+  /** Interval-overlap bounds: `loL <= hiR AND loR <= hiL` — each side
+    * bounds the OTHER side, the classic `[loL,hiL] ∩ [loR,hiR] != ∅`
+    * join. Pairing is chosen in condition order (first valid pair of
+    * conjuncts); a mis-pairing with an unrelated inequality conjunct
+    * stays CORRECT (the retained condition filters, and the two
+    * conjuncts alone imply the normalized "intervals" overlap, so no
+    * qualifying pair can be lost) but can cost bins — write the
+    * interval bounds first. */
+  private case class OverlapBounds(
+      loL: Expression, hiL: Expression, loR: Expression, hiR: Expression)
+
   private def extractBounds(conjuncts: Seq[Expression],
       left: LogicalPlan, right: LogicalPlan): Option[RangeBounds] = {
     // Normalize every comparison conjunct to (small, large): small <= large.
@@ -165,45 +190,118 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
+  /** bin(lo)..bin(hi) as an array expression; inverted or null
+    * intervals yield an empty/null array (generate nothing — exactly
+    * the rows the original predicate would drop).
+    *
+    * Sequence is TimeZoneAwareExpression: its `resolved` demands a
+    * timezone id, normally filled by the analyzer's ResolveTimeZone —
+    * which already ran, so supply it here or the plan validator
+    * rejects the rewrite as newly-unresolved. (Pure-long sequences
+    * never consult it.) */
+  private def binRange(lo: Expression, hi: Expression, w: Long): Expression = {
+    val binLo = floorDiv(lo, w)
+    val binHi = floorDiv(hi, w)
+    If(LessThanOrEqual(binLo, binHi),
+      Sequence(binLo, binHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+  }
+
+  private def explodeBins(bins: Expression, name: String,
+      child: LogicalPlan): (AttributeReference, Generate) = {
+    val genOut = AttributeReference(name, LongType, nullable = false)()
+    (genOut, Generate(Explode(bins), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(genOut),
+      child = child))
+  }
+
+  /** Point-in-interval rewrite: single bin on the point side, exploded
+    * bin range on the interval side; exactly-once because the point's
+    * bin is single-valued. */
+  private def buildPoint(j: Join, rb: RangeBounds, w: Long): LogicalPlan = {
+    val (pointPlan, intervalPlan) =
+      if (rb.pointOnLeft) (j.left, j.right) else (j.right, j.left)
+    val binAlias = Alias(floorDiv(rb.point, w), "__graft_range_bin")()
+    val newPoint = Project(pointPlan.output :+ binAlias, pointPlan)
+    val (genOut, newInterval) = explodeBins(
+      binRange(rb.lower, rb.upper, w), "__graft_range_bin_gen", intervalPlan)
+    val newCond = And(EqualTo(binAlias.toAttribute, genOut), j.condition.get)
+    val newJoin =
+      if (rb.pointOnLeft) Join(newPoint, newInterval, j.joinType, Some(newCond), j.hint)
+      else Join(newInterval, newPoint, j.joinType, Some(newCond), j.hint)
+    Project(j.left.output ++ j.right.output, newJoin)
+  }
+
+  /** Interval-overlap rewrite: BOTH sides explode their (normalized)
+    * bin ranges and pair at every shared bin, so the dedup conjunct
+    * keeps only the FIRST shared bin — `max` of the two start bins;
+    * shared bins of two overlapping ranges are contiguous from there,
+    * so every qualifying pair survives exactly once. Endpoints are
+    * normalized with least/greatest because the two overlap conjuncts
+    * do not imply lo <= hi per side — an inverted interval still
+    * satisfies them, and its normalized span provably covers the
+    * match (min(lo,hi) <= lo and hi <= max(lo,hi) on both sides). */
+  private def buildOverlap(j: Join, ob: OverlapBounds, w: Long): LogicalPlan = {
+    val (nLoL, nHiL) = (Least(Seq(asLong(ob.loL), asLong(ob.hiL))),
+      Greatest(Seq(asLong(ob.loL), asLong(ob.hiL))))
+    val (nLoR, nHiR) = (Least(Seq(asLong(ob.loR), asLong(ob.hiR))),
+      Greatest(Seq(asLong(ob.loR), asLong(ob.hiR))))
+    val (genL, leftG) = explodeBins(binRange(nLoL, nHiL, w),
+      "__graft_range_bin_genl", j.left)
+    val (genR, rightG) = explodeBins(binRange(nLoR, nHiR, w),
+      "__graft_range_bin_genr", j.right)
+    val firstShared = Greatest(Seq(floorDiv(nLoL, w), floorDiv(nLoR, w)))
+    val newCond = And(And(EqualTo(genL, genR), EqualTo(genL, firstShared)),
+      j.condition.get)
+    Project(j.left.output ++ j.right.output,
+      Join(leftG, rightG, j.joinType, Some(newCond), j.hint))
+  }
+
+  private def extractOverlap(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[OverlapBounds] = {
+    val comps: Seq[(Expression, Expression)] = conjuncts.collect {
+      case LessThan(a, b)           => (a, b)
+      case LessThanOrEqual(a, b)    => (a, b)
+      case GreaterThan(a, b)        => (b, a)
+      case GreaterThanOrEqual(a, b) => (b, a)
+    }
+    def usable(e: Expression): Boolean =
+      e.deterministic && isIntegral(e.dataType) && e.references.nonEmpty
+    (for {
+      (s1, l1) <- comps // loL <= hiR
+      (s2, l2) <- comps // loR <= hiL
+      if (s1, l1) != (s2, l2)
+      if Seq(s1, l1, s2, l2).forall(usable)
+      if canEvaluate(s1, left) && canEvaluate(l1, right) &&
+        canEvaluate(s2, right) && canEvaluate(l2, left)
+    } yield OverlapBounds(loL = s1, hiL = l2, loR = s2, hiR = l1)).headOption
+  }
+
+  /** Overlap bin width: static only when BOTH sides' interval lengths
+    * are statically known (take the smaller); otherwise the conf. */
+  private def overlapWidth(ob: OverlapBounds): Option[Long] =
+    (for {
+      lL <- staticWidth(ob.loL, ob.hiL)
+      lR <- staticWidth(ob.loR, ob.hiR)
+    } yield math.min(lL, lR)).orElse(confWidth)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledConf, "true") != "true") plan
     else plan.transform {
-      case j @ Join(left, right, Inner | Cross, Some(cond), hint)
+      case j @ Join(left, right, Inner | Cross, Some(cond), _)
           if cond.deterministic && j.resolved =>
         val conjuncts = splitConjunctivePredicates(cond)
-        val rewritten = for {
-          _  <- Option.when(!hasCrossSideEqui(conjuncts, left, right))(())
-          rb <- extractBounds(conjuncts, left, right)
-          w  <- staticWidth(rb.lower, rb.upper).orElse(confWidth)
-        } yield {
-          val (pointPlan, intervalPlan) =
-            if (rb.pointOnLeft) (left, right) else (right, left)
-          // Point side: one bin column.
-          val binAlias = Alias(floorDiv(rb.point, w), "__graft_range_bin")()
-          val newPoint = Project(pointPlan.output :+ binAlias, pointPlan)
-          // Interval side: explode bin(lo)..bin(hi); inverted or null
-          // intervals generate nothing, matching the original predicate.
-          val binLo = floorDiv(rb.lower, w)
-          val binHi = floorDiv(rb.upper, w)
-          // Sequence is TimeZoneAwareExpression: its `resolved` demands a
-          // timezone id, normally filled by the analyzer's ResolveTimeZone —
-          // which already ran, so supply it here or the plan validator
-          // rejects the rewrite as newly-unresolved. (Pure-long sequences
-          // never consult it.)
-          val bins = If(LessThanOrEqual(binLo, binHi),
-            Sequence(binLo, binHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
-            Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
-          val genOut = AttributeReference("__graft_range_bin_gen", LongType,
-            nullable = false)()
-          val newInterval = Generate(Explode(bins), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(genOut),
-            child = intervalPlan)
-          val newCond = And(EqualTo(binAlias.toAttribute, genOut), cond)
-          val newJoin =
-            if (rb.pointOnLeft) Join(newPoint, newInterval, j.joinType, Some(newCond), hint)
-            else Join(newInterval, newPoint, j.joinType, Some(newCond), hint)
-          Project(left.output ++ right.output, newJoin)
+        if (hasCrossSideEqui(conjuncts, left, right)) j
+        else {
+          val point = for {
+            rb <- extractBounds(conjuncts, left, right)
+            w  <- staticWidth(rb.lower, rb.upper).orElse(confWidth)
+          } yield buildPoint(j, rb, w)
+          lazy val overlap = for {
+            ob <- extractOverlap(conjuncts, left, right)
+            w  <- overlapWidth(ob)
+          } yield buildOverlap(j, ob, w)
+          point.orElse(overlap).getOrElse(j)
         }
-        rewritten.getOrElse(j)
     }
 }

@@ -195,6 +195,15 @@ class PlanSpec extends AnyFunSuite {
       "the join must key on the exploded time band")
   }
 
+  test("q230: NAIVE interval-overlap join is auto-banded (both sides explode)") {
+    val p = plan("q230_overlap_incident_windows")
+    assert(p.contains("__graft_range_bin_genl") &&
+      p.contains("__graft_range_bin_genr"),
+      "the overlap rewrite must band both window sides")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "overlapping windows must pair through the bin equi-join")
+  }
+
   test("q227: NAIVE keyless range join is auto-banded by the optimizer rule") {
     // q223 bands by hand; q227 writes the plain theta join and
     // RangeJoinRewrite must turn it into the bin equi-join (static

@@ -135,28 +135,34 @@ class RangeJoinSpec extends AnyFunSuite {
   }
 
   test("no fire: cross-side equi-key already present (Spark hash-joins it)") {
-    val df = withConf("spark.graft.rangeJoin.binSize" -> "64") {
-      pts.join(ivs, col("pid") === col("iid") &&
+    withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val df = pts.join(ivs, col("pid") === col("iid") &&
         col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(!optimized(df).contains(BinMark),
+        "an existing equi-conjunct must suppress the rewrite")
     }
-    assert(!optimized(df).contains(BinMark),
-      "an existing equi-conjunct must suppress the rewrite")
   }
 
   test("no fire: single bound, variable width without conf, disabled") {
-    val oneBound = withConf("spark.graft.rangeJoin.binSize" -> "64") {
-      pts.join(ivs, col("t") >= col("lo"))
+    withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val oneBound = pts.join(ivs, col("t") >= col("lo"))
+      assert(!optimized(oneBound).contains(BinMark), "one bound is not a range")
     }
-    assert(!optimized(oneBound).contains(BinMark), "one bound is not a range")
-    val noWidth = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
-    assert(!optimized(noWidth).contains(BinMark),
-      "variable intervals without a conf width must stay as written")
-    val disabled = withConf(
+    // TestSpark carries the harness default width; `unset` only falls
+    // back to the builder-time config, so model "no width" with 0
+    // (rejected by the >= 1 validity filter)
+    withConf("spark.graft.rangeJoin.binSize" -> "0") {
+      val noWidth = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(!optimized(noWidth).contains(BinMark),
+        "variable intervals without a conf width must stay as written")
+    }
+    withConf(
       "spark.graft.rangeJoin.enabled" -> "false",
       "spark.graft.rangeJoin.binSize" -> "64") {
-      pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      // force the plan INSIDE the conf scope — optimization is lazy
+      val disabled = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(!optimized(disabled).contains(BinMark))
     }
-    assert(!optimized(disabled).contains(BinMark))
   }
 
   test("no fire: non-inner join types keep their multiplicity semantics") {
@@ -198,6 +204,117 @@ class RangeJoinSpec extends AnyFunSuite {
         .map(r => (r.getInt(0), r.getInt(1))).toSet
       assert(got == Set((1, 10), (2, 12), (3, 11)))
     }
+  }
+
+  // ---- interval-overlap form -------------------------------------------
+
+  /** Second interval table for overlap joins: includes inverted
+    * intervals (lo > hi) — which still SATISFY the two overlap
+    * conjuncts against a spanning partner, the adversarial case the
+    * least/greatest normalization exists for — plus nulls and
+    * duplicates of the same span. */
+  private val intervalsB: Seq[(Long, Option[Long], Option[Long])] =
+    (1L to 90L).map { id =>
+      val lo = rnd.nextLong(2001L) - 1000L
+      val len = rnd.nextLong(160L) - 20L
+      (id, if (id % 29 == 0) None else Some(lo),
+        if (id % 31 == 0) None else Some(lo + len))
+    } ++ Seq((91L, Some(50L), Some(-50L)), (92L, Some(0L), Some(0L)),
+      (93L, Some(-400L), Some(400L)), (94L, Some(-400L), Some(400L)))
+  private def ivsB: DataFrame = intervalsB.toDF("jid", "lo2", "hi2")
+
+  /** Multiset compare — an exactly-once bug (duplicate matches from
+    * shared bins) must not hide in a Set. */
+  private def overlapPairs(df: DataFrame): Seq[(Long, Long)] =
+    df.select("iid", "jid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  private def overlapBrute: Seq[(Long, Long)] =
+    (for {
+      (iid, Some(lo), Some(hi)) <- intervals
+      (jid, Some(lo2), Some(hi2)) <- intervalsB
+      if lo <= hi2 && lo2 <= hi
+    } yield (iid, jid)).sorted
+
+  test("overlap join with conf width: banded ≡ naive ≡ brute force (multiset)") {
+    def mk() = ivs.join(ivsB,
+      col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+    val banded = withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val df = mk()
+      val p = optimized(df)
+      assert(p.contains(s"${BinMark}_genl") && p.contains(s"${BinMark}_genr"),
+        "overlap form must explode BOTH sides")
+      overlapPairs(df)
+    }
+    val naive = withConf("spark.graft.rangeJoin.enabled" -> "false") {
+      overlapPairs(mk())
+    }
+    val expected = overlapBrute
+    assert(banded == expected, "banded overlap vs brute force (multiset)")
+    assert(naive == expected, "naive overlap vs brute force (multiset)")
+  }
+
+  test("overlap: bin width never affects the multiset (1, 13, 500, huge)") {
+    val expected = overlapBrute
+    Seq("1", "13", "500", "100000000").foreach { w =>
+      val got = withConf("spark.graft.rangeJoin.binSize" -> w) {
+        overlapPairs(ivs.join(ivsB,
+          col("lo") <= col("hi2") && col("lo2") <= col("hi")))
+      }
+      assert(got == expected, s"binSize=$w")
+    }
+  }
+
+  test("overlap: strict bounds and an extra ordering conjunct AFTER the bounds") {
+    def mk() = ivs.join(ivsB,
+      col("lo") < col("hi2") && col("lo2") < col("hi") &&
+        col("iid") < col("jid"))
+    val banded = withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val df = mk()
+      val p = optimized(df)
+      assert(p.contains(s"${BinMark}_genl"),
+        "bounds-first condition order must pair the real intervals")
+      overlapPairs(df)
+    }
+    val expected = (for {
+      (iid, Some(lo), Some(hi)) <- intervals
+      (jid, Some(lo2), Some(hi2)) <- intervalsB
+      if lo < hi2 && lo2 < hi && iid < jid
+    } yield (iid, jid)).sorted
+    assert(banded == expected)
+  }
+
+  test("overlap: static inference when BOTH sides have literal-offset bounds") {
+    // [t-2, t+8] overlap [t2-5, t2+1]: lengths 10 and 6 -> width 6, no conf
+    def mk() = pts.as("a").join(pts.toDF("pid2", "t2").as("b"),
+      col("t") - lit(2L) <= col("t2") + lit(1L) &&
+        col("t2") - lit(5L) <= col("t") + lit(8L))
+    val df = mk()
+    assert(optimized(df).contains(s"${BinMark}_genl"),
+      "both-sides static lengths must infer the overlap width")
+    val got = df.select(col("pid"), col("pid2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val expected = (for {
+      (pid, Some(t)) <- points
+      (pid2, Some(t2)) <- points
+      if t - 2L <= t2 + 1L && t2 - 5L <= t + 8L
+    } yield (pid, pid2)).sorted
+    assert(got == expected)
+  }
+
+  test("q230 runs as the banded overlap join and matches its rule-off twin") {
+    def run() = SparkEntry.queries("q230_overlap_incident_windows")(spark, sf)
+    // TestSpark carries the harness sessions' 1h default bin width
+    val banded = run()
+    val pb = banded.queryExecution.executedPlan.toString
+    assert(pb.contains(s"${BinMark}_genl"), "q230 must ride the overlap banding")
+    assert(!pb.contains("BroadcastNestedLoopJoin") && !pb.contains("CartesianProduct"))
+    val bandedRows = banded.collect().map(_.toSeq).toSeq
+    val naiveRows = withConf("spark.graft.rangeJoin.enabled" -> "false") {
+      run().collect().map(_.toSeq).toSeq
+    }
+    assert(bandedRows == naiveRows)
+    assert(bandedRows.nonEmpty)
   }
 
   test("q227 runs as the banded equi-join and matches its rule-off twin") {
