@@ -308,31 +308,46 @@ object Curation {
       SELECT label, assigned_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
       FROM best GROUP BY 1, 2 ORDER BY 1, 2"""),
     (s, dir) => {
-      val dot = graft.functions.DotProduct.dot _
-      val lf = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("v"))
-      val cents = lf.groupBy(col("label").as("clabel"), col("dim"))
-        .agg(det.davg(col("v")).as("c"))
-      val carr = cents.groupBy("clabel")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cv"))
-        .withColumn("sc", dot(col("cv"), col("cv")))
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-      val best = e.crossJoin(broadcast(carr))
-        .select(col("vec_id"), col("label"), col("clabel"),
-          round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
-            + col("sc"), 4).as("d2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
-        .filter(col("rn") === 1)
-      best.groupBy(col("label"), col("clabel").as("assigned_label"))
+      nearestAssigned(s, dir)
+        .groupBy(col("label"), col("clabel").as("assigned_label"))
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy("label", "assigned_label")
     })
+
+  /** k centroid arrays (clabel, cv, sc = cv·cv): the broadcastable
+    * cluster model q88 and q231 share — per-label 4-dp decimal means
+    * collapsed to dense arrays. */
+  private def centroidArrays(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.DotProduct.dot _
+    val lf = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"), col("v"))
+    val cents = lf.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(det.davg(col("v")).as("c"))
+    cents.groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("sc", dot(col("cv"), col("cv")))
+  }
+
+  /** Map-side nearest-centroid assignment (vec_id, label, clabel) via
+    * the broadcast dot identity — q88's E-step, reused as q231's
+    * cluster scoping. */
+  private def nearestAssigned(s: SparkSession, dir: String): DataFrame = {
+    val dot = graft.functions.DotProduct.dot _
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    e.crossJoin(broadcast(centroidArrays(s, dir)))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + col("sc"), 4).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "label", "clabel")
+  }
 
   // ---------------------------------------------------------------------
   // q89 — count-min sketch heavy hitters (the counting twin of q56's HLL)
@@ -2105,8 +2120,95 @@ object Curation {
         .orderBy("doc_id")
     })
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication" — public method):
+    * embedding-space near-duplicates are found WITHIN k-means clusters
+    * only, so the pair scan is cluster-scoped — the published trick
+    * that makes embedding dedup tractable at web scale (k grows with
+    * the corpus, per-cluster population stays bounded, and the pair
+    * join is an equi-join on the cluster id instead of q60's global
+    * scan). Clusters come from the shared nearest-centroid assignment
+    * ([[nearestAssigned]], q88's E-step); within a cluster, pairs at
+    * cosine ≥ 0.4 (q60's fixture threshold — unit-norm ⇒ dot) mark the
+    * larger vec_id as a semantic duplicate, i.e. the greedy min-id
+    * survivor rule (q44's convention; q45's connected components are
+    * the transitive alternative). Per-cluster report: population, dup
+    * pairs, dropped, kept. Cross-cluster near-dups are out of scope by
+    * construction — SemDeDup's documented recall trade. */
+  private val q231 = QueryDef(
+    "q231_semdedup_cluster_prune",
+    "SemDeDup: per-cluster embedding near-dup pruning (kept/dropped per centroid cluster)",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT vec_id, label, dim, embedding[dim]::DOUBLE AS v
+             FROM embeddings, dims),
+      cents AS (SELECT label AS clabel, dim, ${det.davgSql("v")} AS c
+                FROM lf GROUP BY 1, 2),
+      carr AS (SELECT clabel, list(c ORDER BY dim) AS cv FROM cents GROUP BY 1),
+      sc AS (SELECT clabel, cv,
+                    list_sum(list_transform(generate_series(1, 64),
+                      i -> cv[i] * cv[i])) AS sc
+             FROM carr),
+      d AS (SELECT e.vec_id, s.clabel,
+                   ROUND(list_sum(list_transform(generate_series(1, 64),
+                           i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                         - 2.0 * list_sum(list_transform(generate_series(1, 64),
+                             i -> e.embedding[i]::DOUBLE * s.cv[i]))
+                         + s.sc, 4) AS d2
+            FROM embeddings e, sc s),
+      asg AS (SELECT vec_id, clabel FROM d
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, clabel) = 1),
+      v AS (SELECT a.vec_id, a.clabel, e.embedding
+            FROM asg a JOIN embeddings e USING (vec_id)),
+      thr AS (SELECT x.clabel, x.vec_id AS a_id, y.vec_id AS b_id
+              FROM v x JOIN v y
+                ON x.clabel = y.clabel AND x.vec_id < y.vec_id
+              WHERE ROUND(list_sum(list_transform(generate_series(1, 64),
+                      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)), 4)
+                    >= 0.4),
+      base AS (SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n_vecs
+               FROM asg GROUP BY 1),
+      pr AS (SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+             FROM thr GROUP BY 1),
+      dr AS (SELECT clabel, CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_dropped
+             FROM thr GROUP BY 1)
+      SELECT base.clabel AS cluster, n_vecs,
+             CAST(COALESCE(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+             CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+             CAST(n_vecs - COALESCE(n_dropped, 0) AS BIGINT) AS n_kept
+      FROM base LEFT JOIN pr USING (clabel) LEFT JOIN dr USING (clabel)
+      ORDER BY cluster"""),
+    (s, dir) => {
+      val dot = graft.functions.DotProduct.dot _
+      val asg = nearestAssigned(s, dir).select("vec_id", "clabel")
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val vc = asg.join(e, Seq("vec_id"))
+      val a = vc.select(col("clabel"), col("vec_id").as("a_id"),
+        col("v").as("va"))
+      val b = vc.select(col("clabel").as("clabel_b"),
+        col("vec_id").as("b_id"), col("v").as("vb"))
+      // cluster-scoped pair scan: the equi-key bounds the pair space;
+      // id order first, the dot only for canonical pairs (q60 lesson)
+      val thr = a.join(b, col("clabel") === col("clabel_b") &&
+          col("a_id") < col("b_id") &&
+          round(dot(col("va"), col("vb")), 4) >= 0.4)
+        .select(col("clabel"), col("a_id"), col("b_id"))
+      val base = asg.groupBy("clabel").agg(count(lit(1)).as("n_vecs"))
+      val pr = thr.groupBy("clabel").agg(count(lit(1)).as("n_dup_pairs"))
+      val dr = thr.select("clabel", "b_id").distinct()
+        .groupBy("clabel").agg(count(lit(1)).as("n_dropped"))
+      base.join(pr, Seq("clabel"), "left").join(dr, Seq("clabel"), "left")
+        .select(col("clabel").as("cluster"), col("n_vecs"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cluster")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
       q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125,
-      q131, q159, q187, q188, q199, q229)
+      q131, q159, q187, q188, q199, q229, q231)
 }

@@ -195,6 +195,18 @@ class PlanSpec extends AnyFunSuite {
       "the join must key on the exploded time band")
   }
 
+  test("q231: SemDeDup pair scan is cluster-keyed, never a global pair loop") {
+    // the published SemDeDup trick: the near-dup pair join is an
+    // EQUI-join on the cluster id (bounded per-cluster population),
+    // not q60's global O(n²) scan; only the bounded-k centroid
+    // broadcast may nested-loop (the q88/q31 contract)
+    val p = plan("q231_semdedup_cluster_prune")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[clabel".r
+      .findFirstIn(p).isDefined,
+      "the pair scan must equi-join on the cluster id")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q230: NAIVE interval-overlap join is auto-banded (both sides explode)") {
     val p = plan("q230_overlap_incident_windows")
     assert(p.contains("__graft_range_bin_genl") &&
