@@ -369,5 +369,73 @@ object Similarity {
         .orderBy("cell")
     })
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102, q175, q211)
+  /** Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning" — public method): how much retrieval
+    * quality survives truncating embeddings to their first k
+    * dimensions? For each sampled query, the top-1 neighbor by the
+    * k-prefix dot product is compared against the full-dimension top-1;
+    * recall@1 per prefix length {8,16,32,64} is the curve a pipeline
+    * reads before committing to a truncated index (8× memory cut at
+    * k=8). Prefix dots fold dimensions 1..k in order on both engines
+    * (sliced codegen dot ↔ generate_series(1,k) list fold — the q60
+    * parity precedent), ranks window over the ROUNDED dot with
+    * neighbor-id ties. Scale shape: query set broadcast against one
+    * data scan (the q31 yardstick contract, sampled queries); at
+    * 100 TB the same audit rides the IVF buckets (q32) instead of the
+    * full scan. */
+  private val q232 = QueryDef(
+    "q232_matryoshka_truncation_recall",
+    "recall@1 of prefix-dimension retrieval vs full-dimension top-1, per prefix length",
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 20),
+      ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+      d AS (SELECT q.query_id, ks.k, e.vec_id AS neighbor_id,
+                   ROUND(list_sum(list_transform(generate_series(1, ks.k),
+                     i -> q.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)), 4) AS dk
+            FROM embeddings e CROSS JOIN q CROSS JOIN ks
+            WHERE e.vec_id != q.query_id),
+      top1 AS (SELECT query_id, k, neighbor_id FROM d
+               QUALIFY row_number() OVER (PARTITION BY query_id, k
+                                          ORDER BY dk DESC, neighbor_id) = 1),
+      fullnb AS (SELECT query_id, neighbor_id AS full_nb FROM top1 WHERE k = 64)
+      SELECT CAST(t.k AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(CASE WHEN t.neighbor_id = f.full_nb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_match,
+             ROUND(CAST(SUM(CASE WHEN t.neighbor_id = f.full_nb THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*), 4) AS recall_at_1
+      FROM top1 t JOIN fullnb f USING (query_id)
+      GROUP BY t.k ORDER BY k"""),
+    (s, dir) => {
+      val ks = Seq(8, 16, 32, 64)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val long = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("k", explode(array(ks.map(lit): _*)))
+        .select(col("query_id"), col("k"), col("vec_id").as("neighbor_id"),
+          rounded(slice(col("qv"), lit(1), col("k")),
+            slice(col("v"), lit(1), col("k"))).as("dk"))
+      val w = Window.partitionBy("query_id", "k")
+        .orderBy(col("dk").desc, col("neighbor_id").asc)
+      val top1 = long.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("query_id", "k", "neighbor_id")
+      val fullNb = top1.filter(col("k") === 64)
+        .select(col("query_id"), col("neighbor_id").as("full_nb"))
+      top1.join(broadcast(fullNb), Seq("query_id"))
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("neighbor_id") === col("full_nb"), 1L).otherwise(0L))
+            .as("n_match"))
+        .select(col("k"), col("n_queries"), col("n_match"),
+          round(col("n_match").cast("double") / col("n_queries"), 4)
+            .as("recall_at_1"))
+        .orderBy("k")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102, q175, q211, q232)
 }

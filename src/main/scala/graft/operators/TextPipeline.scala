@@ -626,36 +626,154 @@ object TextPipeline {
       FROM scored
       ORDER BY rn"""),
     (s, dir) => {
-      val terms = Seq("scan", "window", "sort")
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val len = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = len.agg(sum(col("dl")).as("sum_dl"),
-        count(lit(1)).as("n_docs"))
-      val qtok = tok.filter(col("term").isin(terms: _*))
-      val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfT = qtok.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      // operand-for-operand mirror of the oracle's contrib expression:
-      // identical IEEE ops on identical integer inputs -> identical bits
-      val avgdl = col("sum_dl").cast("double") / col("n_docs")
-      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)))
-      val c = idf * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
-      val scored = tf.join(broadcast(dfT), Seq("term"))
-        .join(len, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("c", c)
-        .groupBy("doc_id", "dl")
-        .agg(graft.functions.det.dsum(col("c")).as("score"))
-      scored
+      bm25Scored(s, dir)
         .withColumn("rn", row_number()
           .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
         .select("rn", "doc_id", "dl", "score")
         .orderBy("rn")
     })
 
+  /** The fixed 3-term retrieval query q228/q233 share. */
+  private val queryTerms = Seq("scan", "window", "sort")
+
+  /** BM25-scored candidates (doc_id, dl, score) for [[queryTerms]] —
+    * q228's scoring stage, reused as q233's lexical ranker. Every
+    * operand mirrors the oracle's contrib expression: identical IEEE
+    * ops on identical integer inputs -> identical bits. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = len.agg(sum(col("dl")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val qtok = tok.filter(col("term").isin(queryTerms: _*))
+    val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = qtok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val c = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(len, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c", c)
+      .groupBy("doc_id", "dl")
+      .agg(graft.functions.det.dsum(col("c")).as("score"))
+  }
+
+  /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09 — the standard
+    * hybrid-search combiner, default in Elasticsearch/OpenSearch/
+    * Vespa): fuse two retrievers for the same query with
+    * `rrf(d) = Σ_s 1/(60 + rank_s(d))` — rank-based, so the two
+    * systems' incomparable score scales never touch. System A is the
+    * BM25 ranking ([[bm25Scored]]); system B is tf-idf COSINE against
+    * the query as a unit pseudo-document (weights from the SAME
+    * maintained index MVs q99 retrieves through — the production
+    * shape: one index, many scorers). Both ranks window over ROUNDED
+    * scores with doc_id ties, so the reciprocal terms are exact
+    * integer-denominator doubles, identical on both engines; the fused
+    * rank then orders on that identical sum. Candidate sets coincide
+    * by construction (docs containing ≥1 query term). Scale shape:
+    * both rankers are per-doc aggregates over posting joins; the
+    * global rank windows are the oracle-friendly form of the top-k
+    * heap a 100 TB retrieval would run (q99's TakeOrdered note). */
+  private val q233 = QueryDef(
+    "q233_rrf_hybrid_fusion",
+    "reciprocal rank fusion (k=60) of BM25 and tf-idf-cosine rankings, top 20",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs FROM len),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+             WHERE term IN ('scan', 'window', 'sort') GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             FROM tok WHERE term IN ('scan', 'window', 'sort') GROUP BY 1),
+      contrib AS (
+        SELECT t.doc_id, l.dl,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+                   (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS c
+        FROM tf t JOIN df d USING (term) JOIN len l USING (doc_id)
+        CROSS JOIN stats s),
+      bm AS (SELECT doc_id, ${graft.functions.det.dsumSql("c")} AS score
+             FROM contrib GROUP BY 1),
+      bmr AS (SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS BIGINT) AS rank_bm25 FROM bm),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      tfa AS (SELECT doc_id, term AS w, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2),
+      dfa AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tfa GROUP BY 1),
+      idx AS (SELECT tfa.doc_id, tfa.w,
+                     CAST(tfa.tf * n.n AS DOUBLE) / dfa.df AS wt
+              FROM tfa JOIN dfa USING (w) CROSS JOIN n),
+      nrm AS (SELECT doc_id, sqrt(${graft.functions.det.dsumSql("wt * wt")}) AS nrm
+              FROM idx GROUP BY 1),
+      qv AS (SELECT w, CAST(1 * n.n AS DOUBLE) / df AS wq
+             FROM dfa CROSS JOIN n
+             WHERE w IN ('scan', 'window', 'sort')),
+      qn AS (SELECT sqrt(${graft.functions.det.dsumSql("wq * wq")}) AS qn FROM qv),
+      dots AS (SELECT i.doc_id, ${graft.functions.det.dsumSql("i.wt * q.wq")} AS dot
+               FROM idx i JOIN qv q USING (w) GROUP BY 1),
+      cos AS (SELECT d.doc_id,
+                     ROUND(d.dot / (m.nrm * qn.qn), 4) AS sim
+              FROM dots d JOIN nrm m USING (doc_id) CROSS JOIN qn),
+      cor AS (SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                       AS BIGINT) AS rank_cos FROM cos),
+      fused AS (SELECT b.doc_id, b.rank_bm25, c.rank_cos,
+                       1.0 / (60 + b.rank_bm25) + 1.0 / (60 + c.rank_cos) AS rrf
+                FROM bmr b JOIN cor c USING (doc_id)),
+      ranked AS (SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                          AS BIGINT) AS fused_rank,
+                        doc_id, rank_bm25, rank_cos,
+                        (ROUND(rrf, 6) + 0.0) AS rrf_score
+                 FROM fused)
+      SELECT fused_rank, doc_id, rank_bm25, rank_cos, rrf_score
+      FROM ranked WHERE fused_rank <= 20
+      ORDER BY fused_rank"""),
+    (s, dir) => {
+      import graft.functions.det
+      val bmr = bm25Scored(s, dir)
+        .withColumn("rank_bm25", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_bm25")
+      val idx = tfidfIndex(s, dir)
+      val nrm = tfidfNorms(s, dir)
+      val nDocs = Tables.documents(s, dir).select(count(lit(1)).as("n"))
+      val qidx = idx.filter(col("w").isin(queryTerms: _*))
+      // query pseudo-doc weights: tf_q = 1 per term, same rational idf
+      // as the index (df = posting-list length per term)
+      val qv = qidx.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("w"), (lit(1) * col("n")).cast("double") / col("df"))
+        .toDF("w", "wq")
+      val qn = qv.agg(sqrt(det.dsum(col("wq") * col("wq"))).as("qn"))
+      val dots = qidx.join(broadcast(qv), Seq("w"))
+        .groupBy("doc_id").agg(det.dsum(col("wt") * col("wq")).as("dot"))
+      val cor = dots.join(nrm, Seq("doc_id")).crossJoin(broadcast(qn))
+        .select(col("doc_id"),
+          round(col("dot") / (col("nrm") * col("qn")), 4).as("sim"))
+        .withColumn("rank_cos", row_number()
+          .over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_cos")
+      bmr.join(cor, Seq("doc_id"))
+        .withColumn("rrf", lit(1.0) / (lit(60) + col("rank_bm25")) +
+          lit(1.0) / (lit(60) + col("rank_cos")))
+        .withColumn("fused_rank", row_number()
+          .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .select(col("fused_rank"), col("doc_id"), col("rank_bm25"),
+          col("rank_cos"), (round(col("rrf"), 6) + lit(0.0)).as("rrf_score"))
+        .filter(col("fused_rank") <= 20)
+        .orderBy("fused_rank")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190, q228)
+    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190, q228, q233)
 }
