@@ -26,13 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKLongPairs(children(0), children(1),
           TopKLongPairs.literalK(children(2)))))
+    // keyless range joins (point-in-interval / band / interval-overlap
+    // predicates) become banded equi-joins instead of nested-loop
+    // joins — q223's manual rewrite, applied automatically to naive
+    // join conditions. Injected BEFORE ReorderJoinPredicates: bound
+    // extraction prefers the user's conjunct order, which the
+    // cost-reorder below would otherwise scramble within the same
+    // fixed-point batch.
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // cheap-conjuncts-first join conditions (see the rule's scaladoc for
     // the measured misplan motivating it)
     e.injectOptimizerRule(_ => graft.plans.ReorderJoinPredicates)
-    // keyless range joins (point-in-interval / band predicates) become
-    // banded equi-joins instead of nested-loop joins — q223's manual
-    // rewrite, applied automatically to naive join conditions
-    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     // native as-of join (whole-operator ladder: AsOfJoinPlan ->
     // AsOfJoinStrategy -> AsOfJoinExec); running sessions can also get
     // it via AsOfJoin.ensureOn (experimental.extraStrategies)

@@ -331,22 +331,25 @@ object Curation {
       .withColumn("sc", dot(col("cv"), col("cv")))
   }
 
-  /** Map-side nearest-centroid assignment (vec_id, label, clabel) via
-    * the broadcast dot identity — q88's E-step, reused as q231's
-    * cluster scoping. */
+  /** Map-side nearest-centroid assignment (vec_id, label, clabel, v)
+    * via the broadcast dot identity — q88's E-step, reused as q231's
+    * cluster scoping. The vector column rides along so consumers that
+    * need it (q231's pair scan) don't re-scan and re-join the
+    * embeddings table; consumers that don't (q88) get it pruned by
+    * Catalyst for free. */
   private def nearestAssigned(s: SparkSession, dir: String): DataFrame = {
     val dot = graft.functions.DotProduct.dot _
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
     e.crossJoin(broadcast(centroidArrays(s, dir)))
-      .select(col("vec_id"), col("label"), col("clabel"),
+      .select(col("vec_id"), col("label"), col("clabel"), col("v"),
         round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
           + col("sc"), 4).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))))
       .filter(col("rn") === 1)
-      .select("vec_id", "label", "clabel")
+      .select("vec_id", "label", "clabel", "v")
   }
 
   // ---------------------------------------------------------------------
@@ -2181,10 +2184,9 @@ object Curation {
       ORDER BY cluster"""),
     (s, dir) => {
       val dot = graft.functions.DotProduct.dot _
-      val asg = nearestAssigned(s, dir).select("vec_id", "clabel")
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val vc = asg.join(e, Seq("vec_id"))
+      // the assignment carries the vector — no second embeddings scan
+      val vc = nearestAssigned(s, dir).select("vec_id", "clabel", "v")
+      val asg = vc.select("vec_id", "clabel")
       val a = vc.select(col("clabel"), col("vec_id").as("a_id"),
         col("v").as("va"))
       val b = vc.select(col("clabel").as("clabel_b"),

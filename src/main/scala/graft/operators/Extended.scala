@@ -10,6 +10,17 @@ import graft.functions.det._
   * bivariate statistics. */
 object Extended {
 
+  /** FLOOR division on a long column, not Spark's `div` (which
+    * truncates toward zero): for negative epoch-µs values truncation
+    * breaks q223's "later event is in band or band+1" invariant (pairs
+    * straddling t=0 would be missed) and diverges from the DuckDB
+    * oracle's `//`. pmod is non-negative, so (x - pmod(x, w)) div w is
+    * exact floor division on longs. Shared by every banding/day-bucket
+    * expression in this module (q223/q227/q230) so the subtle negative
+    * case lives in exactly one place. */
+  private def floorDiv(c: String, d: Long) =
+    expr(s"($c - pmod($c, ${d}L)) div ${d}L")
+
   /** Range (interval) join: for each purchase, clicks by the same user
     * in the preceding hour. The equi-condition on user_id keys the
     * shuffle; the range predicate is evaluated inside the joined
@@ -278,13 +289,6 @@ object Extended {
       ORDER BY day_bucket"""),
     (s, dir) => {
       val w = 5000000L // band width = the pair bound (5 s in µs)
-      // FLOOR division for the band assignment, not Spark's `div`
-      // (which truncates toward zero): for negative epoch-µs values
-      // truncation breaks the "later event is in band or band+1"
-      // invariant (pairs straddling t=0 would be missed) and diverges
-      // from the DuckDB oracle's `//`. pmod is non-negative, so
-      // (x - pmod(x, w)) div w is exact floor division on longs.
-      def floorDiv(c: String, d: Long) = expr(s"($c - pmod($c, ${d}L)) div ${d}L")
       val e = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val a = e.select(col("event_id").as("a_id"), col("user_id").as("a_uid"),
@@ -354,8 +358,7 @@ object Extended {
       // owns the scale shape (floor division as in q223 for the grouping)
       c.join(w, col("c_us") > col("w_us") &&
           col("c_us") <= col("w_us") + lit(win))
-        .groupBy(expr("(w_us - pmod(w_us, 86400000000L)) div 86400000000L")
-          .as("day_bucket"))
+        .groupBy(floorDiv("w_us", 86400000000L).as("day_bucket"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("c_uid") =!= col("w_uid"), 1L).otherwise(0L))
             .as("n_cross_user"),
@@ -400,7 +403,6 @@ object Extended {
       GROUP BY 1
       ORDER BY day_bucket"""),
     (s, dir) => {
-      def floorDiv(c: String, d: Long) = expr(s"($c - pmod($c, ${d}L)) div ${d}L")
       val win = Tables.events(s, dir)
         .filter(col("event_type") === "error")
         .groupBy(col("user_id").as("uid"),

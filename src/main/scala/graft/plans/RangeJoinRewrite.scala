@@ -8,54 +8,76 @@ import org.apache.spark.sql.types._
 
 /** Optimizer rule: band a keyless range join into an equi-join.
   *
-  * An inner join whose only cross-side predicates are interval bounds —
-  * `lo <= t AND t <= hi` with `t` from one side and `lo`/`hi` from the
-  * other — has no equi-key, so Spark plans a nested-loop join:
-  * quadratic in the corpus, the classic 100 TB scale-killer. The
-  * published fix (banding; DuckDB's IEJoin ICDE'15 solves the same
-  * problem engine-side) is mechanical: pick a bin width W, give the
-  * point side `bin(t) = floor(t/W)` and explode the interval side to
-  * `bin(lo)..bin(hi)`, then EQUI-join on the bin and re-check the
-  * original predicates. Every qualifying pair meets exactly once —
-  * `bin(t)` is single-valued and the interval's bin list is distinct —
-  * so no dedup pass is needed, and the rewrite never loses rows because
-  * floor is monotone (`lo <= t <= hi` implies
-  * `bin(lo) <= bin(t) <= bin(hi)`). q223 applies this rewrite by hand;
-  * this rule applies it to any naive `df.join(other, rangeCond)` the
-  * user writes, the way Catalyst is meant to be extended
+  * An inner join whose only cross-side predicates are interval bounds
+  * has no equi-key, so Spark plans a nested-loop join: quadratic in
+  * the corpus, the classic 100 TB scale-killer. The published fix
+  * (banding; DuckDB's IEJoin ICDE'15 solves the same problem
+  * engine-side) is mechanical: pick a bin width W, assign each value
+  * `floor(v/W)`, and EQUI-join on the bin, re-checking the original
+  * predicates. q223 applies this rewrite by hand; this rule applies it
+  * to any naive `df.join(other, rangeCond)` the user writes, the way
+  * Catalyst is meant to be extended
   * (`SparkSessionExtensions.injectOptimizerRule` via
-  * [[graft.GraftExtensions]]).
+  * [[graft.GraftExtensions]] — injected BEFORE [[ReorderJoinPredicates]]
+  * so bound extraction sees the user's conjunct order).
   *
   * Two shapes are recognized, tried in order:
   *  - POINT-IN-INTERVAL: `lo <= t <= hi`, `t` from one side, both
   *    bounds from the other. Point side gets one bin, interval side
-  *    explodes; exactly-once because the point's bin is single-valued.
+  *    explodes `bin(lo)..bin(hi)`; exactly-once because the point's
+  *    bin is single-valued and floor is monotone (`lo <= t <= hi`
+  *    implies `bin(lo) <= bin(t) <= bin(hi)`, so no qualifying pair
+  *    is ever lost).
   *  - INTERVAL OVERLAP: `loL <= hiR AND loR <= hiL` (each side bounds
   *    the other). BOTH sides explode their normalized bin ranges and
   *    the dedup conjunct keeps only the first shared bin
   *    (`max(startL, startR)`), so each qualifying pair survives
-  *    exactly once.
+  *    exactly once. Endpoints are normalized with least/greatest
+  *    because the two overlap conjuncts do not imply lo <= hi per
+  *    side — an inverted interval still satisfies them, and its
+  *    normalized span provably covers every match.
   *
   * Bin width selection, in order:
   *  1. Static inference: when both bounds are offsets of one shared
-  *     base expression (`t BETWEEN base - w1 AND base + w2` — the as-of
-  *     / burst-window shape), the interval length `w1 + w2` is known at
-  *     plan time and is the provably safe width: every interval spans
-  *     at most two bins. (Overlap: both sides must infer; the smaller
-  *     length wins.)
+  *     base expression (`t BETWEEN base - w1 AND base + w2` — the
+  *     as-of / burst-window shape), the interval length `w1 + w2` is
+  *     known at plan time and is the provably safe width: every
+  *     interval spans at most two bins. (Overlap: both sides must
+  *     infer; the smaller length wins, so the static per-row span is
+  *     bounded by maxLen/minLen + 1.)
   *  2. `spark.graft.rangeJoin.binSize` (positive long, in the column's
   *     own units) for genuinely variable-length intervals, where no
-  *     static width exists. The user owns the width/explosion trade:
-  *     an interval spans `len/W + 1` bins. The graft harness sessions
-  *     default this to 1 h in µs — the engine's event-time unit — so
-  *     variable-interval joins over `ts_us` columns band out of the
-  *     box; workloads in other units override per session.
-  * No width -> no rewrite (the join is left exactly as written).
+  *     static width exists. The graft harness sessions default this to
+  *     1 h in µs — the engine's event-time unit — so variable-interval
+  *     joins over `ts_us` columns band out of the box; workloads in
+  *     other units override per session.
+  * No width -> no rewrite. Widths are clamped to >= 2 so that
+  * `Long.MinValue` is unreachable as a real bin (|floor(v/W)| <=
+  * Long.MaxValue/2 + 1 for W >= 2) and can serve as the reserved
+  * fallback bin below.
+  *
+  * WIDE-ROW FALLBACK (the crash/OOM guard): with a conf-chosen width
+  * nothing bounds a row's bin count — one open-ended interval could
+  * ask Sequence for billions of elements and kill the query that used
+  * to (slowly) run as a nested-loop join. So whenever the per-row span
+  * is not statically bounded under `spark.graft.rangeJoin.maxBinsPerRow`
+  * (default 4096), rows are split BY VALUE inside one join: a row
+  * whose span exceeds the cap emits only the reserved SENTINEL bin,
+  * and the opposite side emits its real bin(s) plus the sentinel, so
+  * wide rows meet everything in one reserved hash bucket (a bounded,
+  * AQE-skew-splittable nested loop over just the wide rows) instead of
+  * erroring. Exactly-once bookkeeping: in the point form a pair
+  * matches either at the point's real bin (narrow interval) or at the
+  * sentinel (wide interval), never both; in the overlap form the dedup
+  * conjunct demands the first shared REAL bin when both rows are
+  * narrow and the sentinel otherwise. Statically-inferred widths prove
+  * every span small, skip the fallback entirely, and keep the original
+  * zero-overhead plan.
   *
   * Safety envelope (everything outside it is left untouched):
   *  - Inner/Cross joins only. Semi/anti/outer multiplicity depends on
   *    which side explodes; not worth the asymmetry in v1.
-  *  - All three expressions deterministic and integral-typed
+  *  - All bound expressions deterministic and integral-typed
   *    (byte/short/int/long — epoch-µs columns are the target; Date and
   *    Timestamp carry unit semantics that a width in "column units"
   *    would silently mis-scale, the round-13 sameShape lesson).
@@ -69,15 +91,24 @@ import org.apache.spark.sql.types._
   *
   * The original condition is retained verbatim under the new bin
   * equality, so bound classification can only ever cost performance,
-  * never correctness. NULL bounds fall out for free: a null `t` yields
-  * a null bin (joins nothing), a null/inverted interval yields an empty
-  * bin array (generates nothing) — exactly the rows the original
-  * predicate would have dropped.
+  * never correctness: candidate pairings are preferred statically-sized
+  * first, then condition order, and a mis-pairing (e.g. an unrelated
+  * inequality chosen as a bound) still loses no rows — the two chosen
+  * conjuncts alone imply the normalized spans overlap — it just routes
+  * more rows through the sentinel bucket. NULL bounds fall out for
+  * free: a null point bin joins nothing, and a null/inverted interval
+  * generates nothing — exactly the rows the original predicate would
+  * have dropped.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledConf = "spark.graft.rangeJoin.enabled"
   private val BinSizeConf = "spark.graft.rangeJoin.binSize"
+  private val MaxBinsConf = "spark.graft.rangeJoin.maxBinsPerRow"
+
+  /** Reserved fallback bin: unreachable as a real bin because widths
+    * are clamped to >= 2. */
+  private val SentinelBin = Literal(Long.MinValue)
 
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -87,11 +118,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
-  /** floor(t / w) for literal w >= 1, exact on the full long domain:
+  /** floor(t / w) for literal w >= 2, exact on the full long domain:
     * truncating `div` plus a -1 adjustment on inexact negative
-    * quotients. (The `x - pmod(x, w)` form q223 uses inline would
-    * underflow near Long.MinValue; the adjustment form cannot —
-    * |q| <= |t| and the -1 only applies when q > Long.MinValue.) */
+    * quotients (the `x - pmod(x, w)` form q223 uses inline would
+    * underflow near Long.MinValue; the adjustment form cannot). */
   private def floorDiv(t: Expression, w: Long): Expression = {
     val tt = asLong(t)
     val q  = new IntegralDivide(tt, Literal(w))
@@ -135,6 +165,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     scala.util.Try(conf.getConfString(BinSizeConf, "0").toLong)
       .toOption.filter(_ >= 1L)
 
+  private def maxBinsPerRow: Long =
+    scala.util.Try(conf.getConfString(MaxBinsConf, "4096").toLong)
+      .toOption.filter(_ >= 1L).getOrElse(4096L)
+
+  /** Chosen width plus the statically-provable per-row span bound (in
+    * bins), when one exists. Widths clamped to >= 2 (sentinel safety);
+    * any width is correct, so the clamp changes nothing else. */
+  private case class Width(w: Long, staticSpan: Option[Long])
+
   /** One cross-side bound pair: `lower <= point <= upper` (modulo
     * strictness — the retained original condition enforces it). */
   private case class RangeBounds(
@@ -143,39 +182,75 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Interval-overlap bounds: `loL <= hiR AND loR <= hiL` — each side
     * bounds the OTHER side, the classic `[loL,hiL] ∩ [loR,hiR] != ∅`
-    * join. Pairing is chosen in condition order (first valid pair of
-    * conjuncts); a mis-pairing with an unrelated inequality conjunct
-    * stays CORRECT (the retained condition filters, and the two
-    * conjuncts alone imply the normalized "intervals" overlap, so no
-    * qualifying pair can be lost) but can cost bins — write the
-    * interval bounds first. */
+    * join. */
   private case class OverlapBounds(
       loL: Expression, hiL: Expression, loR: Expression, hiR: Expression)
 
-  private def extractBounds(conjuncts: Seq[Expression],
-      left: LogicalPlan, right: LogicalPlan): Option[RangeBounds] = {
-    // Normalize every comparison conjunct to (small, large): small <= large.
-    val comps: Seq[(Expression, Expression)] = conjuncts.collect {
+  /** Normalize every </<=/>/>= conjunct to (small, large): small <= large. */
+  private def boundComps(conjuncts: Seq[Expression]): Seq[(Expression, Expression)] =
+    conjuncts.collect {
       case LessThan(a, b)           => (a, b)
       case LessThanOrEqual(a, b)    => (a, b)
       case GreaterThan(a, b)        => (b, a)
       case GreaterThanOrEqual(a, b) => (b, a)
     }
-    def usable(e: Expression): Boolean =
-      e.deterministic && isIntegral(e.dataType) && e.references.nonEmpty
+
+  private def usable(e: Expression): Boolean =
+    e.deterministic && isIntegral(e.dataType) && e.references.nonEmpty
+
+  private def pointWidth(rb: RangeBounds): Option[Width] =
+    staticWidth(rb.lower, rb.upper) match {
+      // width = exact interval length -> every interval spans <= 2 bins
+      case Some(len) => Some(Width(math.max(2L, len), Some(2L)))
+      case None      => confWidth.map(w => Width(math.max(2L, w), None))
+    }
+
+  private def overlapWidth(ob: OverlapBounds): Option[Width] = {
+    val both = for {
+      lL <- staticWidth(ob.loL, ob.hiL)
+      lR <- staticWidth(ob.loR, ob.hiR)
+    } yield {
+      val w = math.max(2L, math.min(lL, lR))
+      Width(w, Some(math.max(lL, lR) / w + 2L))
+    }
+    both.orElse(confWidth.map(w => Width(math.max(2L, w), None)))
+  }
+
+  private def extractBounds(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[RangeBounds] = {
+    val comps = boundComps(conjuncts)
     val candidates = for {
       (lo, t1) <- comps
       (t2, hi) <- comps
       if t1.semanticEquals(t2)
       if usable(t1) && usable(lo) && usable(hi)
       pointOnLeft <- Some(canEvaluate(t1, left)).collect {
-        case true                           => true
-        case _ if canEvaluate(t1, right)    => false
+        case true                        => true
+        case _ if canEvaluate(t1, right) => false
       }
-      (iv, intervalPlan) = if (pointOnLeft) (right, right) else (left, left)
+      intervalPlan = if (pointOnLeft) right else left
       if canEvaluate(lo, intervalPlan) && canEvaluate(hi, intervalPlan)
     } yield RangeBounds(t1, lo, hi, pointOnLeft)
-    candidates.headOption
+    // statically-sized pairings first (provably tiny spans), then the
+    // user's condition order
+    candidates.find(rb => staticWidth(rb.lower, rb.upper).isDefined)
+      .orElse(candidates.headOption)
+  }
+
+  private def extractOverlap(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[OverlapBounds] = {
+    val comps = boundComps(conjuncts)
+    val candidates = for {
+      (s1, l1) <- comps // loL <= hiR
+      (s2, l2) <- comps // loR <= hiL
+      if (s1, l1) != (s2, l2)
+      if Seq(s1, l1, s2, l2).forall(usable)
+      if canEvaluate(s1, left) && canEvaluate(l1, right) &&
+        canEvaluate(s2, right) && canEvaluate(l2, left)
+    } yield OverlapBounds(loL = s1, hiL = l2, loR = s2, hiR = l1)
+    candidates.find(ob => staticWidth(ob.loL, ob.hiL).isDefined &&
+        staticWidth(ob.loR, ob.hiR).isDefined)
+      .orElse(candidates.headOption)
   }
 
   private def hasCrossSideEqui(conjuncts: Seq[Expression],
@@ -190,100 +265,122 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-  /** bin(lo)..bin(hi) as an array expression; inverted or null
-    * intervals yield an empty/null array (generate nothing — exactly
-    * the rows the original predicate would drop).
+  private val emptyBins =
+    Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false))
+
+  /** bin(lo)..bin(hi) as an array; inverted or null intervals yield an
+    * empty/null array (generate nothing — exactly the rows the original
+    * predicate would drop).
     *
     * Sequence is TimeZoneAwareExpression: its `resolved` demands a
     * timezone id, normally filled by the analyzer's ResolveTimeZone —
-    * which already ran, so supply it here or the plan validator
-    * rejects the rewrite as newly-unresolved. (Pure-long sequences
-    * never consult it.) */
+    * which already ran, so supply it here or the plan validator rejects
+    * the rewrite as newly-unresolved. (Pure-long sequences never
+    * consult it.) */
   private def binRange(lo: Expression, hi: Expression, w: Long): Expression = {
     val binLo = floorDiv(lo, w)
     val binHi = floorDiv(hi, w)
     If(LessThanOrEqual(binLo, binHi),
       Sequence(binLo, binHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
-      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+      emptyBins)
+  }
+
+  /** [[binRange]] with the wide-row fallback: rows spanning more than
+    * `cap` bins emit only the sentinel. */
+  private def binRangeCapped(lo: Expression, hi: Expression, w: Long,
+      cap: Long, andSentinel: Boolean): Expression = {
+    val binLo = floorDiv(lo, w)
+    val binHi = floorDiv(hi, w)
+    val span  = new Subtract(binHi, binLo)
+    val narrowSeq =
+      Sequence(binLo, binHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+    val narrow =
+      if (andSentinel) Concat(Seq(narrowSeq, CreateArray(Seq(SentinelBin))))
+      else narrowSeq
+    // null bound -> no bins (the original predicate is null for every
+    // pair, so the row can contribute nothing — and an If on a null
+    // span would otherwise fall through to the SENTINEL branch and
+    // flood the fallback bucket with doomed candidates); inverted
+    // (span < 0) -> no bins; wide -> sentinel only; else real bins
+    If(IsNull(span), emptyBins,
+      If(LessThan(span, Literal(0L)), emptyBins,
+        If(LessThan(span, Literal(cap)), narrow,
+          CreateArray(Seq(SentinelBin)))))
   }
 
   private def explodeBins(bins: Expression, name: String,
       child: LogicalPlan): (AttributeReference, Generate) = {
-    val genOut = AttributeReference(name, LongType, nullable = false)()
+    val genOut = AttributeReference(name, LongType,
+      nullable = bins.dataType.asInstanceOf[ArrayType].containsNull)()
     (genOut, Generate(Explode(bins), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(genOut),
       child = child))
   }
 
-  /** Point-in-interval rewrite: single bin on the point side, exploded
-    * bin range on the interval side; exactly-once because the point's
-    * bin is single-valued. */
-  private def buildPoint(j: Join, rb: RangeBounds, w: Long): LogicalPlan = {
+  /** Point-in-interval rewrite. Fallback off (static span bound): point
+    * side is a one-column Project, interval side explodes its bins.
+    * Fallback on: the interval side routes wide rows to the sentinel
+    * and the point side explodes {bin(t), sentinel} — a pair matches at
+    * the real bin (narrow interval) XOR the sentinel (wide interval). */
+  private def buildPoint(j: Join, rb: RangeBounds, width: Width): LogicalPlan = {
+    val cap = maxBinsPerRow
+    val needFallback = width.staticSpan.forall(_ > cap)
     val (pointPlan, intervalPlan) =
       if (rb.pointOnLeft) (j.left, j.right) else (j.right, j.left)
-    val binAlias = Alias(floorDiv(rb.point, w), "__graft_range_bin")()
-    val newPoint = Project(pointPlan.output :+ binAlias, pointPlan)
-    val (genOut, newInterval) = explodeBins(
-      binRange(rb.lower, rb.upper, w), "__graft_range_bin_gen", intervalPlan)
-    val newCond = And(EqualTo(binAlias.toAttribute, genOut), j.condition.get)
+    val (pointBinAttr, newPoint) =
+      if (!needFallback) {
+        val a = Alias(floorDiv(rb.point, width.w), "__graft_range_bin")()
+        (a.toAttribute, Project(pointPlan.output :+ a, pointPlan))
+      } else {
+        val bins = CreateArray(Seq(floorDiv(rb.point, width.w), SentinelBin))
+        explodeBins(bins, "__graft_range_bin", pointPlan)
+      }
+    val intervalBins =
+      if (!needFallback) binRange(rb.lower, rb.upper, width.w)
+      else binRangeCapped(rb.lower, rb.upper, width.w, cap, andSentinel = false)
+    val (genOut, newInterval) =
+      explodeBins(intervalBins, "__graft_range_bin_gen", intervalPlan)
+    val newCond = And(EqualTo(pointBinAttr, genOut), j.condition.get)
     val newJoin =
       if (rb.pointOnLeft) Join(newPoint, newInterval, j.joinType, Some(newCond), j.hint)
       else Join(newInterval, newPoint, j.joinType, Some(newCond), j.hint)
     Project(j.left.output ++ j.right.output, newJoin)
   }
 
-  /** Interval-overlap rewrite: BOTH sides explode their (normalized)
-    * bin ranges and pair at every shared bin, so the dedup conjunct
-    * keeps only the FIRST shared bin — `max` of the two start bins;
-    * shared bins of two overlapping ranges are contiguous from there,
-    * so every qualifying pair survives exactly once. Endpoints are
-    * normalized with least/greatest because the two overlap conjuncts
-    * do not imply lo <= hi per side — an inverted interval still
-    * satisfies them, and its normalized span provably covers the
-    * match (min(lo,hi) <= lo and hi <= max(lo,hi) on both sides). */
-  private def buildOverlap(j: Join, ob: OverlapBounds, w: Long): LogicalPlan = {
+  /** Interval-overlap rewrite: BOTH sides explode their normalized bin
+    * ranges and pair at every shared bin, so the dedup conjunct keeps
+    * only the FIRST shared bin; with the fallback active, narrow rows
+    * additionally emit the sentinel, wide rows emit ONLY the sentinel,
+    * and the dedup conjunct demands the first shared REAL bin when both
+    * rows are narrow and the sentinel otherwise. */
+  private def buildOverlap(j: Join, ob: OverlapBounds, width: Width): LogicalPlan = {
+    val cap = maxBinsPerRow
+    val needFallback = width.staticSpan.forall(_ > cap)
     val (nLoL, nHiL) = (Least(Seq(asLong(ob.loL), asLong(ob.hiL))),
       Greatest(Seq(asLong(ob.loL), asLong(ob.hiL))))
     val (nLoR, nHiR) = (Least(Seq(asLong(ob.loR), asLong(ob.hiR))),
       Greatest(Seq(asLong(ob.loR), asLong(ob.hiR))))
-    val (genL, leftG) = explodeBins(binRange(nLoL, nHiL, w),
+    def bins(lo: Expression, hi: Expression): Expression =
+      if (!needFallback) binRange(lo, hi, width.w)
+      else binRangeCapped(lo, hi, width.w, cap, andSentinel = true)
+    val (genL, leftG) = explodeBins(bins(nLoL, nHiL),
       "__graft_range_bin_genl", j.left)
-    val (genR, rightG) = explodeBins(binRange(nLoR, nHiR, w),
+    val (genR, rightG) = explodeBins(bins(nLoR, nHiR),
       "__graft_range_bin_genr", j.right)
-    val firstShared = Greatest(Seq(floorDiv(nLoL, w), floorDiv(nLoR, w)))
-    val newCond = And(And(EqualTo(genL, genR), EqualTo(genL, firstShared)),
+    val firstShared = Greatest(Seq(floorDiv(nLoL, width.w), floorDiv(nLoR, width.w)))
+    val requiredBin =
+      if (!needFallback) firstShared
+      else {
+        def narrow(lo: Expression, hi: Expression): Expression =
+          LessThan(new Subtract(floorDiv(hi, width.w), floorDiv(lo, width.w)),
+            Literal(cap))
+        If(And(narrow(nLoL, nHiL), narrow(nLoR, nHiR)), firstShared, SentinelBin)
+      }
+    val newCond = And(And(EqualTo(genL, genR), EqualTo(genL, requiredBin)),
       j.condition.get)
     Project(j.left.output ++ j.right.output,
       Join(leftG, rightG, j.joinType, Some(newCond), j.hint))
   }
-
-  private def extractOverlap(conjuncts: Seq[Expression],
-      left: LogicalPlan, right: LogicalPlan): Option[OverlapBounds] = {
-    val comps: Seq[(Expression, Expression)] = conjuncts.collect {
-      case LessThan(a, b)           => (a, b)
-      case LessThanOrEqual(a, b)    => (a, b)
-      case GreaterThan(a, b)        => (b, a)
-      case GreaterThanOrEqual(a, b) => (b, a)
-    }
-    def usable(e: Expression): Boolean =
-      e.deterministic && isIntegral(e.dataType) && e.references.nonEmpty
-    (for {
-      (s1, l1) <- comps // loL <= hiR
-      (s2, l2) <- comps // loR <= hiL
-      if (s1, l1) != (s2, l2)
-      if Seq(s1, l1, s2, l2).forall(usable)
-      if canEvaluate(s1, left) && canEvaluate(l1, right) &&
-        canEvaluate(s2, right) && canEvaluate(l2, left)
-    } yield OverlapBounds(loL = s1, hiL = l2, loR = s2, hiR = l1)).headOption
-  }
-
-  /** Overlap bin width: static only when BOTH sides' interval lengths
-    * are statically known (take the smaller); otherwise the conf. */
-  private def overlapWidth(ob: OverlapBounds): Option[Long] =
-    (for {
-      lL <- staticWidth(ob.loL, ob.hiL)
-      lR <- staticWidth(ob.loR, ob.hiR)
-    } yield math.min(lL, lR)).orElse(confWidth)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledConf, "true") != "true") plan
@@ -295,7 +392,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         else {
           val point = for {
             rb <- extractBounds(conjuncts, left, right)
-            w  <- staticWidth(rb.lower, rb.upper).orElse(confWidth)
+            w  <- pointWidth(rb)
           } yield buildPoint(j, rb, w)
           lazy val overlap = for {
             ob <- extractOverlap(conjuncts, left, right)

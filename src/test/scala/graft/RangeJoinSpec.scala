@@ -180,9 +180,16 @@ class RangeJoinSpec extends AnyFunSuite {
       val p = optimized(
         pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi")))
       assert(s"${BinMark}_gen".r.findAllIn(p).toSeq.nonEmpty)
-      // one Generate, one bin alias — not re-banded on later iterations
-      assert("Generate explode".r.findAllIn(p).size == 1)
+      // conf-width point form = fallback mode: point side explodes
+      // {bin, sentinel}, interval side its bins — exactly TWO
+      // Generates, and no third from a re-fire on later iterations
+      assert("Generate explode".r.findAllIn(p).size == 2)
     }
+    // static-width form keeps the zero-overhead shape: ONE Generate
+    // (interval side only), point side is a plain projection
+    val pStatic = optimized(pts.join(ivs,
+      col("t") >= col("lo") - lit(5L) && col("t") <= col("lo") + lit(7L)))
+    assert("Generate explode".r.findAllIn(pStatic).size == 1)
   }
 
   test("output schema and column order survive the rewrite") {
@@ -300,6 +307,68 @@ class RangeJoinSpec extends AnyFunSuite {
       if t - 2L <= t2 + 1L && t2 - 5L <= t + 8L
     } yield (pid, pid2)).sorted
     assert(got == expected)
+  }
+
+  // ---- wide-row sentinel fallback --------------------------------------
+
+  test("point: wide intervals route through the sentinel bucket, no Sequence blowup") {
+    // cap of 4 bins at width 4: the fixture's intervals span up to ~30
+    // bins, so most rows are 'wide' and must fall back to the reserved
+    // bucket instead of exploding (or, above Spark's array cap, erroring)
+    val expected = bruteForce((t, lo, hi) => t >= lo && t <= hi)
+    withConf("spark.graft.rangeJoin.binSize" -> "4",
+      "spark.graft.rangeJoin.maxBinsPerRow" -> "4") {
+      val df = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(optimized(df).contains(BinMark), "must still band")
+      assert(resultSet(df) == expected, "sentinel fallback must lose no pairs")
+    }
+  }
+
+  test("point: an open-ended interval (hi = Long.MaxValue) no longer errors") {
+    // before the fallback this asked Sequence for ~2^62 elements
+    val wild = Seq((900L, Some(-5L), Some(Long.MaxValue)),
+      (901L, Some(0L), Some(10L))).toDF("iid", "lo", "hi")
+    withConf("spark.graft.rangeJoin.binSize" -> "4") {
+      val df = pts.join(wild, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(optimized(df).contains(BinMark))
+      val got = df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        (pid, Some(t)) <- points
+        (iid, lo, hi) <- Seq((900L, -5L, Long.MaxValue), (901L, 0L, 10L))
+        if t >= lo && t <= hi
+      } yield (pid, iid)).sorted
+      assert(got == expected)
+    }
+  }
+
+  test("overlap: wide rows fall back to the sentinel bucket, multiset exact") {
+    val expected = overlapBrute
+    withConf("spark.graft.rangeJoin.binSize" -> "4",
+      "spark.graft.rangeJoin.maxBinsPerRow" -> "4") {
+      val df = ivs.join(ivsB, col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      assert(optimized(df).contains(s"${BinMark}_genl"))
+      assert(overlapPairs(df) == expected,
+        "narrow×narrow, narrow×wide and wide×wide must each pair exactly once")
+    }
+  }
+
+  test("overlap: mis-pairing (bounds written last) stays correct via the fallback") {
+    // an ordering conjunct FIRST makes the extractor's order preference
+    // pick a bogus 'interval' pairing — results must still be exact
+    // (the retained condition filters; wide spans hit the sentinel)
+    def mk() = ivs.join(ivsB,
+      col("iid") < col("jid") &&
+        col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+    val expected = (for {
+      (iid, Some(lo), Some(hi)) <- intervals
+      (jid, Some(lo2), Some(hi2)) <- intervalsB
+      if iid < jid && lo <= hi2 && lo2 <= hi
+    } yield (iid, jid)).sorted
+    withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      val df = mk()
+      assert(overlapPairs(df) == expected)
+    }
   }
 
   test("q230 runs as the banded overlap join and matches its rule-off twin") {
