@@ -386,7 +386,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (conf.getConfString(EnabledConf, "true") != "true") plan
     else plan.transform {
       case j @ Join(left, right, Inner | Cross, Some(cond), _)
-          if cond.deterministic && j.resolved =>
+          // batch plans only: a stream-stream range join's state/
+          // watermark semantics through an injected Generate are
+          // untested territory — leave streaming joins exactly as
+          // Spark plans them (the streaming interval join in
+          // graft.streaming carries an equi-key and would be skipped
+          // by the equi guard anyway; this makes the exclusion
+          // explicit rather than incidental)
+          if cond.deterministic && j.resolved &&
+            !left.isStreaming && !right.isStreaming =>
         val conjuncts = splitConjunctivePredicates(cond)
         if (hasCrossSideEqui(conjuncts, left, right)) j
         else {

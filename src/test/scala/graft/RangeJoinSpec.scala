@@ -165,6 +165,24 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("no fire: streaming joins are left exactly as Spark plans them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val st = MemoryStream[(Long, Long)].toDF().toDF("t", "pid2")
+    withConf("spark.graft.rangeJoin.binSize" -> "64") {
+      // stream ⋈ static with a pure range condition: the batch rewrite
+      // must not inject a Generate into a streaming plan
+      val df = st.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(df.isStreaming)
+      // a streaming plan only optimizes inside writeStream.start(), so
+      // run the rule directly on the analyzed plan
+      val analyzed = df.queryExecution.analyzed
+      val after = graft.plans.RangeJoinRewrite(analyzed)
+      assert(after.fastEquals(analyzed),
+        "streaming range joins are outside the rewrite's envelope")
+    }
+  }
+
   test("no fire: non-inner join types keep their multiplicity semantics") {
     withConf("spark.graft.rangeJoin.binSize" -> "64") {
       Seq("left", "left_semi", "left_anti", "full").foreach { jt =>
