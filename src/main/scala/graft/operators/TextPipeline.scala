@@ -774,6 +774,104 @@ object TextPipeline {
         .orderBy("fused_rank")
     })
 
+  /** nDCG@k (Järvelin & Kekäläinen 2002 — the standard graded ranking
+    * metric): how well does the BM25 ranking ([[bm25Scored]]) order
+    * documents by graded relevance? Grade = number of DISTINCT query
+    * terms a document contains (1..3 — a label-free pseudo-relevance
+    * the fixture supports honestly), DCG@k = Σ (2^grade − 1)/log2(i+1)
+    * over the top k ranks, normalized by the ideal DCG of the same
+    * grade multiset sorted descending. Grades are small integers so
+    * 2^grade is exact; per-position contributions are identical IEEE
+    * ops on identical inputs; the ≤k-term sums ride the decimal
+    * accumulator and the ratio divides the two ROUNDED sums. Ranking
+    * eval completes the retrieval toolkit: recall (q130), AUC (q199),
+    * calibration (q204), ranking quality (here). Scale: two
+    * corpus-keyed aggregates + k-bounded windows — the k rows per cut
+    * are constant-size regardless of corpus. */
+  private val q234 = QueryDef(
+    "q234_ndcg_ranking_eval",
+    "nDCG@{5,10,20} of the BM25 ranking against term-count graded relevance",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs FROM len),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+             WHERE term IN ('scan', 'window', 'sort') GROUP BY 1, 2),
+      df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             FROM tok WHERE term IN ('scan', 'window', 'sort') GROUP BY 1),
+      contrib AS (
+        SELECT t.doc_id, l.dl,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                 (t.tf * 2.2) /
+                 (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl /
+                   (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS c
+        FROM tf t JOIN df d USING (term) JOIN len l USING (doc_id)
+        CROSS JOIN stats s),
+      bm AS (SELECT doc_id, ${graft.functions.det.dsumSql("c")} AS score
+             FROM contrib GROUP BY 1),
+      grade AS (SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS rel
+                FROM tok WHERE term IN ('scan', 'window', 'sort')
+                GROUP BY 1),
+      ranked AS (SELECT b.doc_id, g.rel,
+                        CAST(row_number() OVER (ORDER BY b.score DESC, b.doc_id)
+                          AS BIGINT) AS rn
+                 FROM bm b JOIN grade g USING (doc_id)),
+      ideal AS (SELECT rel,
+                       CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+                         AS BIGINT) AS rn
+                FROM ranked),
+      ks AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS k),
+      dcg AS (SELECT ks.k,
+                     ${graft.functions.det.dsumSql(
+                       "(2.0 ** r.rel - 1.0) / log2(CAST(r.rn + 1 AS DOUBLE))")}
+                       AS dcg
+              FROM ranked r CROSS JOIN ks WHERE r.rn <= ks.k GROUP BY 1),
+      idcg AS (SELECT ks.k,
+                      ${graft.functions.det.dsumSql(
+                        "(2.0 ** i.rel - 1.0) / log2(CAST(i.rn + 1 AS DOUBLE))")}
+                        AS idcg
+               FROM ideal i CROSS JOIN ks WHERE i.rn <= ks.k GROUP BY 1)
+      SELECT d.k, d.dcg, i.idcg,
+             (ROUND(d.dcg / i.idcg, 4) + 0.0) AS ndcg
+      FROM dcg d JOIN idcg i USING (k)
+      ORDER BY k"""),
+    (s, dir) => {
+      import graft.functions.det
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(queryTerms: _*))
+      val grade = tok.groupBy("doc_id")
+        .agg(countDistinct(col("term")).as("rel"))
+      val ranked = bm25Scored(s, dir).select("doc_id", "score")
+        .join(grade, Seq("doc_id"))
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rel", "rn")
+      val ideal = ranked
+        .withColumn("irn", row_number()
+          .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+        .select(col("rel"), col("irn").as("rn"))
+      val ks = Seq(5L, 10L, 20L)
+      def gain(rel: Column, rn: Column): Column =
+        (pow(lit(2.0), rel) - lit(1.0)) / log2((rn + lit(1)).cast("double"))
+      val kdf = s.createDataset(ks)(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("k")
+      val dcg = ranked.crossJoin(broadcast(kdf))
+        .filter(col("rn") <= col("k"))
+        .groupBy("k").agg(det.dsum(gain(col("rel"), col("rn"))).as("dcg"))
+      val idcg = ideal.crossJoin(broadcast(kdf))
+        .filter(col("rn") <= col("k"))
+        .groupBy("k").agg(det.dsum(gain(col("rel"), col("rn"))).as("idcg"))
+      dcg.join(idcg, Seq("k"))
+        .select(col("k"), col("dcg"), col("idcg"),
+          (round(col("dcg") / col("idcg"), 4) + lit(0.0)).as("ndcg"))
+        .orderBy("k")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190, q228, q233)
+    Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190, q228,
+      q233, q234)
 }
