@@ -2209,8 +2209,175 @@ object Curation {
         .orderBy("cluster")
     })
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020 — public
+    * method): per LANGUAGE, split the corpus into head/middle/tail
+    * thirds by language-model score, the bucketing CCNet uses to keep
+    * the well-modeled third of each language's crawl. The score is
+    * q94's per-doc mean trigram conditional probability (the
+    * probability-space perplexity stand-in — same ordering, zero libm,
+    * see q94's scaladoc); the tertile split is NTILE(3) over
+    * (score DESC, doc_id) per lang, so both engines cut identically on
+    * the ROUNDED per-doc score with doc_id ties. Only docs long enough
+    * to score (≥1 trigram) partition — CCNet drops unscorable docs
+    * too. Per-bucket report: doc/token mass and the score envelope,
+    * the table a pipeline reads before keeping "head+middle". Scale:
+    * scoring is q94's bounded-key-space pipeline; the per-lang window
+    * is as parallel as the language count (CCNet's own partition axis),
+    * with the q131/q149 bucket-decomposition pattern available if one
+    * language dominates. */
+  private val q235 = QueryDef(
+    "q235_ccnet_perplexity_buckets",
+    "CCNet head/middle/tail LM-score tertiles per language with doc/token mass",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tri AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> [t[i], t[i+1], t[i+2]])) AS g
+              FROM tok WHERE len(t) >= 3),
+      c3 AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS n3
+             FROM tri GROUP BY 1, 2, 3),
+      bi AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> [t[i], t[i+1]])) AS g
+             FROM tok WHERE len(t) >= 2),
+      c2 AS (SELECT g[1] AS w1, g[2] AS w2, COUNT(*) AS n12
+             FROM bi GROUP BY 1, 2),
+      p AS (SELECT t.doc_id, CAST(n3 AS DOUBLE) / CAST(n12 AS DOUBLE) AS p
+            FROM tri t
+            JOIN c3 ON t.g[1] = c3.w1 AND t.g[2] = c3.w2 AND t.g[3] = c3.w3
+            JOIN c2 ON t.g[1] = c2.w1 AND t.g[2] = c2.w2),
+      score AS (SELECT doc_id, ${det.davgSql("p")} AS avg_p
+                FROM p GROUP BY 1),
+      scored AS (SELECT s.doc_id, d.lang,
+                        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                        s.avg_p
+                 FROM score s JOIN documents d USING (doc_id)),
+      bucketed AS (SELECT lang, n_tok, avg_p,
+                          CASE ntile(3) OVER (PARTITION BY lang
+                                              ORDER BY avg_p DESC, doc_id)
+                            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                   FROM scored)
+      SELECT lang, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             ${det.davgSql("avg_p")} AS mean_score,
+             ROUND(MIN(avg_p), 4) AS min_score,
+             ROUND(MAX(avg_p), 4) AS max_score
+      FROM bucketed GROUP BY 1, 2
+      ORDER BY lang, bucket"""),
+    (s, dir) => {
+      val tri = docGrams(s, dir, 3)
+      val c3 = trigramCounts(s, dir)
+      val c2 = bigramCounts(s, dir)
+      val score = tri
+        .join(broadcast(c3), Seq("w1", "w2", "w3"))
+        .join(broadcast(c2), Seq("w1", "w2"))
+        .select(col("doc_id"),
+          (col("n3").cast("double") / col("n12").cast("double")).as("p"))
+        .groupBy("doc_id")
+        .agg(det.davg(col("p")).as("avg_p"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("avg_p").desc, col("doc_id"))
+      val bucketed = score.join(docs, Seq("doc_id"))
+        .withColumn("bucket",
+          when(ntile(3).over(w) === 1, "head")
+            .when(ntile(3).over(w) === 2, "middle")
+            .otherwise("tail"))
+      bucketed.groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          det.davg(col("avg_p")).as("mean_score"),
+          round(min(col("avg_p")), 4).as("min_score"),
+          round(max(col("avg_p")), 4).as("max_score"))
+        .orderBy("lang", "bucket")
+    })
+
+  /** Temperature-weighted language mixing (the mT5 / XLM-R sampling
+    * scheme, Xue et al. 2021 §3.1 — public method): languages are
+    * sampled with probability ∝ p_l^α (α = 0.3), flattening the raw
+    * distribution so low-resource languages are up-weighted without
+    * discarding the head. Against a 50%-of-corpus budget this yields a
+    * per-language keep RATE (capped at 1 — a fully-taken language is
+    * the cap in action), realized by the house deterministic sampler:
+    * keep iff md5("mix:" || doc_id)'s 60-bit value is below
+    * floor(rate·2^60) — a pure filter, no RNG state, reproducible on
+    * any partitioning (the q61/q86 discipline). The p^α normalizer
+    * rides an exact-decimal sum (unrounded), so the thresholds are
+    * bit-identical on both engines. Report per language: raw vs
+    * target vs achieved share and rate — the table a multilingual
+    * pipeline reads to sanity-check its mix. Scale: two grouped
+    * aggregates + a broadcast 5-row rate table + one filter pass. */
+  private val q236 = QueryDef(
+    "q236_temperature_lang_mix",
+    "temperature-sampled (alpha=0.3) language mix: raw/target/achieved shares per lang",
+    Some(s"""
+      WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                      FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts),
+      wts AS (SELECT lang, n_docs,
+                     (CAST(n_docs AS DOUBLE) / t.n) ** 0.3 AS w
+              FROM counts CROSS JOIN tot t),
+      norm AS (SELECT CAST(SUM(CAST(w AS DECIMAL(30,10))) AS DOUBLE) AS z
+               FROM wts),
+      rates AS (SELECT w.lang, w.n_docs,
+                       CAST(w.n_docs AS DOUBLE) / t.n AS raw_share,
+                       w.w / z.z AS q,
+                       least(1.0, (w.w / z.z) * (0.5 * t.n) / w.n_docs) AS rate
+                FROM wts w CROSS JOIN norm z CROSS JOIN tot t),
+      kept AS (SELECT d.lang, d.doc_id
+               FROM documents d JOIN rates r USING (lang)
+               WHERE ${graft.functions.text.md5Hash60Sql(
+                 "'mix:' || CAST(d.doc_id AS VARCHAR)")}
+                     < CAST(floor(r.rate * 1152921504606846976.0) AS BIGINT)),
+      sampled AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+                  FROM kept GROUP BY 1)
+      SELECT r.lang, r.n_docs,
+             CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+             (ROUND(r.raw_share, 4) + 0.0) AS raw_share,
+             (ROUND(r.q, 4) + 0.0) AS target_share,
+             (ROUND(r.rate, 4) + 0.0) AS keep_rate,
+             (ROUND(CAST(COALESCE(s.n_sampled, 0) AS DOUBLE) / r.n_docs, 4)
+               + 0.0) AS achieved_rate
+      FROM rates r LEFT JOIN sampled s USING (lang)
+      ORDER BY lang"""),
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum("n_docs").as("n"))
+      val wts = counts.crossJoin(broadcast(tot))
+        .withColumn("w", pow(col("n_docs").cast("double") / col("n"), lit(0.3)))
+      // exact-decimal normalizer, UNROUNDED: the keep thresholds divide
+      // by it, so 4-dp rounding here would move real sample boundaries
+      val norm = wts.agg(sum(col("w").cast(DecimalType(30, 10)))
+        .cast("double").as("z"))
+      val rates = wts.crossJoin(broadcast(norm))
+        .withColumn("raw_share", col("n_docs").cast("double") / col("n"))
+        .withColumn("q", col("w") / col("z"))
+        .withColumn("rate",
+          least(lit(1.0), (col("w") / col("z")) * (lit(0.5) * col("n")) / col("n_docs")))
+        .select("lang", "n_docs", "raw_share", "q", "rate")
+      val kept = docs.join(broadcast(rates.select("lang", "rate")), Seq("lang"))
+        .filter(graft.functions.text.md5Hash60(
+            concat(lit("mix:"), col("doc_id").cast("string"))) <
+          floor(col("rate") * lit(1152921504606846976.0)).cast("long"))
+      val sampled = kept.groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          (round(col("raw_share"), 4) + lit(0.0)).as("raw_share"),
+          (round(col("q"), 4) + lit(0.0)).as("target_share"),
+          (round(col("rate"), 4) + lit(0.0)).as("keep_rate"),
+          (round(coalesce(col("n_sampled"), lit(0L)).cast("double")
+            / col("n_docs"), 4) + lit(0.0)).as("achieved_rate"))
+        .orderBy("lang")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q84, q85, q86, q87, q88, q89, q92, q93, q94, q95, q97, q98, q100,
       q106, q108, q109, q110, q111, q112, q113, q114, q117, q121, q122, q125,
-      q131, q159, q187, q188, q199, q229, q231)
+      q131, q159, q187, q188, q199, q229, q231, q235, q236)
 }
