@@ -898,6 +898,82 @@ object Dedup {
         .orderBy("source")
     })
 
+  /** LSH parameter planner (the S-curve analysis, Leskovec–Rajaraman–
+    * Ullman, "Mining of Massive Datasets" §3.4 — public textbook
+    * method): for every (rows r, bands b) factorization of q23's
+    * 42-hash signature budget, the candidate probability
+    * P(s) = 1 − (1 − s^r)^b at reference similarities, plus the
+    * EXPECTED RECALL over this corpus's actual verified near-dup pairs
+    * (the q22 exact-Jaccard pair set with its measured similarities) —
+    * the table that justifies q23's chosen 14×3 split instead of
+    * hand-waving it. All inputs are the 4-dp-rounded pair similarities
+    * both engines already agree on, the S-curve is the same pow chain
+    * on identical operands, and the per-(r,b) expectation rides the
+    * decimal accumulator. Scale: the (r,b) grid is 8 rows; the pair
+    * similarities come from the shared shingle MV pipeline (at 100 TB
+    * a similarity SAMPLE feeds the same planner — the grid math does
+    * not change). */
+  private val q237 = QueryDef(
+    "q237_lsh_parameter_planner",
+    "LSH S-curve planner over (rows, bands) splits of the 42-hash budget with measured-pair expected recall",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      tp AS (SELECT ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS j
+             FROM pairs
+             JOIN sz sa ON sa.doc_id = doc_a
+             JOIN sz sb ON sb.doc_id = doc_b
+             WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4)
+                   >= 0.5),
+      br(r, b) AS (VALUES (1, 42), (2, 21), (3, 14), (6, 7),
+                          (7, 6), (14, 3), (21, 2), (42, 1)),
+      curve AS (SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+                       (ROUND(1.0 - (1.0 - 0.1 ** r) ** b, 4) + 0.0) AS p_at_01,
+                       (ROUND(1.0 - (1.0 - 0.3 ** r) ** b, 4) + 0.0) AS p_at_03,
+                       (ROUND(1.0 - (1.0 - 0.5 ** r) ** b, 4) + 0.0) AS p_at_05,
+                       (ROUND(1.0 - (1.0 - 0.8 ** r) ** b, 4) + 0.0) AS p_at_08
+                FROM br),
+      rec AS (SELECT c.r, CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+                     ${det.davgSql("1.0 - (1.0 - tp.j ** c.r) ** c.b")}
+                       AS exp_recall
+              FROM curve c CROSS JOIN tp GROUP BY 1)
+      SELECT c.r, c.b, c.p_at_01, c.p_at_03, c.p_at_05, c.p_at_08,
+             rec.n_true_pairs, rec.exp_recall
+      FROM curve c JOIN rec USING (r)
+      ORDER BY c.r"""),
+    (s, dir) => {
+      import s.implicits._
+      val sh = shingleSet(s, dir)
+      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      val tp = jaccardFromInter(sh, inter).select(col("jaccard").as("j"))
+      val br = Seq((1L, 42L), (2L, 21L), (3L, 14L), (6L, 7L),
+        (7L, 6L), (14L, 3L), (21L, 2L), (42L, 1L)).toDF("r", "b")
+      def sCurve(s0: Column): Column =
+        lit(1.0) - pow(lit(1.0) - pow(s0, col("r")), col("b"))
+      val curve = br.select(col("r"), col("b"),
+        (round(sCurve(lit(0.1)), 4) + lit(0.0)).as("p_at_01"),
+        (round(sCurve(lit(0.3)), 4) + lit(0.0)).as("p_at_03"),
+        (round(sCurve(lit(0.5)), 4) + lit(0.0)).as("p_at_05"),
+        (round(sCurve(lit(0.8)), 4) + lit(0.0)).as("p_at_08"))
+      val rec = broadcast(br).crossJoin(tp)
+        .groupBy("r")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          det.davg(sCurve(col("j"))).as("exp_recall"))
+      curve.join(broadcast(rec), Seq("r"))
+        .select("r", "b", "p_at_01", "p_at_03", "p_at_05", "p_at_08",
+          "n_true_pairs", "exp_recall")
+        .orderBy("r")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162, q163)
+    Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162,
+      q163, q237)
 }

@@ -132,6 +132,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     new Subtract(q, adjust)
   }
 
+  /** Strip integral-widening casts (inserted by comparison coercion on
+    * mixed int/long columns) so `CAST(base + 5 AS BIGINT)` and
+    * `base + 7` still read as offsets of one shared base — widening
+    * preserves the value, so the inferred length is unit-exact. */
+  private def stripIntegralCast(e: Expression): Expression = e match {
+    case c: Cast if isIntegral(c.dataType) && isIntegral(c.child.dataType) =>
+      stripIntegralCast(c.child)
+    case other => other
+  }
+
   /** Decompose `base + literal` / `base - literal` / `base` so the
     * static interval length of a shared-base bound pair is visible. */
   private def baseOffset(e: Expression): (Expression, Option[Long]) = {
@@ -142,11 +152,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case Literal(v: Long, _)  => Some(v)
       case _                    => None
     }
-    e match {
-      case Add(b, l: Literal, _)      => (b, lit(l))
-      case Add(l: Literal, b, _)      => (b, lit(l))
-      case Subtract(b, l: Literal, _) => (b, lit(l).map(v => -v))
-      case _                          => (e, Some(0L))
+    stripIntegralCast(e) match {
+      case Add(b, l: Literal, _)      => (stripIntegralCast(b), lit(l))
+      case Add(l: Literal, b, _)      => (stripIntegralCast(b), lit(l))
+      case Subtract(b, l: Literal, _) => (stripIntegralCast(b), lit(l).map(v => -v))
+      case other                      => (other, Some(0L))
     }
   }
 

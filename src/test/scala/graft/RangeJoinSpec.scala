@@ -219,6 +219,28 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("static inference sees through integral-widening casts (int base, long offsets)") {
+    // coercion wraps the int base in CAST(.. AS BIGINT) inside the
+    // comparisons; inference must still unify the two bounds' base
+    val p32 = Seq((1, 10), (2, 250), (3, -7)).toDF("pid32", "t32")
+    val base32 = Seq((10, 5), (11, -10), (12, 240)).toDF("iid32", "b32")
+    // no conf width: only cast-stripped static inference can band this
+    withConf("spark.graft.rangeJoin.binSize" -> "0") {
+      val df = p32.join(base32,
+        col("t32") >= col("b32") - lit(3L) && col("t32") <= col("b32") + lit(12L))
+      assert(optimized(df).contains(BinMark),
+        "CAST-wrapped shared base must still infer the static width")
+      val got = df.select("pid32", "iid32").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      val expected = (for {
+        (pid, t) <- Seq((1, 10), (2, 250), (3, -7))
+        (iid, b) <- Seq((10, 5), (11, -10), (12, 240))
+        if t >= b - 3 && t <= b + 12
+      } yield (pid, iid)).toSet
+      assert(got == expected)
+    }
+  }
+
   test("int-typed columns band through the comparison coercion") {
     val p32 = Seq((1, 10), (2, 250), (3, -7)).toDF("pid32", "t32")
     val i32 = Seq((10, 5, 30), (11, -10, -1), (12, 240, 260)).toDF("iid32", "lo32", "hi32")
