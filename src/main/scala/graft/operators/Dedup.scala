@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
 import graft.functions.{det, text}
@@ -973,7 +974,353 @@ object Dedup {
         .orderBy("r")
     })
 
+  // ---------------------------------------------------------------------
+  // q238 — winnowing fingerprints (the MOSS selection scheme)
+  // ---------------------------------------------------------------------
+
+  /** Winnowing fingerprint matching (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm, public paper): hash every
+    * 4-token k-gram, slide a window of w=4 consecutive hashes, and keep
+    * each window's MINIMUM hash as a fingerprint. The selected set is a
+    * ~2/(w+1) sample of the k-gram stream with the paper's guarantee:
+    * any shared token run of length ≥ w+k−1 = 7 yields at least one
+    * SHARED fingerprint, so no medium-length overlap can slip between
+    * samples (unlike mod-p sampling, which has unbounded gaps). Docs
+    * are then paired on shared fingerprints — the MOSS report: shared
+    * count, each side's fingerprint set size, and overlap vs the
+    * smaller set.
+    *
+    * Scale shape: fingerprinting is per-document (one bounded window
+    * over positions — no cross-doc state), the pair join is an
+    * equi-join on the fingerprint VALUE (the LSH-bucket shape, never
+    * all-pairs), and fingerprints occurring in > 20 documents are
+    * dropped before pairing exactly as MOSS drops over-common
+    * fingerprints — that cap is also the bucket-skew bound: a
+    * boilerplate fingerprint shared by a million docs would otherwise
+    * create a quadratic bucket. Ties inside a window select the same
+    * VALUE on both engines by construction (min over hashes), so no
+    * positional tie-break is needed — the fingerprint set is
+    * position-free. */
+  /** Winnowed fingerprint set (doc_id, f): min 4-gram hash per window of
+    * w=4 consecutive positions, distinct values per doc. Shared with the
+    * spec so the w+k−1 detection guarantee is testable directly. */
+  private[graft] def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val tt = col("t")
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(tt) >= 4)
+      .select(col("doc_id"), tt, (size(tt) - 3).as("m"),
+        explode(sequence(lit(1), size(tt) - 3)).as("i"))
+      .select(col("doc_id"), col("i"), col("m"),
+        text.md5Hash60(concat_ws(" ",
+          element_at(tt, col("i")), element_at(tt, col("i") + 1),
+          element_at(tt, col("i") + 2), element_at(tt, col("i") + 3)))
+          .as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, 3)
+    g.withColumn("f", min(col("h")).over(win))
+      .filter(col("i") <= greatest(col("m") - 3, lit(1)))
+      .select("doc_id", "f").distinct()
+  }
+
+  private val q238 = QueryDef(
+    "q238_winnowing_fingerprints",
+    "MOSS winnowing (k=4, w=4): shared-fingerprint doc pairs with overlap vs smaller set",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS (SELECT doc_id, i, len(t) - 3 AS m,
+                   ${text.md5Hash60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")} AS h
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+                  FROM tok WHERE len(t) >= 4)),
+      w AS (SELECT doc_id, i, m,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+            FROM g),
+      fp AS (SELECT DISTINCT doc_id, f FROM w WHERE i <= GREATEST(m - 3, 1)),
+      fpc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS fp_n FROM fp GROUP BY 1),
+      df AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) <= 20),
+      rare AS (SELECT fp.doc_id, fp.f FROM fp JOIN df USING (f)),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_fp
+            FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared_fp, ca.fp_n AS fp_a, cb.fp_n AS fp_b,
+             (ROUND(CAST(shared_fp AS DOUBLE) / LEAST(ca.fp_n, cb.fp_n), 4)
+               + 0.0) AS overlap
+      FROM p JOIN fpc ca ON ca.doc_id = p.doc_a
+             JOIN fpc cb ON cb.doc_id = p.doc_b
+      WHERE shared_fp >= 3
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val fp = winnowFingerprints(s, dir)
+      val fpc = fp.groupBy("doc_id").agg(count(lit(1)).as("fp_n"))
+      val rareF = fp.groupBy("f")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") <= 20).select("f")
+      val rare = fp.join(rareF, Seq("f"))
+      val p = rare.select(col("doc_id").as("doc_a"), col("f"))
+        .join(rare.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared_fp"))
+      p.join(fpc.select(col("doc_id").as("doc_a"), col("fp_n").as("fp_a")),
+          Seq("doc_a"))
+        .join(fpc.select(col("doc_id").as("doc_b"), col("fp_n").as("fp_b")),
+          Seq("doc_b"))
+        .filter(col("shared_fp") >= 3)
+        .select(col("doc_a"), col("doc_b"), col("shared_fp"),
+          col("fp_a"), col("fp_b"),
+          (round(col("shared_fp").cast("double")
+            / least(col("fp_a"), col("fp_b")), 4) + lit(0.0)).as("overlap"))
+        .orderBy("doc_a", "doc_b")
+    })
+
+  // ---------------------------------------------------------------------
+  // q239 — duplicated-span islands (exact-substring dedup at k-gram grain)
+  // ---------------------------------------------------------------------
+
+  /** Exact-substring duplicate SPANS (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operation, at k-gram
+    * fingerprint grain — public paper; their suffix-array is a
+    * single-machine structure, so the distributed shape is the standard
+    * k-gram-matching reformulation): a position is DUPLICATED when its
+    * 6-token k-gram occurs in ≥ 2 distinct documents; consecutive
+    * duplicated positions merge into islands (gaps-and-islands on
+    * position − row_number), and islands covering ≥ 15 tokens are the
+    * spans an ExactSubstr pass would cut. Unlike document-level dedup
+    * (q22/q23) this catches a long quoted block inside otherwise-unique
+    * text, and unlike q129's fixed 32-token chunking it is
+    * alignment-free: a span is found wherever it starts.
+    *
+    * Scale shape: the duplicated-k-gram set is ONE hash aggregate keyed
+    * by the 60-bit content hash (map-side combinable count-distinct at
+    * ≤ 2 cutoff), positions join it by hash equi-join, and the island
+    * merge is a per-document window — state bounded by document length,
+    * no cross-document shuffle beyond the hash-keyed one. */
+  private val q239 = QueryDef(
+    "q239_dup_span_islands",
+    "cross-doc duplicated spans >= 15 tokens via 6-gram islands (ExactSubstr shape)",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS (SELECT doc_id, i,
+                   ${text.md5Hash60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]")} AS h
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
+                  FROM tok WHERE len(t) >= 6)),
+      duph AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      d AS (SELECT doc_id, i,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM g JOIN duph USING (h)),
+      isl AS (SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+                     CAST(MAX(i) AS BIGINT) AS span_end,
+                     CAST(MAX(i) - MIN(i) + 6 AS BIGINT) AS span_tokens
+              FROM d GROUP BY doc_id, grp)
+      SELECT doc_id, span_start, span_end, span_tokens
+      FROM isl WHERE span_tokens >= 15
+      ORDER BY doc_id, span_start"""),
+    (s, dir) => {
+      val tt = col("t")
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(tt) >= 6)
+        .select(col("doc_id"), tt,
+          explode(sequence(lit(1), size(tt) - 5)).as("i"))
+        .select(col("doc_id"), col("i"),
+          text.md5Hash60(concat_ws(" ", (0 until 6).map(k =>
+            element_at(tt, col("i") + k)): _*)).as("h"))
+      val duph = g.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val d = g.join(duph, Seq("h"))
+        .withColumn("grp", col("i") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("i")))
+      d.groupBy("doc_id", "grp")
+        .agg(min(col("i")).cast("long").as("span_start"),
+          max(col("i")).cast("long").as("span_end"),
+          (max(col("i")) - min(col("i")) + 6).cast("long").as("span_tokens"))
+        .filter(col("span_tokens") >= 15)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    })
+
+  // ---------------------------------------------------------------------
+  // q241 — component-grain leakage-free split (GroupKFold-style)
+  // ---------------------------------------------------------------------
+
+  /** Leakage-FREE train/val/test split: q96 AUDITS near-dup leakage
+    * across q57's per-document hash split; this is the FIX — assign the
+    * split at the dedup-COMPONENT grain (every doc hashes its
+    * component's canonical id; unpaired docs are their own group), the
+    * grouped-splitting discipline (sklearn's GroupKFold shape) that
+    * guarantees no near-dup pair ever straddles train and eval. The
+    * query emits the per-split audit (docs, groups) plus the
+    * cross-split verified-pair count, which is 0 BY CONSTRUCTION — the
+    * property the oracle re-proves from the recursive-CTE components.
+    *
+    * Scale shape: the component assignment is the q45 materialized
+    * view (broadcast-sized — only docs in some near-dup pair appear),
+    * the split is a pure hash map over coalesce(component, doc_id) —
+    * no shuffle to assign, one hash agg to audit; the leak check joins
+    * the pair MV against two broadcast copies of the tiny assignment
+    * slice. Same plan at 1000 executors. */
+  private val q241 = QueryDef(
+    "q241_component_safe_split",
+    "component-grain 80/10/10 split: per-split docs/groups, zero cross-split near-dup pairs",
+    Some(s"""
+      WITH RECURSIVE ${text.verifiedPairsCte},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node),
+      a AS (SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS grp
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+      s AS (SELECT doc_id, grp,
+                   CASE WHEN h % 100 < 80 THEN 'train'
+                        WHEN h % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, grp,
+                         ${text.md5Hash60Sql("'csplit:' || CAST(grp AS VARCHAR)")} AS h
+                  FROM a)),
+      leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+               FROM ver JOIN s sa ON sa.doc_id = ver.doc_a
+                        JOIN s sb ON sb.doc_id = ver.doc_b
+               WHERE sa.split != sb.split)
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+             n_leaked_pairs
+      FROM s CROSS JOIN leak
+      GROUP BY split, n_leaked_pairs
+      ORDER BY split"""),
+    (s, dir) => {
+      def splitOf(g: Column): Column = {
+        val b = text.md5Hash60(concat(lit("csplit:"), g.cast("string"))) % 100
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      }
+      val comp = components(s, dir)
+      val assign = Tables.documents(s, dir).select(col("doc_id"))
+        .join(broadcast(comp.withColumnRenamed("node", "doc_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("grp"))
+        .withColumn("split", splitOf(col("grp")))
+      // every doc in a verified pair is in some component, so the leak
+      // check only ever needs the (broadcast-sized) component slice —
+      // the full per-doc assignment never ships anywhere
+      val sp = comp.select(col("node"), splitOf(col("component_id")).as("cs"))
+      val leak = verifiedPairs(s, dir)
+        .join(broadcast(sp.select(col("node").as("doc_a"),
+          col("cs").as("split_a"))), Seq("doc_a"))
+        .join(broadcast(sp.select(col("node").as("doc_b"),
+          col("cs").as("split_b"))), Seq("doc_b"))
+        .agg(coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_leaked_pairs"))
+      assign.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .crossJoin(broadcast(leak))
+        .select("split", "n_docs", "n_groups", "n_leaked_pairs")
+        .orderBy("split")
+    })
+
+  // ---------------------------------------------------------------------
+  // q243 — multi-pass sorted-neighborhood near-dup detection
+  // ---------------------------------------------------------------------
+
+  /** Sorted-neighborhood method (Hernández & Stolfo, SIGMOD 1995
+    * merge/purge — public paper), the third candidate-generation family
+    * next to MinHash-LSH (q23) and SimHash (q24): sort the corpus by a
+    * blocking key, compare each record only to its 5 successors in sort
+    * order, and exact-Jaccard-verify the candidates. MULTI-PASS as the
+    * paper prescribes (a single key misses dups whose difference lands
+    * in the key): pass 1 sorts by the text's first 24 chars, pass 2 by
+    * the REVERSED text's first 24 (prefix edits move a pair apart in
+    * pass 1 but not in pass 2); the candidate set is the union.
+    *
+    * Scale shape: the oracle states the global row_number; EXECUTED is
+    * the q154 bucket-prefix decomposition — rank windows partition by
+    * the key's 4-char prefix bucket (bucket order = key order since the
+    * bucket is a key prefix), per-bucket counts take a tiny prefix
+    * window and broadcast back, global rank = bucket offset + local
+    * rank. Neighbor pairing is then an EQUI-join on rank+d (d ∈ 1..5,
+    * a bounded explode), so the whole method is sort + linear window —
+    * the property that made SNM the at-scale record-linkage default
+    * before LSH. Verification touches candidates only (q23's
+    * discipline). A hot prefix widens the bucket (longer prefix), same
+    * plan. */
+  private val q243 = QueryDef(
+    "q243_sorted_neighborhood_neardup",
+    "multi-pass sorted-neighborhood (window 5) candidates, exact-Jaccard-verified (J >= 0.5)",
+    Some(s"""
+      WITH ${text.shinglesCte},
+      keys AS (SELECT doc_id, substring(text, 1, 24) AS k1,
+                      substring(reverse(text), 1, 24) AS k2
+               FROM documents),
+      r1 AS (SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) AS rn
+             FROM keys),
+      c1 AS (SELECT a.doc_id AS da, b.doc_id AS db
+             FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 5),
+      r2 AS (SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) AS rn
+             FROM keys),
+      c2 AS (SELECT a.doc_id AS da, b.doc_id AS db
+             FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 5),
+      cand AS (SELECT DISTINCT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b
+               FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)),
+      inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc_a
+                JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+                GROUP BY 1, 2),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = doc_a
+                 JOIN sz sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5
+      ORDER BY doc_a, doc_b"""),
+    (s, dir) => {
+      val keys = Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("k1"),
+          substring(reverse(col("text")), 1, 24).as("k2"))
+      // global rank by (key, doc_id) via the q154 bucket-prefix
+      // decomposition: never one task sorting the whole corpus
+      def rnOf(keyCol: String): DataFrame = {
+        val b = keys.select(col("doc_id"), col(keyCol).as("k"))
+          .withColumn("bkt", substring(col("k"), 1, 4))
+        val wLoc = Window.partitionBy("bkt").orderBy(col("k"), col("doc_id"))
+        val loc = b.withColumn("rn_l", row_number().over(wLoc).cast("long"))
+        val wB = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = b.groupBy("bkt").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum(col("n")).over(wB), lit(0L)))
+          .select(col("bkt").as("jbkt"), col("off"))
+        loc.join(broadcast(off), col("bkt") === col("jbkt"))
+          .select(col("doc_id"), (col("off") + col("rn_l")).as("rn"))
+      }
+      def candsOf(p: DataFrame): DataFrame = {
+        val a = p.select(col("doc_id").as("da"), col("rn"),
+            explode(sequence(lit(1L), lit(5L))).as("d"))
+          .select(col("da"), (col("rn") + col("d")).as("rnb"))
+        a.join(p.select(col("doc_id").as("db"), col("rn").as("rnb")),
+            Seq("rnb"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"))
+      }
+      val cand = candsOf(rnOf("k1")).union(candsOf(rnOf("k2"))).distinct()
+      val sh = shingleSet(s, dir)
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      jaccardFromInter(sh, inter)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162,
-      q163, q237)
+      q163, q237, q238, q239, q241, q243)
 }

@@ -437,5 +437,108 @@ object Similarity {
         .orderBy("k")
     })
 
-  def defs: Seq[QueryDef] = Seq(q31, q32, q33, q34, q35, q102, q175, q211, q232)
+  // ---------------------------------------------------------------------
+  // q240 — int8 scalar-quantization recall audit
+  // ---------------------------------------------------------------------
+
+  /** Scalar int8 quantization audit — the vector-store compression every
+    * production ANN deploys (4× memory/IO cut): per-DIMENSION symmetric
+    * quantization q = floor(x/s·127 + 0.5) with s = corpus max|x| of
+    * that dimension, dequantize q·s/127, and measure what retrieval
+    * loses: recall@1 of quantized top-1 vs full-precision top-1 over 20
+    * query vectors, plus the mean absolute dot-product error across all
+    * scored pairs. The same shape as q232's Matryoshka audit, for the
+    * orthogonal compression axis (precision, not dimensionality).
+    *
+    * Scale shape: calibration is one posexplode + 64-group max (map-side
+    * combinable — at 100 TB this is the cheap stats pass), the 64-entry
+    * scale vector rides a broadcast to every scorer, and scoring is the
+    * q31 broadcast-query scan. floor(·+0.5) is used instead of round so
+    * both engines take the identical half-up branch on every value;
+    * per-element dequantization is the same (q·s)/127 operand order on
+    * both engines, and the dot is the same left-to-right fold
+    * (graft_dot ≡ list_sum over list_transform — the q232-proven
+    * parity). */
+  private val q240 = QueryDef(
+    "q240_sq8_quantization_recall",
+    "int8 scalar quantization: recall@1 vs full precision + mean abs dot error",
+    Some(s"""
+      WITH dims AS (SELECT i, GREATEST(MAX(ABS(embedding[i]::DOUBLE)), 1e-9) AS s
+                    FROM embeddings
+                    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+                    GROUP BY i),
+      sc AS (SELECT list(s ORDER BY i) AS scales FROM dims),
+      dq AS (SELECT vec_id,
+                    list_transform(generate_series(1, 64),
+                      i -> (floor(embedding[i]::DOUBLE / scales[i] * 127 + 0.5)
+                            * scales[i]) / 127) AS dv,
+                    list_transform(generate_series(1, 64),
+                      i -> embedding[i]::DOUBLE) AS fv
+             FROM embeddings CROSS JOIN sc),
+      q AS (SELECT vec_id AS query_id, dv AS qdv, fv AS qfv FROM dq
+            WHERE vec_id < 20),
+      long AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> q.qfv[i] * e.fv[i])), 4) AS sim_ex,
+                      ROUND(list_sum(list_transform(generate_series(1, 64),
+                        i -> q.qdv[i] * e.dv[i])), 4) AS sim_sq
+               FROM dq e CROSS JOIN q WHERE e.vec_id != q.query_id),
+      t_ex AS (SELECT query_id, neighbor_id FROM long
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_ex DESC, neighbor_id) = 1),
+      t_sq AS (SELECT query_id, neighbor_id FROM long
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_sq DESC, neighbor_id) = 1),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(CASE WHEN t_ex.neighbor_id = t_sq.neighbor_id
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+            FROM t_ex JOIN t_sq USING (query_id)),
+      err AS (SELECT ${davgSql("ABS(sim_ex - sim_sq)")} AS mean_abs_err
+              FROM long)
+      SELECT n_queries, n_match,
+             (ROUND(CAST(n_match AS DOUBLE) / n_queries, 4) + 0.0)
+               AS recall_at_1,
+             mean_abs_err
+      FROM m CROSS JOIN err"""),
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("fv"))
+      val dims = e.select(posexplode(col("fv")).as(Seq("p", "x")))
+        .groupBy("p").agg(greatest(max(abs(col("x"))), lit(1e-9)).as("s"))
+      val sc = dims.agg(transform(
+        array_sort(collect_list(struct(col("p"), col("s")))),
+        t => t.getField("s")).as("scales"))
+      val dq = e.crossJoin(broadcast(sc))
+        .select(col("vec_id"), col("fv"),
+          zip_with(col("fv"), col("scales"),
+            (x, sv) => floor(x / sv * 127 + lit(0.5)) * sv / 127).as("dv"))
+      val q = dq.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          col("fv").as("qfv"), col("dv").as("qdv"))
+      val long = dq.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          rounded(col("qfv"), col("fv")).as("sim_ex"),
+          rounded(col("qdv"), col("dv")).as("sim_sq"))
+      def top1(simCol: String) = long.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col(simCol).desc, col("neighbor_id").asc)))
+        .filter(col("rn") === 1).select("query_id", "neighbor_id")
+      val m = top1("sim_ex").withColumnRenamed("neighbor_id", "nb_ex")
+        .join(top1("sim_sq").withColumnRenamed("neighbor_id", "nb_sq"),
+          Seq("query_id"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("nb_ex") === col("nb_sq"), 1L).otherwise(0L))
+            .as("n_match"))
+      val err = long.agg(davg(abs(col("sim_ex") - col("sim_sq")))
+        .as("mean_abs_err"))
+      m.crossJoin(err)
+        .select(col("n_queries"), col("n_match"),
+          (round(col("n_match").cast("double") / col("n_queries"), 4)
+            + lit(0.0)).as("recall_at_1"),
+          col("mean_abs_err"))
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q31, q32, q33, q34, q35, q102, q175, q211, q232, q240)
 }

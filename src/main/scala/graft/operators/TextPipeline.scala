@@ -871,7 +871,74 @@ object TextPipeline {
         .orderBy("k")
     })
 
+  // ---------------------------------------------------------------------
+  // q242 — positional phrase proximity search
+  // ---------------------------------------------------------------------
+
+  /** Proximity retrieval over a POSITIONAL inverted index — the "termA
+    * NEAR/w termB" operator (Lucene's SpanNearQuery / PhraseQuery
+    * semantics, ordered, slop ≤ 2): for three query term pairs, every
+    * document where the second term follows the first within 3
+    * positions, with the occurrence count and the tightest gap. q12's
+    * inverted index answers WHICH docs contain a term; this is the
+    * positions-aware layer phrase and proximity ranking need.
+    *
+    * Scale shape: the postings are filtered to the QUERY TERMS before
+    * any join (two tiny position lists per doc — the index-lookup
+    * shape, never a full-text scan at match time once the postings
+    * table is materialized), and the position match is an equi-join on
+    * doc_id with a bounded gap predicate — per-doc work is
+    * |postings_a| × |postings_b| within one document only, never
+    * cross-doc. At 100 TB the postings list is the sorted secondary
+    * index a search engine maintains; the plan is unchanged. */
+  private val q242 = QueryDef(
+    "q242_phrase_proximity",
+    "ordered proximity match (gap <= 3) for three term pairs: per-doc hits + min gap",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      pos AS (SELECT doc_id, t[i] AS term, i
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                    FROM tok)),
+      q(pair_id, term_a, term_b) AS (VALUES (1, 'scan', 'column'),
+                                            (2, 'window', 'order'),
+                                            (3, 'sort', 'key')),
+      hits AS (SELECT q.pair_id, a.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_hits,
+                      CAST(MIN(b.i - a.i) AS BIGINT) AS min_gap
+               FROM q
+               JOIN pos a ON a.term = q.term_a
+               JOIN pos b ON b.doc_id = a.doc_id AND b.term = q.term_b
+                         AND b.i - a.i BETWEEN 1 AND 3
+               GROUP BY 1, 2)
+      SELECT CAST(pair_id AS BIGINT) AS pair_id, doc_id, n_hits, min_gap
+      FROM hits
+      ORDER BY pair_id, doc_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val q = Seq((1L, "scan", "column"), (2L, "window", "order"),
+        (3L, "sort", "key")).toDF("pair_id", "term_a", "term_b")
+      val tt = col("t")
+      val pos = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), posexplode(tt).as(Seq("i0", "term")))
+        .select(col("doc_id"), col("term"), (col("i0") + 1).as("i"))
+      val terms = Seq("scan", "column", "window", "order", "sort", "key")
+      val p = pos.filter(col("term").isin(terms: _*))
+      val a = p.select(col("doc_id"), col("term").as("term_a"), col("i").as("ia"))
+        .join(broadcast(q), Seq("term_a"))
+        .select(col("doc_id"), col("pair_id"), col("term_b").as("qb"), col("ia"))
+      val b = p.select(col("doc_id").as("doc_b"), col("term").as("qb2"),
+        col("i").as("ib"))
+      a.join(b, col("doc_id") === col("doc_b") && col("qb") === col("qb2")
+          && col("ib") - col("ia") >= 1 && col("ib") - col("ia") <= 3)
+        .groupBy(col("pair_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          min(col("ib") - col("ia")).cast("long").as("min_gap"))
+        .select(col("pair_id"), col("doc_id"), col("n_hits"), col("min_gap"))
+        .orderBy("pair_id", "doc_id")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190, q228,
-      q233, q234)
+      q233, q234, q242)
 }

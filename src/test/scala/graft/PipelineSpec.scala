@@ -725,4 +725,146 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
     assert(got == expected, "per-source doc counts must equal shingle-bearing docs")
   }
+
+  test("q238 winnowing guarantee: every >=7-token shared run yields a shared fingerprint") {
+    import org.apache.spark.sql.functions._
+    val tt = col("t")
+    // brute-force ground truth: doc pairs sharing any 7-token run
+    // (w+k-1 = 7 is the paper's detection threshold for k=4, w=4)
+    val g7 = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(tt) >= 7)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(tt) - 6),
+        i => concat_ws(" ", (0 until 7).map(k => element_at(tt, i + lit(k))): _*)))
+        .as("g"))
+      .distinct()
+    val mustPairs = g7.select(col("doc_id").as("doc_a"), col("g"))
+      .join(g7.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    assert(mustPairs.count() > 0, "fixture must contain shared 7-token runs")
+    val fp = graft.operators.Dedup.winnowFingerprints(spark, sf)
+    val fpPairs = fp.select(col("doc_id").as("doc_a"), col("f"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("f")), Seq("f"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    assert(mustPairs.except(fpPairs).count() == 0,
+      "winnowing guarantee violated: a >=7-token shared run with no shared fingerprint")
+    // density bounds: 1 <= |fingerprints| <= window count per doc
+    val m = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 3).as("m"))
+      .filter(col("m") >= 1)
+    val badDensity = fp.groupBy("doc_id").agg(count(lit(1)).as("fp_n"))
+      .join(m, "doc_id")
+      .filter(col("fp_n") < 1 || col("fp_n") > greatest(col("m") - 3, lit(1)))
+      .count()
+    assert(badDensity == 0, "fingerprint count outside [1, windows] for some doc")
+    // the report surfaces every high-J planted near-dup pair
+    val hi = run("q22_neardup_jaccard").filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+    val rep = run("q238_winnowing_fingerprints").select("doc_a", "doc_b")
+    assert(hi.except(rep).count() == 0,
+      "a J>=0.9 near-dup pair is missing from the winnowing report")
+  }
+
+  test("q239 duplicated spans: in-bounds, maximal islands, planted near-dups covered") {
+    import org.apache.spark.sql.functions._
+    val spans = run("q239_dup_span_islands").collect()
+    assert(spans.nonEmpty)
+    val lenByDoc = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    spans.foreach { r =>
+      val (s0, e0, t0) = (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("span_tokens"))
+      assert(t0 == e0 - s0 + 6, "span_tokens must equal end - start + k")
+      assert(t0 >= 15, "span below the 15-token cut")
+      assert(s0 >= 1 && e0 + 5 <= lenByDoc(r.getAs[Long]("doc_id")),
+        "span exceeds document bounds")
+    }
+    // islands are maximal: consecutive spans in a doc are separated by
+    // at least one non-duplicated position (else they would have merged)
+    spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { ss =>
+      ss.sortBy(_.getAs[Long]("span_start")).toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.getAs[Long]("span_start") > a.getAs[Long]("span_end") + 1,
+            "adjacent islands should have merged")
+        case _ =>
+      }
+    }
+    // every doc in a J>=0.9 planted pair carries at least one span
+    val hiDocs = run("q22_neardup_jaccard").filter(col("jaccard") >= 0.9)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val spanDocs = spans.map(_.getAs[Long]("doc_id")).toSet
+    assert(hiDocs.nonEmpty && hiDocs.subsetOf(spanDocs),
+      "a J>=0.9 near-dup doc has no duplicated span")
+  }
+
+  test("q241 component split: covers all docs, zero leaks, pairs co-assigned") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q241_component_safe_split").collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "split must cover every doc")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_groups") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_leaked_pairs") == 0L,
+        "component-grain split must never leak a near-dup pair")
+    }
+    // grouped splitting is deterministic: a re-run reassigns identically
+    assert(run("q241_component_safe_split").collect().toSeq == rows.toSeq)
+  }
+
+  test("q242 phrase proximity matches a brute-force token scan exactly") {
+    val rows = run("q242_phrase_proximity").collect()
+    assert(rows.nonEmpty)
+    val pairs = Map(1L -> ("scan", "column"), 2L -> ("window", "order"),
+      3L -> ("sort", "key"))
+    // recompute every (pair, doc) hit count and min gap by scanning tokens
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+    val expected = (for {
+      (pid, (ta, tb)) <- pairs.toSeq
+      (doc, t) <- texts.toSeq
+      gaps = for {
+        ia <- t.indices if t(ia) == ta
+        ib <- (ia + 1) to math.min(ia + 3, t.length - 1) if t(ib) == tb
+      } yield (ib - ia).toLong
+      if gaps.nonEmpty
+    } yield (pid, doc) -> ((gaps.size.toLong, gaps.min))).toMap
+    val got = rows.map(r => (r.getAs[Long]("pair_id"), r.getAs[Long]("doc_id"))
+      -> ((r.getAs[Long]("n_hits"), r.getAs[Long]("min_gap")))).toMap
+    assert(got == expected, "proximity hits must equal the brute-force scan")
+  }
+
+  test("q243 sorted-neighborhood verifies exactly the brute-force pair set on the fixture") {
+    // subset is the SNM invariant (candidates are verified with the same
+    // exact Jaccard); full recall is a measured fixture property — the
+    // multi-pass keys (prefix + reversed prefix) cover the planted edits
+    val snm = run("q243_sorted_neighborhood_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val brute = run("q22_neardup_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(snm.subsetOf(brute), "SNM must never report a non-verified pair")
+    assert(snm == brute, "multi-pass SNM reaches full recall on the fixture")
+  }
+
+  test("q240 int8 quantization audit: one row, bounded recall and tiny dot error") {
+    val r = run("q240_sq8_quantization_recall").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nq, nm) = (row.getAs[Long]("n_queries"), row.getAs[Long]("n_match"))
+    assert(nq == 20, "audit must score exactly the 20 query vectors")
+    assert(nm >= 0 && nm <= nq)
+    val recall = row.getAs[Double]("recall_at_1")
+    assert(math.abs(recall - math.rint(nm.toDouble / nq * 10000) / 10000) < 1e-12)
+    assert(recall >= 0.9, "int8 on unit vectors should be near-lossless")
+    val err = row.getAs[Double]("mean_abs_err")
+    assert(err >= 0.0 && err <= 0.01,
+      s"mean abs dot error $err above the int8 budget")
+  }
 }
