@@ -61,6 +61,29 @@ object EventStream {
       .select(col("w.start").cast("date").as("day"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream ⋈ STATIC dimension enrichment — the lookup-join shape every
+    * event pipeline runs in front of its sinks: purchases stream in,
+    * the customer→nation dimension is a BATCH table, revenue aggregates
+    * per (day, nation). The static side is re-planned each micro-batch
+    * (so a refreshed dimension snapshot is picked up) and broadcast, so
+    * the unbounded side never shuffles for the join — at 100 TB/day the
+    * stream stays partition-local until the windowed aggregate, whose
+    * state is bounded by the watermark horizon × nation cardinality.
+    * `dim` must carry (user_id, nation). Works identically on a batch
+    * DataFrame (StreamingSpec proves the parity). */
+  def enrichedDailyNationRevenue(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .select(timestamp_micros(col("ts_us")).as("ts_t"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts_t", "1 day")
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts_t"), "1 day").as("w"), col("nation"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("revenue"))
+      .select(col("w.start").cast("date").as("day"), col("nation"),
+        col("n_purchases"), col("revenue"))
+
   /** Stateful per-user running aggregate via mapGroupsWithState — the
     * "user reduce fn with state across triggers" that a MapReduce-style
     * system cannot express without an external store. */

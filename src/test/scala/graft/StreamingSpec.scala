@@ -70,6 +70,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static dimension enrichment matches the batch twin and broadcasts") {
+    val dim = Seq((10L, "FRANCE"), (11L, "KENYA")).toDF("user_id", "nation")
+    val stream = MemoryStream[Event]
+    val q = EventStream.enrichedDailyNationRevenue(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("enriched")
+        .orderBy("day", "nation").collect().toSeq
+      val batch = EventStream
+        .enrichedDailyNationRevenue((batch1 ++ batch2).toDF(), dim)
+        .orderBy("day", "nation").collect().toSeq
+      assert(streamed == batch)
+      // purchases: user 11 d1 (10.0), user 11 d2 (20.0) -> KENYA only
+      assert(streamed.map(_.getAs[String]("nation")).toSet == Set("KENYA"))
+      assert(streamed.map(_.getAs[Double]("revenue")).sum == 30.0)
+      // the static side must ride a broadcast join, never shuffle the stream
+      val plan = EventStream.enrichedDailyNationRevenue(
+        (batch1 ++ batch2).toDF(), dim).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "dimension enrichment must broadcast the static side")
+    } finally q.stop()
+  }
+
   test("stateful running user counts accumulate across triggers") {
     val stream = MemoryStream[Event]
     val q = EventStream.runningUserCounts(stream.toDS())
