@@ -170,5 +170,57 @@ object Formats {
         .orderBy("lang")
     })
 
-  def defs: Seq[QueryDef] = Seq(q202, q216, q217)
+  // ---------------------------------------------------------------------
+  // q244 — dynamic-partition-overwrite backfill
+  // ---------------------------------------------------------------------
+
+  /** The idempotent BACKFILL primitive: a corrected batch for ONE
+    * partition (`lang=en`, its `source` re-attributed to 'patched')
+    * overwrites exactly that directory while every other partition's
+    * files stay in place — `partitionOverwriteMode=dynamic` as a WRITER
+    * option, so no session conf is touched. This is how a 100 TB lake
+    * repairs yesterday's bad partition: re-run the slice, overwrite in
+    * place, never rewrite the table. Correctness is checksummed per
+    * partition against the oracle's simulation of the final state: a
+    * STATIC overwrite would drop the four untouched languages (row
+    * counts vanish), a non-atomic backfill would double-count en, and
+    * any leakage across partition directories breaks the per-lang sum.
+    * The spec additionally pins that the untouched partitions' FILES
+    * are byte-identical paths after the backfill. */
+  private val q244 = QueryDef(
+    "q244_partition_backfill_overwrite",
+    "dynamic partition-overwrite backfill of lang=en, checksum-verified per partition",
+    Some(s"""
+      WITH pat AS (SELECT doc_id, lang,
+                          CASE WHEN lang = 'en' THEN 'patched' ELSE source END
+                            AS source,
+                          n_chars, text
+                   FROM documents),
+      h AS (SELECT lang,
+                   ${text.md5Hash60Sql(
+                     "doc_id || chr(1) || lang || chr(1) || source || chr(1) || n_chars || chr(1) || text")}
+                     % (1::BIGINT << 40) AS h
+            FROM pat)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(h) AS BIGINT) AS content_checksum
+      FROM h GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      val base = scratch("q244")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(s"$base/t")
+      docs.filter(col("lang") === "en")
+        .withColumn("source", lit("patched"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(s"$base/t")
+      s.read.parquet(s"$base/t")
+        .select(col("lang"), rowHash.as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h")).cast("long").as("content_checksum"))
+        .orderBy("lang")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244)
 }

@@ -173,4 +173,27 @@ class LayoutSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("dynamic partition overwrite replaces only the targeted partition (q244 semantics)") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val dir = Files.createTempDirectory("graft_backfill").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/t")
+    def files(l: String): Set[(String, Long, Long)] =
+      Option(new java.io.File(s"$dir/t/lang=$l").listFiles()).getOrElse(Array())
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val frBefore = files("fr")
+    assert(frBefore.nonEmpty)
+    docs.filter($"lang" === "en").withColumn("source", lit("patched"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(s"$dir/t")
+    assert(files("fr") == frBefore,
+      "backfill must leave untouched partitions' files in place")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.filter($"lang" === "en").select("source").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("patched"),
+      "the backfilled partition must contain only the corrected batch")
+    assert(back.count() == docs.count(), "row count conserved across the backfill")
+  }
 }
