@@ -1003,10 +1003,15 @@ object Dedup {
     * position-free. */
   /** Winnowed fingerprint set (doc_id, f): min 4-gram hash per window of
     * w=4 consecutive positions, distinct values per doc. Shared with the
-    * spec so the w+k−1 detection guarantee is testable directly. */
-  private[graft] def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    * spec so the w+k−1 detection guarantee is testable directly — also
+    * on GENERATED corpora (PropertySpec), hence the (doc_id, text)
+    * DataFrame overload. */
+  private[graft] def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.documents(s, dir))
+
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     val tt = col("t")
-    val g = Tables.documents(s, dir)
+    val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(tt) >= 4)
       .select(col("doc_id"), tt, (size(tt) - 3).as("m"),

@@ -1147,4 +1147,38 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(rows(k)._2 - p) < 1e-9, s"transition $k probability")
     }
   }
+
+  test("winnowing guarantee holds on generated corpora with a tiny tie-heavy vocab") {
+    // 40 seeded trials in ONE job: doc pair (2t, 2t+1) of 30..80 tokens
+    // drawn from a 4-word vocabulary (so k-grams repeat INSIDE windows —
+    // the tie case the fixture barely exercises), with a shared 7-token
+    // run planted at independent random offsets. The paper's guarantee
+    // (k=4, w=4 ⇒ any shared run of w+k−1 = 7 tokens yields a shared
+    // fingerprint) must hold for every trial.
+    val rnd = new scala.util.Random(20260815)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    def tokens(n: Int): Vector[String] = Vector.fill(n)(vocab(rnd.nextInt(4)))
+    val docs = (0 until 40).flatMap { t =>
+      val run = tokens(7)
+      def doc(id: Long): (Long, String) = {
+        val body = tokens(30 + rnd.nextInt(51))
+        val at = rnd.nextInt(body.length + 1)
+        (id, (body.take(at) ++ run ++ body.drop(at)).mkString(" "))
+      }
+      Seq(doc(2L * t), doc(2L * t + 1))
+    }.toDF("doc_id", "text")
+    val fp = graft.operators.Dedup.winnowFingerprints(docs)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("f")).toSet).toMap
+    (0 until 40).foreach { t =>
+      val shared = fp(2L * t).intersect(fp(2L * t + 1))
+      assert(shared.nonEmpty, s"trial $t: planted 7-token run left no shared fingerprint")
+    }
+    // density law on the generated corpus too: 1 <= |F| <= max(1, m-3)
+    docs.collect().foreach { r =>
+      val m = r.getAs[String]("text").split(" ").length - 3
+      val n = fp(r.getAs[Long]("doc_id")).size
+      assert(n >= 1 && n <= math.max(1, m - 3))
+    }
+  }
 }
