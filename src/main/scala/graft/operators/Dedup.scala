@@ -1006,8 +1006,14 @@ object Dedup {
     * spec so the w+k−1 detection guarantee is testable directly — also
     * on GENERATED corpora (PropertySpec), hence the (doc_id, text)
     * DataFrame overload. */
+  /** MV-backed per-dataset fingerprint set: the positional md5 explode
+    * is the dominant cost and q238 consumes the set five times (sizes,
+    * commonness filter, both self-join sides), so it computes once per
+    * dataset like the shingle set (round-2 MV finding). */
   private[graft] def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
-    winnowFingerprints(Tables.documents(s, dir))
+    graft.sources.MaterializedViews.cached(s, dir, "winnow_fp_k4w4") {
+      winnowFingerprints(Tables.documents(s, dir))
+    }
 
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     val tt = col("t")
@@ -1123,15 +1129,20 @@ object Dedup {
       FROM isl WHERE span_tokens >= 15
       ORDER BY doc_id, span_start"""),
     (s, dir) => {
-      val tt = col("t")
-      val g = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(tt) >= 6)
-        .select(col("doc_id"), tt,
-          explode(sequence(lit(1), size(tt) - 5)).as("i"))
-        .select(col("doc_id"), col("i"),
-          text.md5Hash60(concat_ws(" ", (0 until 6).map(k =>
-            element_at(tt, col("i") + k)): _*)).as("h"))
+      // positional 6-gram hashes as a per-dataset MV: the md5 explode is
+      // the dominant cost and the table feeds both the duplicated-hash
+      // aggregate and the position join below
+      val g = graft.sources.MaterializedViews.cached(s, dir, "kgram6_pos") {
+        val tt = col("t")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(tt) >= 6)
+          .select(col("doc_id"), tt,
+            explode(sequence(lit(1), size(tt) - 5)).as("i"))
+          .select(col("doc_id"), col("i"),
+            text.md5Hash60(concat_ws(" ", (0 until 6).map(k =>
+              element_at(tt, col("i") + k)): _*)).as("h"))
+      }
       val duph = g.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("h")

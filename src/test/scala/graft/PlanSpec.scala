@@ -227,6 +227,35 @@ class PlanSpec extends AnyFunSuite {
       "click-rush pairs must come from the bin equi-join, not an all-pairs scan")
   }
 
+  test("q238/q239: fingerprint pairing and span detection are hash-keyed, never all-pairs") {
+    val p8 = plan("q238_winnowing_fingerprints")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"),
+      "winnowing pairs must come from the fingerprint-value equi-join")
+    assert(p8.contains("WindowGroupLimit") || "Window".r.findFirstIn(p8).isDefined)
+    val p9 = plan("q239_dup_span_islands")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"),
+      "span detection must join positions to the duplicated-hash set by hash")
+  }
+
+  test("q243: SNM global rank is bucket-decomposed, neighbor pairing is an equi-join") {
+    val p = plan("q243_sorted_neighborhood_neardup")
+    // the heavy rank window must partition by the bucket column — a
+    // Window with an empty partition spec over the corpus would be the
+    // one-task global sort SNM is supposed to avoid
+    assert("Window .*partition.*bkt".r.findFirstIn(p.toLowerCase.replace("\n", " "))
+      .isDefined || p.contains("windowspecdefinition(bkt"),
+      s"SNM rank window must partition by the key-prefix bucket")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "neighbor pairing must be the rank+d equi-join")
+  }
+
+  test("q244: the backfilled table's read is a plain partitioned parquet scan") {
+    val p = plan("q244_partition_backfill_overwrite")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "the per-partition checksum must map-side combine")
+  }
+
   test("q71: subqueries decorrelate to semi/anti/outer joins, no per-row re-execution") {
     val p = plan("q71_correlated_subqueries")
     assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a left-semi join")
