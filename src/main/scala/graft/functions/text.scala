@@ -52,6 +52,35 @@ object text {
       |  FROM p0 JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.5)""".stripMargin
 
+  /** Positional k-gram hashes: (doc_id, i, h) with i = 1..len−k+1 and
+    * h = [[md5Hash60]] of the space-joined k-gram. Docs shorter than k
+    * tokens produce no rows. Shared by the winnowing fingerprints (k=4)
+    * and the duplicated-span islands (k=6); the oracle twin is
+    * [[posKgramCteSql]]. Token array materialized as an attribute first
+    * (same re-evaluation hazard as [[shingles]]). */
+  def posKgramHashes(docs: DataFrame, k: Int): DataFrame = {
+    val tt = col("t")
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(tt) >= k)
+      .select(col("doc_id"), tt,
+        explode(sequence(lit(1), size(tt) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5Hash60(concat_ws(" ",
+          (0 until k).map(j => element_at(tt, col("i") + j)): _*)).as("h"))
+  }
+
+  /** DuckDB twin of [[posKgramHashes]]: a subquery producing
+    * (doc_id, i, h); expects a CTE `tok(doc_id, t)` in scope (see
+    * [[shinglesCte]]'s `tok`). */
+  def posKgramCteSql(k: Int): String = {
+    val gram = (0 until k).map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""(SELECT doc_id, i, ${md5Hash60Sql(gram)} AS h
+       |       FROM (SELECT doc_id, t,
+       |                    unnest(generate_series(1, len(t) - ${k - 1})) AS i
+       |             FROM tok WHERE len(t) >= $k))""".stripMargin
+  }
+
   /** 60-bit token hash both engines can compute identically: the first 15
     * hex digits of md5 interpreted as an integer. Used by SimHash so the
     * oracle can reproduce signatures bit-for-bit. */

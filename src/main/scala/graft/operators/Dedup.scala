@@ -1016,20 +1016,11 @@ object Dedup {
     }
 
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
-    val tt = col("t")
-    val g = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(tt) >= 4)
-      .select(col("doc_id"), tt, (size(tt) - 3).as("m"),
-        explode(sequence(lit(1), size(tt) - 3)).as("i"))
-      .select(col("doc_id"), col("i"), col("m"),
-        text.md5Hash60(concat_ws(" ",
-          element_at(tt, col("i")), element_at(tt, col("i") + 1),
-          element_at(tt, col("i") + 2), element_at(tt, col("i") + 3)))
-          .as("h"))
+    val g = text.posKgramHashes(docs, 4)
     val win = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.currentRow, 3)
-    g.withColumn("f", min(col("h")).over(win))
+    g.withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("f", min(col("h")).over(win))
       .filter(col("i") <= greatest(col("m") - 3, lit(1)))
       .select("doc_id", "f").distinct()
   }
@@ -1039,11 +1030,9 @@ object Dedup {
     "MOSS winnowing (k=4, w=4): shared-fingerprint doc pairs with overlap vs smaller set",
     Some(s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      g AS (SELECT doc_id, i, len(t) - 3 AS m,
-                   ${text.md5Hash60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")} AS h
-            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
-                  FROM tok WHERE len(t) >= 4)),
-      w AS (SELECT doc_id, i, m,
+      g AS ${text.posKgramCteSql(4)},
+      w AS (SELECT doc_id, i,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS m,
                    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
             FROM g),
@@ -1113,10 +1102,7 @@ object Dedup {
     "cross-doc duplicated spans >= 15 tokens via 6-gram islands (ExactSubstr shape)",
     Some(s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      g AS (SELECT doc_id, i,
-                   ${text.md5Hash60Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]")} AS h
-            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 5)) AS i
-                  FROM tok WHERE len(t) >= 6)),
+      g AS ${text.posKgramCteSql(6)},
       duph AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
       d AS (SELECT doc_id, i,
                    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
@@ -1133,15 +1119,7 @@ object Dedup {
       // the dominant cost and the table feeds both the duplicated-hash
       // aggregate and the position join below
       val g = graft.sources.MaterializedViews.cached(s, dir, "kgram6_pos") {
-        val tt = col("t")
-        Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(tt) >= 6)
-          .select(col("doc_id"), tt,
-            explode(sequence(lit(1), size(tt) - 5)).as("i"))
-          .select(col("doc_id"), col("i"),
-            text.md5Hash60(concat_ws(" ", (0 until 6).map(k =>
-              element_at(tt, col("i") + k)): _*)).as("h"))
+        text.posKgramHashes(Tables.documents(s, dir), 6)
       }
       val duph = g.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
