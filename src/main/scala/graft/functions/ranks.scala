@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe grouped ranking: the bucket-prefix decomposition of
+  * `row_number() OVER (PARTITION BY partCols ORDER BY orderCols)`.
+  *
+  * A rank window whose partition domain is small (five market segments —
+  * or empty, a global rank) sorts everything in one task per partition
+  * value. The decomposition (q154 precedent, round-11 verdict item 3):
+  * rank locally within (partCols, bucket) — parallelism = buckets — and
+  * add the broadcast prefix-count of earlier buckets. `bucketCol` must
+  * be a COARSENING of the leading order key (equal order keys share a
+  * bucket, ascending bucket order = ascending key order), which makes
+  * the decomposition provably rank-identical; the oracles of every
+  * consumer state the plain global window and the hash gate proves the
+  * equivalence on real data. A hot bucket is handled by widening the
+  * bucketing function — the plan shape is unchanged.
+  */
+object ranks {
+
+  /** Returns `df` plus a BIGINT `rankName` column carrying the exact
+    * `row_number()` of the (partCols, orderCols) window. */
+  def bucketedGlobalRank(df: DataFrame, partCols: Seq[String],
+      bucketCol: String, orderCols: Seq[Column],
+      rankName: String): DataFrame = {
+    val wLoc = Window.partitionBy((partCols :+ bucketCol).map(col): _*)
+      .orderBy(orderCols: _*)
+    val grpCols = partCols.map(c => col(c).as(s"__b_$c")) :+
+      col(bucketCol).as("__b_bkt")
+    val bt = df.groupBy(grpCols: _*).agg(count(lit(1)).as("__b_n"))
+    val wB = (if (partCols.isEmpty) Window.orderBy(col("__b_bkt"))
+      else Window.partitionBy(partCols.map(c => col(s"__b_$c")): _*)
+        .orderBy(col("__b_bkt")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bt
+      .withColumn("__b_off", coalesce(sum(col("__b_n")).over(wB), lit(0L)))
+      .select(partCols.map(c => col(s"__b_$c")) ++
+        Seq(col("__b_bkt"), col("__b_off")): _*)
+    val joinCond = (partCols.map(c => col(c) === col(s"__b_$c")) :+
+      (col(bucketCol) === col("__b_bkt"))).reduce(_ && _)
+    df.withColumn("__b_loc", row_number().over(wLoc).cast("long"))
+      .join(broadcast(pre), joinCond)
+      .withColumn(rankName, col("__b_off") + col("__b_loc"))
+      .drop(partCols.map(c => s"__b_$c") ++
+        Seq("__b_bkt", "__b_off", "__b_loc"): _*)
+  }
+}

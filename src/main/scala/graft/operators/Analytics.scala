@@ -199,20 +199,9 @@ object Analytics {
       // stay inside one bucket), so the decomposition is provably
       // rank-identical and the hash gate proves it on real data.
       val revB = rev.withColumn("bkt", floor(col("rev") / 100000).cast("long"))
-      val wLoc = Window.partitionBy("c_mktsegment", "bkt")
-        .orderBy(col("rev"), col("o_custkey"))
-      val bt = revB.groupBy(col("c_mktsegment").as("bseg"), col("bkt").as("bbkt"))
-        .agg(count(lit(1)).as("n_b"))
-      val wB = Window.partitionBy("bseg").orderBy(col("bbkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pre = bt
-        .withColumn("off_n", coalesce(sum(col("n_b")).over(wB), lit(0L)))
-        .select(col("bseg"), col("bbkt"), col("off_n"))
-      val ranked = revB
-        .withColumn("i_l", row_number().over(wLoc).cast("long"))
-        .join(broadcast(pre),
-          col("c_mktsegment") === col("bseg") && col("bkt") === col("bbkt"))
-        .withColumn("i", col("off_n") + col("i_l"))
+      val ranked = graft.functions.ranks.bucketedGlobalRank(
+        revB, Seq("c_mktsegment"), "bkt",
+        Seq(col("rev"), col("o_custkey")), "i")
       import org.apache.spark.sql.types.DecimalType
       def exactSum(c: org.apache.spark.sql.Column) =
         sum(c.cast(DecimalType(30, 10))).cast("double")

@@ -1283,15 +1283,9 @@ object Dedup {
       def rnOf(keyCol: String): DataFrame = {
         val b = keys.select(col("doc_id"), col(keyCol).as("k"))
           .withColumn("bkt", substring(col("k"), 1, 4))
-        val wLoc = Window.partitionBy("bkt").orderBy(col("k"), col("doc_id"))
-        val loc = b.withColumn("rn_l", row_number().over(wLoc).cast("long"))
-        val wB = Window.orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val off = b.groupBy("bkt").agg(count(lit(1)).as("n"))
-          .withColumn("off", coalesce(sum(col("n")).over(wB), lit(0L)))
-          .select(col("bkt").as("jbkt"), col("off"))
-        loc.join(broadcast(off), col("bkt") === col("jbkt"))
-          .select(col("doc_id"), (col("off") + col("rn_l")).as("rn"))
+        graft.functions.ranks.bucketedGlobalRank(
+            b, Nil, "bkt", Seq(col("k"), col("doc_id")), "rn")
+          .select("doc_id", "rn")
       }
       def candsOf(p: DataFrame): DataFrame = {
         val a = p.select(col("doc_id").as("da"), col("rn"),
