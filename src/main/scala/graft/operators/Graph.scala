@@ -226,5 +226,97 @@ object Graph {
         .orderBy(col("ra_micro").desc, col("doc_a"), col("doc_b")).limit(20)
     })
 
-  def defs: Seq[QueryDef] = Seq(q73, q119, q209)
+  // ---------------------------------------------------------------------
+  // q245 — multi-source BFS: hop distance from each cluster's canonical
+  // ---------------------------------------------------------------------
+
+  /** Bounded multi-source BFS over the verified near-dup graph — the
+    * iterative-traversal operator class next to components (fixpoint
+    * labels, q45) and PageRank (fixed iterations, q73): every node's
+    * HOP DISTANCE from its cluster's canonical (min-doc_id) node,
+    * computed by synchronous distance relaxation seeded at the
+    * canonicals. hops > 1 is the dedup-drift signal: a chain A~B~C
+    * where A≁C means the cluster exists only through transitive edges,
+    * exactly the cluster a kill-list dedup (q44) treats differently
+    * from a clique — the radius readout says how chained each cluster
+    * is before survivors are chosen.
+    *
+    * Scale shape: the relaxation is the components loop's (q45's MV
+    * build) with distances instead of labels — one equi-join + min-agg
+    * per hop on the (tiny, pair-MV-sized) edge table, lineage handled
+    * by per-step persist, one action per iteration carrying the
+    * convergence flag, hop cap 20 (clusters are shallow; the cap also
+    * bounds the DuckDB recursion). Distances only ever decrease, so
+    * changed = 0 IS the fixpoint proof. */
+  private val q245 = QueryDef(
+    "q245_cluster_bfs_hops",
+    "per-node hop distance from the cluster canonical (multi-source BFS) + cluster radius",
+    Some(s"""
+      WITH RECURSIVE ${text.verifiedPairsCte},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      creach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM creach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM creach GROUP BY node),
+      walk(node, h) AS (
+        SELECT node, 0 FROM comp WHERE node = component_id
+        UNION
+        SELECT e.d, r.h + 1 FROM walk r JOIN edges e ON e.s = r.node
+        WHERE r.h < 20),
+      hops AS (SELECT node, CAST(MIN(h) AS BIGINT) AS hops
+               FROM walk GROUP BY node),
+      rad AS (SELECT component_id, CAST(MAX(hops) AS BIGINT) AS radius
+              FROM hops JOIN comp USING (node) GROUP BY component_id)
+      SELECT c.node AS doc_id, c.component_id, h.hops, r.radius
+      FROM comp c JOIN hops h ON h.node = c.node
+                  JOIN rad r USING (component_id)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val comp = Dedup.components(s, dir)
+      val pairs = Dedup.verifiedPairs(s, dir)
+      val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val inf = Long.MaxValue
+      var dist = comp.select(col("node"),
+          when(col("node") === col("component_id"), 0L)
+            .otherwise(inf).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var iter = 0
+      var prevCached = dist
+      while (!converged && iter < 20) {
+        val nmin = edges
+          .join(dist.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
+          .filter(col("h") =!= inf)
+          .groupBy(col("doc_b").as("node"))
+          .agg((min(col("h")) + 1L).as("nh"))
+        val stepped = dist.join(nmin, Seq("node"), "left")
+          .select(col("node"), col("h"),
+            least(col("h"), coalesce(col("nh"), col("h"))).as("nxt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nChanged = stepped
+          .agg(coalesce(sum(when(col("nxt") < col("h"), 1L).otherwise(0L)),
+            lit(0L))).head().getLong(0)
+        prevCached.unpersist()
+        prevCached = stepped
+        dist = stepped.select(col("node"), col("nxt").as("h"))
+        converged = nChanged == 0
+        iter += 1
+      }
+      // mirror the oracle's 20-hop recursion bound exactly: a node the
+      // relaxation never reached (h = inf) has no walk row either side
+      val hops = dist.filter(col("h") =!= inf)
+        .select(col("node"), col("h").as("hops"))
+      val rad = hops.join(comp, Seq("node"))
+        .groupBy("component_id").agg(max(col("hops")).as("radius"))
+      comp.join(hops, Seq("node")).join(broadcast(rad), Seq("component_id"))
+        .select(col("node").as("doc_id"), col("component_id"),
+          col("hops"), col("radius"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q73, q119, q209, q245)
 }

@@ -853,6 +853,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(snm == brute, "multi-pass SNM reaches full recall on the fixture")
   }
 
+  test("q245 BFS hops carry the exact-distance certificate and agree with q45") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q245_cluster_bfs_hops").collect()
+    assert(rows.nonEmpty)
+    val hops = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hops")).toMap
+    val compOf = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
+    val q45 = run("q45_neardup_components").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id")).toMap
+    assert(compOf == q45, "BFS must cover exactly the component view's nodes")
+    // adjacency recomputed brute-force from the public shingle helper
+    val sh = graft.functions.text.shingles(
+      graft.sources.Tables.documents(spark, sf))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("sb")), Seq("b"))
+      .filter(round(col("inter").cast("double")
+        / (col("sa") + col("sb") - col("inter")), 4) >= 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exactness certificate: h(canonical) = 0, and every node's h equals
+    // min over neighbors + 1 (lower neighbor exists, no lower is possible)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id"); val h = hops(d)
+      if (d == compOf(d)) assert(h == 0, s"canonical $d must be hop 0")
+      else {
+        assert(h >= 1 && adj(d).exists(n => hops(n) == h - 1),
+          s"node $d at hops $h lacks a hops-${h - 1} neighbor")
+        assert(h <= adj(d).map(hops).min + 1,
+          s"node $d overshoots its neighborhood minimum")
+      }
+    }
+    // radius is the per-component max
+    val radii = rows.map(r =>
+      r.getAs[Long]("component_id") -> r.getAs[Long]("radius")).toMap
+    rows.groupBy(_.getAs[Long]("component_id")).foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Long]("hops")).max == radii(c))
+    }
+  }
+
   test("q240 int8 quantization audit: one row, bounded recall and tiny dot error") {
     val r = run("q240_sq8_quantization_recall").collect()
     assert(r.length == 1)
