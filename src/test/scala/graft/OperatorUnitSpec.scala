@@ -143,4 +143,36 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(got.contains(("ALL", "ALL")))   // grand total present
     assert(got == got.sorted)              // lexicographic: "A" < "ALL" < "F"
   }
+
+  test("bucketedGlobalRank equals the plain window on seeded data (ties, negatives, empty buckets)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(245)
+    // values include negatives (floor-bucket sign case), heavy ties
+    // (tie-break id), and a sparse range (buckets with no rows)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, if (i % 3 == 0) "A" else "B", (rnd.nextInt(21) - 10).toDouble)
+    }
+    val df = rows.toDF("id", "part", "v")
+      .withColumn("bkt", floor(col("v") / 4).cast("long"))
+    def expect(partCols: Seq[String]) = {
+      val w = (if (partCols.isEmpty) Window.partitionBy()
+        else Window.partitionBy(partCols.map(col): _*))
+        .orderBy(col("v"), col("id"))
+      df.withColumn("rn_exp", row_number().over(w).cast("long"))
+        .select((partCols :+ "id").map(col) :+ col("rn_exp"): _*)
+    }
+    // grouped form
+    val got = graft.functions.ranks
+      .bucketedGlobalRank(df, Seq("part"), "bkt", Seq(col("v"), col("id")), "rn")
+      .select("part", "id", "rn")
+    assert(got.join(expect(Seq("part")), Seq("part", "id"))
+      .filter(col("rn") =!= col("rn_exp")).count() == 0)
+    assert(got.count() == 400)
+    // global form (empty partCols)
+    val gotG = graft.functions.ranks
+      .bucketedGlobalRank(df, Nil, "bkt", Seq(col("v"), col("id")), "rn")
+      .select("id", "rn")
+    assert(gotG.join(expect(Nil), Seq("id"))
+      .filter(col("rn") =!= col("rn_exp")).count() == 0)
+  }
 }
