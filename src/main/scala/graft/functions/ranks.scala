@@ -39,8 +39,15 @@ object ranks {
       .withColumn("__b_off", coalesce(sum(col("__b_n")).over(wB), lit(0L)))
       .select(partCols.map(c => col(s"__b_$c")) ++
         Seq(col("__b_bkt"), col("__b_off")): _*)
-    val joinCond = (partCols.map(c => col(c) === col(s"__b_$c")) :+
-      (col(bucketCol) === col("__b_bkt"))).reduce(_ && _)
+    // Null-safe equality: a NULL partition or bucket value forms its own
+    // window partition under SQL window semantics (NULLs group together),
+    // and a plain === join would silently DROP those rows instead of
+    // ranking them. <=> keeps the decomposition rank-identical to the
+    // plain window even when partCols/bucketCol contain NULLs (NULL
+    // buckets sort FIRST in the prefix window, matching the default
+    // NULLS-first ascending order of the wB ORDER BY).
+    val joinCond = (partCols.map(c => col(c) <=> col(s"__b_$c")) :+
+      (col(bucketCol) <=> col("__b_bkt"))).reduce(_ && _)
     df.withColumn("__b_loc", row_number().over(wLoc).cast("long"))
       .join(broadcast(pre), joinCond)
       .withColumn(rankName, col("__b_off") + col("__b_loc"))

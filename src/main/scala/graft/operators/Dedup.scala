@@ -310,43 +310,18 @@ object Dedup {
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       // Seed with the one-hop neighbor minimum (what the first loop
       // iteration would compute) — near-dup clusters are shallow, so
-      // the seed is usually already the fixpoint.
-      var labels = edges.groupBy(col("doc_a").as("node"))
+      // the seed is usually already the fixpoint. The propagation is
+      // the shared min-relaxation skeleton ([[Graph.minRelax]],
+      // inc = 0): one join + min-agg per round, one action per round
+      // carrying the convergence flag (labels only ever decrease, so
+      // changed = 0 means fixpoint), lineage truncated per iteration
+      // so the plan stays constant-depth at any graph diameter and no
+      // catalog persist survives the MV build.
+      val seed = edges.groupBy(col("doc_a").as("node"))
         .agg(min(col("doc_b")).as("mb"))
-        .select(col("node"), least(col("node"), col("mb")).as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // One Spark action per iteration: the propagation carries a
-      // `changed` flag and the convergence test aggregates it in the
-      // same pass (no separate seed-sum action, and the final iteration
-      // IS the confirmation — labels only ever decrease, so changed=0
-      // means fixpoint). coalesce guards the empty-graph case.
-      var converged = false
-      var iter = 0
-      // the DataFrame actually holding the previous iteration's cache
-      // (labels itself may be a projection over it)
-      var prevCached: DataFrame = labels
-      while (!converged && iter < 20) {
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
-          .groupBy(col("doc_b").as("node"))
-          .agg(min(col("lbl")).as("nlbl"))
-        val stepped = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"), col("lbl"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nChanged = stepped
-          .agg(coalesce(sum(when(col("nxt") < col("lbl"), 1L).otherwise(0L)), lit(0L)))
-          .head().getLong(0)
-        prevCached.unpersist()
-        prevCached = stepped
-        labels = stepped.select(col("node"), col("nxt").as("lbl"))
-        converged = nChanged == 0
-        iter += 1
-      }
-      // The final iteration's persist stays live through the MV's
-      // parquet write (which executes this plan exactly once); the
-      // harness and tests clearCache() between queries.
-      labels.select(col("node"), col("lbl").as("component_id"))
+        .select(col("node"), least(col("node"), col("mb")).as("v"))
+      Graph.minRelax(seed, edges, 0L, 20)
+        .select(col("node"), col("v").as("component_id"))
     }
 
   /** Connected components over the verified near-dup graph: the full
@@ -1092,11 +1067,21 @@ object Dedup {
     * text, and unlike q129's fixed 32-token chunking it is
     * alignment-free: a span is found wherever it starts.
     *
+    * Island semantics (round-12 ADVICE): each duplicated k-gram start i
+    * covers the TOKEN range [i, i+k−1]; islands are the merge of
+    * overlapping-or-adjacent ranges (the standard interval-merge window:
+    * break when a start exceeds the running max end + 1), so two
+    * duplicated runs whose ranges share tokens merge into ONE span and
+    * no token is ever double-counted — exactly the ExactSubstr
+    * "merge overlapping duplicated ranges" rule. span_start/span_end are
+    * the first/last duplicated TOKEN, span_tokens their exact count.
+    *
     * Scale shape: the duplicated-k-gram set is ONE hash aggregate keyed
     * by the 60-bit content hash (map-side combinable count-distinct at
     * ≤ 2 cutoff), positions join it by hash equi-join, and the island
-    * merge is a per-document window — state bounded by document length,
-    * no cross-document shuffle beyond the hash-keyed one. */
+    * merge is a per-document window pair (running-max end, running-sum
+    * breaks) — state bounded by document length, no cross-document
+    * shuffle beyond the hash-keyed one. */
   private val q239 = QueryDef(
     "q239_dup_span_islands",
     "cross-doc duplicated spans >= 15 tokens via 6-gram islands (ExactSubstr shape)",
@@ -1104,13 +1089,23 @@ object Dedup {
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       g AS ${text.posKgramCteSql(6)},
       duph AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-      d AS (SELECT doc_id, i,
-                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-            FROM g JOIN duph USING (h)),
-      isl AS (SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
-                     CAST(MAX(i) AS BIGINT) AS span_end,
-                     CAST(MAX(i) - MIN(i) + 6 AS BIGINT) AS span_tokens
-              FROM d GROUP BY doc_id, grp)
+      d AS (SELECT doc_id, i AS s, i + 5 AS e FROM g JOIN duph USING (h)),
+      m AS (SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM d),
+      b AS (SELECT doc_id, s, e,
+                   CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END
+                     AS brk
+            FROM m),
+      c AS (SELECT doc_id, s, e,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+            FROM b),
+      isl AS (SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+                     CAST(MAX(e) AS BIGINT) AS span_end,
+                     CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+              FROM c GROUP BY doc_id, grp)
       SELECT doc_id, span_start, span_end, span_tokens
       FROM isl WHERE span_tokens >= 15
       ORDER BY doc_id, span_start"""),
@@ -1124,13 +1119,21 @@ object Dedup {
       val duph = g.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("h")
+      val w = Window.partitionBy("doc_id").orderBy("s")
       val d = g.join(duph, Seq("h"))
-        .withColumn("grp", col("i") - row_number().over(
-          Window.partitionBy("doc_id").orderBy("i")))
+        .select(col("doc_id"), col("i").as("s"), (col("i") + 5).as("e"))
+        // interval merge: a range starts a NEW island only when it
+        // clears the running max end of everything before it by > 1
+        // token (overlap OR adjacency merges)
+        .withColumn("pmax",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk", when(col("pmax").isNull ||
+          col("s") > col("pmax") + 1, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("brk")).over(w))
       d.groupBy("doc_id", "grp")
-        .agg(min(col("i")).cast("long").as("span_start"),
-          max(col("i")).cast("long").as("span_end"),
-          (max(col("i")) - min(col("i")) + 6).cast("long").as("span_tokens"))
+        .agg(min(col("s")).cast("long").as("span_start"),
+          max(col("e")).cast("long").as("span_end"),
+          (max(col("e")) - min(col("s")) + 1).cast("long").as("span_tokens"))
         .filter(col("span_tokens") >= 15)
         .select("doc_id", "span_start", "span_end", "span_tokens")
         .orderBy("doc_id", "span_start")

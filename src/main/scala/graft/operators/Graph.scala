@@ -32,6 +32,70 @@ object Graph {
     if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) ds.checkpoint()
     else ds.localCheckpoint()
 
+  /** Frees the materialized blocks behind a [[truncateLineage]] result
+    * once a LATER checkpoint has superseded it (the new checkpoint holds
+    * real rows, not lineage, so the old blocks are garbage the moment the
+    * new one is materialized). Only call on frames whose checkpoint RDDs
+    * are exclusively owned by the loop — the collect walks every
+    * LogicalRDD leaf in the plan. Without this, a 20-iteration loop
+    * holds 20 generations of blocks until the ContextCleaner notices the
+    * RDDs are unreachable; with it, peak block usage is 2 generations. */
+  private[operators] def releaseLineage(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Shared skeleton of the two iterative min-relaxation operators —
+    * connected components (q45's MV build: labels, `inc = 0`) and
+    * multi-source BFS (q245: hop distances, `inc = 1`) are the SAME
+    * loop: `v(n) ← min(v(n), min over edges m→n of v(m) + inc)`,
+    * iterated to fixpoint. `init` is a (node, v) frame (`Long.MaxValue`
+    * = unreached, guarded before the `+ inc` so distances cannot
+    * overflow); `edges` is a directed (doc_a → doc_b) frame. Values
+    * only ever decrease, so changed = 0 IS the fixpoint proof, and the
+    * convergence test rides the same pass as the propagation (one
+    * materialization per iteration, no separate action).
+    *
+    * Scale/lifecycle discipline (round-12 verdict item 3 + ADVICE):
+    * every iteration runs through [[truncateLineage]], so the logical
+    * plan is a CONSTANT-DEPTH projection over materialized rows no
+    * matter how many hops the graph diameter needs — the per-iteration
+    * analyzer/optimizer cost stays flat where a lazy chain would deepen
+    * linearly (and pay quadratic planner time over the loop). No
+    * catalog `persist()` anywhere: nothing to leak past the query and
+    * no dependency on the harness's `clearCache()`; superseded
+    * checkpoint generations are freed eagerly via [[releaseLineage]]
+    * and the final generation by the ContextCleaner once the caller
+    * drops the result. IterativeSpec pins the bounded plan depth, the
+    * zero-cache-entry contract, and exact results on chain graphs
+    * deeper than the checkpoint cadence. */
+  private[graft] def minRelax(init: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame, inc: Long,
+      maxIter: Int): org.apache.spark.sql.DataFrame = {
+    var cur = truncateLineage(init)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nmin = edges
+        .join(cur.select(col("node").as("doc_a"), col("v")), Seq("doc_a"))
+        .filter(col("v") =!= Long.MaxValue)
+        .groupBy(col("doc_b").as("node"))
+        .agg((min(col("v")) + inc).as("nv"))
+      val stepped = truncateLineage(
+        cur.join(nmin, Seq("node"), "left")
+          .select(col("node"), col("v"),
+            least(col("v"), coalesce(col("nv"), col("v"))).as("nxt")))
+      val nChanged = stepped
+        .agg(coalesce(sum(when(col("nxt") < col("v"), 1L).otherwise(0L)),
+          lit(0L))).head().getLong(0)
+      releaseLineage(cur)
+      cur = stepped.select(col("node"), col("nxt").as("v"))
+      converged = nChanged == 0
+      iter += 1
+    }
+    cur
+  }
+
   /** 10 fixed iterations. The rank table is lineage-truncated every 3
     * iterations: round 2 showed that leaving all 10 join+agg steps as
     * ONE lazy plan makes Catalyst analyze/optimize a 10-deep tree whose
@@ -80,6 +144,7 @@ object Graph {
       val deg = truncateLineage(
         e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
       var rank = deg.select(col("node"), col("deg"), lit(1000000L).as("rank"))
+      var prevCp: Option[org.apache.spark.sql.DataFrame] = None
       for (i <- 1 to 10) {
         val contrib = e.join(
             rank.select(col("node").as("src"), expr("rank DIV deg").as("share")),
@@ -89,7 +154,13 @@ object Graph {
         rank = deg.join(contrib, Seq("node"), "left")
           .select(col("node"), col("deg"),
             (lit(150000L) + expr("COALESCE(s, 0L) * 85 DIV 100")).as("rank"))
-        if (i % 3 == 0 && i < 10) rank = truncateLineage(rank)
+        if (i % 3 == 0 && i < 10) {
+          rank = truncateLineage(rank)
+          // the new checkpoint holds real rows — the previous
+          // generation's blocks are garbage the moment it materializes
+          prevCp.foreach(releaseLineage)
+          prevCp = Some(rank)
+        }
       }
       rank
         .select(col("node").as("doc_id"), col("rank").as("pr_rank"),
@@ -242,12 +313,14 @@ object Graph {
     * is before survivors are chosen.
     *
     * Scale shape: the relaxation is the components loop's (q45's MV
-    * build) with distances instead of labels — one equi-join + min-agg
-    * per hop on the (tiny, pair-MV-sized) edge table, lineage handled
-    * by per-step persist, one action per iteration carrying the
-    * convergence flag, hop cap 20 (clusters are shallow; the cap also
-    * bounds the DuckDB recursion). Distances only ever decrease, so
-    * changed = 0 IS the fixpoint proof. */
+    * build) with distances instead of labels — literally the same code
+    * now: [[minRelax]] with inc = 1. One equi-join + min-agg per hop on
+    * the (tiny, pair-MV-sized) edge table, lineage truncated per
+    * iteration so plan depth stays constant at any graph diameter, one
+    * action per iteration carrying the convergence flag, hop cap 20
+    * (clusters are shallow; the cap also bounds the DuckDB recursion).
+    * Distances only ever decrease, so changed = 0 IS the fixpoint
+    * proof. */
   private val q245 = QueryDef(
     "q245_cluster_bfs_hops",
     "per-node hop distance from the cluster canonical (multi-source BFS) + cluster radius",
@@ -280,36 +353,17 @@ object Graph {
       val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       val inf = Long.MaxValue
-      var dist = comp.select(col("node"),
+      // the shared min-relaxation skeleton (inc = 1 → hop distances);
+      // lineage-truncated per iteration, no catalog persist to leak
+      val dist = minRelax(
+        comp.select(col("node"),
           when(col("node") === col("component_id"), 0L)
-            .otherwise(inf).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var converged = false
-      var iter = 0
-      var prevCached = dist
-      while (!converged && iter < 20) {
-        val nmin = edges
-          .join(dist.withColumnRenamed("node", "doc_a"), Seq("doc_a"))
-          .filter(col("h") =!= inf)
-          .groupBy(col("doc_b").as("node"))
-          .agg((min(col("h")) + 1L).as("nh"))
-        val stepped = dist.join(nmin, Seq("node"), "left")
-          .select(col("node"), col("h"),
-            least(col("h"), coalesce(col("nh"), col("h"))).as("nxt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nChanged = stepped
-          .agg(coalesce(sum(when(col("nxt") < col("h"), 1L).otherwise(0L)),
-            lit(0L))).head().getLong(0)
-        prevCached.unpersist()
-        prevCached = stepped
-        dist = stepped.select(col("node"), col("nxt").as("h"))
-        converged = nChanged == 0
-        iter += 1
-      }
+            .otherwise(inf).as("v")),
+        edges, 1L, 20)
       // mirror the oracle's 20-hop recursion bound exactly: a node the
-      // relaxation never reached (h = inf) has no walk row either side
-      val hops = dist.filter(col("h") =!= inf)
-        .select(col("node"), col("h").as("hops"))
+      // relaxation never reached (v = inf) has no walk row either side
+      val hops = dist.filter(col("v") =!= inf)
+        .select(col("node"), col("v").as("hops"))
       val rad = hops.join(comp, Seq("node"))
         .groupBy("component_id").agg(max(col("hops")).as("radius"))
       comp.join(hops, Seq("node")).join(broadcast(rad), Seq("component_id"))

@@ -47,7 +47,7 @@ object Online {
     * count small at fixture scales while bounding driver memory.
     */
   private def replayThrough(s: SparkSession, dir: String, tag: String,
-      rocksDb: Boolean = true)
+      rocksDb: Boolean = true, sentinelType: String = "click")
       (pipe: org.apache.spark.sql.Dataset[Event] => DataFrame): (Seq[Row], Long) = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -159,8 +159,14 @@ object Online {
         // data batch (still sorted — it is the global max), so only ONE
         // extra probe batch is needed to fire the close timers.
         import scala.jdk.CollectionConverters._
-        val sent1 = Event(9000000L, far, 0L, "click", 0.0)
-        val sent2 = Event(9000001L, far + 3600000000L, 0L, "click", 0.0)
+        // sentinelType matters when the pipe FILTERS by event type: the
+        // predicate is pushed BELOW the EventTimeWatermark collector
+        // (it doesn't reference the watermark column), so a sentinel of
+        // a filtered-out type would never advance the watermark and the
+        // final windows would never close (observed on q246: the last
+        // two days stayed open behind a 'click' sentinel).
+        val sent1 = Event(9000000L, far, 0L, sentinelType, 0.0)
+        val sent2 = Event(9000001L, far + 3600000000L, 0L, sentinelType, 0.0)
         val grouped =
           sorted.toLocalIterator().asScala.grouped(batchSize).map(_.toSeq)
         val data: Iterator[Seq[Event]] =
@@ -330,5 +336,56 @@ object Online {
         .orderBy("user_id", "session_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q194, q218)
+  /** Third externally-gated streaming operator (round-12 verdict item
+    * 7): the stream ⋈ STATIC broadcast enrichment join
+    * ([[EventStream.enrichedDailyNationRevenue]]) replayed to close.
+    * Previously spec-gated only (StreamingSpec proves batch/stream
+    * parity and pins the broadcast plan); the deterministic replay
+    * oracle is the plain batch join+agg the enrichment computes —
+    * purchases joined to the customer→nation dimension, revenue as the
+    * order-free decimal sum per (day, nation) — so the driver's DuckDB
+    * compare now gates the stream-static join semantics too. The
+    * emitted set is bounded by days × nations, never by event volume;
+    * the far-future sentinel closes every 1-day window (append-mode
+    * window aggregates emit when the watermark passes the window end;
+    * the sentinel is purchase-typed so it survives the pushed-down
+    * filter and advances the watermark, then the dim join drops it
+    * before it could form a window of its own). */
+  private val q246 = QueryDef(
+    "q246_streaming_enrichment_parity",
+    "stream-static broadcast enrichment join replayed to close; oracle = batch join+agg",
+    Some(s"""
+      WITH p AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                        n.n_name AS nation, value
+                 FROM events e
+                 JOIN customer c ON c.c_custkey = e.user_id
+                 JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 WHERE e.event_type = 'purchase')
+      SELECT day, nation, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             ${graft.functions.det.dsumSql("value")} AS revenue
+      FROM p GROUP BY 1, 2
+      ORDER BY day, nation"""),
+    (s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+      // purchase-typed sentinel: it must SURVIVE the purchase filter to
+      // advance the watermark (see replayThrough), and is then dropped
+      // by the dim join (user_id 0 is no customer) before aggregation
+      val (rows, _) = replayThrough(s, dir, "q246", rocksDb = false,
+        sentinelType = "purchase")(ev =>
+        EventStream.enrichedDailyNationRevenue(ev.toDF(), dim))
+      val schema = StructType(Seq(
+        StructField("day", DateType, nullable = true),
+        StructField("nation", StringType, nullable = true),
+        StructField("n_purchases", LongType, nullable = true),
+        StructField("revenue", DoubleType, nullable = true)))
+      s.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+        .orderBy("day", "nation")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q194, q218, q246)
 }

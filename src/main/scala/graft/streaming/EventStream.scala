@@ -79,8 +79,12 @@ object EventStream {
       .filter(col("event_type") === "purchase")
       .join(broadcast(dim), Seq("user_id"))
       .groupBy(window(col("ts_t"), "1 day").as("w"), col("nation"))
+      // decimal-accumulated sum (det.dsum discipline): a plain double
+      // sum is accumulation-order-dependent, and the batch/stream parity
+      // gate asserts exact row equality — the micro-batch and batch
+      // plans partition differently, so the sum must be order-free
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum(col("value")), 4).as("revenue"))
+        graft.functions.det.dsum(col("value")).as("revenue"))
       .select(col("w.start").cast("date").as("day"), col("nation"),
         col("n_purchases"), col("revenue"))
 

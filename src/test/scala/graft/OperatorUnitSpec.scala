@@ -175,4 +175,27 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(gotG.join(expect(Nil), Seq("id"))
       .filter(col("rn") =!= col("rn_exp")).count() == 0)
   }
+
+  test("bucketedGlobalRank keeps NULL partition/bucket rows (null-safe join, round-12 ADVICE)") {
+    import org.apache.spark.sql.expressions.Window
+    // NULL v -> NULL bucket; NULL part -> NULL window partition. SQL
+    // window semantics group NULLs together and sort them FIRST under
+    // the default ascending order — the decomposition's prefix join
+    // must be null-safe (<=>) or these rows silently vanish.
+    val df = Seq(
+      (1L, Option("A"), Option(1.0)), (2L, Option("A"), Option.empty[Double]),
+      (3L, Option.empty[String], Option(2.0)), (4L, None: Option[String], Option.empty[Double]),
+      (5L, Option("A"), Option(1.5)), (6L, Option.empty[String], Option(-3.0)))
+      .toDF("id", "part", "v")
+      .withColumn("bkt", floor(col("v")).cast("long"))
+    val got = graft.functions.ranks
+      .bucketedGlobalRank(df, Seq("part"), "bkt", Seq(col("v"), col("id")), "rn")
+    assert(got.count() == 6, "NULL part/bucket rows must not be dropped")
+    val w = Window.partitionBy("part").orderBy(col("v"), col("id"))
+    val exp = df.withColumn("rn_exp", row_number().over(w).cast("long"))
+      .select("id", "rn_exp")
+    assert(got.join(exp, Seq("id"))
+      .filter(col("rn") =!= col("rn_exp")).count() == 0,
+      "NULL-group ranks must match the plain window")
+  }
 }

@@ -777,13 +777,15 @@ class PipelineSpec extends AnyFunSuite {
     spans.foreach { r =>
       val (s0, e0, t0) = (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
         r.getAs[Long]("span_tokens"))
-      assert(t0 == e0 - s0 + 6, "span_tokens must equal end - start + k")
+      // spans are contiguous duplicated-TOKEN runs after interval merge
+      assert(t0 == e0 - s0 + 1, "span_tokens must equal end - start + 1")
       assert(t0 >= 15, "span below the 15-token cut")
-      assert(s0 >= 1 && e0 + 5 <= lenByDoc(r.getAs[Long]("doc_id")),
+      assert(s0 >= 1 && e0 <= lenByDoc(r.getAs[Long]("doc_id")),
         "span exceeds document bounds")
     }
-    // islands are maximal: consecutive spans in a doc are separated by
-    // at least one non-duplicated position (else they would have merged)
+    // islands are maximal AND disjoint: consecutive spans in a doc are
+    // separated by at least one non-duplicated token (overlapping or
+    // adjacent ranges would have merged — no token is double-counted)
     spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { ss =>
       ss.sortBy(_.getAs[Long]("span_start")).toSeq.sliding(2).foreach {
         case Seq(a, b) =>

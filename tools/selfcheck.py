@@ -27,16 +27,23 @@ def norm(v):
     if isinstance(v, int): return ("i",v)
     return v
 
-passed, failed = [], []
+passed, failed, no_oracle = [], [], []
 import glob, os
-names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out,d)))
+dirs = set(d for d in os.listdir(out) if os.path.isdir(os.path.join(out,d)))
+# Union of oracle names and output dirs, mirroring the driver's check.py:
+# a query that crashed and wrote no output dir must FAIL (missing output),
+# not silently vanish; an output dir with no oracle is tracked separately
+# as 'no_oracle' rather than counted as a pass.
+names = sorted(dirs | set(oracle.keys()))
 for name in names:
     try:
+        if name not in dirs:
+            failed.append(name); continue
         sp = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         scols = [c[0] for c in sp.description]
         srows = sp.fetchall()
         if name not in oracle:
-            passed.append(name); continue
+            no_oracle.append(name); continue
         op = con.execute(oracle[name])
         ocols = [c[0] for c in op.description]
         orows = op.fetchall()
@@ -51,6 +58,8 @@ for name in names:
     except Exception as e:
         failed.append(name)
 json.dump({"failed": failed, "n_fail": len(failed), "n_pass": len(passed),
-           "passed": passed, "sf_dir": sf, "verify_out": out},
+           "no_oracle": no_oracle, "passed": passed, "sf_dir": sf,
+           "verify_out": out},
           open(dest, "w"), indent=None, sort_keys=True)
-print(dest, "n_pass", len(passed), "n_fail", len(failed), failed[:5])
+print(dest, "n_pass", len(passed), "n_fail", len(failed),
+      "n_no_oracle", len(no_oracle), failed[:5])
