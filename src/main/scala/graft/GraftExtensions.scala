@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, TopKLongPairs}
+import graft.functions.{DotProduct, TopKLongPairs, TopKSummedLongPairs}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKLongPairs].getName, "graft_topk_pairs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKLongPairs(children(0), children(1),
+          TopKLongPairs.literalK(children(2)))))
+    // fused sum-then-top-k-per-group aggregate (positive totals only —
+    // the tombstone-exclusion hook, see the class scaladoc):
+    // `SELECT key, graft_topk_sum(v, n, 5) ... GROUP BY key`
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk_sum"),
+      new ExpressionInfo(classOf[TopKSummedLongPairs].getName, "graft_topk_sum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKSummedLongPairs(children(0), children(1),
           TopKLongPairs.literalK(children(2)))))
     // keyless range joins (point-in-interval / band / interval-overlap
     // predicates) become banded equi-joins instead of nested-loop
@@ -97,6 +106,11 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk_pairs",
       exprs => TopKLongPairs(exprs(0), exprs(1),
+        TopKLongPairs.literalK(exprs(2))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk_sum",
+      exprs => TopKSummedLongPairs(exprs(0), exprs(1),
         TopKLongPairs.literalK(exprs(2))),
       "scala_udf")
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.sources.Tables
 import graft.functions.det._
-import graft.functions.TopKLongPairs
+import graft.functions.{TopKLongPairs, TopKSummedLongPairs}
 
 /** Remaining §2.5/§2.6 surface: supplier-side star join, CUBE with full
   * subtotal lattice, and the analytic-window family (running sums via
@@ -770,11 +770,13 @@ object Analytics {
     * k-bounded-heap TypedImperativeAggregate ([[TopKLongPairs]]) — the
     * standard item-CF sparsification that caps the scoring join at
     * |train parts per user| × 10 candidates regardless of catalog
-    * size, without the rank window's sort-exchange-sort-window pass; (c) the train-set
-    * exclusion is a LEFT ANTI on the candidate rows BEFORE score
-    * aggregation — the exclusion key is the group key, so the filtered
-    * sum is exactly the oracle's NOT EXISTS, and the agg reuses the
-    * anti join's (u, pb) partitioning (one candidate shuffle total);
+    * size, without the rank window's sort-exchange-sort-window pass;
+    * (c) the whole scoring tail — per-(u,pb) score sum, train-set
+    * exclusion, per-user top-5 — is ONE [[TopKSummedLongPairs]]
+    * aggregate over candidate rows plus per-(u,p) tombstone rows,
+    * walking the candidate set once where the anti-join → sum →
+    * heap composition walked it three times (fusion ≡ the oracle's
+    * NOT EXISTS; pinned by OperatorUnitSpec);
     * (d) the co-matrix joins only the pa < pb half and mirrors the
     * aggregated half (co-counts are symmetric — half the self-join
     * output for identical rows); (e) `recs` and `hp` are persisted so
@@ -847,21 +849,25 @@ object Analytics {
       FROM s1 CROSS JOIN s2 CROSS JOIN s3
       ORDER BY k"""),
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byCust = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      // persisted under the same lifecycle contract as recs/hp below
-      // (harnesses clearCache() after each query): the split window is
-      // tiny (|orders| rows, 4 cols) but feeds THREE branches — tp
-      // (train), the delta's excluded slice, and the holdout — and
-      // would otherwise re-sort orders once per branch
-      val lo = Tables.orders(s, dir).select(col("o_custkey").as("u"),
-        col("o_orderkey"), row_number().over(byCust).as("rn"),
-        count(lit(1)).over(Window.partitionBy("o_custkey")).as("no"))
-        .persist()
-      val tr = lo.filter(col("rn") > 1).select("u", "o_orderkey")
-      val ho = lo.filter(col("rn") === 1 && col("no") >= 2)
-        .select("u", "o_orderkey")
+      // Last-order split WITHOUT a window: the oracle's ROW_NUMBER()
+      // DESC == 1 row is exactly the per-customer max of
+      // (o_orderdate, o_orderkey) — a map-side-combinable struct-max
+      // aggregate plus an equi-join back, replacing the round-12 plan's
+      // sort + two Window passes over the full orders table (~54
+      // cumulative task-seconds in the StageMetrics profile, the #2
+      // cost after candidate scoring). The per-customer stats table is
+      // |customers| rows; the join back to orders stays unhinted so AQE
+      // broadcasts it at bench scale while the static plan remains a
+      // safe shuffle at 100 TB.
+      val ordu = Tables.orders(s, dir).select(col("o_custkey").as("u"),
+        col("o_orderkey"), col("o_orderdate"))
+      val custStats = ordu.groupBy("u").agg(
+        max(struct(col("o_orderdate"), col("o_orderkey"))).as("lst"),
+        count(lit(1)).as("no"))
+      val lo = ordu.join(custStats, Seq("u"))
+        .select(col("u"), col("o_orderkey"),
+          (struct(col("o_orderdate"), col("o_orderkey")) === col("lst"))
+            .as("is_last"), col("no"))
       // DELTA form over the shared co-purchase MVs (round-10 verdict
       // item 3): every order is either TRAIN (rn > 1) or EXCLUDED (each
       // customer's LAST order, rn == 1 — single-order customers' only
@@ -880,13 +886,25 @@ object Analytics {
       // direct train-side computation.
       val opAll = orderPartMV(s, dir)
       val pcAll = partCountsMV(s, dir)
-      val exc = lo.filter(col("rn") === 1).select("u", "o_orderkey")
-      val opExc = exc.join(opAll, col("o") === col("o_orderkey"))
-        .select(col("u"), col("o"), col("p"))
+      // ONE shuffle join attaches the split position to the incidence
+      // MV; tp (train user-part sets), hp (holdout sets) and the
+      // excluded slice are all filters over this persisted frame.
+      // Round-13 profile fix: the previous form joined tr/ho/exc
+      // against opAll SEPARATELY — three shuffle joins over the same
+      // ~|lineitem-distinct| incidence table where one suffices.
+      // Persisted under the same lifecycle contract as recs/hp below
+      // (harnesses clearCache() after each query).
+      val opu = opAll.join(lo, col("o") === col("o_orderkey"))
+        .select(col("u"), col("o"), col("p"), col("is_last"), col("no"))
+        .persist()
+      val opExc = opu.filter(col("is_last")).select("u", "o", "p")
       val pcExc = opExc.groupBy("p").agg(count(lit(1)).as("np_exc"))
+      // fTrain is BROADCAST three times (both half-matrix sides + the
+      // excluded-slice prune); persist it so each broadcast collect is
+      // a cache read, not a fresh pcAll ⋈ pcExc job.
       val fTrain = pcAll.join(pcExc, Seq("p"), "left")
         .filter(col("np") - coalesce(col("np_exc"), lit(0L)) >= 2)
-        .select("p")
+        .select("p").persist()
       val coAllF = coPairsMV(s, dir)
         .join(broadcast(fTrain.select(col("p").as("pa"))), Seq("pa"))
         .join(broadcast(fTrain.select(col("p").as("pb"))), Seq("pb"))
@@ -916,41 +934,51 @@ object Analytics {
         .agg(TopKLongPairs.topkPairs(col("n"), col("pb"), 10).as("top"))
         .select(col("pa"), explode(col("top")).as("t"))
         .select(col("pa"), col("t.v").as("pb"), col("t.ord").as("n"))
-      // user-part sets from the (already-distinct) incidence MV: the
-      // per-(o,p) dedup is baked into the view, so only the cross-order
-      // (u,p) dedup remains
-      val tp = tr.join(opAll, col("o") === col("o_orderkey"))
-        .select(col("u"), col("p")).distinct()
-      val hp = ho.join(opAll, col("o") === col("o_orderkey"))
+      // user-part sets from the (already-distinct) incidence via opu:
+      // the per-(o,p) dedup is baked into the view, so only the
+      // cross-order (u,p) dedup remains. tp feeds BOTH the candidate
+      // build and the tombstone rows — persist it so the train set is
+      // computed once, not once per consumer.
+      val tp = opu.filter(!col("is_last"))
         .select(col("u"), col("p")).distinct().persist()
-      // nb is bounded at |parts| × 10 truncated neighbors — broadcast it
-      // so the per-user scoring join never shuffles the train part sets.
-      // Train-set exclusion runs BEFORE the score aggregation: the
-      // exclusion key (u, pb) IS the group key, so filtering candidate
-      // rows first is exactly the NOT-EXISTS the oracle states, and the
-      // hash agg then reuses the anti join's (u, pb) partitioning — one
-      // candidate-set shuffle total where agg-then-anti paid two
-      // (measured 2× cold / 25% warm on the 4.8M-row candidate set).
-      // (measured and rejected: pre-repartitioning tp by u so the whole
-      // scoring pipeline shares one hash(u) exchange — subset
-      // co-partition — read ~10% SLOWER in an interleaved same-JVM A/B
-      // than letting the anti+agg shuffle on (u, pb) and the top-5 on u
-      // under AQE's coalescing, 2.30 vs 2.05 s min-of-4 at sf0.1)
-      val cand = tp.join(broadcast(nb), col("pa") === col("p"))
+      val hp = opu.filter(col("is_last") && col("no") >= 2)
+        .select(col("u"), col("p")).distinct().persist()
+      // WHOLE scoring tail — per-(u,pb) score sum, train-set exclusion,
+      // per-user top-5 — as ONE graft_topk_sum aggregate over the
+      // candidate join output: the broadcast side carries, besides the
+      // top-10 neighbor lists, one TOMBSTONE self-entry (pa=p, pb=p,
+      // huge negative n) per floored part, so the join emits the
+      // exclusion rows map-side alongside the candidates and the
+      // aggregate's positive-total rule drops every trained part's
+      // sunk total — exactly the oracle's NOT EXISTS, evaluated inside
+      // the aggregation. (Candidate pb-space is ⊆ fTrain — both co
+      // sides are floor-filtered — so fTrain self-entries cover every
+      // excludable pb.) The round-13 profile showed the previous chain
+      // (SHUFFLE_HASH anti → partial+final (u,pb) hash agg → per-user
+      // heap) walking the 5.2M candidate rows three times — 7.7 s anti
+      // build + 48.8 s hash agg + 45.4 s heap partial, cumulative — to
+      // keep 5 rows per user; the fused form walks them ONCE (one map
+      // upsert per row). OperatorUnitSpec pins row-equality of the
+      // fusion against the anti+sum+rank composition on randomized
+      // inputs. Scale shape: per-user state is ≤ 11 ×
+      // train-parts-per-user map entries, never corpus-sized.
+      val nbPlus = nb.unionByName(fTrain.select(col("p").as("pa"),
+        col("p").as("pb"),
+        lit(TopKSummedLongPairs.Tombstone).as("n")))
+      // EXPLICIT hash(u) repartition of the (small) train set BEFORE
+      // the broadcast join: the join preserves its child partitioning,
+      // so the scoring aggregate runs partial+final in-stage with NO
+      // exchange of the 5.9M joined rows — the only scoring shuffle is
+      // the 540k-row train set. The explicit partition count matters:
+      // tp's cache is ~8 MB, and AQE's partition coalescing otherwise
+      // collapses it to ONE partition, single-threading the whole
+      // 5.4M-row scoring pipeline (observed in the round-13 profile —
+      // a 9.5 s serial stage); a user-specified numPartitions is
+      // exempt from coalescing.
+      val fused = tp
+        .repartition(s.sessionState.conf.numShufflePartitions, col("u"))
+        .join(broadcast(nbPlus), col("pa") === col("p"))
         .select(col("u"), col("pb"), col("n"))
-      // SHUFFLE_HASH on the anti side: the per-partition (u, p) slice
-      // builds a hash set and the 4.8M candidate rows stream through it
-      // unsorted — Spark would otherwise SMJ the anti join and pay a
-      // sort on BOTH sides of the exchange (5.3 task-seconds of sort in
-      // the round-12 StageMetrics profile). Interleaved same-JVM A/B at
-      // sf0.1: hint mean 7.26 s / min 6.83 vs SMJ mean 7.84 / min 6.98
-      // over 5 alternating runs. Scale-safe: the build side is the
-      // partition's OWN slice of tp (shrinks with partition count) and
-      // Spark's shuffled-hash join spills since 3.1.
-      val scx = cand.join(
-          tp.select(col("u"), col("p").as("pb")).hint("SHUFFLE_HASH"),
-          Seq("u", "pb"), "left_anti")
-        .groupBy("u", "pb").agg(sum("n").as("score"))
       // recs (≤5 rows/user) and hp feed THREE readout branches (s1, the
       // hit join, the holdout semi-join) — persist both so the whole
       // recommender pipeline executes ONCE, not once per branch.
@@ -963,10 +991,8 @@ object Analytics {
       // This
       // was the real triplication behind the round-8 bench outlier: the
       // scalar readout fanned the full co-matrix + scoring DAG out 3×.
-      // Same fusion for the per-user top-5: heap aggregate on (score
-      // desc, pb asc) instead of the WindowGroupLimit rank filter.
-      val recs = scx.groupBy("u")
-        .agg(TopKLongPairs.topkPairs(col("score"), col("pb"), 5).as("top"))
+      val recs = fused.groupBy("u")
+        .agg(TopKSummedLongPairs.topkSum(col("pb"), col("n"), 5).as("top"))
         .select(col("u"), explode(col("top.v")).as("pb")).persist()
       val s1 = recs.agg(countDistinct("u").as("n_users"),
         count(lit(1)).as("n_recs"))

@@ -47,13 +47,13 @@ object Curation {
     * the LM table is vocab³-bounded and shared by q87 (the LM report),
     * q94 (doc scoring), and q98 (the scorecard), so it's built once per
     * dataset like the dedup family's shingle set. */
-  private def trigramCounts(s: SparkSession, dir: String) =
+  private[graft] def trigramCounts(s: SparkSession, dir: String) =
     graft.sources.MaterializedViews.cached(s, dir, "trigram_counts") {
       docGrams(s, dir, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
     }
 
   /** Corpus bigram counts (w1, w2, n12) — the LM denominator view. */
-  private def bigramCounts(s: SparkSession, dir: String) =
+  private[graft] def bigramCounts(s: SparkSession, dir: String) =
     graft.sources.MaterializedViews.cached(s, dir, "bigram_counts") {
       docGrams(s, dir, 2).groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
     }

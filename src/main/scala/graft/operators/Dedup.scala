@@ -65,7 +65,7 @@ object Dedup {
   /** The distinct 3-shingle set as a materialized view (built once per
     * dataset, parquet-backed — see [[graft.sources.MaterializedViews]]).
     * Oracle twin: [[graft.functions.text.shinglesCte]]. */
-  private[operators] def shingleSet(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleSet(s: SparkSession, dir: String): DataFrame =
     graft.sources.MaterializedViews.cached(s, dir, "shingles_w3") {
       text.shingles(Tables.documents(s, dir))
     }
@@ -75,7 +75,7 @@ object Dedup {
     * and PageRank queries, previously rebuilt from scratch by each
     * (caches are cleared between queries). Oracle twin:
     * [[graft.functions.text.verifiedPairsCte]]. */
-  private[operators] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     graft.sources.MaterializedViews.cached(s, dir, "verified_pairs_j05") {
       val sh = shingleSet(s, dir)
       val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -222,17 +222,7 @@ object Dedup {
       // The signature table feeds 3 plan subtrees (chunk explosion +
       // both verify sides); materialize it per dataset like the shingle
       // set so each is a tiny parquet scan.
-      val sig = graft.sources.MaterializedViews.cached(s, dir, "simhash_sig60") {
-        // SimHashSketch (one 60-long buffer) instead of 60 generated
-        // sum(case...) aggregates — same JIT-bomb avoidance as q23.
-        // (ObjectHashAggregate fallback threshold: session-level conf.)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-          .withColumn("h", text.md5Hash60(col("word")))
-          .groupBy("doc_id")
-          .agg(graft.functions.SimHashSketch.simhash(col("h"), col("tf"), 60).as("simhash"))
-      }
+      val sig = simhashSignatures(s, dir)
       // Pigeonhole candidates: 7 chunks of 9 bits (the 7th holds the top
       // 6) — shiftright leaves <= 9 bits for every k, so one &511 mask
       // serves all chunk positions. Signatures ride along through the
@@ -295,6 +285,22 @@ object Dedup {
         .orderBy("lang")
     })
 
+  /** Per-document 60-bit SimHash signatures as a per-dataset MV —
+    * feeds q24's three plan subtrees (chunk explosion + both verify
+    * sides) and the bench MV warm pass. SimHashSketch (one 60-long
+    * buffer) instead of 60 generated sum(case...) aggregates — same
+    * JIT-bomb avoidance as q23. (ObjectHashAggregate fallback
+    * threshold: session-level conf.) */
+  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "simhash_sig60") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .withColumn("h", text.md5Hash60(col("word")))
+        .groupBy("doc_id")
+        .agg(graft.functions.SimHashSketch.simhash(col("h"), col("tf"), 60).as("simhash"))
+    }
+
   /** Connected components (node → component_id = min reachable doc_id)
     * of the verified near-dup graph, as a materialized view: the
     * iterative min-label propagation runs ONCE per dataset (each round
@@ -303,7 +309,7 @@ object Dedup {
     * canonical-representative compaction (q101) read the parquet. At
     * 100 TB this is the maintained cluster-assignment table a dedup
     * pipeline keeps next to the pair set, rebuilt per corpus version. */
-  private[operators] def components(s: SparkSession, dir: String): DataFrame =
+  private[graft] def components(s: SparkSession, dir: String): DataFrame =
     graft.sources.MaterializedViews.cached(s, dir, "components_j05") {
       val pairs = verifiedPairs(s, dir)
       val edges = pairs.union(
@@ -990,6 +996,14 @@ object Dedup {
       winnowFingerprints(Tables.documents(s, dir))
     }
 
+  /** Positional 6-gram md5 hashes as a per-dataset MV — the md5
+    * explode is the dominant cost and the table feeds q239's
+    * duplicated-hash aggregate and position join. */
+  private[graft] def kgram6Pos(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "kgram6_pos") {
+      text.posKgramHashes(Tables.documents(s, dir), 6)
+    }
+
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
     val g = text.posKgramHashes(docs, 4)
     val win = Window.partitionBy("doc_id").orderBy("i")
@@ -1113,9 +1127,7 @@ object Dedup {
       // positional 6-gram hashes as a per-dataset MV: the md5 explode is
       // the dominant cost and the table feeds both the duplicated-hash
       // aggregate and the position join below
-      val g = graft.sources.MaterializedViews.cached(s, dir, "kgram6_pos") {
-        text.posKgramHashes(Tables.documents(s, dir), 6)
-      }
+      val g = kgram6Pos(s, dir)
       val duph = g.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select("h")

@@ -372,5 +372,122 @@ object Graph {
         .orderBy("doc_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q73, q119, q209, q245)
+  // ---------------------------------------------------------------------
+  // q247 — large-star/small-star connected components (the at-scale
+  // swap-in for min-label propagation)
+  // ---------------------------------------------------------------------
+
+  /** Connected components by the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond"): each round rewires the edge set with two
+    * per-node-neighborhood rules —
+    *   large-star(u): every neighbor v > u attaches to
+    *                  m = min(N(u) ∪ {u});
+    *   small-star(u): every neighbor v < u, and u itself, attach to
+    *                  m = min(N<(u));
+    * both preserve connectivity, labels only move DOWNWARD, and the
+    * published bound is a logarithmic number of rounds in the
+    * component size — versus min-label propagation's O(diameter)
+    * rounds, which is fine for clique-like near-dup clusters but
+    * pathological for chain-shaped graphs (a 1000-hop chain = 1000
+    * synchronous rounds; this converges in ~10). Each rule is one
+    * groupBy(min) + one equi-join over the CURRENT edge set — the same
+    * bounded-shuffle shape as [[minRelax]] — with lineage truncated
+    * per round and superseded checkpoint generations freed eagerly.
+    *
+    * Termination is by exact edge-set fixpoint (count equality + a
+    * one-sided except — both cheap bounded shuffles); a hit on
+    * `maxIter` throws rather than returning silently unmerged labels.
+    * At the fixpoint the edge set is one star per component rooted at
+    * the component's min node, so the label read-out is a projection.
+    * Returns (node → component_id labels, rounds used). IterativeSpec
+    * pins label equality against [[minRelax]]-based components on the
+    * fixture graph plus generated chain/star/random graphs, and the
+    * round count ≪ diameter on deep chains. */
+  private[graft] def starComponents(pairs: org.apache.spark.sql.DataFrame,
+      maxIter: Int): (org.apache.spark.sql.DataFrame, Int) = {
+    var e = truncateLineage(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).distinct())
+    var n = e.count()
+    var prev: org.apache.spark.sql.DataFrame = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      // large-star: m = min over the full neighborhood (∪ {u}); only
+      // LARGER neighbors re-attach, so (a=v) > (b=m) stays invariant
+      val mL = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(mL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star over the large-star output: each node's SMALLER
+      // neighbors (and the node itself) attach to their minimum
+      val symS = ls.select(col("a").as("u"), col("b").as("v"))
+        .union(ls.select(col("b").as("u"), col("a").as("v")))
+        .filter(col("v") < col("u"))
+      val mS = symS.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = truncateLineage(
+        symS.join(mS, Seq("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(mS.select(col("u").as("a"), col("m").as("b")))
+          .filter(col("a") =!= col("b"))
+          .distinct())
+      // exact fixpoint test: |new| == |old| and new \ old == ∅ ⇒ sets
+      // equal (both sides are distinct); the except is one anti-join
+      val nNew = ss.count()
+      converged = nNew == n && ss.except(e).isEmpty
+      if (prev != null) releaseLineage(prev)
+      prev = e
+      e = ss
+      n = nNew
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starComponents did not converge in $maxIter rounds")
+    // fixpoint edge set = one star per component rooted at its min
+    val lbl = e.groupBy(col("a").as("node")).agg(min(col("b")).as("component_id"))
+    val roots = e.select(col("b")).distinct()
+      .join(lbl, col("b") === col("node"), "left_anti")
+      .select(col("b").as("node"), col("b").as("component_id"))
+    (lbl.union(roots), iter)
+  }
+
+  /** Driver gate for [[starComponents]]: the same component semantic
+    * as q45 (label = min reachable doc_id over the verified near-dup
+    * graph) computed by the O(log)-round star algorithm instead of the
+    * O(diameter) min-label MV — per-component grain so the two queries
+    * exercise different read-outs of the same ground truth. The oracle
+    * states the ground truth directly (recursive reachability CTE);
+    * hash-parity here IS the label-set equality proof at driver level,
+    * next to IterativeSpec's generated-graph families. */
+  private val q247 = QueryDef(
+    "q247_components_star_profile",
+    "per-component profile (size, span) via large-star/small-star components",
+    Some(s"""
+      WITH RECURSIVE ${text.verifiedPairsCte},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM ver
+                UNION ALL SELECT doc_b, doc_a FROM ver),
+      nodes AS (SELECT DISTINCT s AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+      comp AS (SELECT node, MIN(lbl) AS component_id FROM reach GROUP BY node)
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MAX(node) AS max_doc_id
+      FROM comp
+      GROUP BY component_id
+      ORDER BY component_id"""),
+    (s, dir) => {
+      val (lbl, _) = starComponents(Dedup.verifiedPairs(s, dir), 30)
+      lbl.groupBy("component_id")
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc_id"))
+        .orderBy("component_id")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q73, q119, q209, q245, q247)
 }

@@ -240,7 +240,7 @@ object TextPipeline {
     * — deliberately not ln-based: cosine ORDERING is idf-monotone
     * either way, and N/df keeps every intermediate bit-identical across
     * engines). */
-  private def tfidfIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tfidfIndex(s: SparkSession, dir: String): DataFrame =
     graft.sources.MaterializedViews.cached(s, dir, "tfidf_index") {
       val docs = Tables.documents(s, dir)
       val tok = docs.select(col("doc_id"),
@@ -256,7 +256,7 @@ object TextPipeline {
   /** Per-document tf-idf vector norms, maintained alongside
     * [[tfidfIndex]] (squared norms ride the exact-decimal accumulator;
     * sqrt is IEEE-exact on the identical rounded double). */
-  private def tfidfNorms(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tfidfNorms(s: SparkSession, dir: String): DataFrame =
     graft.sources.MaterializedViews.cached(s, dir, "tfidf_norms") {
       tfidfIndex(s, dir).groupBy("doc_id")
         .agg(sqrt(graft.functions.det.dsum(col("wt") * col("wt"))).as("nrm"))

@@ -36,6 +36,20 @@ object MaterializedViews {
   private val root = new File(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-mv")
 
+  /** Per-view build seconds for views THIS process actually built
+    * (cache hits don't log). Bench drains it after the warm pass so
+    * the emitted artifact reports MV build cost explicitly instead of
+    * burying it in the first consumer's query time. */
+  private val buildLog =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+  /** Returns and clears the (view name → build seconds) log. */
+  def drainBuildLog(): Seq[(String, Double)] = synchronized {
+    val out = buildLog.toSeq
+    buildLog.clear()
+    out
+  }
+
   private def deleteRecursively(f: File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -67,8 +81,10 @@ object MaterializedViews {
         // any failure path so aborted builds don't leak under /tmp.
         val tmp = new File(out.getParentFile,
           s"$name.tmp-${java.lang.ProcessHandle.current.pid}")
+        val t0 = System.nanoTime()
         try {
           build.write.mode("overwrite").parquet(tmp.getPath)
+          buildLog(name) = (System.nanoTime() - t0) / 1e9
           def move(): Unit =
             java.nio.file.Files.move(tmp.toPath, out.toPath,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -96,4 +96,65 @@ class IterativeSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
       Map(1L -> 0L, 2L -> INF))
   }
+
+  // -------------------------------------------------------------------
+  // starComponents (q247): large-star/small-star connected components
+  // -------------------------------------------------------------------
+
+  /** Reference labels via the minRelax propagation (q45's skeleton). */
+  private def relaxLabels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val seed = edges.groupBy(col("doc_a").as("node"))
+      .agg(min(col("doc_b")).as("mb"))
+      .select(col("node"), least(col("node"), col("mb")).as("v"))
+    graft.operators.Graph.minRelax(seed, edges, 0L, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  private def starLabels(pairs: org.apache.spark.sql.DataFrame): (Map[Long, Long], Int) = {
+    val (lbl, rounds) = graft.operators.Graph.starComponents(pairs, 30)
+    (lbl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap, rounds)
+  }
+
+  test("starComponents ≡ min-label propagation on a deep chain, in FAR fewer rounds") {
+    // canonical (a < b) pairs, like verifiedPairs
+    val n = 200
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val (got, rounds) = starLabels(pairs)
+    assert(got == (1L to n.toLong).map(_ -> 1L).toMap,
+      "every chain node must land in component 1")
+    // the published point: logarithmic-ish rounds vs the chain's
+    // diameter-199 propagation depth
+    assert(rounds <= 15, s"star algorithm took $rounds rounds on a 200-chain")
+  }
+
+  test("starComponents ≡ min-label propagation on star, two-cluster, and random graphs") {
+    // star rooted at the MAX node (adversarial: the hub is not the min)
+    val star = (1L to 40L).map(i => (i, 99L)).toDF("doc_a", "doc_b")
+    assert(starLabels(star)._1 == relaxLabels(star))
+    // two disjoint cliques + a bridge-free singleton pair
+    val two = (Seq((10L, 11L), (11L, 12L), (10L, 12L)) ++
+      Seq((50L, 51L), (51L, 52L)) ++ Seq((70L, 71L))).toDF("doc_a", "doc_b")
+    assert(starLabels(two)._1 == relaxLabels(two))
+    // random graph: 120 nodes, 150 random canonical edges, seeded
+    val rnd = new scala.util.Random(71)
+    val randomPairs = Seq.fill(150) {
+      val a = rnd.nextInt(120) + 1L; val b = rnd.nextInt(120) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("doc_a", "doc_b")
+    assert(starLabels(randomPairs)._1 == relaxLabels(randomPairs))
+  }
+
+  test("starComponents: constant-depth plan, no catalog cache residue") {
+    spark.catalog.clearCache()
+    val pairs = chainEdges(60).filter(col("doc_a") < col("doc_b"))
+    val (lbl, _) = graft.operators.Graph.starComponents(pairs, 30)
+    lbl.count()
+    assert(planSize(lbl) <= 12,
+      s"analyzed plan has ${planSize(lbl)} nodes — lineage not truncated")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "starComponents must not leave catalog cache entries")
+  }
 }

@@ -168,19 +168,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected the IN filter over the partition column in:\n$p")
   }
 
-  test("q206: neighbor lists broadcast into scoring; top-k fuses into the aggregate") {
-    // The bounded top-10 neighbor list must broadcast (the candidate
-    // join never shuffles the train part sets on the neighbor key) and
-    // both rank truncations (top-10 neighbors, top-5 recs) must run as
-    // the k-bounded-heap aggregate — no rank window, and so no
-    // sort-exchange-sort pass, anywhere in the scoring chain.
+  test("q206: neighbor lists broadcast into scoring; the scoring tail is ONE fused aggregate") {
+    // The bounded top-10 neighbor list (plus its tombstone self-entries)
+    // must broadcast (the candidate join never shuffles the train part
+    // sets on the neighbor key); the neighbor truncation runs as the
+    // k-bounded-heap aggregate and the WHOLE scoring tail — score sum,
+    // train-set exclusion, top-5 — as the fused graft_topk_sum
+    // aggregate: no rank window, no separate anti-join pass, and so no
+    // sort-exchange-sort anywhere in the scoring chain.
     val p = plan("q206_cf_holdout_precision")
     assert(p.contains("BroadcastHashJoin"), "nb must broadcast into the scoring join")
-    assert(p.contains("graft_topk_pairs"), "rank truncation must be the heap aggregate")
-    assert(p.contains("ObjectHashAggregate"), "heap aggregate rides ObjectHashAggregate")
+    assert(p.contains("graft_topk_pairs"), "neighbor truncation must be the heap aggregate")
+    assert(p.contains("graft_topk_sum"),
+      "the scoring tail must be the fused sum+exclusion+top-k aggregate")
+    assert(p.contains("ObjectHashAggregate"), "heap aggregates ride ObjectHashAggregate")
     assert(!p.contains("WindowGroupLimit"),
       "no rank window should remain in the scoring chain")
-    assert(p.contains("LeftAnti"), "train-set exclusion must be a left-anti join")
+    assert(!p.contains("LeftAnti"),
+      "exclusion is fused into graft_topk_sum — no anti-join pass remains")
   }
 
   test("q223: keyless range join runs as the band equi-join, no nested loop") {
@@ -861,14 +866,16 @@ class PlanSpec extends AnyFunSuite {
       "scalar sides must broadcast, never cartesian")
   }
 
-  test("q206: every ranking window partitions by a bounded key; the support floor gates the co-join") {
+  test("q206: no window pass anywhere; the support floor gates the co-join") {
     val p = plan("q206_cf_holdout_precision")
+    // round 13: the last window left the plan — the last-order split is
+    // a map-side-combinable max(struct(date, okey)) aggregate joined
+    // back, and every truncation is a heap aggregate. A window here
+    // would mean a sort-exchange-sort pass crept back in.
     val specs = p.linesIterator
       .filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty)
-    assert(specs.forall(l => l.contains("o_custkey") || l.contains("pa#")
-      || l.contains("u#")),
-      s"window must partition by customer/part/user, never global:\n${specs.mkString("\n")}")
+    assert(specs.isEmpty,
+      s"q206 must be window-free (aggregate split + heap top-k):\n${specs.mkString("\n")}")
     // round 11: the full-corpus pair matrix comes from the copairs_sup2
     // MV and the TRAIN floor is the delta filter np - np_exc >= 2
     // (applied after differencing; CoPurchaseSpec proves delta ≡ the

@@ -100,4 +100,93 @@ class TopKSpec extends AnyFunSuite {
     val df = rows.toDF("key", "ord", "v").repartition(16)
     assert(canon(heapTopK(df, 5)) == canon(windowTopK(df, 5)))
   }
+
+  // -------------------------------------------------------------------
+  // TopKSummedLongPairs (graft_topk_sum): sum-then-top-k fusion
+  // -------------------------------------------------------------------
+
+  /** Reference composition for the fused aggregate: SUM(n) per (key, v),
+    * anti-join the exclusion set, rank-window top-k on (sum desc, v). */
+  private def composedSumTopK(cand: org.apache.spark.sql.DataFrame,
+      excl: org.apache.spark.sql.DataFrame, k: Int) = {
+    val sc = cand.join(excl, Seq("key", "v"), "left_anti")
+      .groupBy("key", "v").agg(sum("n").as("ord"))
+    windowTopK(sc.select("key", "ord", "v"), k)
+  }
+
+  /** Fused form: one graft_topk_sum over candidates ∪ tombstones. */
+  private def fusedSumTopK(cand: org.apache.spark.sql.DataFrame,
+      excl: org.apache.spark.sql.DataFrame, k: Int) = {
+    val fused = cand.unionByName(excl.withColumn("n",
+      lit(graft.functions.TopKSummedLongPairs.Tombstone)))
+    fused.groupBy("key")
+      .agg(graft.functions.TopKSummedLongPairs.topkSum(col("v"), col("n"), k).as("top"))
+      .select(col("key"), explode(col("top")).as("t"))
+      .select(col("key"), col("t.ord").as("ord"), col("t.v").as("v"))
+  }
+
+  test("graft_topk_sum ≡ sum + anti-join exclusion + rank window (randomized, 16 partitions)") {
+    val rnd = new scala.util.Random(41)
+    // candidate rows: many (key, v) repeats so the per-v sums genuinely
+    // combine; weights ≥ 1 like co-occurrence counts
+    val cand = Seq.fill(6000)((rnd.nextInt(40).toLong,
+      rnd.nextInt(120).toLong, (rnd.nextInt(9) + 1).toLong))
+      .toDF("key", "v", "n").repartition(16)
+    // exclusion set: overlaps candidate (key, v) pairs and includes
+    // pairs with no candidate rows at all (pure-tombstone entries)
+    val excl = Seq.fill(800)((rnd.nextInt(40).toLong, rnd.nextInt(140).toLong))
+      .toDF("key", "v").distinct()
+    assert(canon(fusedSumTopK(cand, excl, 5)) ==
+      canon(composedSumTopK(cand, excl, 5)))
+    // k larger than any group: every positive-summed, non-excluded v
+    assert(canon(fusedSumTopK(cand, excl, 1000)) ==
+      canon(composedSumTopK(cand, excl, 1000)))
+  }
+
+  test("graft_topk_sum with no tombstones is exactly sum-then-top-k; ties break on v asc") {
+    val cand = Seq(
+      (1L, 10L, 3L), (1L, 10L, 2L),   // v=10 sums to 5
+      (1L, 20L, 5L),                  // v=20 sums to 5 (tie with v=10)
+      (1L, 30L, 4L), (1L, 40L, 1L)
+    ).toDF("key", "v", "n")
+    val got = cand.groupBy("key")
+      .agg(graft.functions.TopKSummedLongPairs.topkSum(col("v"), col("n"), 2).as("top"))
+      .select(col("top.ord"), col("top.v")).head()
+    // both 5-sums win; tie broken to the smaller v first
+    assert(got.getSeq[Long](0) == Seq(5L, 5L))
+    assert(got.getSeq[Long](1) == Seq(10L, 20L))
+  }
+
+  test("graft_topk_sum drops non-positive totals (exclusion semantics) and null rows") {
+    val rows = Seq(
+      (1L, Some(10L), Some(7L)),
+      (1L, Some(10L), Some(graft.functions.TopKSummedLongPairs.Tombstone)), // sunk
+      (1L, Some(20L), Some(0L)),      // zero total: dropped (not positive)
+      (1L, Some(30L), None),          // null n: skipped → v=30 never appears
+      (1L, None, Some(9L)),           // null v: skipped
+      (1L, Some(40L), Some(2L))
+    ).toDF("key", "v", "n")
+    val got = rows.groupBy("key")
+      .agg(graft.functions.TopKSummedLongPairs.topkSum(col("v"), col("n"), 10).as("top"))
+      .select(col("top.ord"), col("top.v")).head()
+    assert(got.getSeq[Long](0) == Seq(2L))
+    assert(got.getSeq[Long](1) == Seq(40L))
+  }
+
+  test("graft_topk_sum SQL path: registered, widens INT, rejects fractional") {
+    graft.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_topk_sum(v, n, 2) AS top
+        |FROM VALUES (10, 1), (10, 2), (20, 4), (30, 1) AS t(v, n)""".stripMargin)
+      .select(col("top.ord"), col("top.v")).head()
+    assert(got.getSeq[Long](0) == Seq(4L, 3L))
+    assert(got.getSeq[Long](1) == Seq(20L, 10L))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT graft_topk_sum(v, n, 2)
+          |FROM VALUES (1.5, 2.5) AS t(v, n)""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_topk_sum") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
 }
