@@ -45,12 +45,24 @@ import org.apache.spark.sql.types._
   *     interval spans at most two bins. (Overlap: both sides must
   *     infer; the smaller length wins, so the static per-row span is
   *     bounded by maxLen/minLen + 1.)
-  *  2. `spark.graft.rangeJoin.binSize` (positive long, in the column's
-  *     own units) for genuinely variable-length intervals, where no
-  *     static width exists. The graft harness sessions default this to
-  *     1 h in µs — the engine's event-time unit — so variable-interval
-  *     joins over `ts_us` columns band out of the box; workloads in
-  *     other units override per session.
+  *  2. SAMPLED from the data (round-12 verdict item 6 — W is a
+  *     statistic, not a knob): for genuinely variable-length
+  *     intervals the rule runs one bounded planning-time job per
+  *     distinct (interval child, bounds) shape — median interval
+  *     length over a `spark.graft.rangeJoin.sampleRows` (default
+  *     20k) row prefix, memoized per JVM — and bands at W ≈ that
+  *     median: typical rows span ~2 bins, heavy-tail rows hit the
+  *     wide-row cap and route through the sentinel bucket. ANY width
+  *     is correct (the original predicate is retained), so sampling
+  *     nondeterminism can only move the plan between fast shapes,
+  *     never change results; a recursion guard keeps the sampling
+  *     query itself (or anything it plans) on the conf path.
+  *     Disable with `spark.graft.rangeJoin.sample = false`.
+  *  3. `spark.graft.rangeJoin.binSize` (positive long, in the column's
+  *     own units) when sampling is disabled or returns nothing (empty
+  *     prefix, null-only lengths, sampling failure). The graft harness
+  *     sessions default this to 1 h in µs — the engine's event-time
+  *     unit — as the belt-and-braces fallback.
   * No width -> no rewrite. Widths are clamped to >= 2 so that
   * `Long.MinValue` is unreachable as a real bin (|floor(v/W)| <=
   * Long.MaxValue/2 + 1 for W >= 2) and can serve as the reserved
@@ -175,6 +187,69 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     scala.util.Try(conf.getConfString(BinSizeConf, "0").toLong)
       .toOption.filter(_ >= 1L)
 
+  private val SampleConf = "spark.graft.rangeJoin.sample"
+  private val SampleRowsConf = "spark.graft.rangeJoin.sampleRows"
+
+  private def samplingEnabled: Boolean =
+    conf.getConfString(SampleConf, "true") == "true"
+
+  private def sampleRows: Int =
+    scala.util.Try(conf.getConfString(SampleRowsConf, "20000").toInt)
+      .toOption.filter(_ >= 1).getOrElse(20000)
+
+  /** Re-entrancy guard: the sampling query runs through the full
+    * optimizer, so this rule fires inside it — those inner invocations
+    * must not sample again (bounded depth, no job-inside-job chains). */
+  private val inSampling = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Memoized sampled widths, keyed by the canonicalized (interval
+    * child, lo, hi) shape: one planning-time job per distinct shape
+    * per JVM, not per optimization pass (AQE and spec re-plans reuse
+    * the entry). Cleared wholesale if it ever grows past 256 shapes —
+    * a bench/driver process touches a handful. */
+  private val sampledWidthCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (LogicalPlan, Expression, Expression), Option[Long]]()
+
+  /** Median interval length over a bounded row prefix of the interval
+    * side — the data-derived bin width for variable-length intervals.
+    * Runs ONE small Spark job at planning time (prefix scan + approx
+    * median); any failure or empty result falls back to the conf
+    * path. The width only shapes the plan — the retained original
+    * predicate keeps every width correct — so prefix nondeterminism
+    * is benign by construction. */
+  private def sampledWidth(intervalPlan: LogicalPlan,
+      lo: Expression, hi: Expression): Option[Long] = {
+    if (!samplingEnabled || inSampling.get()) return None
+    val key = (intervalPlan.canonicalized, lo.canonicalized, hi.canonicalized)
+    val cached = sampledWidthCache.get(key)
+    if (cached != null) return cached
+    val computed: Option[Long] =
+      try {
+        val spark = org.apache.spark.sql.SparkSession.active
+        inSampling.set(true)
+        try {
+          val df = org.apache.spark.sql.GraftBridge
+            .ofRows(spark, Project(intervalPlan.output, intervalPlan))
+          val len = org.apache.spark.sql.GraftBridge.column(
+            new Subtract(asLong(hi), asLong(lo)))
+          import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+          val med = df.select(len.as("__graft_len"))
+            .filter(col("__graft_len") >= 0L)
+            .limit(sampleRows)
+            .agg(percentile_approx(col("__graft_len"), lit(0.5), lit(1000)))
+            .head()
+          if (med.isNullAt(0)) None
+          else Some(math.max(2L, med.getLong(0)))
+        } finally inSampling.set(false)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (sampledWidthCache.size > 256) sampledWidthCache.clear()
+    sampledWidthCache.putIfAbsent(key, computed)
+    computed
+  }
+
   private def maxBinsPerRow: Long =
     scala.util.Try(conf.getConfString(MaxBinsConf, "4096").toLong)
       .toOption.filter(_ >= 1L).getOrElse(4096L)
@@ -208,14 +283,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def usable(e: Expression): Boolean =
     e.deterministic && isIntegral(e.dataType) && e.references.nonEmpty
 
-  private def pointWidth(rb: RangeBounds): Option[Width] =
+  private def pointWidth(rb: RangeBounds,
+      intervalPlan: LogicalPlan): Option[Width] =
     staticWidth(rb.lower, rb.upper) match {
       // width = exact interval length -> every interval spans <= 2 bins
       case Some(len) => Some(Width(math.max(2L, len), Some(2L)))
-      case None      => confWidth.map(w => Width(math.max(2L, w), None))
+      case None =>
+        sampledWidth(intervalPlan, rb.lower, rb.upper)
+          .orElse(confWidth)
+          .map(w => Width(math.max(2L, w), None))
     }
 
-  private def overlapWidth(ob: OverlapBounds): Option[Width] = {
+  private def overlapWidth(ob: OverlapBounds,
+      left: LogicalPlan, right: LogicalPlan): Option[Width] = {
     val both = for {
       lL <- staticWidth(ob.loL, ob.hiL)
       lR <- staticWidth(ob.loR, ob.hiR)
@@ -223,7 +303,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val w = math.max(2L, math.min(lL, lR))
       Width(w, Some(math.max(lL, lR) / w + 2L))
     }
-    both.orElse(confWidth.map(w => Width(math.max(2L, w), None)))
+    // mixed shapes: each side takes its static length when provable,
+    // its sampled median otherwise; the smaller wins like the static
+    // case (spans stay bounded on the tighter side, the wider side
+    // rides the wide-row fallback)
+    lazy val sampledBoth = {
+      val sL = staticWidth(ob.loL, ob.hiL)
+        .orElse(sampledWidth(left, ob.loL, ob.hiL))
+      val sR = staticWidth(ob.loR, ob.hiR)
+        .orElse(sampledWidth(right, ob.loR, ob.hiR))
+      for { a <- sL; b <- sR }
+        yield Width(math.max(2L, math.min(a, b)), None)
+    }
+    both.orElse(sampledBoth)
+      .orElse(confWidth.map(w => Width(math.max(2L, w), None)))
   }
 
   private def extractBounds(conjuncts: Seq[Expression],
@@ -410,11 +503,11 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         else {
           val point = for {
             rb <- extractBounds(conjuncts, left, right)
-            w  <- pointWidth(rb)
+            w  <- pointWidth(rb, if (rb.pointOnLeft) right else left)
           } yield buildPoint(j, rb, w)
           lazy val overlap = for {
             ob <- extractOverlap(conjuncts, left, right)
-            w  <- overlapWidth(ob)
+            w  <- overlapWidth(ob, left, right)
           } yield buildOverlap(j, ob, w)
           point.orElse(overlap).getOrElse(j)
         }

@@ -86,7 +86,9 @@ class RangeJoinSpec extends AnyFunSuite {
   test("bin width never affects correctness (1, 7, 1000, huge)") {
     val expected = bruteForce((t, lo, hi) => t >= lo && t <= hi)
     Seq("1", "7", "1000", "100000000").foreach { w =>
-      val got = withConf("spark.graft.rangeJoin.binSize" -> w) {
+      // sampling off: the point of this test is sweeping CONF widths
+      val got = withConf("spark.graft.rangeJoin.binSize" -> w,
+          "spark.graft.rangeJoin.sample" -> "false") {
         resultSet(pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi")))
       }
       assert(got == expected, s"binSize=$w")
@@ -150,11 +152,20 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     // TestSpark carries the harness default width; `unset` only falls
     // back to the builder-time config, so model "no width" with 0
-    // (rejected by the >= 1 validity filter)
-    withConf("spark.graft.rangeJoin.binSize" -> "0") {
+    // (rejected by the >= 1 validity filter). With SAMPLING also off,
+    // no width exists at all -> the join must stay as written
+    withConf("spark.graft.rangeJoin.binSize" -> "0",
+        "spark.graft.rangeJoin.sample" -> "false") {
       val noWidth = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
       assert(!optimized(noWidth).contains(BinMark),
-        "variable intervals without a conf width must stay as written")
+        "variable intervals without any width source must stay as written")
+    }
+    // ...whereas the default (sampling ON) needs no conf at all: the
+    // width comes from the data
+    withConf("spark.graft.rangeJoin.binSize" -> "0") {
+      val sampled = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(optimized(sampled).contains(BinMark),
+        "sampling must supply the width when the conf cannot")
     }
     withConf(
       "spark.graft.rangeJoin.enabled" -> "false",
@@ -304,7 +315,9 @@ class RangeJoinSpec extends AnyFunSuite {
   test("overlap: bin width never affects the multiset (1, 13, 500, huge)") {
     val expected = overlapBrute
     Seq("1", "13", "500", "100000000").foreach { w =>
-      val got = withConf("spark.graft.rangeJoin.binSize" -> w) {
+      // sampling off: the point of this test is sweeping CONF widths
+      val got = withConf("spark.graft.rangeJoin.binSize" -> w,
+          "spark.graft.rangeJoin.sample" -> "false") {
         overlapPairs(ivs.join(ivsB,
           col("lo") <= col("hi2") && col("lo2") <= col("hi")))
       }
@@ -441,5 +454,61 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(bandedRows == naiveRows)
     assert(bandedRows.nonEmpty)
+  }
+
+  // -------------------------------------------------------------------
+  // Sampled bin width (round-13): W is a statistic, not a knob
+  // -------------------------------------------------------------------
+
+  private def divWidths(planStr: String): Set[Long] =
+    """ div (\d+)\)""".r.findAllMatchIn(planStr).map(_.group(1).toLong).toSet
+
+  test("sampled width: a mis-sized conf no longer shapes the plan; result unchanged") {
+    val expected = bruteForce((t, lo, hi) => t >= lo && t <= hi)
+    def mk() = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+    // sampling OFF: the absurd conf width (1 -> clamped to 2) shapes
+    // the plan — every ~50-length interval explodes ~25 bins
+    val confW = withConf("spark.graft.rangeJoin.binSize" -> "1",
+        "spark.graft.rangeJoin.sample" -> "false") {
+      val df = mk()
+      assert(resultSet(df) == expected)
+      divWidths(optimized(df))
+    }
+    assert(confW == Set(2L), s"conf path must band at the clamped conf width, got $confW")
+    // sampling ON (the default): the SAME mis-sized conf is ignored —
+    // the width is the sampled median interval length (fixture lengths
+    // ~U(-10,110), median ≈ 50), so the plan shape is data-derived
+    val sampledW = withConf("spark.graft.rangeJoin.binSize" -> "1") {
+      val df = mk()
+      assert(resultSet(df) == expected, "sampled width must not change results")
+      divWidths(optimized(df))
+    }
+    assert(sampledW.size == 1 && sampledW.head >= 20L && sampledW.head <= 100L,
+      s"width must be the sampled median (~50), not the conf (1): $sampledW")
+  }
+
+  test("sampled width is memoized: re-planning the same shape reuses the statistic") {
+    val w1 = withConf("spark.graft.rangeJoin.binSize" -> "0") {
+      divWidths(optimized(
+        pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))))
+    }
+    val w2 = withConf("spark.graft.rangeJoin.binSize" -> "0") {
+      divWidths(optimized(
+        pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))))
+    }
+    assert(w1 == w2 && w1.nonEmpty, s"memoized width must be stable: $w1 vs $w2")
+  }
+
+  test("sampled width: overlap joins mix per-side static and sampled lengths") {
+    val expected = overlapBrute
+    val got = withConf("spark.graft.rangeJoin.binSize" -> "0") {
+      val df = ivs.join(ivsB,
+        col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      val pairs = overlapPairs(df)
+      assert(optimized(df).contains(BinMark),
+        "overlap must band from sampled widths with no conf at all")
+      pairs
+    }
+    assert(got == expected, "sampled overlap banding must not change the multiset")
   }
 }
