@@ -566,6 +566,57 @@ object Relational {
         .orderBy("l_returnflag")
     })
 
+  /** KEYLESS (global) as-of through the SALTED wrapper — the 100%-skew
+    * limit of the as-of family: site-wide "last click anywhere before
+    * this purchase" puts the WHOLE stream under one equi-key, so the
+    * plain operator's ClusteredDistribution lands every row in a
+    * single task and no runtime skew handling can split a custom
+    * operator's partition. [[graft.plans.AsOfJoin.salted]] (q134's
+    * degree-adaptive discipline): the left profile marks the constant
+    * key heavy, purchases spread over 8 deterministic salts, and the
+    * click timeline REPLICATES into each salt — every salt merges
+    * against the complete history, so per-row matches are identical to
+    * the unsalted operator (AsOfJoinSpec's skew family pins this) while
+    * the merge itself runs 8-way. The oracle states the semantic
+    * directly as a running last_value over the interleaved stream —
+    * clicks order before purchases at equal µs (backward match is
+    * at-or-before) and among equal-time clicks the largest event_id
+    * wins (the operator's tie rule). */
+  private val q248 = QueryDef(
+    "q248_salted_global_asof_attribution",
+    "site-wide last click before each purchase (keyless as-of, salted 8-way)",
+    Some("""
+      WITH ev AS (SELECT event_id, epoch_us(ts) AS tu, event_type
+                  FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (SELECT event_id, tu, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END
+                       IGNORE NULLS) OVER strm AS last_click_id,
+                   last_value(CASE WHEN event_type = 'click' THEN tu END
+                       IGNORE NULLS) OVER strm AS last_click_us
+            FROM ev
+            WINDOW strm AS (ORDER BY tu,
+                CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+              ROWS UNBOUNDED PRECEDING))
+      SELECT event_id AS purchase_id, last_click_id, tu - last_click_us AS gap_us
+      FROM w WHERE event_type = 'purchase'
+      ORDER BY purchase_id"""),
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts_us").as("us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), lit(0L).as("p_g"),
+          col("us").as("p_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("last_click_id"), lit(0L).as("c_g"),
+          col("us").as("c_us"))
+      graft.plans.AsOfJoin.salted(p, c, graft.plans.AsOfDirection.Backward,
+          "p_g", "c_g", "p_us", "c_us", "last_click_id",
+          saltSource = Some("purchase_id"), minDegree = 256L, maxSalts = 8)
+        .select(col("purchase_id"), col("last_click_id"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    })
+
   /** Multiset (ALL) set operations: bag difference/intersection preserve
     * duplicate multiplicities — exceptAll keeps max(m_a - m_b, 0) copies,
     * intersectAll min(m_a, m_b) — identical semantics in Spark and
@@ -910,7 +961,7 @@ object Relational {
 
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168, q181, q195, q221, q222, q224, q225, q226)
+      q126, q127, q168, q181, q195, q221, q222, q224, q225, q226, q248)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

@@ -112,6 +112,76 @@ object AsOfJoin {
     out.drop(lname, rname)
   }
 
+  /** SKEW-AWARE as-of (round-12 verdict item 5): q134's degree-adaptive
+    * salting discipline applied to the native operator.
+    *
+    * [[AsOfJoinExec]] demands ClusteredDistribution on both children,
+    * so a 90%-one-key left side lands one key in one task — and AQE's
+    * skew-join splitting only understands Spark's own join operators,
+    * so nothing rescues a custom operator's partition at runtime. This
+    * wrapper fixes it where q134 fixes the shuffle join: a degree
+    * profile over the LEFT side (one map-side-combinable aggregate;
+    * at 100 TB this is the maintained degree table of the q136
+    * profiler) finds keys with ≥ `minDegree` left rows — by definition
+    * rare under real skew — and ONLY those keys salt: each heavy key's
+    * left rows spread over `least(maxSalts, degree/minDegree)` salts
+    * via a deterministic hash of `saltSource` (default: the left time
+    * column — NEVER rand(), results must be re-executable), and the
+    * right side REPLICATES its full per-key timeline into every salt
+    * of that key. Each (key, salt) merge therefore sees the COMPLETE
+    * right history for its key, so every left row's match is exactly
+    * the unsalted operator's match — the salt changes distribution,
+    * never semantics (AsOfJoinSpec's skew family pins row-identical
+    * results and the per-salt spread). Light keys ride salt 0 with
+    * zero replication, so the blanket-salting blow-up (replicate every
+    * right row ×N) never happens; replication cost is Σ nsalt over
+    * heavy keys only.
+    *
+    * The salted join runs through [[byKeys]] with the salt as the
+    * second key column, so long-backed keys keep the two-key codegen
+    * fast path. */
+  def salted(left: DataFrame, right: DataFrame, direction: AsOfDirection,
+      leftKey: String, rightKey: String, leftTime: String, rightTime: String,
+      rightTie: String, tolerance: Option[Long] = None,
+      saltSource: Option[String] = None,
+      minDegree: Long = 100000L, maxSalts: Int = 16): DataFrame = {
+    require(minDegree >= 1 && maxSalts >= 1,
+      s"salted as-of needs minDegree >= 1 and maxSalts >= 1, got " +
+      s"$minDegree/$maxSalts")
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
+      explode, hash, least, lit, pmod, sequence, when}
+    val hk = "__graft_asof_hk"
+    val ns = "__graft_asof_nsalt"
+    val lSalt = "__graft_asof_salt"
+    val rSalt = "__graft_asof_rsalt"
+    val heavy = left.groupBy(col(leftKey).as(hk))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minDegree)
+      .select(col(hk),
+        // a key past the threshold always spreads over >= 2 salts
+        // (deg == minDegree would otherwise compute nsalt = 1 = no
+        // spread), growing with measured degree up to the cap
+        org.apache.spark.sql.functions.greatest(lit(2L),
+          least(lit(maxSalts.toLong),
+            col("deg").divide(lit(minDegree)).cast("long"))).as(ns))
+    val src = col(saltSource.getOrElse(leftTime))
+    val leftS = left
+      .join(broadcast(heavy), col(leftKey) === col(hk), "left")
+      .withColumn(lSalt,
+        when(col(ns).isNotNull, pmod(hash(src).cast("long"), col(ns)))
+          .otherwise(0L))
+      .drop(hk, ns)
+    val rightS = right
+      .join(broadcast(heavy), col(rightKey) === col(hk), "left")
+      .withColumn(rSalt,
+        explode(sequence(lit(0L), coalesce(col(ns), lit(1L)) - 1L)))
+      .drop(hk, ns)
+    byKeys(leftS, rightS, direction,
+      Seq(leftKey, lSalt), Seq(rightKey, rSalt),
+      leftTime, rightTime, rightTie, tolerance)
+      .drop(lSalt, rSalt)
+  }
+
   /** Re-quote a parsed multipart identifier so dotted/backtick-bearing
     * parts survive table resolution — the ONE quoting rule both the
     * identifier-literalizing analyzer rule (GraftExtensions) and the

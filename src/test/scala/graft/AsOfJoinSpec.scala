@@ -1003,4 +1003,94 @@ class AsOfJoinSpec extends AnyFunSuite {
         s"merge mode should add one exchange per as-of side:\n$pm")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Skew family (round-13): salted as-of ≡ unsalted, bounded per-salt
+  // -------------------------------------------------------------------
+
+  /** 90%-one-key fixture: key 7 owns ~90% of the left rows (the shape
+    * that lands one key in one task under plain clustering). */
+  private def skewLeft(n: Int): DataFrame = {
+    val rnd = new scala.util.Random(31)
+    (0 until n).map { i =>
+      val k = if (rnd.nextInt(10) < 9) 7L else rnd.nextInt(5).toLong
+      (i.toLong, Some(k), Some(rnd.nextInt(500).toLong))
+    }.toDF("l_id", "l_k", "l_t")
+  }
+
+  private def skewRight(n: Int): DataFrame = {
+    val rnd = new scala.util.Random(32)
+    (0 until n).map { i =>
+      val k = if (rnd.nextInt(10) < 7) 7L else rnd.nextInt(5).toLong
+      (i.toLong, Some(k), Some(rnd.nextInt(500).toLong))
+    }.toDF("r_id", "r_k", "r_t")
+  }
+
+  test("salted as-of ≡ unsalted on a 90%-skew fixture (all directions, with tolerance)") {
+    val l = skewLeft(4000)
+    val r = skewRight(1500)
+    for (dir <- Seq(graft.plans.AsOfDirection.Backward,
+        graft.plans.AsOfDirection.Forward, graft.plans.AsOfDirection.Nearest);
+        tol <- Seq(None, Some(25L))) {
+      val plain = AsOfJoin.byKeys(l, r, dir, Seq("l_k"), Seq("r_k"),
+        "l_t", "r_t", "r_id", tol)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      val salted = AsOfJoin.salted(l, r, dir, "l_k", "r_k",
+        "l_t", "r_t", "r_id", tol, minDegree = 200L, maxSalts = 8)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      assert(salted == plain, s"dir=$dir tol=$tol")
+    }
+  }
+
+  test("salting bounds the per-task rows of the heavy key; light keys stay unsalted") {
+    val l = skewLeft(4000) // key 7 ≈ 3600 rows
+    val r = skewRight(1500)
+    // reproduce the wrapper's salt assignment to audit the spread the
+    // exchange will see: with minDegree=200 and maxSalts=8, key 7's
+    // ~3600 rows must spread over 8 salts, none holding more than a
+    // ~2× fair share; every light key must ride salt 0 only
+    val heavy = l.groupBy(col("l_k").as("hk")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 200L)
+      .select(col("hk"), greatest(lit(2L), least(lit(8L),
+        (col("deg") / lit(200L)).cast("long"))).as("ns"))
+    val saltedRows = l.join(broadcast(heavy), col("l_k") === col("hk"), "left")
+      .withColumn("salt", when(col("ns").isNotNull,
+        pmod(hash(col("l_t")).cast("long"), col("ns"))).otherwise(0L))
+    val perSalt = saltedRows.filter(col("l_k") === 7L)
+      .groupBy("salt").agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(perSalt.keySet == (0L until 8L).toSet,
+      s"heavy key must spread over all 8 salts: ${perSalt.keySet}")
+    val fair = perSalt.values.sum / 8.0
+    assert(perSalt.values.max <= fair * 2,
+      s"no salt may hold > 2x the fair share: $perSalt")
+    val lightSalts = saltedRows.filter(col("l_k") =!= 7L)
+      .select("salt").distinct().collect().map(_.getLong(0)).toSet
+    assert(lightSalts == Set(0L), s"light keys must stay unsalted: $lightSalts")
+    // and the replication bill is heavy-keys-only: right rows of key 7
+    // appear 8x, every other key exactly once
+    val rS = r.join(broadcast(heavy), col("r_k") === col("hk"), "left")
+      .withColumn("rsalt",
+        explode(sequence(lit(0L), coalesce(col("ns"), lit(1L)) - 1L)))
+    val reps = rS.groupBy("r_k").agg((count(lit(1)) /
+        countDistinct(col("r_id"))).cast("long").as("factor"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(reps(7L) == 8L && reps.filter(_._1 != 7L).values.forall(_ == 1L),
+      s"replication must be heavy-only: $reps")
+  }
+
+  test("salted as-of exchanges on (key, salt): the heavy key no longer clusters into one partition") {
+    val l = skewLeft(2000)
+    val r = skewRight(800)
+    val df = AsOfJoin.salted(l, r, graft.plans.AsOfDirection.Backward,
+      "l_k", "r_k", "l_t", "r_t", "r_id", minDegree = 200L, maxSalts = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_asof_salt"),
+      "the left exchange must carry the salt column")
+    assert(plan.contains("__graft_asof_rsalt"),
+      "the right exchange must carry the replicated salt column")
+    assert(plan.contains("AsOfJoin"), "the native operator must still plan")
+  }
 }
