@@ -899,16 +899,21 @@ object Analytics {
         .persist()
       val opExc = opu.filter(col("is_last")).select("u", "o", "p")
       val pcExc = opExc.groupBy("p").agg(count(lit(1)).as("np_exc"))
-      // fTrain is BROADCAST three times (both half-matrix sides + the
-      // excluded-slice prune); persist it so each broadcast collect is
-      // a cache read, not a fresh pcAll ⋈ pcExc job.
+      // fTrain is BROADCAST twice (both half-matrix sides) and read
+      // once more inside the nbPlus broadcast build; persist it so
+      // each collect is a cache read, not a fresh pcAll ⋈ pcExc job.
       val fTrain = pcAll.join(pcExc, Seq("p"), "left")
         .filter(col("np") - coalesce(col("np_exc"), lit(0L)) >= 2)
         .select("p").persist()
       val coAllF = coPairsMV(s, dir)
         .join(broadcast(fTrain.select(col("p").as("pa"))), Seq("pa"))
         .join(broadcast(fTrain.select(col("p").as("pb"))), Seq("pb"))
-      val opExcF = opExc.select("o", "p").join(broadcast(fTrain), Seq("p"))
+      // the excluded-slice self-join runs UNPRUNED (round-13 broadcast
+      // audit: the fTrain prune here was one more broadcast + join on
+      // the critical path for nothing — coAllF is already floored on
+      // both sides, so excluded-slice pairs outside fTrain simply find
+      // no left-join partner and differencing is unchanged)
+      val opExcF = opExc.select("o", "p")
       val coExcHalf = opExcF.select(col("o"), col("p").as("pa"))
         .join(opExcF.select(col("o").as("o2"), col("p").as("pb")),
           col("o") === col("o2") && col("pa") < col("pb"))
@@ -934,13 +939,23 @@ object Analytics {
         .agg(TopKLongPairs.topkPairs(col("n"), col("pb"), 10).as("top"))
         .select(col("pa"), explode(col("top")).as("t"))
         .select(col("pa"), col("t.v").as("pb"), col("t.ord").as("n"))
-      // user-part sets from the (already-distinct) incidence via opu:
-      // the per-(o,p) dedup is baked into the view, so only the
-      // cross-order (u,p) dedup remains. tp feeds BOTH the candidate
-      // build and the tombstone rows — persist it so the train set is
-      // computed once, not once per consumer.
+      // Train user-part set: ONE exchange total — the explicit hash(u)
+      // repartition LANDS the rows where every downstream step needs
+      // them, and the distinct's ClusteredDistribution(u, p) is
+      // satisfied by hash(u) (subset clustering), so dedup, the
+      // broadcast candidate join and the scoring aggregate all run
+      // in-stage on top of it with no further exchange. The explicit
+      // partition count matters: tp is ~8 MB and AQE's coalescing
+      // otherwise collapses the stage to ONE partition,
+      // single-threading the 5.9M-row scoring pipeline (observed in
+      // the round-13 profile — a 9.5 s serial stage); a user-specified
+      // numPartitions is exempt. No persist: since the tombstones ride
+      // the broadcast side, the fused scoring join is tp's only
+      // consumer.
       val tp = opu.filter(!col("is_last"))
-        .select(col("u"), col("p")).distinct().persist()
+        .select(col("u"), col("p"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("u"))
+        .distinct()
       val hp = opu.filter(col("is_last") && col("no") >= 2)
         .select(col("u"), col("p")).distinct().persist()
       // WHOLE scoring tail — per-(u,pb) score sum, train-set exclusion,
@@ -965,18 +980,12 @@ object Analytics {
       val nbPlus = nb.unionByName(fTrain.select(col("p").as("pa"),
         col("p").as("pb"),
         lit(TopKSummedLongPairs.Tombstone).as("n")))
-      // EXPLICIT hash(u) repartition of the (small) train set BEFORE
-      // the broadcast join: the join preserves its child partitioning,
-      // so the scoring aggregate runs partial+final in-stage with NO
-      // exchange of the 5.9M joined rows — the only scoring shuffle is
-      // the 540k-row train set. The explicit partition count matters:
-      // tp's cache is ~8 MB, and AQE's partition coalescing otherwise
-      // collapses it to ONE partition, single-threading the whole
-      // 5.4M-row scoring pipeline (observed in the round-13 profile —
-      // a 9.5 s serial stage); a user-specified numPartitions is
-      // exempt from coalescing.
+      // tp is already hash(u)-partitioned (see its build above): the
+      // broadcast join preserves that partitioning, so the scoring
+      // aggregate runs partial+final in-stage with NO exchange of the
+      // 5.9M joined rows — the only scoring shuffle is the 600k-row
+      // train-set repartition.
       val fused = tp
-        .repartition(s.sessionState.conf.numShufflePartitions, col("u"))
         .join(broadcast(nbPlus), col("pa") === col("p"))
         .select(col("u"), col("pb"), col("n"))
       // recs (≤5 rows/user) and hp feed THREE readout branches (s1, the
@@ -994,15 +1003,24 @@ object Analytics {
       val recs = fused.groupBy("u")
         .agg(TopKSummedLongPairs.topkSum(col("pb"), col("n"), 5).as("top"))
         .select(col("u"), explode(col("top.v")).as("pb")).persist()
-      val s1 = recs.agg(countDistinct("u").as("n_users"),
-        count(lit(1)).as("n_recs"))
-      val hits = recs.join(hp, recs("u") === hp("u") && recs("pb") === hp("p"))
-        .select(recs("u"))
-      val s2 = hits.agg(count(lit(1)).as("n_hits"),
-        countDistinct("u").as("n_hit_users"))
+      // TWO readout branches, not three (round-13 broadcast audit: the
+      // executed plan carried 20 serial broadcast round-trips; every
+      // branch costs jobs + collects): rec counts and hit counts come
+      // from ONE left join of recs against the holdout sets — hp is
+      // distinct (u, p), so each rec row matches at most once and
+      // count(*) is still |recs| — leaving only the holdout semi-join
+      // as the second branch.
+      val hpr = hp.select(col("u").as("hu"), col("p").as("hp_p"))
+      val ra = recs.join(hpr,
+          col("u") === col("hu") && col("pb") === col("hp_p"), "left")
+        .select(col("u").as("ru"), col("hp_p").isNotNull.as("hit"))
+      val s12 = ra.agg(countDistinct("ru").as("n_users"),
+        count(lit(1)).as("n_recs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        countDistinct(when(col("hit"), col("ru"))).as("n_hit_users"))
       val s3 = hp.join(recs.select("u").distinct(), Seq("u"), "left_semi")
         .agg(count(lit(1)).as("n_holdout"))
-      s1.crossJoin(s2).crossJoin(s3)
+      s12.crossJoin(s3)
         .select(lit(5).as("k"), col("n_users"), col("n_recs"), col("n_hits"),
           col("n_holdout"),
           (round(col("n_hits").cast("double") / col("n_recs"), 4) + 0.0)
