@@ -489,5 +489,121 @@ object Graph {
         .orderBy("component_id")
     })
 
-  def defs: Seq[QueryDef] = Seq(q73, q119, q209, q245, q247)
+  // ---------------------------------------------------------------------
+  // q250 — native WITH RECURSIVE surface (Spark 4.1 UnionLoop execution)
+  // ---------------------------------------------------------------------
+
+  /** The RECURSIVE-SQL surface of the iterative-traversal family: the
+    * pairwise hop-distance histogram of the rare-shingle relatedness
+    * graph (q209's weak-signal graph — docs adjacent iff they share a
+    * shingle with document frequency 2..3), computed by a
+    * `WITH RECURSIVE` walk that Spark 4.1 executes NATIVELY
+    * (ResolveWithCTE → UnionLoop/UnionLoopRef: the engine drives the
+    * iteration, one join per level, anchor + recursive step declared
+    * in SQL) — where q45/q245/q247 drive the same class of computation
+    * from Scala loops ([[minRelax]]/[[starComponents]]), this is what
+    * a SQL-only user of the library writes. Readout: for h = 1..4, how
+    * many ordered doc pairs sit at BFS distance exactly h (min over
+    * enumerated walks) and how many distinct source docs have any
+    * neighbor at that distance — "how chained is doc relatedness"
+    * at corpus grain (the verified ≥0.5 graph is useless here: its
+    * components are pure cliques at both scales, so every distance is
+    * 1; the weak graph has real 2-, 3- and 4-hop structure).
+    *
+    * Scale notes, measured not guessed: Spark's recursive CTEs support
+    * UNION ALL only (UNION-dedup recursion raises
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE at analysis), so the
+    * recursion enumerates bounded WALKS, not a visited set — which
+    * explodes as Σ deg(v)⁴ on hub nodes. The DEGREE CEILING (both
+    * endpoints ≤ 8 distinct partners) is therefore load-bearing, not
+    * cosmetic: the sf0.01 corpus has rare-shingle hubs of degree 77
+    * (35M walks each unguarded), and the cap makes enumeration
+    * ≤ n·8⁴ BY CONSTRUCTION (measured walk rows: 123 at sf0.01, 62k
+    * at sf0.1) — the q209 degree-ceiling discipline applied to
+    * recursion. Chain structure survives (chain nodes have low
+    * degree); hubs just don't propagate. On graphs where capping is
+    * unacceptable, the Scala-loop operators (frontier relaxation with
+    * lineage truncation) remain the at-scale path; this query
+    * documents exactly that boundary. The level guard `hops < 4`
+    * terminates the loop regardless of cycles; Spark's own
+    * cteRecursionLevelLimit (100) is never approached. The edge build
+    * rides the shingle-set MV and stays in DataFrame land — the SQL
+    * text is the recursion, the thing this query exists to exercise. */
+  private val q250 = QueryDef(
+    "q250_recursive_cte_hop_histogram",
+    "native WITH RECURSIVE bounded walk: doc-pair counts by hop distance 1..4 on the rare-shingle graph",
+    Some(s"""
+      WITH RECURSIVE ${text.shinglesCte},
+      df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+      rare AS (SELECT s.doc_id, s.shingle
+               FROM sh s JOIN df USING (shingle) WHERE df BETWEEN 2 AND 3),
+      ed AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rare a JOIN rare b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      e0 AS (SELECT doc_a AS s, doc_b AS d FROM ed
+             UNION ALL SELECT doc_b, doc_a FROM ed),
+      deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM e0 GROUP BY 1),
+      e AS (SELECT e0.s, e0.d
+            FROM e0 JOIN deg ds ON ds.node = e0.s
+                    JOIN deg dd ON dd.node = e0.d
+            WHERE ds.deg <= 8 AND dd.deg <= 8),
+      walk(src, node, hops) AS (
+        SELECT s, s, 0 FROM (SELECT DISTINCT s FROM e)
+        UNION ALL
+        SELECT w.src, e.d, w.hops + 1
+        FROM walk w JOIN e ON e.s = w.node
+        WHERE w.hops < 4),
+      mh AS (SELECT src, node, MIN(hops) AS min_hops
+             FROM walk GROUP BY src, node)
+      SELECT CAST(min_hops AS BIGINT) AS hops,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+      FROM mh WHERE min_hops > 0
+      GROUP BY min_hops ORDER BY hops"""),
+    (s, dir) => {
+      val sh = Dedup.shingleSet(s, dir)
+      val rare = sh.join(
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 3)).select("shingle"),
+        Seq("shingle"))
+      val ed = rare.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("shingle"), col("doc_id").as("doc_b")),
+          Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val e0 = ed.select(col("doc_a").as("s"), col("doc_b").as("d"))
+        .union(ed.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      val deg = e0.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+      val capped = e0
+        .join(broadcast(deg.filter(col("deg") <= 8).select(col("node"))),
+          col("s") === col("node"))
+        .drop("node")
+        .join(broadcast(deg.filter(col("deg") <= 8)
+          .select(col("node").as("node_d"))), col("d") === col("node_d"))
+        .select("s", "d")
+      capped.createOrReplaceTempView("graft_q250_edges")
+      try {
+        s.sql("""
+          |WITH RECURSIVE
+          |walk(src, node, hops) AS (
+          |  SELECT s, s, 0 FROM (SELECT DISTINCT s FROM graft_q250_edges)
+          |  UNION ALL
+          |  SELECT w.src, e.d, w.hops + 1
+          |  FROM walk w JOIN graft_q250_edges e ON e.s = w.node
+          |  WHERE w.hops < 4),
+          |mh AS (SELECT src, node, MIN(hops) AS min_hops
+          |       FROM walk GROUP BY src, node)
+          |SELECT CAST(min_hops AS BIGINT) AS hops,
+          |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          |       CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+          |FROM mh WHERE min_hops > 0
+          |GROUP BY min_hops ORDER BY hops""".stripMargin)
+      } finally {
+        // analysis resolved the view eagerly (q222 discipline)
+        s.catalog.dropTempView("graft_q250_edges"): Unit
+      }
+    })
+
+  def defs: Seq[QueryDef] = Seq(q73, q119, q209, q245, q247, q250)
 }

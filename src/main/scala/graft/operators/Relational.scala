@@ -959,9 +959,57 @@ object Relational {
         .orderBy("lang")
     })
 
+  // ---------------------------------------------------------------------
+  // q249 — correlated LATERAL subquery (per-row dependent table expr)
+  // ---------------------------------------------------------------------
+
+  /** The correlated-LATERAL join surface (SQL:1999 lateral derived
+    * tables, first-class in Spark 4): for every nation, the top-2
+    * customers by account balance, written as `FROM nation, LATERAL
+    * (SELECT ... WHERE c_nationkey = n_nationkey ORDER BY ... LIMIT 2)`
+    * — the "per-row dependent subquery" shape analysts reach for before
+    * they learn window functions. The interesting part is what Spark
+    * MAKES of it: DecorrelateInnerQuery rewrites the correlated
+    * LIMIT-per-key into a row_number window partitioned by the
+    * correlation key plus one equi-join — so the executed plan is
+    * exactly q04's (WindowGroupLimit-able rank + broadcast hash join),
+    * NOT a nested-loop re-execution of the subquery per outer row.
+    * PlanSpec pins that: one Window node, a broadcast hash join on the
+    * correlation key, and no BroadcastNestedLoopJoin/CartesianProduct
+    * anywhere — the rewrite is what makes the surface safe at 100 TB
+    * (a per-row replay would be O(|outer| · |inner|)). Both engines
+    * bind the same SQL text; DuckDB executes its own decorrelation. */
+  private val q249 = QueryDef(
+    "q249_lateral_topk_per_nation",
+    "correlated LATERAL (ORDER BY ... LIMIT 2) per nation, decorrelated to a window",
+    Some("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""),
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_q249_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_q249_customer")
+      try {
+        s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+                 |FROM graft_q249_nation n, LATERAL (
+                 |  SELECT c_name, c_acctbal FROM graft_q249_customer c
+                 |  WHERE c.c_nationkey = n.n_nationkey
+                 |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+                 |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+      } finally {
+        // analysis above resolved the views eagerly (q222 discipline) —
+        // dropping them leaves the returned plan self-contained
+        s.catalog.dropTempView("graft_q249_nation"): Unit
+        s.catalog.dropTempView("graft_q249_customer"): Unit
+      }
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168, q181, q195, q221, q222, q224, q225, q226, q248)
+      q126, q127, q168, q181, q195, q221, q222, q224, q225, q226, q248, q249)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

@@ -157,4 +157,63 @@ class IterativeSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "starComponents must not leave catalog cache entries")
   }
+
+  /** q250's recursion semantics, detached from the fixture: min over
+    * capped UNION ALL walks = true BFS distance wherever distance ≤ cap
+    * (and no pair at all beyond it). `edges` must be bidirectional. */
+  private def recursiveHops(edges: org.apache.spark.sql.DataFrame,
+      cap: Int): Map[(Long, Long), Long] = {
+    edges.createOrReplaceTempView("it_rec_edges")
+    try {
+      spark.sql(s"""
+        |WITH RECURSIVE
+        |walk(src, node, hops) AS (
+        |  SELECT doc_a, doc_a, 0
+        |  FROM (SELECT DISTINCT doc_a FROM it_rec_edges)
+        |  UNION ALL
+        |  SELECT w.src, e.doc_b, w.hops + 1
+        |  FROM walk w JOIN it_rec_edges e ON e.doc_a = w.node
+        |  WHERE w.hops < $cap)
+        |SELECT src, node, CAST(MIN(hops) AS BIGINT) AS mh
+        |FROM walk WHERE node != src GROUP BY src, node""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    } finally spark.catalog.dropTempView("it_rec_edges"): Unit
+  }
+
+  /** Reference BFS on the collected edge list (driver-side, test-only). */
+  private def bruteHops(edges: Seq[(Long, Long)], cap: Int): Map[(Long, Long), Long] = {
+    val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val nodes = edges.map(_._1).distinct
+    nodes.flatMap { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var frontier = Seq(s)
+      var h = 0L
+      while (frontier.nonEmpty && h < cap) {
+        h += 1
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains).distinct
+        frontier.foreach(dist(_) = h)
+      }
+      dist.toSeq.collect { case (n, d) if n != s => (s, n) -> d }
+    }.toMap
+  }
+
+  test("recursive-CTE walk ≡ BFS distances on chain and random graphs (q250 semantics)") {
+    // chain: distances have the closed form |i − j|, capped at 4
+    val chain = chainEdges(12)
+    val got = recursiveHops(chain, 4)
+    val want = (for {
+      i <- 1L to 12L; j <- 1L to 12L
+      if i != j && math.abs(i - j) <= 4
+    } yield (i, j) -> math.abs(i - j)).toMap
+    assert(got == want, "chain distances must be |i − j| within the cap")
+    // seeded random graph (cycles, multiple components): min-over-walks
+    // must still equal BFS despite walk multiplicity
+    val rnd = new scala.util.Random(1713)
+    val pairs = Seq.fill(60) {
+      val a = rnd.nextInt(40) + 1L; val b = rnd.nextInt(40) + 1L; (a, b)
+    }.filter(p => p._1 != p._2).distinct
+    val bidir = pairs ++ pairs.map(_.swap)
+    assert(recursiveHops(bidir.toDF("doc_a", "doc_b"), 3) == bruteHops(bidir, 3))
+  }
 }

@@ -916,4 +916,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p9.contains("TakeOrderedAndProject"),
       "top-20 must be a TakeOrdered cut")
   }
+
+  test("q249: the correlated LATERAL LIMIT decorrelates to a window + hash join") {
+    val p = plan("q249_lateral_topk_per_nation")
+    assert(p.contains("row_number()") && p.contains("windowspecdefinition(c_nationkey"),
+      "the per-nation LIMIT 2 must become a row_number window keyed by the correlation column")
+    assert(p.contains("BroadcastHashJoin"),
+      "the outer join back to nation must be a broadcast hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "LATERAL must never plan a per-outer-row subquery replay")
+  }
+
+  test("q250: the WITH RECURSIVE walk executes as a native UnionLoop, not an unrolled plan") {
+    val df = SparkEntry.queries("q250_recursive_cte_hop_histogram")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"),
+      "Spark 4.1 must drive the recursion itself (UnionLoopExec); " +
+        "an unrolled/absent loop means the recursive surface regressed")
+    assert(!p.contains("CartesianProduct"),
+      "each recursion level is an equi-join on the frontier")
+    // the degree ceiling is load-bearing (sf0.01 has degree-77 hubs):
+    // both endpoints of every walked edge must pass the deg <= 8 gate
+    assert("deg#\\d+L? <= 8".r.findFirstIn(df.queryExecution.optimizedPlan.toString)
+      .isDefined || p.contains("<= 8"),
+      "the walk must only traverse the degree-capped edge set")
+  }
 }
