@@ -539,6 +539,130 @@ object Similarity {
           col("mean_abs_err"))
     })
 
+  // ---------------------------------------------------------------------
+  // q252 — product quantization: ADC retrieval vs exact, per query
+  // ---------------------------------------------------------------------
+
+  /** Product quantization (Jégou et al. 2011) — the remaining member of
+    * the index-compression family (q240 covers the PRECISION axis with
+    * int8 SQ, q232 the DIMENSION axis with Matryoshka truncation; PQ is
+    * the SUBSPACE axis): the 64-dim space splits into 4 subspaces of 16
+    * dims, each with its own codebook (seeded from the fixture `label`
+    * clustering exactly as q84 seeds its E-step — per-(label, subspace)
+    * exact-decimal centroids, k = 10 codes), every vector encodes as 4
+    * bytes-worth of nearest-sub-centroid codes, and queries score the
+    * corpus by ASYMMETRIC DISTANCE COMPUTATION: the query precomputes a
+    * (subspace × code) inner-product lookup table against the codebook,
+    * and each database vector's approximate dot is just the sum of 4
+    * table hits — no vector arithmetic per candidate at all. Readout:
+    * per query, the exact full-precision top-1 vs the ADC top-1 plus
+    * both scores — the per-query recall audit that decides whether 16×
+    * compression (64 floats → 4 codes) keeps retrieval.
+    *
+    * Scale shape (the reason PQ is THE web-scale ANN quantizer): the
+    * LUT is |queries|·4·k rows — broadcast; the scan side touches only
+    * the (vec, sub, code) encoding (4 rows/vector, a 16× byte
+    * reduction), and scoring is a broadcast equi-join on (sub, code) +
+    * a 4-row sum per (query, vec) — map-side combinable, no vector
+    * payload through any shuffle. Encoding itself is the q84 long-form
+    * plan (explode → broadcast codebook join → grouped exact-decimal
+    * distance, argmin by (dist, code)). Every aggregate rides
+    * [[det]]'s decimal accumulators, so codes, scores, and therefore
+    * the whole readout are partitioning-independent; the exact side is
+    * the q130/q240 bounded-query broadcast scan. */
+  private val q252 = QueryDef(
+    "q252_pq_adc_recall",
+    "product quantization (4 subspaces × 16 dims): ADC top-1 vs exact top-1 per query",
+    Some(s"""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      lf AS (SELECT vec_id, label, (dim - 1) // 4 AS sub, dim,
+                    embedding[dim]::DOUBLE AS v
+             FROM embeddings, dims),
+      cents AS (SELECT label AS code, sub, dim, ${davgSql("v")} AS c
+                FROM lf GROUP BY 1, 2, 3),
+      dist AS (SELECT lf.vec_id, lf.sub, c.code,
+                      ${dsumSql("(lf.v - c.c) * (lf.v - c.c)")} AS dist
+               FROM lf JOIN cents c ON c.sub = lf.sub AND c.dim = lf.dim
+               GROUP BY 1, 2, 3),
+      enc AS (SELECT vec_id, sub, code FROM dist
+              QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dist, code) = 1),
+      lut AS (SELECT lf.vec_id AS query_id, lf.sub, c.code,
+                     ${dsumSql("lf.v * c.c")} AS w
+              FROM lf JOIN cents c ON c.sub = lf.sub AND c.dim = lf.dim
+              WHERE lf.vec_id < 10
+              GROUP BY 1, 2, 3),
+      adc AS (SELECT l.query_id, e.vec_id, ${dsumSql("l.w")} AS adc_score
+              FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+              WHERE l.query_id != e.vec_id
+              GROUP BY 1, 2),
+      adc1 AS (SELECT query_id, vec_id AS adc_nn, adc_score FROM adc
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_score DESC, vec_id) = 1),
+      gt AS (SELECT a.vec_id AS query_id, e.vec_id AS neighbor_id,
+                    ${dotSql("a.embedding", "e.embedding")} AS exact_score
+             FROM embeddings a JOIN embeddings e ON e.vec_id != a.vec_id
+             WHERE a.vec_id < 10),
+      gt1 AS (SELECT query_id, neighbor_id AS exact_nn, exact_score FROM gt
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                      ORDER BY exact_score DESC, neighbor_id) = 1)
+      SELECT g.query_id, g.exact_nn, a.adc_nn,
+             CAST(CASE WHEN g.exact_nn = a.adc_nn THEN 1 ELSE 0 END
+                  AS BIGINT) AS hit,
+             (g.exact_score + 0.0) AS exact_score, a.adc_score
+      FROM gt1 g JOIN adc1 a USING (query_id)
+      ORDER BY g.query_id"""),
+    (s, dir) => {
+      val lf = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("p", "v")))
+        .select(col("vec_id"), col("label"), expr("p div 4").as("sub"),
+          (col("p") + 1).as("dim"), col("v"))
+      val cents = lf.groupBy(col("label").as("code"), col("sub"), col("dim"))
+        .agg(davg(col("v")).as("c"))
+      val dist = lf.join(broadcast(cents), Seq("sub", "dim"))
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(dsum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
+      val enc = dist.withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("code"))))
+        .filter(col("rn") === 1).select("vec_id", "sub", "code")
+      val lut = lf.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("sub"), col("dim"),
+          col("v").as("qv"))
+        .join(broadcast(cents), Seq("sub", "dim"))
+        .groupBy(col("query_id"), col("sub"), col("code"))
+        .agg(dsum(col("qv") * col("c")).as("w"))
+      val adc = enc.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(dsum(col("w")).as("adc_score"))
+      val adc1 = adc.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("adc_score").desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("adc_nn"), col("adc_score"))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("fv"))
+      val gt1 = broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("fv").as("qv")))
+        .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("fv")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          rounded(col("qv"), col("fv")).as("exact_score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("exact_score").desc, col("neighbor_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_nn"),
+          col("exact_score"))
+      gt1.join(adc1, Seq("query_id"))
+        .select(col("query_id"), col("exact_nn"), col("adc_nn"),
+          when(col("exact_nn") === col("adc_nn"), 1L).otherwise(0L).as("hit"),
+          (col("exact_score") + lit(0.0)).as("exact_score"),
+          col("adc_score"))
+        .orderBy("query_id")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q31, q32, q33, q34, q35, q102, q175, q211, q232, q240)
+    Seq(q31, q32, q33, q34, q35, q102, q175, q211, q232, q240, q252)
 }

@@ -938,7 +938,101 @@ object TextPipeline {
         .orderBy("pair_id", "doc_id")
     })
 
+  // ---------------------------------------------------------------------
+  // q251 — Gopher-style quality-rule scorecard (rule-level pass counts)
+  // ---------------------------------------------------------------------
+
+  /** The rule-based document filter of the Gopher/MassiveText lineage
+    * (Rae et al. 2021 §A1.1; the same battery FineWeb and Dolma run
+    * before any model-based scoring), reported at RULE grain — per
+    * rule, how many docs pass/fail, plus the all-rules conjunction —
+    * because the per-rule attrition table is what a curation owner
+    * reads before touching a threshold. Four rules with signal in this
+    * corpus (bounds scaled to its word-soup docs; the mechanism, not
+    * the constants, is the operator):
+    *   r1 word count ≥ 20 (Gopher: 50..100k — drops fragments);
+    *   r2 mean word length in [3, 4.5] (Gopher: 3..10);
+    *   r3 stopword battery: 'the' AND 'a' both present (Gopher: ≥2 of
+    *      its 8 English stopwords — a cheap English-fluency proxy);
+    *   r4 top-word dominance ≤ 1/8 of tokens (the repetition screen,
+    *      q95's max-frequency signal as a hard rule).
+    * EVERY threshold compares integers (mean length as 2·Σlen vs 6·wc
+    * and 9·wc; dominance as 8·max_count vs wc; Σ word lengths =
+    * length(text) − (wc−1) since text is single-space joined) — no
+    * float reaches a comparison, so both engines agree exactly.
+    * Shape at 100 TB: r1–r3 are one projection pass; r4 is the only
+    * shuffle (per-(doc, word) count → per-doc max, both map-side
+    * combinable); the readout is a 5-row stack off one scalar agg. */
+  private val q251 = QueryDef(
+    "q251_gopher_quality_rules",
+    "Gopher-style rule battery: per-rule pass/fail counts + all-rules conjunction",
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t,
+                          CAST(len(text) AS BIGINT) AS tl
+                   FROM documents),
+      base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS wc,
+                      tl - (len(t) - 1) AS sumlen,
+                      list_contains(t, 'the') AND list_contains(t, 'a') AS sw
+               FROM tok),
+      mf AS (SELECT doc_id, MAX(c) AS maxn FROM (
+               SELECT doc_id, COUNT(*) AS c
+               FROM tok, unnest(t) AS u(w) GROUP BY doc_id, w)
+             GROUP BY doc_id),
+      fl AS (SELECT b.wc >= 20 AS r1,
+                    2 * b.sumlen >= 6 * b.wc AND 2 * b.sumlen <= 9 * b.wc AS r2,
+                    b.sw AS r3,
+                    8 * m.maxn <= b.wc AS r4
+             FROM base b JOIN mf m USING (doc_id)),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(r1::INT) AS BIGINT) AS p1,
+                     CAST(SUM(r2::INT) AS BIGINT) AS p2,
+                     CAST(SUM(r3::INT) AS BIGINT) AS p3,
+                     CAST(SUM(r4::INT) AS BIGINT) AS p4,
+                     CAST(SUM((r1 AND r2 AND r3 AND r4)::INT) AS BIGINT) AS pa
+              FROM fl)
+      SELECT rule, n_pass, n - n_pass AS n_fail FROM (
+        SELECT 'r1_word_count' AS rule, p1 AS n_pass, n FROM agg
+        UNION ALL SELECT 'r2_mean_word_len', p2, n FROM agg
+        UNION ALL SELECT 'r3_stopwords', p3, n FROM agg
+        UNION ALL SELECT 'r4_top_word_frac', p4, n FROM agg
+        UNION ALL SELECT 'r5_all_rules', pa, n FROM agg)
+      ORDER BY rule"""),
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"),
+          length(col("text")).cast("long").as("tl"))
+      val base = tok.select(col("doc_id"),
+        size(col("t")).cast("long").as("wc"),
+        (col("tl") - (size(col("t")) - 1)).as("sumlen"),
+        (array_contains(col("t"), "the") && array_contains(col("t"), "a"))
+          .as("sw"))
+      val mf = tok.select(col("doc_id"), explode(col("t")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("maxn"))
+      val fl = base.join(mf, Seq("doc_id"))
+        .select((col("wc") >= 20).as("r1"),
+          (lit(2) * col("sumlen") >= lit(6) * col("wc") &&
+            lit(2) * col("sumlen") <= lit(9) * col("wc")).as("r2"),
+          col("sw").as("r3"),
+          (lit(8) * col("maxn") <= col("wc")).as("r4"))
+      def pass(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val agg = fl.agg(count(lit(1)).as("n"),
+        pass(col("r1")).as("p1"), pass(col("r2")).as("p2"),
+        pass(col("r3")).as("p3"), pass(col("r4")).as("p4"),
+        pass(col("r1") && col("r2") && col("r3") && col("r4")).as("pa"))
+      agg.selectExpr(
+          """stack(5,
+             'r1_word_count', p1,
+             'r2_mean_word_len', p2,
+             'r3_stopwords', p3,
+             'r4_top_word_frac', p4,
+             'r5_all_rules', pa) AS (rule, n_pass)""",
+          "n")
+        .select(col("rule"), col("n_pass"), (col("n") - col("n_pass")).as("n_fail"))
+        .orderBy("rule")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q30, q99, q104, q144, q164, q190, q228,
-      q233, q234, q242)
+      q233, q234, q242, q251)
 }

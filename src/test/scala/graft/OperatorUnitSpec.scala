@@ -198,4 +198,28 @@ class OperatorUnitSpec extends AnyFunSuite {
       .filter(col("rn") =!= col("rn_exp")).count() == 0,
       "NULL-group ranks must match the plain window")
   }
+
+  test("q252 PQ: zero quantization error ⇒ ADC ranking equals exact ranking") {
+    // When every vector IS its cluster centroid (values exact at 4 dp,
+    // so the decimal rounding in centroids/LUT is the identity), the
+    // per-subspace codes reconstruct the vector exactly and the ADC
+    // score must equal the full-precision dot — so top-1 agrees per
+    // query and both reported scores coincide. This pins the aggregate
+    // wiring (codebook → encode → LUT → 4-hit sum) independent of the
+    // fixture's noisy geometry, where recall is legitimately < 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    def vec(lbl: Int): Seq[Float] =
+      (0 until 64).map(d => if (d % 4 == lbl % 4) 0.5f else -0.25f)
+        .updated(lbl, 1.0f) // make labels distinguishable beyond the cycle
+    val rows = (0L until 12L).map(i => (i, vec((i % 3).toInt), (i % 3).toInt))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q252_pq_adc_recall")(spark, dir).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("hit") == 1L),
+      "with exact centroids ADC top-1 must equal exact top-1")
+    assert(out.forall(r =>
+      r.getAs[Double]("adc_score") == r.getAs[Double]("exact_score")),
+      "zero quantization error ⇒ identical rounded scores")
+  }
 }

@@ -927,6 +927,19 @@ class PlanSpec extends AnyFunSuite {
       "LATERAL must never plan a per-outer-row subquery replay")
   }
 
+  test("q252: PQ codebook/LUT joins broadcast; only the bounded exact scan is a loop join") {
+    val p = plan("q252_pq_adc_recall")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "codebook joins and the (sub, code) ADC scoring join must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "no unbounded pair scan anywhere in the PQ pipeline")
+    // plan() renders the tree twice (toString + formatted), so node
+    // counts are ~2×; the only loop join is the 10-query exact scan
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(loops <= 4,
+      s"only the 10-query exact ground-truth scan may be a loop join (saw $loops)")
+  }
+
   test("q250: the WITH RECURSIVE walk executes as a native UnionLoop, not an unrolled plan") {
     val df = SparkEntry.queries("q250_recursive_cte_hop_histogram")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
