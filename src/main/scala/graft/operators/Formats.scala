@@ -222,5 +222,60 @@ object Formats {
         .orderBy("lang")
     })
 
-  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244)
+  // ---------------------------------------------------------------------
+  // q253 — ORC source/sink round-trip (the second columnar format)
+  // ---------------------------------------------------------------------
+
+  /** ORC under the same checksummed round-trip gate as q202's text
+    * formats: the corpus written to ORC (Spark's native orc-core path —
+    * the other columnar format every warehouse migration has to read),
+    * read back with an explicit schema, and reduced to per-lang content
+    * checksums the oracle recomputes from the ORIGINAL parquet — any
+    * type coercion, string encoding, or null drift between the two
+    * columnar stacks breaks the sum. The read side also proves the
+    * format keeps the scan-level contracts the engine's plans rely on:
+    * a lang filter on the ORC read must surface as ORC PushedFilters
+    * (PlanSpec pins it), because a format that can't push predicates
+    * turns every 100 TB selective scan into a full read. The filtered
+    * branch re-counts 'en' docs through the ORC row-group path, so the
+    * pushdown's RESULT is inside the hash gate too, not just its plan
+    * shape. */
+  private val q253 = QueryDef(
+    "q253_orc_source_roundtrip",
+    "ORC sink+source proved lossless by checksummed round-trip; filtered read pushes down",
+    Some(s"""
+      WITH h AS (SELECT lang,
+                        ${text.md5Hash60Sql(
+                          "doc_id || chr(1) || lang || chr(1) || source || chr(1) || n_chars || chr(1) || text")}
+                          % (1::BIGINT << 40) AS h
+                 FROM documents),
+      g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(h) AS BIGINT) AS content_checksum
+            FROM h GROUP BY lang),
+      en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_en FROM documents
+             WHERE lang = 'en')
+      SELECT g.lang, g.n_docs, g.content_checksum, en.n_en
+      FROM g CROSS JOIN en
+      ORDER BY g.lang"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType),
+        StructField("text", StringType)))
+      val base = scratch("q253")
+      docs.write.mode("overwrite").orc(s"$base/orc")
+      val back = s.read.schema(schema).orc(s"$base/orc")
+      val en = back.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n_en"))
+      back.select(col("lang"), rowHash.as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h")).cast("long").as("content_checksum"))
+        .crossJoin(broadcast(en))
+        .orderBy("lang")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244, q253)
 }

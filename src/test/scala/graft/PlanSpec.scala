@@ -927,6 +927,14 @@ class PlanSpec extends AnyFunSuite {
       "LATERAL must never plan a per-outer-row subquery replay")
   }
 
+  test("q253: the lang filter reaches the ORC scan as a pushed predicate") {
+    val p = plan("q253_orc_source_roundtrip")
+    val orcScans = p.linesIterator.filter(_.contains("Scan orc")).size
+    assert(orcScans >= 1, "the round-trip must read back through the ORC source")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      "the en filter must push into the ORC reader (row-group elimination at scale)")
+  }
+
   test("q252: PQ codebook/LUT joins broadcast; only the bounded exact scan is a loop join") {
     val p = plan("q252_pq_adc_recall")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
