@@ -1323,7 +1323,104 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     })
 
+  // ---------------------------------------------------------------------
+  // q254 — Fellegi–Sunter probabilistic record linkage
+  // ---------------------------------------------------------------------
+
+  /** Probabilistic record linkage (Fellegi & Sunter 1969) — the
+    * decision layer the dedup family was missing: SNM (q243) and the
+    * OCR relink (q157) GENERATE candidate pairs; this operator SCORES
+    * them into match / possible / non-match classes by summed
+    * field-agreement log-odds, the way every production linker
+    * (Splink, dedupe.io) does. Scenario: a 10%% hash-selected
+    * "re-registration batch" of customers arrives with deterministic
+    * field noise — two characters dropped from the name, account
+    * balance truncated to whole units — and must be linked back
+    * against the full customer table.
+    *
+    * Mechanism: blocking on (nationkey, mktsegment) — ~125 blocks, so
+    * candidate generation is a bounded equi-join, never a cross — then
+    * per-field agreement tests (name: levenshtein ≤ 2 against the
+    * corrupted key; balance: truncated units equal) weighted by
+    * INTEGER log-odds constants (name +20/−5 — weak, the formulaic
+    * names collide; balance +73/−11 — strong, ln(1/u) ≈ ln N for a
+    * near-unique field) and summed; class thresholds at ≥ 90 (match:
+    * both fields agree), ≥ 40 (possible: balance alone). All scoring
+    * is integer arithmetic — the float-free FS variant, same
+    * fixed-point discipline as q73/q209. The self-pair count inside
+    * the match class is the built-in recall meter (every batch row's
+    * true partner is its own source row); false matches arise exactly
+    * when another customer collides on truncated balance AND differs
+    * from the batch row's name only at the two dropped positions —
+    * deterministic, so the oracle sees the same ones. At 100 TB the
+    * block sizes bound the pair scan and the q134 salting discipline
+    * applies to any hot block; weights/thresholds broadcast as
+    * literals. */
+  private val q254 = QueryDef(
+    "q254_fellegi_sunter_linkage",
+    "Fellegi–Sunter blocked linkage: match/possible/non-match counts per segment",
+    Some(s"""
+      WITH b AS (SELECT c_custkey AS bkey, c_nationkey, c_mktsegment,
+                        substring(c_name, 1, 9) || substring(c_name, 11, 3) ||
+                          substring(c_name, 15, 4) AS bname,
+                        CAST(floor(c_acctbal) AS BIGINT) AS bbal
+                 FROM customer
+                 WHERE ${text.md5Hash60Sql("'fs:' || CAST(c_custkey AS VARCHAR)")}
+                         % 10 = 3),
+      cand AS (SELECT b.bkey, c.c_custkey AS ckey, b.c_mktsegment,
+                      (CASE WHEN levenshtein(b.bname, c.c_name) <= 2
+                            THEN 20 ELSE -5 END +
+                       CASE WHEN b.bbal = CAST(floor(c.c_acctbal) AS BIGINT)
+                            THEN 73 ELSE -11 END) AS score
+               FROM b JOIN customer c
+                 ON c.c_nationkey = b.c_nationkey
+                AND c.c_mktsegment = b.c_mktsegment)
+      SELECT c_mktsegment AS mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN score >= 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             CAST(SUM(CASE WHEN score >= 40 AND score < 90 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_possible,
+             CAST(SUM(CASE WHEN score < 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonmatch,
+             CAST(SUM(CASE WHEN score >= 90 AND bkey = ckey THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_self_match
+      FROM cand GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val b = c
+        .filter(text.md5Hash60(
+          concat(lit("fs:"), col("c_custkey").cast("string"))) % 10L === 3L)
+        .select(col("c_custkey").as("bkey"),
+          col("c_nationkey").as("bnat"), col("c_mktsegment").as("bseg"),
+          concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 3),
+            substring(col("c_name"), 15, 4)).as("bname"),
+          floor(col("c_acctbal")).cast("long").as("bbal"))
+      val cand = broadcast(b).join(c,
+          col("c_nationkey") === col("bnat") && col("c_mktsegment") === col("bseg"))
+        .select(col("bkey"), col("c_custkey").as("ckey"),
+          col("bseg").as("mktsegment"),
+          // bounded variant (threshold=3): O(k·n) banded DP with early
+          // exit instead of the full O(n²) table. CONTRACT: it returns
+          // the distance only when it is < threshold and -1 otherwise —
+          // so "distance ≤ 2" is `>= 0` under threshold 3 (a plain
+          // `<= 2` here silently matches the -1 sentinel; caught by the
+          // oracle compare when this was first written with bound 2)
+          (when(levenshtein(col("bname"), col("c_name"), 3) >= 0, 20).otherwise(-5) +
+            when(col("bbal") === floor(col("c_acctbal")).cast("long"), 73)
+              .otherwise(-11)).as("score"))
+      cand.groupBy("mktsegment")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("score") >= 90, 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("score") >= 40 && col("score") < 90, 1L).otherwise(0L))
+            .as("n_possible"),
+          sum(when(col("score") < 40, 1L).otherwise(0L)).as("n_nonmatch"),
+          sum(when(col("score") >= 90 && col("bkey") === col("ckey"), 1L)
+            .otherwise(0L)).as("n_self_match"))
+        .orderBy("mktsegment")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162,
-      q163, q237, q238, q239, q241, q243)
+      q163, q237, q238, q239, q241, q243, q254)
 }
