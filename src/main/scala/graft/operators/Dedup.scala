@@ -70,6 +70,34 @@ object Dedup {
       text.shingles(Tables.documents(s, dir))
     }
 
+  /** The rare-shingle relatedness pairs (docs sharing a shingle with
+    * document frequency 2..3, canonical doc_a < doc_b) as a
+    * materialized view — the weak-signal graph shared by q209 (link
+    * prediction) and q250 (the recursive-CTE walk), each of which
+    * previously rebuilt the df profile + pair self-join from scratch.
+    * Joining ONLY on rare shingles bounds the per-key fan-out at
+    * C(3,2) by construction (the q209 skew discipline), so the build
+    * is linear in vocabulary size. */
+  private[graft] def rareShinglePairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.MaterializedViews.cached(s, dir, "rare_pairs_df23") {
+      rareShinglePairsOf(shingleSet(s, dir))
+    }
+
+  /** The rare-pair BUILD plan over an explicit shingle frame — split
+    * out so PlanSpec can pin the df rarity gate in the build (the
+    * consumer plans are parquet scans of the view). */
+  private[graft] def rareShinglePairsOf(sh: DataFrame): DataFrame = {
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 3)).select("shingle"),
+      Seq("shingle"))
+    rare.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("shingle"), col("doc_id").as("doc_b")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** The exact-Jaccard-verified near-dup pair set (J >= 0.5) as a
     * materialized view — the shared prefix of the kill-list, components
     * and PageRank queries, previously rebuilt from scratch by each

@@ -273,16 +273,8 @@ object Graph {
                         WHERE v.doc_a = c.doc_a AND v.doc_b = c.doc_b)
       ORDER BY ra_micro DESC, doc_a, doc_b LIMIT 20"""),
     (s, dir) => {
-      val sh = Dedup.shingleSet(s, dir)
-      val rare = sh.join(
-        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df").between(2, 3)).select("shingle"),
-        Seq("shingle"))
-      val ed = rare.select(col("shingle"), col("doc_id").as("doc_a"))
-        .join(rare.select(col("shingle"), col("doc_id").as("doc_b")),
-          Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      // the rare-pair edge set is a maintained view (shared with q250)
+      val ed = Dedup.rareShinglePairs(s, dir)
       val e = ed.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(ed.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -526,9 +518,30 @@ object Graph {
     * lineage truncation) remain the at-scale path; this query
     * documents exactly that boundary. The level guard `hops < 4`
     * terminates the loop regardless of cycles; Spark's own
-    * cteRecursionLevelLimit (100) is never approached. The edge build
-    * rides the shingle-set MV and stays in DataFrame land — the SQL
-    * text is the recursion, the thing this query exists to exercise. */
+    * cteRecursionLevelLimit (100) is never approached. The edge set is
+    * the maintained rare-pair view (shared with q209), degree-capped
+    * in DataFrame land and lineage-truncated before the temp-view
+    * handoff — the SQL text is the recursion, the thing this query
+    * exists to exercise. */
+  /** q250's walkable edge set: the rare-pair view symmetrized with the
+    * degree-8 ceiling applied to BOTH endpoints. Split out (lazy plan,
+    * no truncation) so PlanSpec can pin the ceiling — inside q250 the
+    * frame is lineage-truncated before the temp-view handoff, which
+    * hides the filter behind a LogicalRDD leaf. */
+  private[graft] def cappedRareEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ed = Dedup.rareShinglePairs(s, dir)
+    val e0 = ed.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(ed.select(col("doc_b").as("s"), col("doc_a").as("d")))
+    val deg = e0.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    e0.join(broadcast(deg.filter(col("deg") <= 8).select(col("node"))),
+        col("s") === col("node"))
+      .drop("node")
+      .join(broadcast(deg.filter(col("deg") <= 8)
+        .select(col("node").as("node_d"))), col("d") === col("node_d"))
+      .select("s", "d")
+  }
+
   private val q250 = QueryDef(
     "q250_recursive_cte_hop_histogram",
     "native WITH RECURSIVE bounded walk: doc-pair counts by hop distance 1..4 on the rare-shingle graph",
@@ -562,26 +575,13 @@ object Graph {
       FROM mh WHERE min_hops > 0
       GROUP BY min_hops ORDER BY hops"""),
     (s, dir) => {
-      val sh = Dedup.shingleSet(s, dir)
-      val rare = sh.join(
-        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df").between(2, 3)).select("shingle"),
-        Seq("shingle"))
-      val ed = rare.select(col("shingle"), col("doc_id").as("doc_a"))
-        .join(rare.select(col("shingle"), col("doc_id").as("doc_b")),
-          Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val e0 = ed.select(col("doc_a").as("s"), col("doc_b").as("d"))
-        .union(ed.select(col("doc_b").as("s"), col("doc_a").as("d")))
-      val deg = e0.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
-      val capped = e0
-        .join(broadcast(deg.filter(col("deg") <= 8).select(col("node"))),
-          col("s") === col("node"))
-        .drop("node")
-        .join(broadcast(deg.filter(col("deg") <= 8)
-          .select(col("node").as("node_d"))), col("d") === col("node_d"))
-        .select("s", "d")
+      // MATERIALIZE the edge set before handing it to the recursion:
+      // the temp view inlines its plan into the UnionLoop body, so
+      // without this every loop level re-evaluates the whole edge
+      // build (rare-pair view scan, symmetrize, degree profile, cap
+      // joins) from scratch — measured 4.2 s/query; truncated it is
+      // one edge build + four joins over a LogicalRDD leaf.
+      val capped = truncateLineage(cappedRareEdges(s, dir))
       capped.createOrReplaceTempView("graft_q250_edges")
       try {
         s.sql("""

@@ -620,12 +620,36 @@ object Similarity {
           (col("p") + 1).as("dim"), col("v"))
       val cents = lf.groupBy(col("label").as("code"), col("sub"), col("dim"))
         .agg(davg(col("v")).as("c"))
-      val dist = lf.join(broadcast(cents), Seq("sub", "dim"))
-        .groupBy(col("vec_id"), col("sub"), col("code"))
-        .agg(dsum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
-      val enc = dist.withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("code"))))
-        .filter(col("rn") === 1).select("vec_id", "sub", "code")
+      // ENCODE in array form: the oracle's long form (explode × codes →
+      // decimal hash-agg → argmin window) costs a 3.2M-row decimal
+      // aggregate plus an 80k-partition window sort at sf0.1 (measured
+      // 5.5 s/query); here the codebook collapses to 160 four-dim
+      // arrays, the squared distance is an exact-decimal fold over the
+      // zipped slice (decimal addition is exact and order-free, so the
+      // rounded value is BIT-IDENTICAL to the oracle's SUM — the hash
+      // gate proves it), and the argmin is a map-side-combinable
+      // min_by((dist, code)) instead of a window. Same numbers, one
+      // bounded shuffle.
+      val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+      def d2(v: Column, c: Column): Column =
+        round(aggregate(zip_with(v, c, (x, y) => ((x - y) * (x - y)).cast(dec)),
+          // the merge must return the accumulator type exactly; the
+          // widened DECIMAL(31,10) sum re-narrows losslessly (terms are
+          // O(1) squared diffs, nowhere near 20 integer digits)
+          lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)).cast("double"), 4) + 0.0
+      val cbook = cents.groupBy("code", "sub")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          t => t.getField("c")).as("cv"))
+      val sv = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("fv"),
+          explode(sequence(lit(0), lit(15))).as("sub"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("fv"), col("sub") * 4 + 1, lit(4)).as("v4"))
+      val enc = sv.join(broadcast(cbook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          d2(col("v4"), col("cv")).as("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
       val lut = lf.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("sub"), col("dim"),
           col("v").as("qv"))

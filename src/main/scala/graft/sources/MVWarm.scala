@@ -21,6 +21,7 @@ object MVWarm {
     */
   val views: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "shingles_w3" -> ((s, d) => graft.operators.Dedup.shingleSet(s, d)),
+    "rare_pairs_df23" -> ((s, d) => graft.operators.Dedup.rareShinglePairs(s, d)),
     "verified_pairs_j05" -> ((s, d) => graft.operators.Dedup.verifiedPairs(s, d)),
     "components_j05" -> ((s, d) => graft.operators.Dedup.components(s, d)),
     "simhash_sig60" -> ((s, d) => graft.operators.Dedup.simhashSignatures(s, d)),

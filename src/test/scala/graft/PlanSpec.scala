@@ -908,10 +908,18 @@ class PlanSpec extends AnyFunSuite {
       "bucket loads must combine map-side")
     assert(!p8.contains("Join") || !p8.contains("SortMergeJoin"),
       "no fact-sized join anywhere in the hashing audit")
+    // the rarity gate moved into the rare_pairs_df23 MV BUILD plan when
+    // the edge set became a maintained view (re-pin-after-MV-conversion
+    // rule, SURVEY §5) — pin it there, and pin the consumer on the scan
+    val build = graft.operators.Dedup.rareShinglePairsOf(
+      graft.operators.Dedup.shingleSet(spark, sf))
+      .queryExecution.optimizedPlan.toString
+    assert("df#\\d+L? >= 2".r.findFirstIn(build).isDefined &&
+      "df#\\d+L? <= 3".r.findFirstIn(build).isDefined,
+      "the df BETWEEN 2 AND 3 rarity gate must precede the pair self-join in the MV build")
     val p9 = plan("q209_linkpred_resource_allocation")
-    assert("df#\\d+L? >= 2".r.findFirstIn(p9).isDefined &&
-      "df#\\d+L? <= 3".r.findFirstIn(p9).isDefined,
-      "the df BETWEEN 2 AND 3 rarity gate must precede the shingle pair join")
+    assert(p9.contains("rare_pairs_df23"),
+      "q209 must read the maintained rare-pair view, not rebuild it")
     assert(!p9.contains("CartesianProduct"))
     assert(p9.contains("TakeOrderedAndProject"),
       "top-20 must be a TakeOrdered cut")
@@ -957,9 +965,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "each recursion level is an equi-join on the frontier")
     // the degree ceiling is load-bearing (sf0.01 has degree-77 hubs):
-    // both endpoints of every walked edge must pass the deg <= 8 gate
-    assert("deg#\\d+L? <= 8".r.findFirstIn(df.queryExecution.optimizedPlan.toString)
-      .isDefined || p.contains("<= 8"),
-      "the walk must only traverse the degree-capped edge set")
+    // both endpoints of every walked edge must pass the deg <= 8 gate.
+    // q250 truncates the edge set's lineage before the recursion (the
+    // temp view would otherwise re-run the build per loop level), so
+    // the ceiling is pinned on the exposed edge-build plan instead.
+    val edges = graft.operators.Graph.cappedRareEdges(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert("deg#\\d+L? <= 8".r.findAllIn(edges).size >= 2,
+      "both walk endpoints must pass the degree ceiling")
   }
 }
