@@ -988,7 +988,7 @@ object Analytics {
       val fused = tp
         .join(broadcast(nbPlus), col("pa") === col("p"))
         .select(col("u"), col("pb"), col("n"))
-      // recs (≤5 rows/user) and hp feed THREE readout branches (s1, the
+      // recs (≤5 rows/user) and hp feed TWO readout branches (the
       // hit join, the holdout semi-join) — persist both so the whole
       // recommender pipeline executes ONCE, not once per branch.
       // LIFECYCLE CONTRACT: the fn returns a LAZY DataFrame, so it

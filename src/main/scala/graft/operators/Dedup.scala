@@ -1424,17 +1424,25 @@ object Dedup {
           concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 3),
             substring(col("c_name"), 15, 4)).as("bname"),
           floor(col("c_acctbal")).cast("long").as("bbal"))
-      val cand = broadcast(b).join(c,
+      // no broadcast hint on the batch: it is 10% of customer — a
+      // scale-growing side — so the hint must stay AQE's runtime call
+      // (it broadcasts at fixture scale, degrades to a shuffle join at
+      // 100 TB instead of baking in a driver OOM; the q206 coExcHalf
+      // discipline)
+      val cand = b.join(c,
           col("c_nationkey") === col("bnat") && col("c_mktsegment") === col("bseg"))
         .select(col("bkey"), col("c_custkey").as("ckey"),
           col("bseg").as("mktsegment"),
-          // bounded variant (threshold=3): O(k·n) banded DP with early
-          // exit instead of the full O(n²) table. CONTRACT: it returns
-          // the distance only when it is < threshold and -1 otherwise —
-          // so "distance ≤ 2" is `>= 0` under threshold 3 (a plain
-          // `<= 2` here silently matches the -1 sentinel; caught by the
-          // oracle compare when this was first written with bound 2)
-          (when(levenshtein(col("bname"), col("c_name"), 3) >= 0, 20).otherwise(-5) +
+          // bounded variant (threshold=2): O(k·n) banded DP with early
+          // exit instead of the full O(n²) table. CONTRACT (verified
+          // empirically: levenshtein('abc','xyz',3) = 3): it returns
+          // the distance when d <= threshold and -1 when d exceeds it —
+          // so "distance ≤ 2" is `levenshtein(..., 2) >= 0`. Both a
+          // plain `<= 2` (admits the -1 sentinel) and threshold 3 with
+          // `>= 0` (admits d = 3) are latent divergences from the
+          // oracle's unbounded `<= 2`; the first was caught by the
+          // oracle compare, the second by the round-15 review pass.
+          (when(levenshtein(col("bname"), col("c_name"), 2) >= 0, 20).otherwise(-5) +
             when(col("bbal") === floor(col("c_acctbal")).cast("long"), 73)
               .otherwise(-11)).as("score"))
       cand.groupBy("mktsegment")

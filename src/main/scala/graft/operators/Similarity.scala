@@ -546,24 +546,23 @@ object Similarity {
   /** Product quantization (Jégou et al. 2011) — the remaining member of
     * the index-compression family (q240 covers the PRECISION axis with
     * int8 SQ, q232 the DIMENSION axis with Matryoshka truncation; PQ is
-    * the SUBSPACE axis): the 64-dim space splits into 4 subspaces of 16
+    * the SUBSPACE axis): the 64-dim space splits into 16 subspaces of 4
     * dims, each with its own codebook (seeded from the fixture `label`
     * clustering exactly as q84 seeds its E-step — per-(label, subspace)
-    * exact-decimal centroids, k = 10 codes), every vector encodes as 4
-    * bytes-worth of nearest-sub-centroid codes, and queries score the
+    * exact-decimal centroids, k = 10 codes), every vector encodes as 16
+    * nearest-sub-centroid codes, and queries score the
     * corpus by ASYMMETRIC DISTANCE COMPUTATION: the query precomputes a
     * (subspace × code) inner-product lookup table against the codebook,
-    * and each database vector's approximate dot is just the sum of 4
+    * and each database vector's approximate dot is just the sum of 16
     * table hits — no vector arithmetic per candidate at all. Readout:
     * per query, the exact full-precision top-1 vs the ADC top-1 plus
     * both scores — the per-query recall audit that decides whether 16×
-    * compression (64 floats → 4 codes) keeps retrieval.
+    * compression (64 floats → 16 byte codes) keeps retrieval.
     *
     * Scale shape (the reason PQ is THE web-scale ANN quantizer): the
-    * LUT is |queries|·4·k rows — broadcast; the scan side touches only
-    * the (vec, sub, code) encoding (4 rows/vector, a 16× byte
-    * reduction), and scoring is a broadcast equi-join on (sub, code) +
-    * a 4-row sum per (query, vec) — map-side combinable, no vector
+    * LUT is |queries|·16·k rows — broadcast; the scan side touches only
+    * the (vec, sub, code) encoding (16 code rows/vector vs 64 floats), and scoring is a broadcast equi-join on (sub, code) +
+    * a 16-row sum per (query, vec) — map-side combinable, no vector
     * payload through any shuffle. Encoding itself is the q84 long-form
     * plan (explode → broadcast codebook join → grouped exact-decimal
     * distance, argmin by (dist, code)). Every aggregate rides
@@ -572,7 +571,7 @@ object Similarity {
     * the q130/q240 bounded-query broadcast scan. */
   private val q252 = QueryDef(
     "q252_pq_adc_recall",
-    "product quantization (4 subspaces × 16 dims): ADC top-1 vs exact top-1 per query",
+    "product quantization (16 subspaces × 4 dims): ADC top-1 vs exact top-1 per query",
     Some(s"""
       WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
       lf AS (SELECT vec_id, label, (dim - 1) // 4 AS sub, dim,
