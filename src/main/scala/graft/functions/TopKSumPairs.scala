@@ -92,14 +92,15 @@ case class TopKSummedLongPairs(
     val n = numChild.eval(input)
     if (v != null && n != null) {
       val key = v.asInstanceOf[Long]
-      buf(key) = buf.getOrElse(key, 0L) + n.asInstanceOf[Long]
+      buf(key) = TopKSummedLongPairs.addSat(
+        buf.getOrElse(key, 0L), n.asInstanceOf[Long])
     }
     buf
   }
 
   override def merge(a: scala.collection.mutable.LongMap[Long],
       b: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
-    b.foreachEntry((v, n) => a(v) = a.getOrElse(v, 0L) + n)
+    b.foreachEntry((v, n) => a(v) = TopKSummedLongPairs.addSat(a.getOrElse(v, 0L), n))
     a
   }
 
@@ -150,9 +151,26 @@ object TopKSummedLongPairs {
 
   /** A tombstone weight no real total can cross back above zero: any
     * true summed weight is bounded far below |Long.MinValue / 4|, so
-    * one tombstone row per (key, v) forces that entry's total negative
-    * and the positive-total eval filter drops it. */
+    * a tombstone row per (key, v) forces that entry's total negative
+    * and the positive-total eval filter drops it. Because the running
+    * sum is SATURATING (see [[addSat]]), duplicated tombstones for the
+    * same (key, v) clamp at Long.MinValue instead of wrapping to a
+    * large positive total — callers need not deduplicate the exclusion
+    * set (round-13 ADVICE: the public graft_topk_sum surface must be
+    * misuse-safe, not just safe for q206's one-tombstone wiring). */
   val Tombstone: Long = Long.MinValue / 4
+
+  /** Saturating long addition: overflow clamps to Long.MaxValue /
+    * Long.MinValue rather than wrapping. Real q206-scale totals sit far
+    * from the clamp, so saturation only ever engages on stacked
+    * tombstones — where clamping preserves exactly the "stays negative"
+    * contract the exclusion rule needs. */
+  def addSat(a: Long, b: Long): Long = {
+    val s = a + b
+    // overflow iff operands share a sign and the sum flipped it
+    if (((a ^ s) & (b ^ s)) < 0L) { if (a >= 0L) Long.MaxValue else Long.MinValue }
+    else s
+  }
 
   /** Aggregate Column: per distinct v, sum n; emit top-k positive
     * (sum, v) pairs by (sum desc, v asc) as array<struct<ord,v>>. */

@@ -851,23 +851,37 @@ object Analytics {
     (s, dir) => {
       // Last-order split WITHOUT a window: the oracle's ROW_NUMBER()
       // DESC == 1 row is exactly the per-customer max of
-      // (o_orderdate, o_orderkey) — a map-side-combinable struct-max
-      // aggregate plus an equi-join back, replacing the round-12 plan's
+      // (o_orderdate, o_orderkey) — a map-side-combinable max aggregate
+      // plus an equi-join back, replacing the round-12 plan's
       // sort + two Window passes over the full orders table (~54
       // cumulative task-seconds in the StageMetrics profile, the #2
-      // cost after candidate scoring). The per-customer stats table is
-      // |customers| rows; the join back to orders stays unhinted so AQE
-      // broadcasts it at bench scale while the static plan remains a
-      // safe shuffle at 100 TB.
+      // cost after candidate scoring). The lexicographic (date, key)
+      // max is taken over an INJECTIVE decimal packing
+      // unix_micros(o_orderdate)·10^15 + o_orderkey rather than
+      // max(struct): a struct-typed agg buffer is not UnsafeRow-
+      // mutable, so max(struct) plans as SortAggregate — a full sort
+      // of orders (8.9 cumulative task-seconds in the round-14
+      // profile) — while max(decimal(38,0)) rides HashAggregate. The
+      // packing is exact and order-preserving at any scale: epoch
+      // micros (~10^15 digits) shifted past 10^15 leave o_orderkey <
+      // 10^15 headroom (TPC-H keys past exabyte SFs) inside
+      // decimal(38)'s range; ntz→timestamp under the pinned UTC
+      // session keeps full microsecond precision, so distinct
+      // timestamps never collapse. The per-customer stats table is
+      // |customers| rows; the join back to orders stays unhinted so
+      // AQE broadcasts it at bench scale while the static plan remains
+      // a safe shuffle at 100 TB.
+      val pk = (unix_micros(col("o_orderdate").cast("timestamp"))
+        .cast("decimal(20,0)") *
+        lit("1000000000000000").cast("decimal(16,0)") +
+        col("o_orderkey").cast("decimal(16,0)")).as("pk")
       val ordu = Tables.orders(s, dir).select(col("o_custkey").as("u"),
-        col("o_orderkey"), col("o_orderdate"))
+        col("o_orderkey"), pk)
       val custStats = ordu.groupBy("u").agg(
-        max(struct(col("o_orderdate"), col("o_orderkey"))).as("lst"),
-        count(lit(1)).as("no"))
+        max(col("pk")).as("lst"), count(lit(1)).as("no"))
       val lo = ordu.join(custStats, Seq("u"))
         .select(col("u"), col("o_orderkey"),
-          (struct(col("o_orderdate"), col("o_orderkey")) === col("lst"))
-            .as("is_last"), col("no"))
+          (col("pk") === col("lst")).as("is_last"), col("no"))
       // DELTA form over the shared co-purchase MVs (round-10 verdict
       // item 3): every order is either TRAIN (rn > 1) or EXCLUDED (each
       // customer's LAST order, rn == 1 — single-order customers' only
@@ -926,9 +940,19 @@ object Analytics {
         .select(col("pa"), col("pb"),
           (col("n_ab") - coalesce(col("n_exc"), lit(0L))).as("n"))
         .filter(col("n") > 0)
-      // mirror the half matrix to the directed neighbor lists, as before
-      val co = half.unionByName(
-        half.select(col("pb").as("pa"), col("pa").as("pb"), col("n")))
+      // Mirror the half matrix to the directed neighbor lists with an
+      // IN-STAGE explode, not a union: unionByName(half, half.swap)
+      // planned the ENTIRE half-matrix pipeline twice — the round-14
+      // StageMetrics profile showed the 1.2M-row coPairs MV scan, both
+      // fTrain broadcast joins AND the excluded-slice self-join each
+      // executing in BOTH union branches (AQE's exchange reuse does not
+      // unify them across the swapped projections). explode doubles the
+      // rows inside the same codegen stage, so the pipeline runs once
+      // and the directed rows flow straight into the heap aggregate.
+      val co = half.select(explode(array(
+          struct(col("pa"), col("pb"), col("n")),
+          struct(col("pb").as("pa"), col("pa").as("pb"), col("n")))).as("e"))
+        .select(col("e.pa").as("pa"), col("e.pb").as("pb"), col("e.n").as("n"))
       // Top-10 neighbor truncation FUSED INTO the aggregation (the
       // round-9 verdict's named lever): one k-bounded-heap aggregate per
       // pa replaces the rank window's sort + exchange + sort + window

@@ -190,7 +190,12 @@ object Curation {
     * Spark and DuckDB, with no libm call anywhere (this replaced an
     * earlier Efraimidis–Spirakis −ln(u)/w key whose 6-dp-rounded libm
     * ln was the engine's last documented 1-ulp parity risk). doc_id is
-    * the total tiebreak. */
+    * the total tiebreak. The engine takes the 20 survivors FIRST
+    * (TakeOrderedAndProject — a per-partition heap plus a 20-row driver
+    * merge, never a global sort or single-partition window over the
+    * corpus) and only then ranks them; ranking the top-20 of a total
+    * order is identical to slicing the first 20 global row_numbers the
+    * oracle states, so the hash gate is unchanged. */
   private val q86 = QueryDef(
     "q86_weighted_hash_sample",
     "deterministic weighted sample: top-20 sequential-Poisson hash keys (w = n_chars)",
@@ -209,11 +214,11 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           (m.cast("double") / (lit(1000001L) * col("n_chars")).cast("double"))
             .as("skey"))
-      k.withColumn("rank",
+      k.orderBy("skey", "doc_id").limit(20)
+        .withColumn("rank",
           row_number().over(Window.orderBy(col("skey"), col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("lang"), col("n_chars"), col("skey"))
         .orderBy("skey", "doc_id")
-        .limit(20)
     })
 
   // ---------------------------------------------------------------------

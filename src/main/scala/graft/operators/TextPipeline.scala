@@ -594,9 +594,11 @@ object TextPipeline {
     * rank windows over the ROUNDED score (ties by doc_id), so both
     * engines rank identically. Scale shape: tf is corpus-sized but
     * keyed by doc_id (one shuffle); df and the corpus stats are
-    * term-count-sized broadcasts; ranking all scored docs is a global
-    * window here for the oracle's sake — a 100 TB top-k retrieval
-    * would TakeOrdered instead (q99 shows that shape). */
+    * term-count-sized broadcasts; the oracle states the global rank
+    * window, but the ENGINE computes it through [[rankByScoreDesc]]'s
+    * bucket-prefix decomposition (round-13 verdict item 3) — local
+    * rank within a score bucket + broadcast prefix counts, never one
+    * task sorting every scored doc. */
   private val q228 = QueryDef(
     "q228_bm25_retrieval",
     "Okapi BM25 (k1=1.2, b=0.75) document ranking for a 3-term query",
@@ -626,15 +628,31 @@ object TextPipeline {
       FROM scored
       ORDER BY rn"""),
     (s, dir) => {
-      bm25Scored(s, dir)
-        .withColumn("rn", row_number()
-          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      rankByScoreDesc(bm25Scored(s, dir), "score", 16, "rn")
         .select("rn", "doc_id", "dl", "score")
         .orderBy("rn")
     })
 
   /** The fixed 3-term retrieval query q228/q233 share. */
   private val queryTerms = Seq("scan", "window", "sort")
+
+  /** Global `row_number() OVER (ORDER BY scoreCol DESC, doc_id)` via
+    * the q154 bucket-prefix decomposition (round-13 verdict item 3):
+    * local rank within a score bucket (parallelism = buckets) plus the
+    * broadcast prefix count of better buckets — never the
+    * single-partition WindowExec the plain global window plans. The
+    * bucket `floor(-score · 2^p)` is a pure coarsening of the DESC
+    * order key (equal scores share a bucket; the power-of-two scale is
+    * an exact float op, so strict score order maps to non-decreasing
+    * bucket order), which makes the decomposition provably
+    * rank-identical — the consumers' oracles state the plain window
+    * and the hash gate proves it on real data. */
+  private def rankByScoreDesc(df: DataFrame, scoreCol: String,
+      scale: Int, rankName: String): DataFrame =
+    graft.functions.ranks.bucketedGlobalRank(
+        df.withColumn("__bkt", floor(-col(scoreCol) * scale).cast("long")),
+        Nil, "__bkt", Seq(col(scoreCol).desc, col("doc_id")), rankName)
+      .drop("__bkt")
 
   /** BM25-scored candidates (doc_id, dl, score) for [[queryTerms]] —
     * q228's scoring stage, reused as q233's lexical ranker. Every
@@ -740,9 +758,9 @@ object TextPipeline {
       ORDER BY fused_rank"""),
     (s, dir) => {
       import graft.functions.det
-      val bmr = bm25Scored(s, dir)
-        .withColumn("rank_bm25", row_number()
-          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      // all three global ranks ride the bucket-prefix decomposition
+      // (rankByScoreDesc) — the oracle states the plain windows
+      val bmr = rankByScoreDesc(bm25Scored(s, dir), "score", 16, "rank_bm25")
         .select("doc_id", "rank_bm25")
       val idx = tfidfIndex(s, dir)
       val nrm = tfidfNorms(s, dir)
@@ -757,17 +775,16 @@ object TextPipeline {
       val qn = qv.agg(sqrt(det.dsum(col("wq") * col("wq"))).as("qn"))
       val dots = qidx.join(broadcast(qv), Seq("w"))
         .groupBy("doc_id").agg(det.dsum(col("wt") * col("wq")).as("dot"))
-      val cor = dots.join(nrm, Seq("doc_id")).crossJoin(broadcast(qn))
+      val simDf = dots.join(nrm, Seq("doc_id")).crossJoin(broadcast(qn))
         .select(col("doc_id"),
           round(col("dot") / (col("nrm") * col("qn")), 4).as("sim"))
-        .withColumn("rank_cos", row_number()
-          .over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      val cor = rankByScoreDesc(simDf, "sim", 256, "rank_cos")
         .select("doc_id", "rank_cos")
-      bmr.join(cor, Seq("doc_id"))
+      val fused = bmr.join(cor, Seq("doc_id"))
         .withColumn("rrf", lit(1.0) / (lit(60) + col("rank_bm25")) +
           lit(1.0) / (lit(60) + col("rank_cos")))
-        .withColumn("fused_rank", row_number()
-          .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      // rrf ∈ (0, 2/61]: the 2^12 scale spreads it over ~100 buckets
+      rankByScoreDesc(fused, "rrf", 4096, "fused_rank")
         .select(col("fused_rank"), col("doc_id"), col("rank_bm25"),
           col("rank_cos"), (round(col("rrf"), 6) + lit(0.0)).as("rrf_score"))
         .filter(col("fused_rank") <= 20)
@@ -845,14 +862,13 @@ object TextPipeline {
         .filter(col("term").isin(queryTerms: _*))
       val grade = tok.groupBy("doc_id")
         .agg(countDistinct(col("term")).as("rel"))
-      val ranked = bm25Scored(s, dir).select("doc_id", "score")
-        .join(grade, Seq("doc_id"))
-        .withColumn("rn", row_number()
-          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      val ranked = rankByScoreDesc(
+          bm25Scored(s, dir).select("doc_id", "score")
+            .join(grade, Seq("doc_id")), "score", 16, "rn")
         .select("doc_id", "rel", "rn")
-      val ideal = ranked
-        .withColumn("irn", row_number()
-          .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      // ideal ranking: rel ∈ {1,2,3} is its own (3-bucket) coarsening
+      val ideal = rankByScoreDesc(ranked.select("doc_id", "rel"),
+          "rel", 1, "irn")
         .select(col("rel"), col("irn").as("rn"))
       val ks = Seq(5L, 10L, 20L)
       def gain(rel: Column, rn: Column): Column =

@@ -148,6 +148,13 @@ object AsOfJoin {
     require(minDegree >= 1 && maxSalts >= 1,
       s"salted as-of needs minDegree >= 1 and maxSalts >= 1, got " +
       s"$minDegree/$maxSalts")
+    // maxSalts == 1 means "never spread a key": honor it literally by
+    // skipping the heavy-key machinery (round-13 ADVICE — the previous
+    // form fed maxSalts=1 through greatest(2, ...), silently doubling
+    // every heavy key's replication against the caller's explicit cap).
+    if (maxSalts == 1)
+      return byKeys(left, right, direction, Seq(leftKey), Seq(rightKey),
+        leftTime, rightTime, rightTie, tolerance)
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
       explode, hash, least, lit, pmod, sequence, when}
     val hk = "__graft_asof_hk"

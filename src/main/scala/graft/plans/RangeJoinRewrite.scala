@@ -197,54 +197,114 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     scala.util.Try(conf.getConfString(SampleRowsConf, "20000").toInt)
       .toOption.filter(_ >= 1).getOrElse(20000)
 
+  private val SampleTimeoutConf = "spark.graft.rangeJoin.sampleTimeoutMs"
+
+  private def sampleTimeoutMs: Long =
+    scala.util.Try(conf.getConfString(SampleTimeoutConf, "15000").toLong)
+      .toOption.filter(_ >= 1L).getOrElse(15000L)
+
   /** Re-entrancy guard: the sampling query runs through the full
     * optimizer, so this rule fires inside it — those inner invocations
-    * must not sample again (bounded depth, no job-inside-job chains). */
+    * must not sample again (bounded depth, no job-inside-job chains).
+    * The sampling job itself runs on a watchdog worker thread, so the
+    * worker sets its own copy before planning anything. */
   private val inSampling = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
 
+  /** JVM-wide single-flight gate (round-13 ADVICE): the ThreadLocal
+    * above only sees same-thread recursion, and the watchdog moves the
+    * sampling job to a worker thread — while ANY sampling job is in
+    * flight, every other thread's sampling attempt falls back to the
+    * conf path instead of stacking jobs inside planning. */
+  private val samplingActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Memoized sampled widths, keyed by the canonicalized (interval
-    * child, lo, hi) shape: one planning-time job per distinct shape
-    * per JVM, not per optimization pass (AQE and spec re-plans reuse
-    * the entry). Cleared wholesale if it ever grows past 256 shapes —
-    * a bench/driver process touches a handful. */
+    * child, lo, hi) shape PLUS a size-in-bytes fingerprint of the
+    * interval child (round-13 ADVICE: a long-lived driver must not
+    * keep a stale width after the underlying files change — rewritten
+    * data moves the leaf-relation byte size, which moves the key, and
+    * the stale entry ages out through the 256-shape sweep). Cleared
+    * wholesale if it ever grows past 256 shapes — a bench/driver
+    * process touches a handful. */
   private val sampledWidthCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (LogicalPlan, Expression, Expression), Option[Long]]()
+      (LogicalPlan, Expression, Expression, BigInt), Option[Long]]()
 
   /** Median interval length over a bounded row prefix of the interval
     * side — the data-derived bin width for variable-length intervals.
     * Runs ONE small Spark job at planning time (prefix scan + approx
-    * median); any failure or empty result falls back to the conf
-    * path. The width only shapes the plan — the retained original
-    * predicate keeps every width correct — so prefix nondeterminism
-    * is benign by construction. */
+    * median) on a daemon worker bounded by a wall-clock watchdog
+    * (`spark.graft.rangeJoin.sampleTimeoutMs`, default 15 s; on expiry
+    * the job group is cancelled and planning proceeds on the conf
+    * path — sampling can no longer hang the optimizer). Skipped
+    * outright for streaming plans (micro-batch planning must never
+    * block on an ad-hoc batch job) and when the optimizing thread's
+    * conf is not the active session's own (multi-session drivers: the
+    * sampling job would otherwise run against a DIFFERENT session
+    * than the one owning the plan). Any failure or empty result falls
+    * back to the conf path. The width only shapes the plan — the
+    * retained original predicate keeps every width correct — so
+    * prefix nondeterminism is benign by construction. */
   private def sampledWidth(intervalPlan: LogicalPlan,
       lo: Expression, hi: Expression): Option[Long] = {
-    if (!samplingEnabled || inSampling.get()) return None
-    val key = (intervalPlan.canonicalized, lo.canonicalized, hi.canonicalized)
+    if (!samplingEnabled || inSampling.get() || intervalPlan.isStreaming)
+      return None
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    // session-scope check: SQLConf.get (this rule's `conf`) is the
+    // thread-local conf of the session whose optimizer is running; if
+    // the active session's conf is a different object, sampling would
+    // cross sessions — skip.
+    if (spark == null || !(spark.sessionState.conf eq conf)) return None
+    val fingerprint =
+      scala.util.Try(intervalPlan.stats.sizeInBytes).getOrElse(BigInt(-1))
+    val key = (intervalPlan.canonicalized, lo.canonicalized, hi.canonicalized,
+      fingerprint)
     val cached = sampledWidthCache.get(key)
     if (cached != null) return cached
+    if (!samplingActive.compareAndSet(false, true)) return None
     val computed: Option[Long] =
       try {
-        val spark = org.apache.spark.sql.SparkSession.active
-        inSampling.set(true)
-        try {
-          val df = org.apache.spark.sql.GraftBridge
-            .ofRows(spark, Project(intervalPlan.output, intervalPlan))
-          val len = org.apache.spark.sql.GraftBridge.column(
-            new Subtract(asLong(hi), asLong(lo)))
-          import org.apache.spark.sql.functions.{col, lit, percentile_approx}
-          val med = df.select(len.as("__graft_len"))
-            .filter(col("__graft_len") >= 0L)
-            .limit(sampleRows)
-            .agg(percentile_approx(col("__graft_len"), lit(0.5), lit(1000)))
-            .head()
-          if (med.isNullAt(0)) None
-          else Some(math.max(2L, med.getLong(0)))
-        } finally inSampling.set(false)
+        val jobGroup = "graft-rangejoin-sample-" + java.util.UUID.randomUUID()
+        val task = new java.util.concurrent.FutureTask(
+          new java.util.concurrent.Callable[Option[Long]] {
+            override def call(): Option[Long] = {
+              inSampling.set(true)
+              org.apache.spark.sql.SparkSession.setActiveSession(spark)
+              spark.sparkContext.setJobGroup(jobGroup,
+                "graft range-join width sampling", interruptOnCancel = true)
+              try {
+                val df = org.apache.spark.sql.GraftBridge
+                  .ofRows(spark, Project(intervalPlan.output, intervalPlan))
+                val len = org.apache.spark.sql.GraftBridge.column(
+                  new Subtract(asLong(hi), asLong(lo)))
+                import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+                val med = df.select(len.as("__graft_len"))
+                  .filter(col("__graft_len") >= 0L)
+                  .limit(sampleRows)
+                  .agg(percentile_approx(col("__graft_len"), lit(0.5), lit(1000)))
+                  .head()
+                if (med.isNullAt(0)) None
+                else Some(math.max(2L, med.getLong(0)))
+              } finally {
+                spark.sparkContext.clearJobGroup()
+                inSampling.set(false)
+              }
+            }
+          })
+        val worker = new Thread(task, "graft-rangejoin-sample")
+        worker.setDaemon(true)
+        worker.start()
+        try task.get(sampleTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            task.cancel(true)
+            try spark.sparkContext.cancelJobGroup(jobGroup)
+            catch { case scala.util.control.NonFatal(_) => () }
+            None
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
+      finally samplingActive.set(false)
     if (sampledWidthCache.size > 256) sampledWidthCache.clear()
     sampledWidthCache.putIfAbsent(key, computed)
     computed

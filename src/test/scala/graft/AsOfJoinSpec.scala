@@ -1044,6 +1044,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("maxSalts = 1 means 'never salt': plan carries no salt machinery, results ≡ byKeys") {
+    // round-13 ADVICE: the greatest(2, ...) floor silently overrode an
+    // explicit maxSalts = 1 with 2× replication; the knob now short-
+    // circuits to the plain keyed operator.
+    val l = skewLeft(2000)
+    val r = skewRight(800)
+    val salted = AsOfJoin.salted(l, r, graft.plans.AsOfDirection.Backward,
+      "l_k", "r_k", "l_t", "r_t", "r_id", None,
+      minDegree = 200L, maxSalts = 1)
+    val plain = AsOfJoin.byKeys(l, r, graft.plans.AsOfDirection.Backward,
+      Seq("l_k"), Seq("r_k"), "l_t", "r_t", "r_id", None)
+    assert(!salted.queryExecution.executedPlan.toString.contains("__graft_asof_salt"),
+      "maxSalts=1 must skip the salting wrapper entirely")
+    val a = salted.select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    val b = plain.select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("salting bounds the per-task rows of the heavy key; light keys stay unsalted") {
     val l = skewLeft(4000) // key 7 ≈ 3600 rows
     val r = skewRight(1500)

@@ -866,16 +866,71 @@ class PlanSpec extends AnyFunSuite {
       "scalar sides must broadcast, never cartesian")
   }
 
+  test("q228/q233/q234: every corpus-sized rank rides the bucket decomposition") {
+    // round-13 verdict item 3: the retrieval rankers' global row_number
+    // windows must run as bucketedGlobalRank — local rank partitioned
+    // by the score bucket plus a broadcast prefix — so NO WindowExec
+    // sorts the whole scored corpus in one task. Every Window node in
+    // these plans must therefore mention the bucket machinery: either
+    // the __bkt partition key (the corpus-sized local rank) or the
+    // __b_bkt prefix axis (the bucket-count-sized running sum, bounded
+    // by the number of buckets, never the corpus).
+    for (q <- Seq("q228_bm25_retrieval", "q233_rrf_hybrid_fusion",
+        "q234_ndcg_ranking_eval")) {
+      val p = plan(q)
+      val winLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+      assert(winLines.nonEmpty, s"$q: expected bucketed rank windows")
+      val stray = winLines.filterNot(l =>
+        l.contains("__bkt#") || l.contains("__b_bkt#"))
+      assert(stray.isEmpty,
+        s"$q: corpus-sized unbucketed window remains:\n${stray.mkString("\n")}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the bucket prefix table must broadcast back")
+    }
+  }
+
+  test("q86: the corpus cut is TakeOrderedAndProject; the rank window sees 20 rows") {
+    // round-13 verdict item 5: the sample must take its 20 survivors
+    // through a per-partition heap + driver merge FIRST — the rank
+    // window (which the oracle states over the whole corpus) then runs
+    // over exactly those 20 rows, so the single-partition WindowExec
+    // that remains is a constant-size formality, never a corpus funnel.
+    val p = plan("q86_weighted_hash_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 cut must be TakeOrderedAndProject, not a global sort")
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val takeAt = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winAt >= 0 && takeAt > winAt,
+      "the 20-row cut must sit BELOW the rank window in the plan tree")
+  }
+
   test("q206: no window pass anywhere; the support floor gates the co-join") {
     val p = plan("q206_cf_holdout_precision")
     // round 13: the last window left the plan — the last-order split is
-    // a map-side-combinable max(struct(date, okey)) aggregate joined
-    // back, and every truncation is a heap aggregate. A window here
-    // would mean a sort-exchange-sort pass crept back in.
+    // a map-side-combinable max over the injective decimal packing of
+    // (date, okey) joined back, and every truncation is a heap
+    // aggregate. A window here would mean a sort-exchange-sort pass
+    // crept back in.
     val specs = p.linesIterator
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(specs.isEmpty,
       s"q206 must be window-free (aggregate split + heap top-k):\n${specs.mkString("\n")}")
+    // round 14: the split max rides the decimal packing so it stays a
+    // HashAggregate — max(struct) would plan the whole orders scan
+    // through a SortAggregate (struct buffers are not UnsafeRow-mutable)
+    assert(!p.contains("SortAggregate"),
+      "the last-order split must hash-aggregate (decimal-packed max)")
+    // round 14: the directed co-matrix is an in-stage explode mirror,
+    // so at most ONE logical Union remains (the tiny nb+tombstone
+    // append) — a second union would mean the half-matrix pipeline is
+    // planned twice again (each union branch re-executes the coPairs
+    // scan, both fTrain broadcasts and the excluded-slice self-join)
+    val unions = SparkEntry.queries("q206_cf_holdout_precision")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }
+    assert(unions.size <= 1,
+      s"only the nb+tombstone union may remain in q206, found ${unions.size}")
     // round 11: the full-corpus pair matrix comes from the copairs_sup2
     // MV and the TRAIN floor is the delta filter np - np_exc >= 2
     // (applied after differencing; CoPurchaseSpec proves delta ≡ the

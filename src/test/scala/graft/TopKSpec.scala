@@ -173,6 +173,31 @@ class TopKSpec extends AnyFunSuite {
     assert(got.getSeq[Long](1) == Seq(40L))
   }
 
+  test("graft_topk_sum: stacked tombstones saturate instead of wrapping positive") {
+    // round-13 ADVICE: the public surface must be misuse-safe — a
+    // caller who unions a NON-deduplicated exclusion set emits 2+
+    // tombstone rows per (key, v); two's-complement addition of 5-7
+    // tombstones (Long.MinValue/4 each) wraps into a large POSITIVE
+    // total, silently resurrecting the excluded entry at rank 1. The
+    // saturating sum clamps at Long.MinValue, so the entry stays sunk.
+    val ts = graft.functions.TopKSummedLongPairs.Tombstone
+    for (dups <- Seq(2, 5, 7, 9)) {
+      val rows = (Seq((1L, 10L, 100L), (1L, 20L, 50L)) ++
+        Seq.fill(dups)((1L, 10L, ts))).toDF("key", "v", "n")
+      val got = rows.groupBy("key")
+        .agg(graft.functions.TopKSummedLongPairs.topkSum(col("v"), col("n"), 5).as("top"))
+        .select(col("top.v")).head()
+      assert(got.getSeq[Long](0) == Seq(20L),
+        s"$dups stacked tombstones must keep v=10 excluded")
+    }
+    // the scalar helper clamps both directions
+    import graft.functions.TopKSummedLongPairs.addSat
+    assert(addSat(Long.MinValue, -1L) == Long.MinValue)
+    assert(addSat(Long.MaxValue, 1L) == Long.MaxValue)
+    assert(addSat(ts, ts) == ts * 2) // no overflow: exact
+    assert(addSat(5L, -3L) == 2L)
+  }
+
   test("graft_topk_sum SQL path: registered, widens INT, rejects fractional") {
     graft.GraftExtensions.register(spark)
     val got = spark.sql(
