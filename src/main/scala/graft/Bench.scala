@@ -78,9 +78,9 @@ object Bench {
     // hidden: total seconds and per-view breakdown ride the artifact
     // as mv_build_secs / mv_builds (0.0/empty when the views already
     // exist on disk — e.g. a prior run against the same fixture).
-    val (mvSecs, mvBuilds) = graft.sources.MVWarm.warmAll(spark, sfDir)
+    val (mvSecs, mvBuilds, mvFound) = graft.sources.MVWarm.warmAll(spark, sfDir)
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       // 1-min loadavg sampled around EVERY query (max of before/after):
@@ -129,16 +129,49 @@ object Bench {
       // the min fall back to the raw timings.
       val okTimes = raw.collect { case (t, true) => t }
       val official = (if (okTimes.nonEmpty) okTimes else raw.map(_._1)).min
-      (name, official, raw.forall(_._2), math.max(l0, loadAvg), raw.map(_._1))
+      (name, official, raw.forall(_._2), math.max(l0, loadAvg), raw.map(_._1), fn)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    // END-OF-RUN RETRY for load-contaminated readings (round-13: the
+    // driver artifact carried a contiguous name-sorted band of 5-8x
+    // phantom regressions under a loadavg-16 spike; min-of-adaptive-runs
+    // cannot help while the spike SPANS all of a query's runs, but a
+    // spike shorter than the whole sweep has usually passed by the END
+    // of the run). A query qualifies when its official time is
+    // non-trivial AND its around-query loadavg was well above the run
+    // median — each gets ONE more run now, under a bounded time budget,
+    // and the official number stays the min over ALL real runs (retry
+    // timings ride the raw artifact too; nothing is synthesized).
+    val results = {
+      val loadsAll = results0.map(_._4)
+      val medLoad = loadsAll.sorted.apply(loadsAll.size / 2)
+      val budget = 120e9 // ns: bounded so a loaded host can't double bench time
+      val t0 = System.nanoTime()
+      results0.map { case r @ (name, official, ok, l, raws, fn) =>
+        val contaminated = ok && official > 1.0 &&
+          l > math.max(2.0, medLoad * 1.5)
+        if (!contaminated || System.nanoTime() - t0 > budget) r
+        else {
+          val t1 = System.nanoTime()
+          val rerun =
+            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t1) / 1e9) }
+            catch { case _: Throwable => None }
+            finally spark.catalog.clearCache()
+          rerun match {
+            case Some(t) =>
+              (name, math.min(official, t), ok, math.max(l, loadAvg), raws :+ t, fn)
+            case None => r
+          }
+        }
+      }
+    }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qRaw = results.map { case (k, _, _, _, rs) =>
+    val qRaw = results.map { case (k, _, _, _, rs, _) =>
       s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val qLoad = results.map { case (k, _, _, l, _) => s"\"" + k + "\":" + l }
+    val qLoad = results.map { case (k, _, _, l, _, _) => s"\"" + k + "\":" + l }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loads = results.map(_._4)
@@ -168,11 +201,12 @@ object Bench {
       else s""","subset":${only.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val mvB = mvBuilds.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val mvF = mvFound.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive","mv_build_secs":$mvSecs,"mv_builds":$mvB$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive + load retry","mv_build_secs":$mvSecs,"mv_builds":$mvB,"mv_found":$mvF$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
     // Locale.ROOT: the f-interpolator follows the default locale, and a
     // comma decimal separator would corrupt the compact JSON line.
-    val qSec = results.map { case (_, v, _, _, _) =>
+    val qSec = results.map { case (_, v, _, _, _, _) =>
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
       .mkString("[", ",", "]")
     def compactLine(withSecs: Boolean) = {

@@ -277,5 +277,64 @@ object Formats {
         .orderBy("lang")
     })
 
-  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244, q253)
+  // ---------------------------------------------------------------------
+  // q255 — bucketed (SMB) layout: the exchange-free co-located join
+  // ---------------------------------------------------------------------
+
+  /** The write-once-shuffle-never layout under the driver gate
+    * (round-13 verdict item 4): lineitem and orders land as BUCKETED
+    * tables — hash-distributed into the same bucket count on their join
+    * key at WRITE time ([[graft.sources.Layouts.writeBucketed]]) — and
+    * the fact join then runs with ZERO Exchange on either side
+    * (PlanSpec pins the join subtree exchange-free): the shuffle is
+    * paid once at layout time and amortized over every later join, the
+    * sort-merge-bucket discipline 100 TB fact tables live by.
+    * Correctness: the joined rows reduce to per-priority content
+    * checksums over the INTEGER key columns, which the oracle
+    * recomputes by joining the ORIGINAL flat parquet — a row routed to
+    * the wrong bucket pairs with nothing (the join loses it), a
+    * double-written bucket double-counts, so the bucket routing itself
+    * sits inside the hash gate. Tables are EXTERNAL at the query's
+    * scratch path — the harness session's warehouse stays untouched. */
+  private val q255 = QueryDef(
+    "q255_bucketed_smb_join",
+    "same-bucketed lineitem ⋈ orders with zero exchanges, checksum-verified",
+    Some(s"""
+      WITH j AS (SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+                        l.l_linenumber, o.o_orderpriority
+                 FROM lineitem l JOIN orders o
+                   ON l.l_orderkey = o.o_orderkey),
+      h AS (SELECT o_orderpriority,
+                   ${text.md5Hash60Sql(
+                     "l_orderkey || chr(1) || l_partkey || chr(1) || " +
+                     "l_suppkey || chr(1) || l_linenumber || chr(1) || " +
+                     "o_orderpriority")}
+                     % (1::BIGINT << 40) AS h
+            FROM j)
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(h) AS BIGINT) AS content_checksum
+      FROM h GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val base = scratch("q255")
+      graft.sources.Layouts.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        "graft_q255_lineitem", "l_orderkey", 8, Some(s"$base/lineitem"))
+      graft.sources.Layouts.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_q255_orders", "o_orderkey", 8, Some(s"$base/orders"))
+      val li = s.table("graft_q255_lineitem")
+      val ord = s.table("graft_q255_orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (text.md5Hash60(concat_ws("\u0001", col("l_orderkey"),
+            col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+            col("o_orderpriority"))) % (1L << 40)).as("h"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("h")).cast("long").as("content_checksum"))
+        .orderBy("o_orderpriority")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244, q253, q255)
 }

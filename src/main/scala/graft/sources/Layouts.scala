@@ -23,10 +23,15 @@ object Layouts {
     * NO exchange on either side — the shuffle is paid once at write time
     * and amortized over every subsequent join/aggregation, the classic
     * co-located-join layout for fact tables at 100 TB. Requires the
-    * session catalog (saveAsTable). */
-  def writeBucketed(df: DataFrame, table: String, key: String, n: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    * session catalog (saveAsTable); pass `path` to land the files as an
+    * EXTERNAL table at an explicit location instead of the session
+    * warehouse (harness sessions run with the default ./spark-warehouse,
+    * which must never collect query scratch data). */
+  def writeBucketed(df: DataFrame, table: String, key: String, n: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(n, key).sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

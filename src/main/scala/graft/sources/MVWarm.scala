@@ -37,10 +37,16 @@ object MVWarm {
 
   /** Build (or confirm) every registered view for `dir`. Returns
     * (total wall seconds, per-view BUILD seconds for views that were
-    * actually built this call — already-present views don't appear).
+    * actually built this call, names of views FOUND on disk and reused).
+    * The built/found split makes the bench artifact self-describing
+    * (round-13 verdict item 8): a driver run showing mv_build_secs ≈ 1 s
+    * with 14 views in mv_found measured a warm-MV state, and one
+    * showing 14 entries in mv_builds paid the full ingest — the two are
+    * different experiments and the artifact now says which one ran.
     * Accessors are invoked for their build side effect; the returned
     * frames are parquet-backed reads, nothing is cached in-session. */
-  def warmAll(s: SparkSession, dir: String): (Double, Seq[(String, Double)]) = {
+  def warmAll(s: SparkSession, dir: String)
+      : (Double, Seq[(String, Double)], Seq[String]) = {
     MaterializedViews.drainBuildLog() // discard earlier builds' entries
     val t0 = System.nanoTime()
     views.foreach { case (name, fn) =>
@@ -49,6 +55,9 @@ object MVWarm {
         System.err.println(s"[mv-warm] $name failed: ${e.getMessage}")
       }
     }
-    ((System.nanoTime() - t0) / 1e9, MaterializedViews.drainBuildLog())
+    val builds = MaterializedViews.drainBuildLog()
+    val built = builds.map(_._1).toSet
+    val found = views.map(_._1).filterNot(built)
+    ((System.nanoTime() - t0) / 1e9, builds, found)
   }
 }

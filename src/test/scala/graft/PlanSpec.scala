@@ -866,6 +866,46 @@ class PlanSpec extends AnyFunSuite {
       "scalar sides must broadcast, never cartesian")
   }
 
+  test("q255: the bucketed fact join carries ZERO exchange on either side") {
+    // the whole point of the SMB layout: both tables were hash-
+    // distributed into the same bucket count on the join key at WRITE
+    // time, so the join subtree must contain no ShuffleExchange — the
+    // only exchange allowed in the query is the one ABOVE the join
+    // feeding the tiny per-priority aggregate.
+    // broadcast is disabled for the PIN ONLY: at the fixture scale AQE
+    // rightly broadcasts the small orders side (also exchange-free, but
+    // vacuously); at 100 TB neither side broadcasts and the layout is
+    // what removes the shuffle — so the pin checks exactly that shape.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    // AQE is also off for the pin: AdaptiveSparkPlanExec presents as a
+    // leaf to collect(), hiding the join until execution — the static
+    // plan shows the exchange placement directly.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    val oldAqe = spark.conf.get(aqeKey)
+    spark.conf.set(key, "-1")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val df = SparkEntry.queries("q255_bucketed_smb_join")(spark, sf)
+      val p = df.queryExecution.executedPlan
+      val joins = p.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected the bucketed fact join in the plan")
+      for (j <- joins) {
+        val ex = j.collect { case e: ShuffleExchangeLike => e }
+        assert(ex.isEmpty,
+          s"bucketed join must be exchange-free, found:\n${ex.mkString("\n")}")
+      }
+    } finally {
+      spark.conf.set(key, old)
+      spark.conf.set(aqeKey, oldAqe)
+    }
+  }
+
   test("q228/q233/q234: every corpus-sized rank rides the bucket decomposition") {
     // round-13 verdict item 3: the retrieval rankers' global row_number
     // windows must run as bucketedGlobalRank — local rank partitioned
