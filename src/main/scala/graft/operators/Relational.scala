@@ -1007,9 +1007,43 @@ object Relational {
       }
     })
 
+  // ---------------------------------------------------------------------
+  // q256 — LIMIT/OFFSET pagination (the deep-page cut without a sort)
+  // ---------------------------------------------------------------------
+
+  /** The ANSI pagination surface (Spark 3.4+ OFFSET): page 3 of the
+    * customer leaderboard — rows 41-60 of ORDER BY (c_acctbal DESC,
+    * c_custkey). The interesting part is the physical shape: Spark
+    * folds offset+limit into ONE TakeOrderedAndProject(limit=60,
+    * offset=40) — a per-partition top-60 heap plus a 60-row driver
+    * merge that discards the first 40 — so a deep-ish page costs a
+    * bounded heap, never a global sort (PlanSpec pins the node and the
+    * absence of a global Sort/single-partition window). The tiebreak on
+    * c_custkey makes the page deterministic, so the DuckDB oracle's
+    * identical LIMIT/OFFSET text hash-matches row for row. At true
+    * depth (OFFSET 10^9) every engine degrades — keyset pagination
+    * (WHERE (bal, key) < last-seen ORDER BY ... LIMIT n) is the 100 TB
+    * answer, and this page shape is exactly its first-page primitive. */
+  private val q256 = QueryDef(
+    "q256_offset_pagination",
+    "ORDER BY ... LIMIT 20 OFFSET 40 through one bounded TakeOrdered heap",
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 20 OFFSET 40"""),
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .offset(40)
+        .limit(20)
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
-      q126, q127, q168, q181, q195, q221, q222, q224, q225, q226, q248, q249)
+      q126, q127, q168, q181, q195, q221, q222, q224, q225, q226, q248, q249,
+      q256)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

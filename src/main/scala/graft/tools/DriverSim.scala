@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Driver-protocol reproduction harness (round-13 verdict item 1): the
+  * driver's BENCH_r13 artifact read q206 at 33.1 s while every isolated
+  * self-measurement said 4.6-8.9 s, and the gap correlated with a
+  * loadavg-16 window spanning the name-contiguous q179-q242 band. This
+  * tool measures a query under the EXACT bench protocol — same session
+  * conf, same sf0.001 warm pass, same clearCache-between-runs timing —
+  * while an adjustable synthetic CPU load (busy-spin daemon threads)
+  * reproduces the contaminated environment, so the ambient-vs-intrinsic
+  * split is measured instead of argued:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.DriverSim q206_cf_holdout_precision 16 4"
+  *                                        ^query  ^spinner threads ^runs
+  *
+  * Emits one JSON line per configuration with the run times and the
+  * loadavg around each run. A query whose loaded/unloaded ratio matches
+  * the band's other members (~4x at 16 spinners on 32 cores) is being
+  * amplified by the environment, not regressing; the committed NOTES
+  * carry the readout.
+  */
+object DriverSim {
+
+  private def loadAvg: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q206_cf_holdout_precision")
+    // "16" = 16 CPU spinners; "16m" = 16 memory-bandwidth walkers (each
+    // strides a 256 MB array — the shape of ANOTHER Spark JVM's shuffle
+    // traffic on a shared host, which contends for LLC/memory bus where
+    // a sqrt spinner only contends for cycles)
+    val spinArg = args.lift(1).getOrElse("0")
+    val memLoad = spinArg.endsWith("m")
+    val spinners = spinArg.stripSuffix("m").toInt
+    val runs = args.lift(2).map(_.toInt).getOrElse(4)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    // session identical to Bench.main's
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.rangeJoin.binSize", "3600000000")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    // bench-identical warm: corpus scan + the query once at sf0.001
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val warmDir = {
+      val d = new java.io.File(sfDir).getParentFile
+      val w = new java.io.File(d, "sf0.001")
+      if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
+    }
+    warmDir.foreach { wd =>
+      try fn(spark, wd).count() catch { case _: Throwable => () }
+      finally spark.catalog.clearCache()
+    }
+    val (mvSecs, _, mvFound) = graft.sources.MVWarm.warmAll(spark, sfDir)
+    spark.catalog.clearCache()
+    // synthetic ambient load: plain busy-spin daemons, the shape of
+    // other containers' compute on a shared host
+    @volatile var spinning = true
+    val threads = (0 until spinners).map { i =>
+      val t = new Thread(() => {
+        if (memLoad) {
+          val arr = new Array[Long](32 << 20) // 256 MB per walker
+          var idx = i.toLong
+          var acc = 0L
+          while (spinning) {
+            idx = (idx * 6364136223846793005L + 1442695040888963407L)
+            val j = ((idx >>> 17) % arr.length).toInt
+            acc += arr(j); arr(j) = acc
+          }
+        } else {
+          var x = 1.0
+          while (spinning) { x = math.sqrt(x + 1.0); if (x > 1e12) x = 1.0 }
+        }
+      }, s"driversim-spin-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try {
+      // let loadavg climb toward the spinner count before timing
+      if (spinners > 0) Thread.sleep(30000)
+      val times = (1 to runs).map { i =>
+        val l0 = loadAvg
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        finally spark.catalog.clearCache()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"run $i: $sec%.2f s (loadavg ${math.max(l0, loadAvg)}%.1f)")
+        (sec, math.max(l0, loadAvg))
+      }
+      val secs = times.map(_._1)
+      val json =
+        s"""{"tool":"driversim","query":"$name","spinners":$spinners,""" +
+        s""""load_kind":"${if (memLoad) "memwalk" else "cpu"}",""" +
+        s""""cpus":$cpus,"mv_prewarm_secs":$mvSecs,""" +
+        s""""mv_found_n":${mvFound.size},""" +
+        s""""runs":${secs.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
+        s""""min":${f"${secs.min}%.2f"},""" +
+        s""""loadavg":${times.map(t => f"${t._2}%.1f").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir"}"""
+      println(json)
+    } finally spinning = false
+    spark.stop()
+  }
+}

@@ -866,6 +866,66 @@ class PlanSpec extends AnyFunSuite {
       "scalar sides must broadcast, never cartesian")
   }
 
+  test("AQE OptimizeSkewedJoin splits the hot partition of a plain shuffle join") {
+    // Completes the skew narrative the MANUAL salting family started
+    // (q82 salted agg, q134 salted shuffle join, q248 salted as-of):
+    // for Spark's OWN join operators, the built-in AQE skew handler is
+    // the first line of defense — a 90%-one-key shuffle join's hot
+    // partition is split into advisory-sized slices at runtime, no
+    // salting code required. The manual family exists because AQE only
+    // understands Spark's join execs (a custom operator like AsOfJoinExec
+    // gets nothing — its wrapper salts instead, AsOfJoinSpec). Thresholds
+    // are lowered for the fixture-sized input; the assertion pins the
+    // runtime plan's skew=true marker on the sort-merge join.
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // left: 200k rows, 90% on key 0; right: 50 keys, 100 rows each
+      val left = spark.range(0, 200000).select(
+        when(pmod(col("id"), lit(10L)) =!= 0L, lit(0L))
+          .otherwise(pmod((col("id") / lit(10L)).cast("long"), lit(50L)))
+          .as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 5000)
+        .select(pmod(col("id"), lit(50L)).as("k"), (col("id") * 2L).as("w"))
+      // v and w ride through the join so the hot partition's shuffle
+      // bytes stay above the lowered threshold (a constant-key,
+      // payload-pruned partition compresses to almost nothing)
+      val j = left.join(right, Seq("k")).groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum(col("v") + col("w")).as("n"))
+      // collect() (not count()) so THIS Dataset's plan is the one that
+      // executes — count() derives a new QueryExecution and would leave
+      // j's adaptive plan unfinalized
+      assert(j.collect().length == 50)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected the skew-split marker on the runtime join plan:\n${p.take(4000)}")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("q256: offset+limit fold into one bounded TakeOrdered heap, no global sort") {
+    val p = plan("q256_offset_pagination")
+    assert(p.contains("TakeOrderedAndProject"),
+      "pagination must be a bounded heap cut")
+    // offset folded INTO the heap (limit = offset + page), not a
+    // separate pass over a sorted corpus
+    assert(p.contains("offset=40") || p.contains("offset: 40") ||
+      p.contains("60") && p.contains("40"),
+      s"expected the folded offset in TakeOrderedAndProject:\n${p.take(1200)}")
+    val sorts = p.linesIterator.filter(l =>
+      l.trim.startsWith("Sort ") || l.contains("+- Sort ")).toSeq
+    assert(sorts.isEmpty, s"no global Sort expected:\n${sorts.mkString("\n")}")
+  }
+
   test("q255: the bucketed fact join carries ZERO exchange on either side") {
     // the whole point of the SMB layout: both tables were hash-
     // distributed into the same bucket count on the join key at WRITE
