@@ -176,6 +176,45 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling watchdog: an expired timeout falls back to the conf width, results exact") {
+    // round-13 ADVICE hardening: the sampling job is bounded by a
+    // wall-clock watchdog. A 1 ms budget expires before any Spark job
+    // can finish, so the width must come from the conf path — the rule
+    // still fires (binSize present) and the banded result is the exact
+    // multiset of the naive join, proving the fallback changes plan
+    // shape only, never rows.
+    // FRESH frames (shifted data): the per-JVM width memo is keyed on
+    // the canonicalized interval child, and earlier tests in this suite
+    // already sampled the shared pts/ivs shape — a cache hit would
+    // bypass the watchdog entirely and void the assertions below
+    val pts2 = points.map { case (id, t) => (id + 9000L, t.map(_ + 7L)) }
+      .toDF("pid", "t")
+    val ivs2 = intervals.map { case (id, lo, hi) =>
+      (id + 9000L, lo.map(_ + 7L), hi.map(_ + 7L)) }.toDF("iid", "lo", "hi")
+    withConf("spark.graft.rangeJoin.binSize" -> "64",
+        "spark.graft.rangeJoin.sampleTimeoutMs" -> "1") {
+      val df = pts2.join(ivs2, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(optimized(df).contains(BinMark),
+        "the conf width must band the join when sampling times out")
+      val banded = df.collect().map(_.toSeq).groupBy(identity).view
+        .mapValues(_.length).toMap
+      val naive = withConf("spark.graft.rangeJoin.enabled" -> "false") {
+        pts2.join(ivs2, col("t") >= col("lo") && col("t") <= col("hi"))
+          .collect().map(_.toSeq).groupBy(identity).view
+          .mapValues(_.length).toMap
+      }
+      assert(banded == naive, "timeout fallback must not change the multiset")
+    }
+    // and with NO conf width either, the timed-out sample leaves the
+    // join as written rather than hanging planning
+    withConf("spark.graft.rangeJoin.binSize" -> "0",
+        "spark.graft.rangeJoin.sampleTimeoutMs" -> "1") {
+      val df = pts2.join(ivs2, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(!optimized(df).contains(BinMark),
+        "no width source after a timeout -> the join stays as written")
+    }
+  }
+
   test("no fire: streaming joins are left exactly as Spark plans them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
