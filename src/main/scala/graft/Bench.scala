@@ -1,9 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 object Bench {
-  private def loadAvg: Double = java.lang.management.ManagementFactory
-    .getOperatingSystemMXBean.getSystemLoadAverage
+  private def loadAvg: Double = HarnessSession.loadAvg
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,38 +11,10 @@ object Bench {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      // the standard library-integration path: native expressions, the
-      // as-of planner strategy, the graft_asof TVF and its
-      // identifier-argument analyzer rule all ride SparkSessionExtensions
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // range-join banding default: engine time columns are epoch-µs,
-      // so variable-interval range joins band at 1 h out of the box
-      // (RangeJoinRewrite scaladoc; static-width shapes ignore this)
-      .config("spark.graft.rangeJoin.binSize", "3600000000")
-      // ObjectHashAggregate (TypedImperativeAggregate: MinHash/SimHash
-      // sketches) falls back to sort-based agg after 128 groups/partition
-      // by default, serializing the sketch buffer per row. Session-level
-      // so query fns never mutate shared conf (round-8 judge ask);
-      // correctness is unaffected without it, only speed.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      // Pinned at the BUILDER so the value is constant for the whole
-      // session (round-9 ADVICE): the drift-tolerant loaders also set
-      // this flag when probing ns-encoded fixtures (needed in foreign
-      // sessions, e.g. the driver's own pyspark session), but inside
-      // graft sessions the set/restore is now the identity — no
-      // conf-order dependence, nothing racy. Harmless for non-ns
-      // parquet; ns-capable tables are only read through the loaders.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ONE session recipe for every harness entry point (HarnessSession):
+    // the bench protocol and the tools that claim to reproduce it
+    // (DriverSim, StageMetrics) build from the same definition.
+    val spark = HarnessSession.create()
     // Fixture schema probe: one stderr line per drift, never aborts.
     try graft.sources.Tables.validate(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[fixture-probe] failed: ${e.getMessage}") }
@@ -141,7 +111,7 @@ object Bench {
     // median — each gets ONE more run now, under a bounded time budget,
     // and the official number stays the min over ALL real runs (retry
     // timings ride the raw artifact too; nothing is synthesized).
-    val results = {
+    val results = if (results0.isEmpty) results0 else {
       val loadsAll = results0.map(_._4)
       val medLoad = loadsAll.sorted.apply(loadsAll.size / 2)
       val budget = 120e9 // ns: bounded so a loaded host can't double bench time
@@ -174,7 +144,9 @@ object Bench {
     val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val loads = results.map(_._4)
+    // an EMPTY run (misspelled SPARK_GRAFT_ONLY) still emits a valid,
+    // self-evidently-empty artifact instead of dying on loads.min
+    val loads = if (results.nonEmpty) results.map(_._4) else Seq(loadAvg)
     val (lMin, lMax) = (loads.min, loads.max)
     val lMean = loads.sum / loads.size
     // A crashing query must not masquerade as a fast one: failures are

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -9,38 +8,9 @@ object Verify {
     // (dev iteration); the driver always calls with exactly two args.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      // the standard library-integration path: native expressions, the
-      // as-of planner strategy, the graft_asof TVF and its
-      // identifier-argument analyzer rule all ride SparkSessionExtensions
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // range-join banding default: engine time columns are epoch-µs,
-      // so variable-interval range joins band at 1 h out of the box
-      // (RangeJoinRewrite scaladoc; static-width shapes ignore this)
-      .config("spark.graft.rangeJoin.binSize", "3600000000")
-      // ObjectHashAggregate (TypedImperativeAggregate: MinHash/SimHash
-      // sketches) falls back to sort-based agg after 128 groups/partition
-      // by default, serializing the sketch buffer per row. Session-level
-      // so query fns never mutate shared conf (round-8 judge ask);
-      // correctness is unaffected without it, only speed.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      // Pinned at the BUILDER so the value is constant for the whole
-      // session (round-9 ADVICE): the drift-tolerant loaders also set
-      // this flag when probing ns-encoded fixtures (needed in foreign
-      // sessions, e.g. the driver's own pyspark session), but inside
-      // graft sessions the set/restore is now the identity — no
-      // conf-order dependence, nothing racy. Harmless for non-ns
-      // parquet; ns-capable tables are only read through the loaders.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared harness session recipe (HarnessSession) — identical to
+    // the bench protocol's by construction
+    val spark = HarnessSession.create()
     // Fixture schema probe: one stderr line per drift, never aborts
     // (a drifted fixture should fail loudly per-query, not silently).
     try graft.sources.Tables.validate(spark, sfDir)

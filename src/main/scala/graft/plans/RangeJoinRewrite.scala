@@ -263,17 +263,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val cached = sampledWidthCache.get(key)
     if (cached != null) return cached
     if (!samplingActive.compareAndSet(false, true)) return None
+    // timedOut: a watchdog expiry must NOT be negative-cached — one
+    // transient stall (e.g. executors still provisioning at first
+    // plan) would otherwise disable sampling for this shape for the
+    // driver's lifetime; the next planning pass simply tries again.
+    // Genuine empty/failed samples DO cache None (retrying those every
+    // pass would stall planning repeatedly for the same outcome).
+    var timedOut = false
     val computed: Option[Long] =
       try {
         val jobGroup = "graft-rangejoin-sample-" + java.util.UUID.randomUUID()
         val task = new java.util.concurrent.FutureTask(
           new java.util.concurrent.Callable[Option[Long]] {
-            override def call(): Option[Long] = {
+            override def call(): Option[Long] = try {
               inSampling.set(true)
               org.apache.spark.sql.SparkSession.setActiveSession(spark)
               spark.sparkContext.setJobGroup(jobGroup,
                 "graft range-join width sampling", interruptOnCancel = true)
               try {
+                // the watchdog may have fired before setJobGroup ran —
+                // honor the interrupt instead of submitting an orphan
+                // job no cancelJobGroup call can reach
+                if (Thread.interrupted()) throw new InterruptedException
                 val df = org.apache.spark.sql.GraftBridge
                   .ofRows(spark, Project(intervalPlan.output, intervalPlan))
                 val len = org.apache.spark.sql.GraftBridge.column(
@@ -286,27 +297,34 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                   .head()
                 if (med.isNullAt(0)) None
                 else Some(math.max(2L, med.getLong(0)))
-              } finally {
-                spark.sparkContext.clearJobGroup()
-                inSampling.set(false)
-              }
+              } finally spark.sparkContext.clearJobGroup()
+            } finally {
+              inSampling.set(false)
+              // the WORKER owns the single-flight gate: released only
+              // when the sampling job has actually stopped, so a
+              // timed-out-but-still-running job keeps every other
+              // thread on the conf path (the documented invariant)
+              samplingActive.set(false)
             }
           })
         val worker = new Thread(task, "graft-rangejoin-sample")
         worker.setDaemon(true)
-        worker.start()
+        try worker.start()
+        catch { case t: Throwable => samplingActive.set(false); throw t }
         try task.get(sampleTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch {
           case _: java.util.concurrent.TimeoutException =>
-            task.cancel(true)
+            timedOut = true
+            task.cancel(true) // interrupts the worker (checked pre-submit too)
             try spark.sparkContext.cancelJobGroup(jobGroup)
             catch { case scala.util.control.NonFatal(_) => () }
             None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-      finally samplingActive.set(false)
-    if (sampledWidthCache.size > 256) sampledWidthCache.clear()
-    sampledWidthCache.putIfAbsent(key, computed)
+    if (!timedOut) {
+      if (sampledWidthCache.size > 256) sampledWidthCache.clear()
+      sampledWidthCache.putIfAbsent(key, computed)
+    }
     computed
   }
 

@@ -49,15 +49,20 @@ object MVWarm {
       : (Double, Seq[(String, Double)], Seq[String]) = {
     MaterializedViews.drainBuildLog() // discard earlier builds' entries
     val t0 = System.nanoTime()
+    val failed = scala.collection.mutable.Set.empty[String]
     views.foreach { case (name, fn) =>
       try fn(s, dir).queryExecution // force analysis; cached() builds eagerly
       catch { case e: Throwable =>
+        failed += name // a failed build is neither built nor reusable
         System.err.println(s"[mv-warm] $name failed: ${e.getMessage}")
       }
     }
     val builds = MaterializedViews.drainBuildLog()
     val built = builds.map(_._1).toSet
-    val found = views.map(_._1).filterNot(built)
+    // "found" = confirmed reusable: registered, not built this call,
+    // and its accessor resolved — a view whose build THREW must not
+    // read as warm state in the artifact
+    val found = views.map(_._1).filterNot(n => built(n) || failed(n))
     ((System.nanoTime() - t0) / 1e9, builds, found)
   }
 }

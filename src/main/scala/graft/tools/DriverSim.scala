@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Driver-protocol reproduction harness (round-13 verdict item 1): the
   * driver's BENCH_r13 artifact read q206 at 33.1 s while every isolated
@@ -24,8 +23,13 @@ import org.apache.spark.sql.SparkSession
   */
 object DriverSim {
 
-  private def loadAvg: Double = java.lang.management.ManagementFactory
-    .getOperatingSystemMXBean.getSystemLoadAverage
+  private def loadAvg: Double = graft.HarnessSession.loadAvg
+
+  /** Locale-stable 2/1-dp formatting: the emitted line is JSON, and the
+    * f-interpolator follows the default locale (a comma decimal
+    * separator would corrupt it — the Bench.scala lesson). */
+  private def fmt(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q206_cf_holdout_precision")
@@ -38,21 +42,9 @@ object DriverSim {
     val spinners = spinArg.stripSuffix("m").toInt
     val runs = args.lift(2).map(_.toInt).getOrElse(4)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    // session identical to Bench.main's
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.graft.rangeJoin.binSize", "3600000000")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = graft.HarnessSession.cpus
+    // session identical to Bench.main's BY CONSTRUCTION (shared recipe)
+    val spark = graft.HarnessSession.create()
     val fn = graft.SparkEntry.queries(name)
     // bench-identical warm: corpus scan + the query once at sf0.001
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -99,7 +91,8 @@ object DriverSim {
         try fn(spark, sfDir).count()
         finally spark.catalog.clearCache()
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"run $i: $sec%.2f s (loadavg ${math.max(l0, loadAvg)}%.1f)")
+        System.err.println(
+          s"run $i: ${fmt(sec, 2)} s (loadavg ${fmt(math.max(l0, loadAvg), 1)})")
         (sec, math.max(l0, loadAvg))
       }
       val secs = times.map(_._1)
@@ -108,9 +101,9 @@ object DriverSim {
         s""""load_kind":"${if (memLoad) "memwalk" else "cpu"}",""" +
         s""""cpus":$cpus,"mv_prewarm_secs":$mvSecs,""" +
         s""""mv_found_n":${mvFound.size},""" +
-        s""""runs":${secs.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
-        s""""min":${f"${secs.min}%.2f"},""" +
-        s""""loadavg":${times.map(t => f"${t._2}%.1f").mkString("[", ",", "]")},""" +
+        s""""runs":${secs.map(fmt(_, 2)).mkString("[", ",", "]")},""" +
+        s""""min":${fmt(secs.min, 2)},""" +
+        s""""loadavg":${times.map(t => fmt(t._2, 1)).mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
       println(json)
     } finally spinning = false

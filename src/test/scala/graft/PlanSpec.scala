@@ -917,9 +917,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "pagination must be a bounded heap cut")
     // offset folded INTO the heap (limit = offset + page), not a
-    // separate pass over a sorted corpus
-    assert(p.contains("offset=40") || p.contains("offset: 40") ||
-      p.contains("60") && p.contains("40"),
+    // separate pass over a sorted corpus — the exact node text, no
+    // incidental-substring fallback (round-16 review: `contains("60") &&
+    // contains("40")` matched expression ids and pinned nothing)
+    assert(p.contains("TakeOrderedAndProject(limit=60, offset=40"),
       s"expected the folded offset in TakeOrderedAndProject:\n${p.take(1200)}")
     val sorts = p.linesIterator.filter(l =>
       l.trim.startsWith("Sort ") || l.contains("+- Sort ")).toSeq
