@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
   QueryStageExec}
@@ -24,19 +23,11 @@ object StageMetrics {
     val name = args.headOption.getOrElse("q206_cf_holdout_precision")
     val runs = args.lift(1).map(_.toInt).getOrElse(2)
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared harness recipe: a profile must attribute the SAME plan
+    // the bench runs (this session previously lacked the range-join
+    // band default, so range queries could profile under a different
+    // physical shape than they bench)
+    val spark = graft.HarnessSession.create()
     val fn = graft.SparkEntry.queries(name)
     // warm run(s) first — metrics are read from the LAST (steady-state)
     // execution, so JIT/codegen/MV-build costs don't pollute the readout

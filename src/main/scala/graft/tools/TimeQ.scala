@@ -1,26 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev utility: time named queries at sf0.1, 3 runs each (run1 shows
   * first-run JIT/codegen cost — what a run-once benchmark pays).
   * Usage: runMain graft.tools.TimeQ <queryName> [more ...] */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.GraftExtensions).master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      // ObjectHashAggregate (TypedImperativeAggregate: MinHash/SimHash
-      // sketches) falls back to sort-based agg after 128 groups/partition
-      // by default, serializing the sketch buffer per row. Session-level
-      // so query fns never mutate shared conf (round-8 judge ask);
-      // correctness is unaffected without it, only speed.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // the shared harness recipe — timings must measure bench-shaped plans
+    val spark = graft.HarnessSession.create(logLevel = "ERROR")
     spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").count()
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
