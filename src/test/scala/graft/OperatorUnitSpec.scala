@@ -176,6 +176,38 @@ class OperatorUnitSpec extends AnyFunSuite {
       .filter(col("rn") =!= col("rn_exp")).count() == 0)
   }
 
+  test("DESC-score bucket coarsening (the q228/q233/q234 contract): floor(-v·2^p) ranks ≡ plain DESC window") {
+    import org.apache.spark.sql.expressions.Window
+    // The retrieval rankers' bucket is floor(-score·scale) with a
+    // power-of-two scale: equal scores MUST share a bucket and strict
+    // score order MUST map to non-decreasing bucket order, or the
+    // decomposition silently misranks. Adversarial doubles: exact ties
+    // (duplicated values), negatives, zero, very small magnitudes
+    // (sub-bucket-width — all land in bucket 0/-1), large values, and
+    // values exactly on bucket boundaries.
+    val rnd = new scala.util.Random(251)
+    val pool = Seq(0.0, -0.0, 1.0 / 3.0, -1.0 / 3.0, 0.015625, -0.015625,
+      12.25, -12.25, 1e-9, -1e-9, 123456.789, -123456.789, 0.0625, 2.0) ++
+      (0 until 200).map(_ => (rnd.nextInt(4001) - 2000) / 16.0) // boundary-heavy
+    val rows = rnd.shuffle(pool ++ pool).zipWithIndex // every value duplicated: ties
+      .map { case (v, i) => (i.toLong, v) }
+    for (scale <- Seq(1, 16, 256, 4096)) {
+      val df = rows.toDF("doc_id", "score")
+        .withColumn("__bkt", floor(-col("score") * scale).cast("long"))
+      val got = graft.functions.ranks
+        .bucketedGlobalRank(df, Nil, "__bkt",
+          Seq(col("score").desc, col("doc_id")), "rn")
+        .select("doc_id", "rn")
+      val exp = df.withColumn("rn_exp", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rn_exp")
+      assert(got.count() == rows.size.toLong, s"scale=$scale lost rows")
+      assert(got.join(exp, Seq("doc_id"))
+        .filter(col("rn") =!= col("rn_exp")).count() == 0,
+        s"scale=$scale: bucketed DESC ranks diverge from the plain window")
+    }
+  }
+
   test("bucketedGlobalRank keeps NULL partition/bucket rows (null-safe join, round-12 ADVICE)") {
     import org.apache.spark.sql.expressions.Window
     // NULL v -> NULL bucket; NULL part -> NULL window partition. SQL
