@@ -1040,10 +1040,56 @@ object Relational {
         .limit(20)
     })
 
+  // ---------------------------------------------------------------------
+  // q257 — keyset pagination (the 100 TB page: anchor filter, no offset)
+  // ---------------------------------------------------------------------
+
+  /** The scale-correct sibling of q256: OFFSET n makes every engine
+    * materialize (or heap) n + page rows, so a crawler at page 10^6 is
+    * quadratic in pages — KEYSET pagination instead anchors on the last
+    * row already served and filters `(bal, key) < anchor` before an
+    * ordinary top-20 cut. Here the anchor is row 40 of the (c_acctbal
+    * DESC, c_custkey) order — computed by the same bounded
+    * TakeOrdered heap (limit 40, reversed, limit 1), broadcast as one
+    * row — and the page is the composite-key strict-after filter +
+    * TakeOrderedAndProject(limit=20): the filter prunes BEFORE the
+    * heap, so page depth never grows the state (at 100 TB the anchor
+    * filter additionally prunes row groups through the zone maps of a
+    * bal-sorted layout). The result is exactly q256's rows 41-60 — the
+    * hash gate proves OFFSET ≡ keyset on real data, which is the whole
+    * point of the anchor trick. */
+  private val q257 = QueryDef(
+    "q257_keyset_pagination",
+    "keyset (anchor-filtered) page ≡ OFFSET page: rows 41-60 without an offset heap",
+    Some("""
+      WITH p2 AS (SELECT c_acctbal AS ab, c_custkey AS ak
+                  FROM customer
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 40),
+      anchor AS (SELECT ab, ak FROM p2 ORDER BY ab ASC, ak DESC LIMIT 1)
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer, anchor
+      WHERE c_acctbal < ab OR (c_acctbal = ab AND c_custkey > ak)
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 20"""),
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val anchor = cust
+        .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(40)
+        .orderBy(col("c_acctbal").asc, col("c_custkey").desc).limit(1)
+        .select(col("c_acctbal").as("ab"), col("c_custkey").as("ak"))
+      cust.crossJoin(broadcast(anchor))
+        .filter(col("c_acctbal") < col("ab") ||
+          (col("c_acctbal") === col("ab") && col("c_custkey") > col("ak")))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(20)
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
       q126, q127, q168, q181, q195, q221, q222, q224, q225, q226, q248, q249,
-      q256)
+      q256, q257)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)

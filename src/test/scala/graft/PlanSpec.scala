@@ -927,6 +927,19 @@ class PlanSpec extends AnyFunSuite {
     assert(sorts.isEmpty, s"no global Sort expected:\n${sorts.mkString("\n")}")
   }
 
+  test("q257: the keyset page is an anchor-filtered top-20 heap — no offset anywhere") {
+    val p = plan("q257_keyset_pagination")
+    assert(p.contains("TakeOrderedAndProject(limit=20,"),
+      "the page cut must be a plain bounded heap")
+    assert(!p.contains("offset="),
+      "keyset pagination must carry NO offset in any cut")
+    // the strict-after anchor predicate runs BELOW the final heap, so
+    // page depth never grows the heap state
+    assert(p.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("c_acctbal") && l.contains("c_custkey")),
+      "the composite anchor filter must prune before the cut")
+  }
+
   test("q255: the bucketed fact join carries ZERO exchange on either side") {
     // the whole point of the SMB layout: both tables were hash-
     // distributed into the same bucket count on the join key at WRITE
