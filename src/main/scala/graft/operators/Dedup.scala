@@ -1151,32 +1151,133 @@ object Dedup {
       SELECT doc_id, span_start, span_end, span_tokens
       FROM isl WHERE span_tokens >= 15
       ORDER BY doc_id, span_start"""),
+    (s, dir) => dupSpanIslands(s, dir).orderBy("doc_id", "span_start"))
+
+  /** q239's duplicated-span islands (span_tokens >= 15), shared with
+    * q258's scrub: positional 6-gram hashes from the per-dataset MV
+    * (the md5 explode is the dominant cost), duplicated-hash aggregate,
+    * position join, and the gaps-and-islands interval merge. */
+  private def dupSpanIslands(s: SparkSession, dir: String): DataFrame = {
+    val g = kgram6Pos(s, dir)
+    val duph = g.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val d = g.join(duph, Seq("h"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + 5).as("e"))
+      // interval merge: a range starts a NEW island only when it
+      // clears the running max end of everything before it by > 1
+      // token (overlap OR adjacency merges)
+      .withColumn("pmax",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("pmax").isNull ||
+        col("s") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(w))
+    d.groupBy("doc_id", "grp")
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"),
+        (max(col("e")) - min(col("s")) + 1).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= 15)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
+  // ---------------------------------------------------------------------
+  // q258 — duplicated-span SCRUB (the transform q239's audit motivates)
+  // ---------------------------------------------------------------------
+
+  /** q239 AUDITS duplicated spans; this is the FIX (the q241-fixes-q96
+    * pattern applied to span dedup): for every document carrying at
+    * least one >= 15-token cross-doc duplicated island, CUT those
+    * islands out of the token stream and emit the scrub ledger —
+    * original/removed/kept token counts plus a 40-bit content checksum
+    * of the CLEANED text — exactly the ExactSubstr removal step of
+    * Lee et al. 2022 at k-gram grain. Correctness leans on the island
+    * DISJOINTNESS the interval merge guarantees (PipelineSpec law): a
+    * token can match at most one span, so the left join marks without
+    * duplicating rows, counts decompose exactly, and the cleaned text
+    * is well-defined. A fully-duplicated document keeps zero tokens and
+    * its checksum is stated NULL on both engines (empty string_agg is
+    * NULL in SQL; the engine matches explicitly).
+    *
+    * Scale shape: spans are doc-keyed and few; the position explode is
+    * corpus-sized but joins spans by doc_id equality (bounded per-doc
+    * interval check, no cross-document work), the ordered re-assembly
+    * is one per-doc sort_array over KEPT tokens of AFFECTED docs only,
+    * and the semi-join work list keeps untouched documents out of the
+    * explode entirely. */
+  private val q258 = QueryDef(
+    "q258_dup_span_scrub",
+    "cut >=15-token duplicated islands from affected docs: counts + cleaned-text checksum",
+    Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      g AS ${text.posKgramCteSql(6)},
+      duph AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      d AS (SELECT doc_id, i AS s, i + 5 AS e FROM g JOIN duph USING (h)),
+      m AS (SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+            FROM d),
+      b AS (SELECT doc_id, s, e,
+                   CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END
+                     AS brk
+            FROM m),
+      c AS (SELECT doc_id, s, e,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+            FROM b),
+      isl AS (SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+              FROM c GROUP BY doc_id, grp
+              HAVING MAX(e) - MIN(s) + 1 >= 15),
+      tokp AS (SELECT tok.doc_id, u.i, tok.t[u.i] AS tk
+               FROM tok
+               JOIN (SELECT DISTINCT doc_id FROM isl) sd USING (doc_id)
+               CROSS JOIN LATERAL unnest(generate_series(1, len(tok.t))) AS u(i)),
+      mk AS (SELECT tp.doc_id, tp.i, tp.tk,
+                    (isl.doc_id IS NOT NULL) AS rm
+             FROM tokp tp LEFT JOIN isl
+               ON isl.doc_id = tp.doc_id AND tp.i BETWEEN isl.ss AND isl.se)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) FILTER (rm) AS BIGINT) AS n_removed,
+             CAST(COUNT(*) FILTER (NOT rm) AS BIGINT) AS n_kept,
+             CASE WHEN COUNT(*) FILTER (NOT rm) = 0 THEN NULL
+                  ELSE ${text.md5Hash60Sql(
+                    "string_agg(tk, ' ' ORDER BY i) FILTER (NOT rm)")}
+                       % (1::BIGINT << 40) END AS cleaned_checksum
+      FROM mk GROUP BY doc_id ORDER BY doc_id"""),
     (s, dir) => {
-      // positional 6-gram hashes as a per-dataset MV: the md5 explode is
-      // the dominant cost and the table feeds both the duplicated-hash
-      // aggregate and the position join below
-      val g = kgram6Pos(s, dir)
-      val duph = g.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val w = Window.partitionBy("doc_id").orderBy("s")
-      val d = g.join(duph, Seq("h"))
-        .select(col("doc_id"), col("i").as("s"), (col("i") + 5).as("e"))
-        // interval merge: a range starts a NEW island only when it
-        // clears the running max end of everything before it by > 1
-        // token (overlap OR adjacency merges)
-        .withColumn("pmax",
-          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("brk", when(col("pmax").isNull ||
-          col("s") > col("pmax") + 1, 1L).otherwise(0L))
-        .withColumn("grp", sum(col("brk")).over(w))
-      d.groupBy("doc_id", "grp")
-        .agg(min(col("s")).cast("long").as("span_start"),
-          max(col("e")).cast("long").as("span_end"),
-          (max(col("e")) - min(col("s")) + 1).cast("long").as("span_tokens"))
-        .filter(col("span_tokens") >= 15)
-        .select("doc_id", "span_start", "span_end", "span_tokens")
-        .orderBy("doc_id", "span_start")
+      val spans = dupSpanIslands(s, dir)
+        .select(col("doc_id"), col("span_start").as("ss"),
+          col("span_end").as("se"))
+      val sd = spans.select("doc_id").distinct()
+      val tokp = Tables.documents(s, dir)
+        .join(sd, Seq("doc_id"), "left_semi") // affected docs only
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("i0", "tk")))
+        .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("tk"))
+      // islands are DISJOINT (PipelineSpec law), so each position joins
+      // at most one span: the left join marks, never multiplies.
+      // Aliased: both sides descend from documents, and the ambiguous-
+      // self-join check rejects bare df("doc_id") references.
+      val mk = tokp.as("tp").join(
+          spans.select(col("doc_id").as("sdoc"), col("ss"), col("se")),
+          col("tp.doc_id") === col("sdoc") &&
+            col("i") >= col("ss") && col("i") <= col("se"), "left")
+        .select(col("tp.doc_id").as("doc_id"), col("i"), col("tk"),
+          col("sdoc").isNotNull.as("rm"))
+      mk.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(!col("rm"), 1L).otherwise(0L)).as("n_kept"),
+          sort_array(collect_list(when(!col("rm"),
+            struct(col("i"), col("tk"))))).as("kept"))
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("n_kept"),
+          when(col("n_kept") === 0L, lit(null).cast("long"))
+            .otherwise(text.md5Hash60(concat_ws(" ",
+              expr("transform(kept, x -> x.tk)"))) % (1L << 40))
+            .as("cleaned_checksum"))
+        .orderBy("doc_id")
     })
 
   // ---------------------------------------------------------------------
@@ -1458,5 +1559,5 @@ object Dedup {
 
   def defs: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162,
-      q163, q237, q238, q239, q241, q243, q254)
+      q163, q237, q238, q239, q241, q243, q254, q258)
 }

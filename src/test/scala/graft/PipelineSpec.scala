@@ -803,6 +803,32 @@ class PipelineSpec extends AnyFunSuite {
       "a J>=0.9 near-dup doc has no duplicated span")
   }
 
+  test("q258 scrub ledger reconciles exactly with q239's spans") {
+    import org.apache.spark.sql.functions._
+    val scrub = run("q258_dup_span_scrub").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_kept"),
+          Option(r.getAs[java.lang.Long]("cleaned_checksum")))).toMap
+    val spans = run("q239_dup_span_islands").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, ss) => d -> ss.map(_.getAs[Long]("span_tokens")).sum }
+    // exactly the audited docs are scrubbed, and the removed mass is
+    // exactly the audited span mass (disjoint islands ⇒ no double cut)
+    assert(scrub.keySet == spans.keySet,
+      "scrub work list must equal the span-audit doc set")
+    val lenByDoc = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n").toLong).toMap
+    scrub.foreach { case (d, (nt, nr, nk, ck)) =>
+      assert(nt == lenByDoc(d), s"doc $d: token count must match the source")
+      assert(nr + nk == nt, s"doc $d: removed + kept must cover every token")
+      assert(nr == spans(d), s"doc $d: removed mass must equal span mass")
+      assert(ck.isDefined == (nk > 0),
+        s"doc $d: checksum is NULL exactly for fully-scrubbed docs")
+    }
+  }
+
   test("q241 component split: covers all docs, zero leaks, pairs co-assigned") {
     import org.apache.spark.sql.functions._
     val rows = run("q241_component_safe_split").collect()
