@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.QueryDef
@@ -36,15 +36,27 @@ object Formats {
   private def scratch(q: String): String =
     java.nio.file.Files.createDirectories(scratchRoot.resolve(q)).toString
 
-  /** Per-row md5 content hash folded to 40 bits and summed per group —
-    * an order-independent exact-integer content checksum both engines
-    * compute identically (2^40-bounded terms keep the BIGINT sum exact
-    * to ~2^23 rows per group; beyond that the fold narrows further —
-    * the q174 checksum discipline). Fields join under a \u0001
-    * separator so no field concatenation is ambiguous. */
+  /** Per-row md5 content hash folded to 40 bits — the summand of the
+    * group checksums below. Fields join under a \u0001 separator so no
+    * field concatenation is ambiguous. */
   private def rowHash = text.md5Hash60(
     concat_ws("\u0001", col("doc_id"), col("lang"), col("source"),
       col("n_chars"), col("text"))) % (1L << 40)
+
+  /** Scale-independent group checksum over 40-bit row hashes: EXACT sum
+    * (decimal(38,0) accumulator — Spark's bare sum(long) wraps silently
+    * under non-ANSI at ~2^23 rows per group while DuckDB sums to
+    * HUGEINT, so at larger SFs the two engines would diverge rather
+    * than wrap identically; round-14 ADVICE) folded modulo 2^40, so the
+    * emitted value is a bounded BIGINT whose arithmetic is identical on
+    * both engines up to ~10^26 rows per group. [[checksum40Sql]] is the
+    * DuckDB twin (HUGEINT sum, same modulus). */
+  private def checksum40(h: Column): Column =
+    (sum(h.cast(DecimalType(38, 0))) % lit(1L << 40)).cast("long")
+
+  /** DuckDB oracle twin of [[checksum40]]. */
+  private def checksum40Sql(h: String): String =
+    s"CAST(SUM($h) % (1::BIGINT << 40) AS BIGINT)"
 
   private val q202 = QueryDef(
     "q202_text_source_roundtrip",
@@ -56,7 +68,7 @@ object Formats {
                           % (1::BIGINT << 40) AS h
                  FROM documents),
       g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(h) AS BIGINT) AS content_checksum
+                   ${checksum40Sql("h")} AS content_checksum
             FROM h GROUP BY lang),
       f AS (SELECT unnest(['csv', 'json']) AS format)
       SELECT f.format, g.lang, g.n_docs, g.content_checksum
@@ -83,7 +95,7 @@ object Formats {
         .select(col("format"), col("lang"), rowHash.as("h"))
         .groupBy("format", "lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("h")).cast("long").as("content_checksum"))
+          checksum40(col("h")).as("content_checksum"))
         .orderBy("format", "lang")
     })
 
@@ -112,7 +124,7 @@ object Formats {
                           % (1::BIGINT << 40) AS h
                  FROM documents WHERE lang IN ('en', 'de'))
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(h) AS BIGINT) AS content_checksum
+             ${checksum40Sql("h")} AS content_checksum
       FROM h GROUP BY lang ORDER BY lang"""),
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -124,7 +136,7 @@ object Formats {
         .select(col("lang"), rowHash.as("h"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("h")).cast("long").as("content_checksum"))
+          checksum40(col("h")).as("content_checksum"))
         .orderBy("lang")
     })
 
@@ -202,7 +214,7 @@ object Formats {
                      % (1::BIGINT << 40) AS h
             FROM pat)
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(h) AS BIGINT) AS content_checksum
+             ${checksum40Sql("h")} AS content_checksum
       FROM h GROUP BY lang ORDER BY lang"""),
     (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -218,7 +230,7 @@ object Formats {
         .select(col("lang"), rowHash.as("h"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("h")).cast("long").as("content_checksum"))
+          checksum40(col("h")).as("content_checksum"))
         .orderBy("lang")
     })
 
@@ -250,7 +262,7 @@ object Formats {
                           % (1::BIGINT << 40) AS h
                  FROM documents),
       g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(h) AS BIGINT) AS content_checksum
+                   ${checksum40Sql("h")} AS content_checksum
             FROM h GROUP BY lang),
       en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_en FROM documents
              WHERE lang = 'en')
@@ -272,7 +284,7 @@ object Formats {
       back.select(col("lang"), rowHash.as("h"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("h")).cast("long").as("content_checksum"))
+          checksum40(col("h")).as("content_checksum"))
         .crossJoin(broadcast(en))
         .orderBy("lang")
     })
@@ -281,21 +293,42 @@ object Formats {
   // q255 — bucketed (SMB) layout: the exchange-free co-located join
   // ---------------------------------------------------------------------
 
+  /** The two q255 layout tables as MAINTAINED WARM STATE (round-14
+    * verdict item 2): a bucketed layout is built once per dataset
+    * version and amortized over every later exchange-free join, exactly
+    * like a materialized view — so the build rides the fingerprinted MV
+    * registry ([[graft.sources.MaterializedViews.cachedBucketed]]), is
+    * listed in [[graft.sources.MVWarm.views]] (the bench builds it
+    * UNTIMED and reports it via `mv_builds`/`mv_found`), and q255 times
+    * the join the layout exists to showcase, not the write. The writer
+    * itself stays covered by LayoutSpec. */
+  def bucketedLineitem(s: SparkSession, dir: String): DataFrame =
+    s.table(graft.sources.MaterializedViews.cachedBucketed(
+      s, dir, "lineitem_b8", "l_orderkey", 8, "lineitem.parquet")(
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
+
+  /** q255's orders side — see [[bucketedLineitem]]. */
+  def bucketedOrders(s: SparkSession, dir: String): DataFrame =
+    s.table(graft.sources.MaterializedViews.cachedBucketed(
+      s, dir, "orders_b8", "o_orderkey", 8, "orders.parquet")(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")))
+
   /** The write-once-shuffle-never layout under the driver gate
     * (round-13 verdict item 4): lineitem and orders land as BUCKETED
     * tables — hash-distributed into the same bucket count on their join
-    * key at WRITE time ([[graft.sources.Layouts.writeBucketed]]) — and
-    * the fact join then runs with ZERO Exchange on either side
-    * (PlanSpec pins the join subtree exchange-free): the shuffle is
-    * paid once at layout time and amortized over every later join, the
-    * sort-merge-bucket discipline 100 TB fact tables live by.
-    * Correctness: the joined rows reduce to per-priority content
-    * checksums over the INTEGER key columns, which the oracle
-    * recomputes by joining the ORIGINAL flat parquet — a row routed to
-    * the wrong bucket pairs with nothing (the join loses it), a
-    * double-written bucket double-counts, so the bucket routing itself
-    * sits inside the hash gate. Tables are EXTERNAL at the query's
-    * scratch path — the harness session's warehouse stays untouched. */
+    * key at WRITE time ([[graft.sources.Layouts.writeBucketed]] via the
+    * warm registry above) — and the fact join then runs with ZERO
+    * Exchange on either side (PlanSpec pins the join subtree
+    * exchange-free): the shuffle is paid once at layout time and
+    * amortized over every later join, the sort-merge-bucket discipline
+    * 100 TB fact tables live by. Correctness: the joined rows reduce to
+    * per-priority content checksums over the INTEGER key columns, which
+    * the oracle recomputes by joining the ORIGINAL flat parquet — a row
+    * routed to the wrong bucket pairs with nothing (the join loses it),
+    * a double-written bucket double-counts, so the bucket routing
+    * itself sits inside the hash gate. Tables are EXTERNAL at the
+    * registry path — the harness session's warehouse stays untouched. */
   private val q255 = QueryDef(
     "q255_bucketed_smb_join",
     "same-bucketed lineitem ⋈ orders with zero exchanges, checksum-verified",
@@ -312,19 +345,11 @@ object Formats {
                      % (1::BIGINT << 40) AS h
             FROM j)
       SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
-             CAST(SUM(h) AS BIGINT) AS content_checksum
+             ${checksum40Sql("h")} AS content_checksum
       FROM h GROUP BY 1 ORDER BY 1"""),
     (s, dir) => {
-      val base = scratch("q255")
-      graft.sources.Layouts.writeBucketed(
-        Tables.lineitem(s, dir)
-          .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
-        "graft_q255_lineitem", "l_orderkey", 8, Some(s"$base/lineitem"))
-      graft.sources.Layouts.writeBucketed(
-        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        "graft_q255_orders", "o_orderkey", 8, Some(s"$base/orders"))
-      val li = s.table("graft_q255_lineitem")
-      val ord = s.table("graft_q255_orders")
+      val li = bucketedLineitem(s, dir)
+      val ord = bucketedOrders(s, dir)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority"),
           (text.md5Hash60(concat_ws("\u0001", col("l_orderkey"),
@@ -332,7 +357,7 @@ object Formats {
             col("o_orderpriority"))) % (1L << 40)).as("h"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("h")).cast("long").as("content_checksum"))
+          checksum40(col("h")).as("content_checksum"))
         .orderBy("o_orderpriority")
     })
 

@@ -84,12 +84,14 @@ object Online {
     }
     else before.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     // state-store count = shuffle partitions at stream start × batches;
-    // the keyspace here is |event types| (tiny) or hash-spread users
-    // with trivial per-key work, so 4 RocksDB instances per batch are
-    // plenty — 32 would spend the whole run opening stores. Each replay
-    // starts a fresh checkpoint, so the narrowed partitioning never
-    // leaks into another query's state.
-    s.conf.set(partKey, "4")
+    // the keyspace here is |event types| (tiny) or hash-spread users.
+    // 8 measured best on the 32-thread harness (round-15 sweep: 4 → 8
+    // cut the trio ~0.7 s by parallelizing the per-row state updates;
+    // 16 regressed — instance open/commit overtakes the added
+    // parallelism). 32 would spend the whole run opening stores. Each
+    // replay starts a fresh checkpoint, so the narrowed partitioning
+    // never leaks into another query's state.
+    s.conf.set(partKey, "8")
     // No-data micro-batches exist to EMIT EARLY in a live deployment
     // (fire watermark timers as soon as the watermark passes instead of
     // waiting for the next data batch). In a replay-to-close harness they
@@ -107,8 +109,6 @@ object Online {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("event_type"), col("value"))
         .as[Event]
-      val stats = evBase.agg(count(lit(1)), max("ts_us")).head()
-      val (n, far) = (stats.getLong(0), stats.getLong(1) + 10L * 86400000000L)
       // Global chronological order computed DISTRIBUTEDLY (range-
       // partitioned sort); toLocalIterator below then streams one
       // partition at a time to the driver, so peak driver footprint is
@@ -124,7 +124,7 @@ object Online {
       // bench cost knob). Sorted input means later batches are never
       // late relative to the advancing watermark, so the emitted set is
       // independent of the batch count.
-      val batchSize = math.max(1L, math.min(50000L, (n + 1) / 2)).toInt
+      val batchSize = 50000
       val stream = MemoryStream[Event]
       // Memory sink, not a parquet sink: the emitted result is bounded by
       // the calendar / session count (thousands of rows), never by the
@@ -165,20 +165,44 @@ object Online {
         // a filtered-out type would never advance the watermark and the
         // final windows would never close (observed on q246: the last
         // two days stayed open behind a 'click' sentinel).
-        val sent1 = Event(9000000L, far, 0L, sentinelType, 0.0)
-        val sent2 = Event(9000001L, far + 3600000000L, 0L, sentinelType, 0.0)
+        // `far` (the sentinel horizon) is derived from the FEED itself —
+        // the input is globally sorted, so the last data batch's last
+        // row is the fixture max and no separate count/max aggregation
+        // job is needed (round-14 verdict item 5: that scan was a full
+        // per-query pass of pure harness overhead). A single-chunk
+        // fixture is split in half so the watermark still advances
+        // mid-run; the halves are already on the driver, so the split
+        // costs nothing and batch shapes match the previous
+        // (n+1)/2-capped feed exactly.
         val grouped =
           sorted.toLocalIterator().asScala.grouped(batchSize).map(_.toSeq)
         val data: Iterator[Seq[Event]] =
-          if (grouped.hasNext) grouped else Iterator(Seq.empty[Event])
+          if (!grouped.hasNext) Iterator(Seq.empty[Event])
+          else {
+            val first = grouped.next()
+            if (grouped.hasNext) Iterator(first) ++ grouped
+            else if (first.size > 1) {
+              val (a, b) = first.splitAt((first.size + 1) / 2)
+              Iterator(a, b)
+            } else Iterator(first)
+          }
+        var far = 10L * 86400000000L // empty-feed fallback: 10 days past epoch
         val withSent1: Iterator[Seq[Event]] = new Iterator[Seq[Event]] {
           def hasNext: Boolean = data.hasNext
           def next(): Seq[Event] = {
             val b = data.next()
-            if (data.hasNext) b else b :+ sent1
+            if (data.hasNext) b
+            else {
+              b.lastOption.foreach(e => far = e.ts_us + 10L * 86400000000L)
+              b :+ Event(9000000L, far, 0L, sentinelType, 0.0)
+            }
           }
         }
-        val feeds: Iterator[Seq[Event]] = withSent1 ++ Iterator(Seq(sent2))
+        // lazily built: `far` is final once the last data batch was fed
+        val feeds: Iterator[Seq[Event]] = withSent1 ++ Iterator
+          .continually(Seq(
+            Event(9000001L, far + 3600000000L, 0L, sentinelType, 0.0)))
+          .take(1)
         val dbg = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
         feeds.foreach { c =>
           val t0 = System.nanoTime()

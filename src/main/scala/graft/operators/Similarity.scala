@@ -619,46 +619,72 @@ object Similarity {
           (col("p") + 1).as("dim"), col("v"))
       val cents = lf.groupBy(col("label").as("code"), col("sub"), col("dim"))
         .agg(davg(col("v")).as("c"))
-      // ENCODE in array form: the oracle's long form (explode × codes →
-      // decimal hash-agg → argmin window) costs a 3.2M-row decimal
-      // aggregate plus an 80k-partition window sort at sf0.1 (measured
-      // 5.5 s/query); here the codebook collapses to 160 four-dim
-      // arrays, the squared distance is an exact-decimal fold over the
-      // zipped slice (decimal addition is exact and order-free, so the
-      // rounded value is BIT-IDENTICAL to the oracle's SUM — the hash
-      // gate proves it), and the argmin is a map-side-combinable
-      // min_by((dist, code)) instead of a window. Same numbers, one
-      // bounded shuffle.
-      val dec = org.apache.spark.sql.types.DecimalType(30, 10)
-      def d2(v: Column, c: Column): Column =
-        round(aggregate(zip_with(v, c, (x, y) => ((x - y) * (x - y)).cast(dec)),
-          // the merge must return the accumulator type exactly; the
-          // widened DECIMAL(31,10) sum re-narrows losslessly (terms are
-          // O(1) squared diffs, nowhere near 20 integer digits)
-          lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)).cast("double"), 4) + 0.0
+      // ENCODE as a MAP-SIDE NATIVE EXPRESSION (round-14 verdict item
+      // 3): the oracle's long form (explode × codes → decimal hash-agg
+      // → argmin window) costs a 3.2M-row decimal aggregate plus an
+      // 80k-partition window sort at sf0.1, and the previous array form
+      // still exploded 16 subspace rows per vector through a broadcast
+      // equi-join and a corpus×16 groupBy min_by — with the actual cost
+      // (profiled: ~2.1 s of the query) in the 160 INTERPRETED decimal
+      // folds each vector paid either way. Here the WHOLE codebook (160
+      // four-dim centroid arrays — KB-sized at any corpus scale; its
+      // size is k×subspaces, a model constant) collapses to ONE
+      // broadcast row `cb[sub] = [(code, cv) ..]` sorted by code, and
+      // [[graft.functions.PqEncodeCodes]] computes all 16 argmin codes
+      // per vector in one compiled codegen loop with BIT-IDENTICAL
+      // decimal rounding (its scaladoc carries the equivalence
+      // argument; the hash gate proves it against the oracle's
+      // `ORDER BY dist, code`). NO join, NO shuffle, NO row
+      // multiplication on the encode path: the corpus is touched once,
+      // map-side, and only (vec_id, sub, code) rows leave the stage.
       val cbook = cents.groupBy("code", "sub")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           t => t.getField("c")).as("cv"))
-      val sv = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("fv"),
-          explode(sequence(lit(0), lit(15))).as("sub"))
-        .select(col("vec_id"), col("sub"),
-          slice(col("fv"), col("sub") * 4 + 1, lit(4)).as("v4"))
-      val enc = sv.join(broadcast(cbook), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code"),
-          d2(col("v4"), col("cv")).as("dist"))
-        .groupBy("vec_id", "sub")
-        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
-      val lut = lf.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("sub"), col("dim"),
-          col("v").as("qv"))
-        .join(broadcast(cents), Seq("sub", "dim"))
-        .groupBy(col("query_id"), col("sub"), col("code"))
-        .agg(dsum(col("qv") * col("c")).as("w"))
-      val adc = enc.join(broadcast(lut), Seq("sub", "code"))
+      // one row: cb[sub+1] = the sub'th subspace's (code, cv) entries in
+      // ascending code order (array_sort on the struct sorts by the
+      // leading `code` field; codes are distinct within a subspace)
+      val cbRow = cbook.groupBy("sub")
+        .agg(array_sort(collect_list(
+          struct(col("code").cast("bigint").as("code"), col("cv")))).as("entries"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("entries")))),
+          t => t.getField("entries")).as("cb"))
+      // the LUT as one row: lut[q] = (query_id, qlut[sub] = [(code, w) ..]
+      // sorted by code) — queries×subspaces×k doubles, KB-sized at any
+      // corpus scale, so ADC scoring is map-side ([[PqAdcScores]]'
+      // scaladoc carries the dsum-equivalence argument): the corpus is
+      // never multiplied by queries×subspaces through a join, and only
+      // (vec, query, score) rows reach the top-1 window. The LUT trains
+      // from the TEN query vectors against the broadcast codebook — the
+      // oracle's lf⋈cents re-derivation would re-explode the whole
+      // corpus a second time for 10 rows of input; here the interpreted
+      // decimal fold runs 10×16×k times, which is free, and the
+      // arithmetic (per-term decimal(30,10) cast, exact sum, 4-dp
+      // round) is dsumSql's bit-for-bit.
+      val dec = org.apache.spark.sql.types.DecimalType(30, 10)
+      def dotDec(a: Column, b: Column): Column =
+        round(aggregate(zip_with(a, b, (x, y) => (x * y).cast(dec)),
+          lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)).cast("double"), 4) + 0.0
+      val lutRow = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("bigint").as("query_id"),
+          col("embedding").cast("array<double>").as("qfv"))
+        .crossJoin(broadcast(cbRow))
+        .select(col("query_id"),
+          transform(col("cb"), (entries, sub) =>
+            transform(entries, e => struct(e.getField("code").as("code"),
+              dotDec(slice(col("qfv"), sub * 4 + 1, lit(4)),
+                e.getField("cv")).as("w")))).as("qlut"))
+        .agg(array_sort(collect_list(struct(col("query_id"), col("qlut"))))
+          .as("lut"))
+      val adc = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("fv"))
+        .crossJoin(broadcast(cbRow.crossJoin(lutRow)))
+        .select(col("vec_id"), explode(graft.functions.PqAdcScores.scores(
+          graft.functions.PqEncodeCodes.codes(col("fv"), col("cb")),
+          col("lut"))).as("qs"))
+        .select(col("vec_id"), col("qs.query_id").as("query_id"),
+          col("qs.adc_score").as("adc_score"))
         .filter(col("query_id") =!= col("vec_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(dsum(col("w")).as("adc_score"))
       val adc1 = adc.withColumn("rn", row_number().over(
           Window.partitionBy("query_id")
             .orderBy(col("adc_score").desc, col("vec_id"))))

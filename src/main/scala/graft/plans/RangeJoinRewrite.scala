@@ -298,27 +298,41 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 if (med.isNullAt(0)) None
                 else Some(math.max(2L, med.getLong(0)))
               } finally spark.sparkContext.clearJobGroup()
-            } finally {
-              inSampling.set(false)
-              // the WORKER owns the single-flight gate: released only
-              // when the sampling job has actually stopped, so a
-              // timed-out-but-still-running job keeps every other
-              // thread on the conf path (the documented invariant)
-              samplingActive.set(false)
-            }
+            } finally inSampling.set(false)
           })
-        val worker = new Thread(task, "graft-rangejoin-sample")
+        // The WORKER THREAD (not call()) owns the single-flight gate:
+        // a cancel(true) landing while the FutureTask is still NEW makes
+        // task.run() a no-op — call() never executes, so a release
+        // inside call()'s finally would leak the gate FOREVER, silently
+        // disabling sampling JVM-wide (round-14 ADVICE). Tying the
+        // release to the thread body's finally keeps the documented
+        // invariant (a timed-out-but-still-running job holds the gate)
+        // while guaranteeing release on every start()ed-thread outcome.
+        val worker = new Thread(
+          () => try task.run() finally samplingActive.set(false),
+          "graft-rangejoin-sample")
         worker.setDaemon(true)
         try worker.start()
         catch { case t: Throwable => samplingActive.set(false); throw t }
+        def abandon(): Unit = {
+          timedOut = true // never negative-cache an abandoned attempt
+          task.cancel(true) // interrupts the worker (checked pre-submit too)
+          try spark.sparkContext.cancelJobGroup(jobGroup)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         try task.get(sampleTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch {
           case _: java.util.concurrent.TimeoutException =>
-            timedOut = true
-            task.cancel(true) // interrupts the worker (checked pre-submit too)
-            try spark.sparkContext.cancelJobGroup(jobGroup)
-            catch { case scala.util.control.NonFatal(_) => () }
-            None
+            abandon(); None
+          // An interrupt delivered to the OPTIMIZING thread while blocked
+          // in get() is NOT NonFatal — without this arm it would
+          // propagate out of the optimizer rule and fail planning instead
+          // of degrading to the conf-width fallback like every other
+          // sampling failure (round-14 ADVICE). Restore the interrupt
+          // flag for the caller and abandon the in-flight job.
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+            abandon(); None
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     if (!timedOut) {

@@ -33,7 +33,11 @@ object MVWarm {
     "bigram_counts" -> ((s, d) => graft.operators.Curation.bigramCounts(s, d)),
     "order_part" -> ((s, d) => graft.operators.Analytics.orderPartMV(s, d)),
     "part_counts" -> ((s, d) => graft.operators.Analytics.partCountsMV(s, d)),
-    "copairs_sup2" -> ((s, d) => graft.operators.Analytics.coPairsMV(s, d)))
+    "copairs_sup2" -> ((s, d) => graft.operators.Analytics.coPairsMV(s, d)),
+    // bucketed LAYOUTS are maintained state too (round-14 verdict item
+    // 2): built once per dataset version, read exchange-free forever
+    "lineitem_b8" -> ((s, d) => graft.operators.Formats.bucketedLineitem(s, d)),
+    "orders_b8" -> ((s, d) => graft.operators.Formats.bucketedOrders(s, d)))
 
   /** Build (or confirm) every registered view for `dir`. Returns
     * (total wall seconds, per-view BUILD seconds for views that were

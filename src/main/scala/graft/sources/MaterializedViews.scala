@@ -105,4 +105,65 @@ object MaterializedViews {
       }
       s.read.parquet(out.getPath)
     }
+
+  /** Bucketed-layout sibling of [[cached]] (round-14 verdict item 2):
+    * a BUCKETED table is maintained warm state exactly like a
+    * materialized view — written once per dataset version, amortized
+    * over every later exchange-free join — so charging its build to the
+    * query that reads it measures layout ingest, not the join. The
+    * files land under the same fingerprinted registry (atomic
+    * temp+rename publish, build seconds drained by the bench warm pass
+    * into `mv_builds`); the session-catalog registration is metadata
+    * only and re-derived per session via `CREATE TABLE ... CLUSTERED BY
+    * ... LOCATION` over the published files (bucket ids ride the
+    * parquet file NAMES, so a fresh catalog trusts the DDL spec against
+    * the existing layout). Returns the catalog table name, fingerprint-
+    * suffixed so two datasets never collide within one session. */
+  def cachedBucketed(s: SparkSession, dir: String, name: String,
+      key: String, buckets: Int, srcFile: String)
+      (build: => DataFrame): String = synchronized {
+    val src = new File(dir, srcFile)
+    val fp = md5hex(s"$dir|${src.length}|${src.lastModified}")
+    val out = new File(new File(root, fp), name)
+    val table = s"graft_mv_${name}_${fp.take(8)}"
+    if (!new File(out, "_SUCCESS").isFile) {
+      val pid = java.lang.ProcessHandle.current.pid
+      val tmp = new File(out.getParentFile, s"$name.tmp-$pid")
+      // the bucketed writer needs a catalog name; the table is EXTERNAL
+      // (explicit path), so dropping it below keeps the files — only the
+      // transient metadata entry goes
+      val tmpTable = s"${table}_build_$pid"
+      val t0 = System.nanoTime()
+      try {
+        Layouts.writeBucketed(build, tmpTable, key, buckets, Some(tmp.getPath))
+        buildLog(name) = (System.nanoTime() - t0) / 1e9
+        def move(): Unit =
+          java.nio.file.Files.move(tmp.toPath, out.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try move()
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.FileSystemException
+            if new File(out, "_SUCCESS").isFile =>
+            // lost the race to an equivalent layout — discard ours
+          case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.DirectoryNotEmptyException
+               | _: java.nio.file.FileSystemException =>
+            deleteRecursively(out)
+            move()
+        }
+      } finally {
+        try { s.sql(s"DROP TABLE IF EXISTS $tmpTable"): Unit }
+        catch { case _: Throwable => () }
+        if (tmp.exists()) deleteRecursively(tmp)
+      }
+    }
+    if (!s.catalog.tableExists(table)) {
+      val ddl = s.read.parquet(out.getPath).schema.toDDL
+      s.sql(s"CREATE TABLE $table ($ddl) USING PARQUET " +
+        s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+        s"LOCATION '${out.getPath}'"): Unit
+    }
+    table
+  }
 }

@@ -36,10 +36,20 @@ object DriverSim {
     // "16" = 16 CPU spinners; "16m" = 16 memory-bandwidth walkers (each
     // strides a 256 MB array — the shape of ANOTHER Spark JVM's shuffle
     // traffic on a shared host, which contends for LLC/memory bus where
-    // a sqrt spinner only contends for cycles)
+    // a sqrt spinner only contends for cycles); "prefix" = IN-SWEEP
+    // replay (round-14 verdict item 1): before timing the target, run
+    // every alphabetically-PRIOR registered query once at the target SF
+    // exactly like the bench's timed loop does (same name-asc order,
+    // same clearCache teardown), so the target is measured under the
+    // real sweep's accumulated JVM state — codegen cache population,
+    // broadcast/GC pressure, C2 profile pollution — instead of a
+    // fresh-session best case. The remaining driver/self residual, if
+    // it reproduces here, is in-sweep state; if it does not, it is
+    // ambient container load by measurement rather than elimination.
     val spinArg = args.lift(1).getOrElse("0")
+    val prefixReplay = spinArg == "prefix"
     val memLoad = spinArg.endsWith("m")
-    val spinners = spinArg.stripSuffix("m").toInt
+    val spinners = if (prefixReplay) 0 else spinArg.stripSuffix("m").toInt
     val runs = args.lift(2).map(_.toInt).getOrElse(4)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = graft.HarnessSession.cpus
@@ -53,12 +63,36 @@ object DriverSim {
       val w = new java.io.File(d, "sf0.001")
       if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
     }
+    // prefix mode warms EVERY query at sf0.001 (the bench's exact warm
+    // pass); point mode warms just the target
+    val warmNames =
+      if (prefixReplay) graft.SparkEntry.queries.keys.toSeq.sorted
+      else Seq(name)
     warmDir.foreach { wd =>
-      try fn(spark, wd).count() catch { case _: Throwable => () }
-      finally spark.catalog.clearCache()
+      warmNames.foreach { n =>
+        try graft.SparkEntry.queries(n)(spark, wd).count()
+        catch { case _: Throwable => () }
+        finally spark.catalog.clearCache()
+      }
     }
     val (mvSecs, _, mvFound) = graft.sources.MVWarm.warmAll(spark, sfDir)
     spark.catalog.clearCache()
+    // in-sweep replay: the timed loop's alphabetic prefix, one run per
+    // query (state accumulation, not statistics), at the TARGET SF
+    val prefixNames =
+      if (prefixReplay)
+        graft.SparkEntry.queries.keys.toSeq.sorted.takeWhile(_ < name)
+      else Seq.empty
+    val prefixT0 = System.nanoTime()
+    prefixNames.foreach { n =>
+      try graft.SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      finally spark.catalog.clearCache()
+    }
+    val prefixSecs = (System.nanoTime() - prefixT0) / 1e9
+    if (prefixReplay) System.err.println(
+      s"prefix: ${prefixNames.size} queries in ${fmt(prefixSecs, 1)} s " +
+      s"(loadavg ${fmt(loadAvg, 1)})")
     // synthetic ambient load: plain busy-spin daemons, the shape of
     // other containers' compute on a shared host
     @volatile var spinning = true
@@ -98,7 +132,11 @@ object DriverSim {
       val secs = times.map(_._1)
       val json =
         s"""{"tool":"driversim","query":"$name","spinners":$spinners,""" +
-        s""""load_kind":"${if (memLoad) "memwalk" else "cpu"}",""" +
+        s""""load_kind":"${if (prefixReplay) "prefix-replay"
+          else if (memLoad) "memwalk" else "cpu"}",""" +
+        (if (prefixReplay)
+          s""""prefix_n":${prefixNames.size},"prefix_secs":${fmt(prefixSecs, 1)},"""
+         else "") +
         s""""cpus":$cpus,"mv_prewarm_secs":$mvSecs,""" +
         s""""mv_found_n":${mvFound.size},""" +
         s""""runs":${secs.map(fmt(_, 2)).mkString("[", ",", "]")},""" +

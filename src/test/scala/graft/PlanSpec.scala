@@ -1112,17 +1112,37 @@ class PlanSpec extends AnyFunSuite {
       "the en filter must push into the ORC reader (row-group elimination at scale)")
   }
 
-  test("q252: PQ codebook/LUT joins broadcast; only the bounded exact scan is a loop join") {
+  test("q252: PQ encode+ADC run map-side as native expressions; the corpus never joins") {
     val p = plan("q252_pq_adc_recall")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
-      "codebook joins and the (sub, code) ADC scoring join must broadcast")
+    // round-14 verdict item 3: the codebook AND the query LUT are model
+    // constants (k×subspaces entries), so both ride ONE broadcast row
+    // and the corpus side computes codes and per-query ADC scores in a
+    // single projection — the plan must carry the two native
+    // expressions and NO corpus-sized equi-join anywhere (the previous
+    // shape exploded corpus×subspaces rows through a (sub, code) join
+    // and re-aggregated corpus×subspaces×queries rows back down)
+    assert(p.toLowerCase.contains("graft_pq_encode"),
+      "the encode must be the native PqEncodeCodes expression")
+    assert(p.toLowerCase.contains("graft_pq_adc"),
+      "the ADC scoring must be the native PqAdcScores expression")
     assert(!p.contains("CartesianProduct"),
       "no unbounded pair scan anywhere in the PQ pipeline")
+    // the only equi-joins left are the two 10-row top-1 readouts meeting
+    // at the end (statically SMJ-sized; AQE broadcasts them at runtime)
+    // — neither window input exceeds queries×corpus rows, and the
+    // corpus itself reaches them WITHOUT having joined anything: pin
+    // that no join sits below the ADC top-1 window by checking the
+    // native expressions feed the window's exchange directly
+    assert(!"SortMergeJoin.*graft_pq".r.findFirstIn(p).isDefined,
+      "the PQ scoring path itself must not shuffle-join")
     // plan() renders the tree twice (toString + formatted), so node
-    // counts are ~2×; the only loop join is the 10-query exact scan
+    // counts are ~2×; loop joins are the one-row codebook/LUT builds
+    // and attaches (cbRow→lutRow, qv×cbRow, corpus×(cb,lut)) plus the
+    // declared 10-query exact ground-truth scan — all broadcast sides
+    // bounded by model constants, never the corpus
     val loops = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(loops <= 4,
-      s"only the 10-query exact ground-truth scan may be a loop join (saw $loops)")
+    assert(loops <= 12,
+      s"only bounded one-row/query attaches and the exact scan may loop (saw $loops)")
   }
 
   test("q250: the WITH RECURSIVE walk executes as a native UnionLoop, not an unrolled plan") {
@@ -1142,5 +1162,63 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert("deg#\\d+L? <= 8".r.findAllIn(edges).size >= 2,
       "both walk endpoints must pass the degree ceiling")
+  }
+
+  test("CBO: ANALYZE TABLE statistics flip a selective-filter join to broadcast BEFORE execution") {
+    // Stats-informed planning next to the AQE pins (round-14 verdict
+    // item 4): every other plan decision in this repo rides AQE runtime
+    // stats or an explicit broadcast() hint. This pin demonstrates the
+    // third leg — table/column statistics moving the INITIAL plan. A
+    // dimension whose FILE size sits above the broadcast threshold gets
+    // a selective equality filter; without statistics Spark's size-only
+    // estimator propagates the child size through the Filter, so the
+    // static plan sort-merges. `ANALYZE TABLE .. FOR ALL COLUMNS` +
+    // spark.sql.cbo.enabled lets FilterEstimation price the predicate
+    // (1/ndv selectivity from the column NDV), the post-filter estimate
+    // drops below the threshold, and the SAME query plans a
+    // BroadcastHashJoin — before a single task runs. What stats buy at
+    // 100× that AQE cannot: AQE re-plans a join only AFTER the join
+    // inputs' map stages have materialized shuffle output — the 100 TB
+    // fact has already been hashed, serialized, and written once before
+    // the runtime size is known. CBO prices the filter at PLANNING time
+    // and never shuffles the fact at all; below the first exchange,
+    // join-order and distribution choices are stats-or-nothing.
+    // AQE is off for the pin only (static plans inspected directly).
+    val dim = "graft_cbo_dim"
+    val fact = "graft_cbo_fact"
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString)
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    try {
+      // dim: 200k rows, ~1.5 MB parquet (> threshold); grp has NDV 1000,
+      // so grp = 7 keeps ~200 rows (~2 KB estimated — far < threshold)
+      spark.range(0, 200000)
+        .select(col("id").as("k"), pmod(col("id"), lit(1000L)).as("grp"),
+          (col("id") * 37L).as("pad1"), (col("id") * 101L).as("pad2"))
+        .write.mode("overwrite").saveAsTable(dim)
+      spark.range(0, 200000)
+        .select(pmod(col("id"), lit(200000L)).as("k"), col("id").as("v"),
+          (col("id") * 13L).as("fpad"))
+        .write.mode("overwrite").saveAsTable(fact)
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      def shape(): String = spark.table(fact)
+        .join(spark.table(dim).filter(col("grp") === 7L), Seq("k"))
+        .groupBy("grp").agg(org.apache.spark.sql.functions.sum(col("v")).as("s"))
+        .queryExecution.executedPlan.toString
+      val noStats = shape()
+      assert(noStats.contains("SortMergeJoin") && !noStats.contains("BroadcastHashJoin"),
+        s"without stats the size-only estimator must sort-merge:\n${noStats.take(1500)}")
+      spark.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      val withStats = shape()
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"with column stats + CBO the filtered dim must broadcast:\n${withStats.take(1500)}")
+    } finally {
+      olds.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql(s"DROP TABLE IF EXISTS $dim")
+      spark.sql(s"DROP TABLE IF EXISTS $fact")
+    }
   }
 }

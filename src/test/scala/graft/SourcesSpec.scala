@@ -176,7 +176,11 @@ class SourcesSpec extends AnyFunSuite {
           col("lang"), col("source"), col("n_chars"), col("text")))
           % (1L << 40)).as("h"))
       .groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum(col("h")).cast("long").as("cs"))
+      // the round-17 checksum discipline: EXACT decimal sum folded
+      // modulo 2^40 (scale-independent on both engines)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(1L << 40)).cast("long").as("cs"))
       .collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"),
         r.getAs[Long]("cs"))).toSet
