@@ -93,6 +93,23 @@ object Bench {
         ok.size >= 2 && ok(1) > ok(0) * 1.3
       }
       while (raw.size < 4 && unstable(raw)) raw = raw :+ timeOnce()
+      // In-sweep GC-debt insurance (round-15 DriverSim prefix-replay
+      // finding, the q206 driver-residual's named cause): after ~125
+      // queries of accumulated old-gen garbage, an expensive query's
+      // first TWO runs can BOTH absorb the deferred collection and
+      // agree with each other — measured at sf0.1: 11.96/12.68 s
+      // back-to-back (passing the 30% agreement check) with a 4.71 s
+      // third run; a forced full GC between prefix and timing restores
+      // 5.6/3.7 s directly, pinning the cause to GC pressure rather
+      // than plan state or codegen eviction. Consistent-but-slow is
+      // exactly the shape min-of-2 cannot see through, so any query
+      // still reading > 2 s after the adaptive loop gets ONE more run;
+      // official stays the min over real runs, nothing is synthesized.
+      def okMin(rs: Seq[(Double, Boolean)]): Option[Double] =
+        rs.collect { case (t, true) => t } match {
+          case ts if ts.nonEmpty => Some(ts.min); case _ => None
+        }
+      while (raw.size < 3 && okMin(raw).exists(_ > 2.0)) raw = raw :+ timeOnce()
       // Official per-query time: min over SUCCESSFUL runs only — a fast
       // failing run must not understate the headline total. Only when
       // both runs fail (the query is broken and listed in `failed`) does
@@ -175,7 +192,7 @@ object Bench {
       .mkString("{", ",", "}")
     val mvF = mvFound.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive + load retry","mv_build_secs":$mvSecs,"mv_builds":$mvB,"mv_found":$mvF$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive + gc-debt 3rd run >2s + load retry","mv_build_secs":$mvSecs,"mv_builds":$mvB,"mv_found":$mvF$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
     // Locale.ROOT: the f-interpolator follows the default locale, and a
     // comma decimal separator would corrupt the compact JSON line.
     val qSec = results.map { case (_, v, _, _, _, _) =>

@@ -76,7 +76,7 @@ object PqEncodeHelper {
     * exactly (near 0/1 the crossing changes floor and the rounded HALF
     * in lockstep). Real data lands in the guard band ~2% of the time;
     * those values take the exact BigDecimal path. */
-  private def fastAbsScaled(a: Double, pow10: Double): Long = {
+  private[graft] def fastAbsScaled(a: Double, pow10: Double): Long = {
     val x = a * pow10
     if (x < 1e13) {
       val f = Math.floor(x)
@@ -93,7 +93,7 @@ object PqEncodeHelper {
     * through [[fastAbsScaled]] off the boundary band. Inputs (squared
     * diffs, 4-dp LUT weights) sit far below the ~9.2e8 bound where the
     * unscaled value would leave the long range. */
-  private def term10(t: Double): Long = {
+  private[graft] def term10(t: Double): Long = {
     val a = Math.abs(t)
     val fast = fastAbsScaled(a, 1e10)
     if (fast >= 0L) return if (t < 0) -fast else fast
@@ -106,7 +106,7 @@ object PqEncodeHelper {
     * double of that 4-dp decimal (IEEE division by the exactly-
     * representable 1e4 is correctly rounded, so `r / 1e4` IS
     * `BigDecimal.valueOf(r, 4).doubleValue()`). */
-  private def round4(x: Double): Double = {
+  private[graft] def round4(x: Double): Double = {
     val a = Math.abs(x)
     val fast = fastAbsScaled(a, 1e4)
     if (fast >= 0L) return (if (x < 0) -fast else fast) / 1e4 + 0.0
@@ -119,7 +119,7 @@ object PqEncodeHelper {
     * acc·10^-10. For |acc| < 2^53 the long converts exactly and IEEE
     * division by the exactly-representable 1e10 is correctly rounded —
     * the same nearest-of-exact value BigDecimal returns. */
-  private def unscale10(acc: Long): Double =
+  private[graft] def unscale10(acc: Long): Double =
     if (Math.abs(acc) < (1L << 53)) acc / 1e10
     else java.math.BigDecimal.valueOf(acc, 10).doubleValue()
 

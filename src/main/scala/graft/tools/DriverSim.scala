@@ -20,6 +20,16 @@ package graft.tools
   * the band's other members (~4x at 16 spinners on 32 cores) is being
   * amplified by the environment, not regressing; the committed NOTES
   * carry the readout.
+  *
+  * Round-15 closed the residual with the `prefix` mode (replay the
+  * timed loop's full alphabetic prefix first, then time the target
+  * under the real sweep's accumulated JVM state): q206 reproduced the
+  * driver band exactly — first two runs 11.96/12.68 s (agreeing within
+  * 30%, so the bench's adaptive loop stops), third run 4.71 s — and
+  * `prefixgc` (a forced full GC + settle between prefix and timing)
+  * restored 5.58/3.72 s directly. Named cause: GC DEBT — the prefix's
+  * accumulated old-gen garbage is collected inside the first big
+  * allocating runs. Targeted fix: Bench's >2 s third-run insurance.
   */
 object DriverSim {
 
@@ -46,8 +56,13 @@ object DriverSim {
     // fresh-session best case. The remaining driver/self residual, if
     // it reproduces here, is in-sweep state; if it does not, it is
     // ambient container load by measurement rather than elimination.
+    // "prefixgc" additionally forces a full GC + a context-cleaner
+    // settling pause between the prefix and the timed runs — if that
+    // alone restores the fresh-session time, the in-sweep residual is
+    // accumulated-garbage GC pressure / cleaner backlog, not plan state
     val spinArg = args.lift(1).getOrElse("0")
-    val prefixReplay = spinArg == "prefix"
+    val prefixReplay = spinArg.startsWith("prefix")
+    val prefixGc = spinArg == "prefixgc"
     val memLoad = spinArg.endsWith("m")
     val spinners = if (prefixReplay) 0 else spinArg.stripSuffix("m").toInt
     val runs = args.lift(2).map(_.toInt).getOrElse(4)
@@ -93,6 +108,10 @@ object DriverSim {
     if (prefixReplay) System.err.println(
       s"prefix: ${prefixNames.size} queries in ${fmt(prefixSecs, 1)} s " +
       s"(loadavg ${fmt(loadAvg, 1)})")
+    if (prefixGc) {
+      System.gc(); Thread.sleep(2000); System.gc(); Thread.sleep(2000)
+      System.err.println(s"prefixgc: forced 2x full GC + 4 s settle")
+    }
     // synthetic ambient load: plain busy-spin daemons, the shape of
     // other containers' compute on a shared host
     @volatile var spinning = true

@@ -254,4 +254,52 @@ class OperatorUnitSpec extends AnyFunSuite {
       r.getAs[Double]("adc_score") == r.getAs[Double]("exact_score")),
       "zero quantization error ⇒ identical rounded scores")
   }
+
+  test("PqEncode helpers: the boundary-guarded fast path is bit-identical to the BigDecimal path") {
+    // The native encoder's scaling fast path (round-17) claims
+    // provable equality with Spark's Cast(double→decimal(30,10)) /
+    // round(_, 4) semantics away from the 0.5 rounding boundary, with
+    // a BigDecimal fallback inside the guard band. This property test
+    // drives BOTH paths over (a) seeded random doubles across 13
+    // orders of magnitude and both signs, (b) adversarial exact and
+    // near .5 boundaries at each scale (which force the slow path),
+    // and (c) the degenerate values — and demands bit equality with
+    // the reference BigDecimal computation everywhere.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import graft.functions.PqEncodeHelper._
+    def refTerm10(t: Double): Long =
+      JBD.valueOf(t).setScale(10, RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def refRound4(x: Double): Double =
+      JBD.valueOf(x).setScale(4, RoundingMode.HALF_UP).doubleValue() + 0.0
+    val rnd = new scala.util.Random(252)
+    val random = for {
+      mag <- -8 to 4; _ <- 1 to 400
+    } yield (rnd.nextDouble() - 0.5) * 2 * math.pow(10.0, mag)
+    val boundaries = for {
+      scale <- Seq(1e-10, 1e-4); k <- 0 until 200
+    } yield {
+      val half = (2 * k + 1) * 0.5 * scale // lands at/near a .5 boundary
+      Seq(half, -half, half * (1 + 1e-15), half * (1 - 1e-15),
+        half + rnd.nextDouble() * scale)
+    }
+    val degenerate = Seq(0.0, -0.0, Double.MinPositiveValue,
+      4.9999999999e-11, 5.0000000001e-11, 0.00004999999999, 0.00005,
+      123456.000049999, 9.9999e8)
+    val vals = (random ++ boundaries.flatten ++ degenerate)
+      .filter(v => math.abs(v) < 9.0e8) // the documented long-range bound
+    assert(vals.size > 5000)
+    vals.foreach { v =>
+      assert(term10(v) == refTerm10(v), s"term10 drift at $v")
+      assert(round4(v) == refRound4(v), s"round4 drift at $v")
+    }
+    // unscale10 ≡ Decimal(acc, 10).toDouble on both sides of the 2^53 cut
+    val accs = Seq(0L, 1L, -1L, (1L << 53) - 1, 1L << 53, (1L << 53) + 1,
+      Long.MaxValue / 3, -Long.MaxValue / 3) ++
+      Seq.fill(2000)(rnd.nextLong())
+    accs.foreach { a =>
+      assert(unscale10(a) == JBD.valueOf(a, 10).doubleValue(),
+        s"unscale10 drift at $a")
+    }
+  }
 }

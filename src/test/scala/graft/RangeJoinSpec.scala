@@ -215,6 +215,46 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sampling gate survives a timed-out attempt: the next shape still samples (round-14 ADVICE)") {
+    // A 1 ms watchdog expiry can cancel(true) the FutureTask while it
+    // is still NEW (worker thread started, call() not yet entered):
+    // task.run() then no-ops, so a single-flight release inside call()
+    // would NEVER fire and sampling would be silently disabled
+    // JVM-wide forever. The release now rides the worker THREAD's own
+    // finally — so after a timed-out attempt, a FRESH shape with NO
+    // conf width must still derive a SAMPLED width (binSize=0 means
+    // banding below can only come from sampling, i.e. only if the gate
+    // was released).
+    val pts3 = points.map { case (id, t) => (id + 18000L, t.map(_ + 13L)) }
+      .toDF("pid", "t")
+    val ivs3 = intervals.map { case (id, lo, hi) =>
+      (id + 18000L, lo.map(_ + 13L), hi.map(_ + 13L)) }.toDF("iid", "lo", "hi")
+    withConf("spark.graft.rangeJoin.binSize" -> "0",
+        "spark.graft.rangeJoin.sampleTimeoutMs" -> "1") {
+      val df = pts3.join(ivs3, col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(!optimized(df).contains(BinMark),
+        "a timed-out sample with no conf width leaves the join as written")
+    }
+    // The abandoned worker may legitimately HOLD the gate until its
+    // tiny sampling job actually stops (the documented invariant) —
+    // poll with fresh shapes rather than racing it once.
+    val pts4 = points.map { case (id, t) => (id + 27000L, t.map(_ + 17L)) }
+      .toDF("pid", "t")
+    val ivs4 = intervals.map { case (id, lo, hi) =>
+      (id + 27000L, lo.map(_ + 17L), hi.map(_ + 17L)) }.toDF("iid", "lo", "hi")
+    withConf("spark.graft.rangeJoin.binSize" -> "0",
+        "spark.graft.rangeJoin.sampleTimeoutMs" -> "60000") {
+      val banded = (1 to 10).exists { _ =>
+        val df = pts4.join(ivs4,
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        if (optimized(df).contains(BinMark)) true
+        else { Thread.sleep(1000); false }
+      }
+      assert(banded,
+        "sampling never recovered after a timed-out attempt — the single-flight gate leaked")
+    }
+  }
+
   test("no fire: streaming joins are left exactly as Spark plans them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
