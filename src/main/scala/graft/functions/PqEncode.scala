@@ -123,6 +123,31 @@ object PqEncodeHelper {
     if (Math.abs(acc) < (1L << 53)) acc / 1e10
     else java.math.BigDecimal.valueOf(acc, 10).doubleValue()
 
+  /** Exact candidate distance via BigDecimal for inputs outside the
+    * long fold's safe range; returns NaN — which never wins the argmin,
+    * exactly like the replaced fold's NULL dist — when a term is
+    * non-finite or any value exceeds decimal(30,10)'s 20 integer
+    * digits (Spark's non-ANSI Cast produces null there, and a null
+    * term poisons the whole `aggregate` fold). */
+  private def distSlow(fv: ArrayData, base: Int, cv: ArrayData): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    val k = cv.numElements()
+    var i = 0
+    while (i < k) {
+      val d = fv.getDouble(base + i) - cv.getDouble(i)
+      val t = d * d
+      if (java.lang.Double.isNaN(t) || java.lang.Double.isInfinite(t))
+        return Double.NaN
+      val td = java.math.BigDecimal.valueOf(t)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+      if (td.precision - 10 > 20) return Double.NaN
+      acc = acc.add(td)
+      i += 1
+    }
+    if (acc.precision - 10 > 20) Double.NaN
+    else round4(acc.doubleValue())
+  }
+
   def encode(fv: ArrayData, cb: ArrayData): ArrayData = {
     val nSub = cb.numElements()
     val out = new Array[Long](nSub)
@@ -138,13 +163,23 @@ object PqEncodeHelper {
         val cv = e.getArray(1)
         val k = cv.numElements()
         var acc = 0L // exact: sum of scale-10 unscaled terms
+        var slow = false
         var i = 0
-        while (i < k) {
+        while (i < k && !slow) {
           val d = fv.getDouble(sub * k + i) - cv.getDouble(i)
-          acc += term10(d * d)
-          i += 1
+          val t = d * d
+          // stay on the long fold only while PROVABLY safe: t < 1e8
+          // keeps each unscaled term < 1e18 (any k <= 9 sum fits a
+          // Long); NaN/Infinity fail this comparison too, so garbage
+          // inputs degrade to [[distSlow]] instead of throwing
+          // (round-15 review: valueOf(NaN) / longValueExact threw
+          // where the replaced decimal fold yielded a null dist)
+          if (t < 1.0e8) { acc += term10(t); i += 1 } else slow = true
         }
-        val dist = round4(unscale10(acc))
+        val dist =
+          if (slow) distSlow(fv, sub * k, cv) else round4(unscale10(acc))
+        // a NaN dist never wins — the fold's null-dist candidates lost
+        // the argmin the same way
         if (dist < best) { best = dist; bestCode = e.getLong(0) }
         j += 1
       }
@@ -155,14 +190,19 @@ object PqEncodeHelper {
   }
 
   def adcScores(codes: ArrayData, lut: ArrayData): ArrayData = {
-    val nSub = codes.numElements()
     val nQ = lut.numElements()
+    val nSub = codes.numElements()
     val out = new Array[Any](nQ)
     var q = 0
     while (q < nQ) {
       val qe: InternalRow = lut.getStruct(q, 2)
       val qlut = qe.getArray(1)
       var acc = 0L // exact: sum of scale-10 unscaled w terms
+      // big/garbage inputs leave the long fold: SQL SUM semantics —
+      // a NULL/uncastable term is SKIPPED, all-skipped yields NULL
+      // (round-15 review: the fast path previously threw on them)
+      var bigAcc: java.math.BigDecimal = null
+      var contributed = 0
       var sub = 0
       while (sub < nSub) {
         val entries = qlut.getArray(sub)
@@ -173,14 +213,36 @@ object PqEncodeHelper {
         while (j < m && !found) {
           val e = entries.getStruct(j, 2)
           if (e.getLong(0) == code) {
-            acc += term10(e.getDouble(1))
             found = true
+            if (!e.isNullAt(1)) {
+              val w = e.getDouble(1)
+              if (!java.lang.Double.isNaN(w) &&
+                  !java.lang.Double.isInfinite(w)) {
+                if (bigAcc == null && math.abs(w) < 1.0e8) {
+                  acc += term10(w); contributed += 1
+                } else {
+                  if (bigAcc == null)
+                    bigAcc = java.math.BigDecimal.valueOf(acc, 10)
+                  val td = java.math.BigDecimal.valueOf(w)
+                    .setScale(10, java.math.RoundingMode.HALF_UP)
+                  // Cast overflow -> null term -> skipped by SUM
+                  if (td.precision - 10 <= 20) {
+                    bigAcc = bigAcc.add(td); contributed += 1
+                  }
+                }
+              }
+            }
           }
           j += 1
         }
         sub += 1
       }
-      out(q) = InternalRow(qe.getLong(0), round4(unscale10(acc)))
+      val score: Any =
+        if (contributed == 0) null // SUM over zero non-null terms
+        else if (bigAcc == null) round4(unscale10(acc))
+        else if (bigAcc.precision - 10 > 20) null // sum overflow -> null
+        else round4(bigAcc.doubleValue())
+      out(q) = InternalRow(qe.getLong(0), score)
       q += 1
     }
     new GenericArrayData(out)
@@ -229,7 +291,9 @@ case class PqAdcScores(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("query_id", LongType, nullable = false),
-    StructField("adc_score", DoubleType, nullable = false))),
+    // nullable: SUM-over-zero-contributing-terms / overflow yields a
+    // NULL score, mirroring the dsum it replaces
+    StructField("adc_score", DoubleType, nullable = true))),
     containsNull = false)
 
   override def prettyName: String = "graft_pq_adc"

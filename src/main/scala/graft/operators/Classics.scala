@@ -284,7 +284,13 @@ object Classics {
         .flatMap(_.split(" ", -1))
         .map((_, 1L))
         .reduceByKey(_ + _)
-        .sortByKey()
+        // total order via sortByKey (sortBy = keyBy + sortByKey +
+        // values) — keyed on Spark SQL's own UTF8String so the range
+        // partitioning compares binary UTF-8 exactly like DataFrame
+        // ORDER BY and the DuckDB oracle; a plain String sortByKey
+        // would order by UTF-16 code units, which diverges when a
+        // supplementary character meets a BMP char in [U+E000, U+FFFF]
+        .sortBy(p => org.apache.spark.unsafe.types.UTF8String.fromString(p._1))
       counts.toDF("word", "n")
     })
 

@@ -151,7 +151,8 @@ object DriverSim {
       val secs = times.map(_._1)
       val json =
         s"""{"tool":"driversim","query":"$name","spinners":$spinners,""" +
-        s""""load_kind":"${if (prefixReplay) "prefix-replay"
+        s""""load_kind":"${if (prefixGc) "prefix-replay-gc"
+          else if (prefixReplay) "prefix-replay"
           else if (memLoad) "memwalk" else "cpu"}",""" +
         (if (prefixReplay)
           s""""prefix_n":${prefixNames.size},"prefix_secs":${fmt(prefixSecs, 1)},"""

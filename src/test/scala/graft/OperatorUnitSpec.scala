@@ -302,4 +302,50 @@ class OperatorUnitSpec extends AnyFunSuite {
         s"unscale10 drift at $a")
     }
   }
+
+  test("PqEncode degrades on garbage inputs like the decimal fold: no throw, NaN/overflow skipped") {
+    // round-15 review: valueOf(NaN)/longValueExact threw where the
+    // replaced Catalyst fold produced NULL dists (argmin losers) and
+    // SUM-skipped terms. Drive the helpers with non-finite, overflowing
+    // and large-but-valid values directly.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.functions.PqEncodeHelper
+    def arr(ds: Double*) = new GenericArrayData(ds.toArray)
+    val fv = arr(0.0, 0.0)
+    // candidates: NaN centroid, decimal(30,10)-overflowing centroid,
+    // sane centroid — the sane one must win the argmin, nothing throws
+    val cb = new GenericArrayData(Array[Any](new GenericArrayData(Array[Any](
+      InternalRow(0L, arr(Double.NaN, 0.0)),
+      InternalRow(1L, arr(1e12, 0.0)), // squared diff 1e24 > 20 int digits
+      InternalRow(2L, arr(1.0, 1.0))))))
+    assert(PqEncodeHelper.encode(fv, cb).getLong(0) == 2L,
+      "NaN/overflow candidates must lose the argmin, not crash")
+    // large-but-decimal-valid terms route through the exact slow path
+    // (t = 3.6e17 is far past the long fold's 1e8 guard but well inside
+    // decimal(30,10)) and still beat a NaN candidate
+    val cb2 = new GenericArrayData(Array[Any](new GenericArrayData(Array[Any](
+      InternalRow(0L, arr(Double.PositiveInfinity, 0.0)),
+      InternalRow(1L, arr(6e8, 0.0))))))
+    assert(PqEncodeHelper.encode(fv, cb2).getLong(0) == 1L)
+    // adcScores: NULL and NaN weights are SUM-skipped; all-skipped -> NULL
+    val codes = new GenericArrayData(Array[Long](0L))
+    val lutNull = new GenericArrayData(Array[Any](
+      InternalRow(7L, new GenericArrayData(Array[Any](
+        new GenericArrayData(Array[Any](InternalRow(0L, Double.NaN))))))))
+    val outNull = PqEncodeHelper.adcScores(codes, lutNull)
+    assert(outNull.getStruct(0, 2).isNullAt(1),
+      "an all-uncastable LUT row must yield a NULL score")
+    val lutMix = new GenericArrayData(Array[Any](
+      InternalRow(7L, new GenericArrayData(Array[Any](
+        new GenericArrayData(Array[Any](InternalRow(0L, 5.5))))))))
+    val outMix = PqEncodeHelper.adcScores(codes, lutMix)
+    assert(outMix.getStruct(0, 2).getDouble(1) == 5.5)
+    // a large-but-valid weight (past the 1e8 guard) sums exactly
+    val lutBig = new GenericArrayData(Array[Any](
+      InternalRow(7L, new GenericArrayData(Array[Any](
+        new GenericArrayData(Array[Any](InternalRow(0L, 2.5e9))))))))
+    assert(PqEncodeHelper.adcScores(codes, lutBig)
+      .getStruct(0, 2).getDouble(1) == 2.5e9)
+  }
 }

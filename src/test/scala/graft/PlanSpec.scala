@@ -1130,11 +1130,27 @@ class PlanSpec extends AnyFunSuite {
     // the only equi-joins left are the two 10-row top-1 readouts meeting
     // at the end (statically SMJ-sized; AQE broadcasts them at runtime)
     // — neither window input exceeds queries×corpus rows, and the
-    // corpus itself reaches them WITHOUT having joined anything: pin
-    // that no join sits below the ADC top-1 window by checking the
-    // native expressions feed the window's exchange directly
-    assert(!"SortMergeJoin.*graft_pq".r.findFirstIn(p).isDefined,
-      "the PQ scoring path itself must not shuffle-join")
+    // corpus itself reaches them WITHOUT having joined anything: pin it
+    // STRUCTURALLY (a same-line regex over the rendered plan can never
+    // match — round-15 review): every physical node evaluating a PQ
+    // expression must have zero shuffle/merge joins in its subtree
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val phys = SparkEntry.queries("q252_pq_adc_recall")(spark, sf)
+      .queryExecution.sparkPlan
+    val pqNodes = phys.collect {
+      case n if n.expressions.exists(_.exists(e =>
+        e.isInstanceOf[graft.functions.PqEncodeCodes] ||
+          e.isInstanceOf[graft.functions.PqAdcScores])) => n
+    }
+    assert(pqNodes.nonEmpty, "expected the PQ expressions in the physical plan")
+    pqNodes.foreach { n =>
+      val bad = n.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(bad.isEmpty,
+        s"no shuffle join may sit below the PQ scoring path:\n$n")
+    }
     // plan() renders the tree twice (toString + formatted), so node
     // counts are ~2×; loop joins are the one-row codebook/LUT builds
     // and attaches (cbRow→lutRow, qv×cbRow, corpus×(cb,lut)) plus the

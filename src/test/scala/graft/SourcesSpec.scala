@@ -158,6 +158,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"loser leaked temp dirs: ${leftovers.mkString(",")}")
   }
 
+  test("cachedBucketed: builds once per dataset version, re-registers from disk, joins exchange-free") {
+    // the round-17 bucketed warm registry (q255's layout path): the
+    // FIRST call writes the bucketed files under the fingerprinted
+    // registry and logs the build; a SECOND call (same dataset) must
+    // find the published files, rebuild NOTHING, and only re-register
+    // the external table metadata — and the registered table's bucket
+    // spec must be real: a self-join on the bucket key plans with no
+    // ShuffleExchange under the same confs q255's pin uses.
+    val name = "spec_bucketed_b4"
+    val src = new java.io.File(sf, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sf|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val out = new java.io.File(new java.io.File(new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-mv"), fp), name)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(): Unit
+    }
+    rmr(out)
+    spark.sql(s"DROP TABLE IF EXISTS graft_mv_${name}_${fp.take(8)}")
+    graft.sources.MaterializedViews.drainBuildLog()
+    def build() = graft.sources.MaterializedViews.cachedBucketed(
+      spark, sf, name, "k", 4, "documents.parquet")(
+      spark.range(0, 1000).selectExpr("id as k", "id * 3 as v"))
+    val t1 = build()
+    val firstLog = graft.sources.MaterializedViews.drainBuildLog()
+    assert(firstLog.map(_._1) == Seq(name), "first call must build and log it")
+    assert(new java.io.File(out, "_SUCCESS").isFile, "published to the registry")
+    val t2 = build()
+    assert(t2 == t1, "same dataset version -> same catalog name")
+    assert(graft.sources.MaterializedViews.drainBuildLog().isEmpty,
+      "second call must reuse the published layout, not rebuild")
+    assert(spark.table(t1).count() == 1000)
+    // the re-registered DDL bucket spec is load-bearing, not cosmetic
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val a = spark.table(t1)
+      val b = spark.table(t1).withColumnRenamed("v", "v2")
+      val j = a.join(b, "k")
+      val ex = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(ex.isEmpty,
+        s"bucketed self-join must be exchange-free:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 1000)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q202 format fingerprints: csv and json rows identical per lang, checksum recomputes") {
     import org.apache.spark.sql.functions.{col, concat_ws, count, lit, sum}
     val rows = SparkEntry.queries("q202_text_source_roundtrip")(spark, sf)
