@@ -117,6 +117,13 @@ object Dedup {
   /** Intersection sizes for candidate pairs only: the shingle join is
     * restricted to the candidate set before any pair row is produced. */
   private def interForCandidates(sh: DataFrame, pairs: DataFrame): DataFrame =
+    // measured round-17 and left UNfanned on purpose: forcing the
+    // |cand| × |shingles/doc| expansion to 32-way (composite-key
+    // repartition) multiplied cumulative task-seconds ~5× for the SAME
+    // wall — the expansion+count is memory-bandwidth-bound, and AQE's
+    // few coalesced tasks already saturate it at fixture scale; at
+    // corpus scale the shuffles upstream are large enough that AQE
+    // keeps them wide on its own.
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
