@@ -201,6 +201,10 @@ object PqEncodeHelper {
       // big/garbage inputs leave the long fold: SQL SUM semantics —
       // a NULL/uncastable term is SKIPPED, all-skipped yields NULL
       // (round-15 review: the fast path previously threw on them)
+      // long-fold safety is a function of the TERM COUNT: nSub terms,
+      // each |w|·1e10 unscaled, must sum inside Long — w < 8e8/nSub
+      // keeps the total ≤ 8e18 < 2^63 for any subspace count
+      val wGuard = 8.0e8 / math.max(nSub, 1)
       var bigAcc: java.math.BigDecimal = null
       var contributed = 0
       var sub = 0
@@ -218,7 +222,7 @@ object PqEncodeHelper {
               val w = e.getDouble(1)
               if (!java.lang.Double.isNaN(w) &&
                   !java.lang.Double.isInfinite(w)) {
-                if (bigAcc == null && math.abs(w) < 1.0e8) {
+                if (bigAcc == null && math.abs(w) < wGuard) {
                   acc += term10(w); contributed += 1
                 } else {
                   if (bigAcc == null)

@@ -341,11 +341,22 @@ class OperatorUnitSpec extends AnyFunSuite {
         new GenericArrayData(Array[Any](InternalRow(0L, 5.5))))))))
     val outMix = PqEncodeHelper.adcScores(codes, lutMix)
     assert(outMix.getStruct(0, 2).getDouble(1) == 5.5)
-    // a large-but-valid weight (past the 1e8 guard) sums exactly
+    // a large-but-valid weight (past the long-fold guard) sums exactly
     val lutBig = new GenericArrayData(Array[Any](
       InternalRow(7L, new GenericArrayData(Array[Any](
         new GenericArrayData(Array[Any](InternalRow(0L, 2.5e9))))))))
     assert(PqEncodeHelper.adcScores(codes, lutBig)
       .getStruct(0, 2).getDouble(1) == 2.5e9)
+    // worst case for the long fold: MANY near-guard terms — 16
+    // subspaces of 9.9e7 would WRAP a 1e8-guarded long accumulator
+    // (16 × 9.9e7 × 1e10 ≈ 1.58e19 > 2^63); the count-aware guard must
+    // route them exactly instead
+    val codes16 = new GenericArrayData(Array.fill(16)(0L))
+    val lut16 = new GenericArrayData(Array[Any](
+      InternalRow(7L, new GenericArrayData(Array.fill[Any](16)(
+        new GenericArrayData(Array[Any](InternalRow(0L, 9.9e7))))))))
+    assert(PqEncodeHelper.adcScores(codes16, lut16)
+      .getStruct(0, 2).getDouble(1) == 16 * 9.9e7,
+      "near-guard terms must sum exactly, never wrap the long fold")
   }
 }
