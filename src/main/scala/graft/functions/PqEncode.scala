@@ -4,8 +4,38 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructType}
+
+/** Structural input validation shared by the two PQ expressions: a
+  * mistyped input (float arrays, wrong nesting, missing struct field)
+  * previously sailed through an unconditional TypeCheckSuccess and
+  * surfaced as a ClassCastException inside generated code at execution
+  * time (round-15 ADVICE); these helpers turn it into an analysis-time
+  * error with the expected shape spelled out. Shapes are checked by
+  * POSITION and element type — field names are caller-chosen labels. */
+private[functions] object PqTypeCheck {
+  /** `array<double>` (any nullability). */
+  def doubleArray(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
+  /** `array<bigint>` (any nullability). */
+  def longArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
+  /** `array<struct<_:bigint, _:<second>>>` — the (code, payload) entry
+    * list both nested inputs are built from. */
+  def entryList(t: DataType)(second: DataType => Boolean): Boolean = t match {
+    case ArrayType(StructType(fs), _) =>
+      fs.length == 2 && fs(0).dataType == LongType && second(fs(1).dataType)
+    case _ => false
+  }
+  def failure(name: String, pos: String, expected: String,
+      actual: DataType): TypeCheckResult =
+    TypeCheckResult.TypeCheckFailure(
+      s"$name requires the $pos input to be $expected, got ${actual.sql}")
+}
 
 /** Native product-quantization encoder: all subspace codes of one
   * vector in a single fused evaluation.
@@ -37,6 +67,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * a one-row cross join): `array<array<struct<code:bigint,
   * cv:array<double>>>>`, outer index = subspace, entries sorted by code.
   * Returns `array<bigint>`: the chosen code per subspace.
+  *
+  * No-winner contract: when EVERY candidate in a subspace yields a
+  * NaN/overflow distance (a garbage codebook — non-finite centroids, or
+  * squared diffs past decimal(30,10) everywhere), the emitted code is
+  * the explicit sentinel **-1**. The replaced fold surfaced a NULL
+  * element there; this expression declares `containsNull = false` so
+  * downstream consumers (the ADC code lookup, the oracle's equi-join)
+  * never branch on null — and -1 cannot collide with a real code (codes
+  * are non-negative by construction, and [[PqAdcScores]] finds no LUT
+  * entry for -1, so the subspace is SUM-skipped exactly like the fold's
+  * null). OperatorUnitSpec pins the sentinel.
   */
 case class PqEncodeCodes(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,9 +86,19 @@ case class PqEncodeCodes(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_pq_encode"
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import PqTypeCheck._
+    val cbOk = right.dataType match {
+      case ArrayType(inner, _) => entryList(inner)(doubleArray)
+      case _ => false
+    }
+    if (!doubleArray(left.dataType))
+      failure(prettyName, "vector (left)", "array<double>", left.dataType)
+    else if (!cbOk)
+      failure(prettyName, "codebook (right)",
+        "array<array<struct<code:bigint, cv:array<double>>>>", right.dataType)
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     PqEncodeHelper.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -162,19 +213,27 @@ object PqEncodeHelper {
         val e: InternalRow = entries.getStruct(j, 2)
         val cv = e.getArray(1)
         val k = cv.numElements()
+        // long-fold safety is a function of the TERM COUNT (round-15
+        // ADVICE: a fixed 1e8 bound was only safe for k <= 9 — k
+        // near-bound terms of up to 1e18 unscaled wrap Long.MaxValue
+        // ~9.2e18 silently past that, producing wrong distances and
+        // wrong argmin codes; common PQ configs use 8/16-dim
+        // subspaces): k terms, each |t|·1e10 unscaled, must sum inside
+        // a Long — t < 8e8/k keeps the total ≤ 8e18 < 2^63 for any
+        // subspace dimension, mirroring adcScores' wGuard
+        val tGuard = 8.0e8 / k
         var acc = 0L // exact: sum of scale-10 unscaled terms
         var slow = false
         var i = 0
         while (i < k && !slow) {
           val d = fv.getDouble(sub * k + i) - cv.getDouble(i)
           val t = d * d
-          // stay on the long fold only while PROVABLY safe: t < 1e8
-          // keeps each unscaled term < 1e18 (any k <= 9 sum fits a
-          // Long); NaN/Infinity fail this comparison too, so garbage
-          // inputs degrade to [[distSlow]] instead of throwing
-          // (round-15 review: valueOf(NaN) / longValueExact threw
-          // where the replaced decimal fold yielded a null dist)
-          if (t < 1.0e8) { acc += term10(t); i += 1 } else slow = true
+          // stay on the long fold only while PROVABLY safe;
+          // NaN/Infinity fail this comparison too, so garbage inputs
+          // degrade to [[distSlow]] instead of throwing (round-15
+          // review: valueOf(NaN) / longValueExact threw where the
+          // replaced decimal fold yielded a null dist)
+          if (t < tGuard) { acc += term10(t); i += 1 } else slow = true
         }
         val dist =
           if (slow) distSlow(fv, sub * k, cv) else round4(unscale10(acc))
@@ -244,7 +303,11 @@ object PqEncodeHelper {
       val score: Any =
         if (contributed == 0) null // SUM over zero non-null terms
         else if (bigAcc == null) round4(unscale10(acc))
-        else if (bigAcc.precision - 10 > 20) null // sum overflow -> null
+        // SUM(decimal(30,10)) accumulates into decimal(38,10) — 28
+        // integer digits, not the per-TERM cast's 20 (round-15 ADVICE:
+        // per-term-valid weights summing into (1e20, 1e28) are a real
+        // value on both engines; nulling at 20 diverged from dsum)
+        else if (bigAcc.precision - 10 > 28) null // sum overflow -> null
         else round4(bigAcc.doubleValue())
       out(q) = InternalRow(qe.getLong(0), score)
       q += 1
@@ -302,9 +365,27 @@ case class PqAdcScores(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_pq_adc"
 
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = {
+    import PqTypeCheck._
+    // per query: struct<_:bigint, _:array<array<struct<_:bigint, _:double>>>>
+    val lutOk = right.dataType match {
+      case ArrayType(StructType(fs), _) =>
+        fs.length == 2 && fs(0).dataType == LongType &&
+          (fs(1).dataType match {
+            case ArrayType(inner, _) =>
+              entryList(inner)(_ == DoubleType)
+            case _ => false
+          })
+      case _ => false
+    }
+    if (!longArray(left.dataType))
+      failure(prettyName, "codes (left)", "array<bigint>", left.dataType)
+    else if (!lutOk)
+      failure(prettyName, "LUT (right)",
+        "array<struct<query_id:bigint, qlut:array<array<struct<code:bigint, w:double>>>>>",
+        right.dataType)
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     PqEncodeHelper.adcScores(
