@@ -3,6 +3,38 @@ package graft
 object Bench {
   private def loadAvg: Double = HarnessSession.loadAvg
 
+  /** The committed same-HEAD self-baseline per-query times, read from
+    * the LATEST `BENCH_SELF_r<N>.json` in the working directory (the
+    * repo root — both the builder's sweeps and the driver's run start
+    * there; the close protocol commits the self sweep at the same HEAD
+    * the driver then benches). Powers the baseline-relative retry
+    * below. Any read/parse failure degrades to an empty map — the
+    * loadavg gate still stands — because a bench must never die on a
+    * missing artifact. The `queries` object holds only `"name":number`
+    * pairs, so it ends at the first `}` after its opening brace. */
+  private[graft] def selfBaseline(dir: java.io.File = new java.io.File(".")): Map[String, Double] =
+    try {
+      val pat = "BENCH_SELF_r(\\d+)\\.json".r
+      val files = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case pat(n) => Some((n.toInt, f)); case _ => None
+        })
+      if (files.isEmpty) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          files.maxBy(_._1)._2.toPath), "UTF-8")
+        val key = "\"queries\":{"
+        val start = txt.indexOf(key)
+        if (start < 0) Map.empty
+        else {
+          val body = txt.substring(start + key.length,
+            txt.indexOf('}', start + key.length).max(start + key.length))
+          "\"([A-Za-z0-9_]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Dev-only subset filter (comma-separated query names): lets a tuning
@@ -123,31 +155,60 @@ object Bench {
     // phantom regressions under a loadavg-16 spike; min-of-adaptive-runs
     // cannot help while the spike SPANS all of a query's runs, but a
     // spike shorter than the whole sweep has usually passed by the END
-    // of the run). A query qualifies when its official time is
-    // non-trivial AND its around-query loadavg was well above the run
-    // median — each gets ONE more run now, under a bounded time budget,
-    // and the official number stays the min over ALL real runs (retry
-    // timings ride the raw artifact too; nothing is synthesized).
+    // of the run). TWO independent gates qualify a query, both retried
+    // under one bounded time budget with min-over-real-runs semantics
+    // (retry timings ride the raw artifact too; nothing synthesized):
+    //  - LOADAVG gate: official time non-trivial AND around-query
+    //    loadavg well above the run median.
+    //  - BASELINE gate (round-15 verdict item 1): official time > 3×
+    //    the committed same-HEAD self-baseline (BENCH_SELF_r<N>.json in
+    //    the repo). Loadavg is a 1-MINUTE lagging average — round-15's
+    //    driver artifact carried ~21 s of phantom cost in three
+    //    sub-minute load bursts (9 queries at 4-10× their same-HEAD
+    //    self times, q250 at 7.14 s vs 0.73) that the loadavg gate
+    //    could not see; the repo carries its own baseline, so the
+    //    comparison is free and catches exactly that shape. A
+    //    baseline-flagged query may take a SECOND retry if the first
+    //    still reads > 3× (the burst can outlive one retry) — a real
+    //    plan regression reads slow on every run and keeps its honest
+    //    time; a stale baseline merely costs one bounded extra run.
     val results = if (results0.isEmpty) results0 else {
       val loadsAll = results0.map(_._4)
       val medLoad = loadsAll.sorted.apply(loadsAll.size / 2)
+      val self = selfBaseline()
+      // > 0.3 s floor: 3× a centisecond query is measurement noise, and
+      // retrying it can't move the total either way
+      def overBaseline(name: String, t: Double): Boolean =
+        self.get(name).exists(s => t > math.max(0.3, 3.0 * s))
       val budget = 120e9 // ns: bounded so a loaded host can't double bench time
       val t0 = System.nanoTime()
       results0.map { case r @ (name, official, ok, l, raws, fn) =>
-        val contaminated = ok && official > 1.0 &&
-          l > math.max(2.0, medLoad * 1.5)
-        if (!contaminated || System.nanoTime() - t0 > budget) r
+        val loadFlag = ok && official > 1.0 && l > math.max(2.0, medLoad * 1.5)
+        val baseFlag = ok && overBaseline(name, official)
+        if (!(loadFlag || baseFlag) || System.nanoTime() - t0 > budget) r
         else {
-          val t1 = System.nanoTime()
-          val rerun =
+          def rerunOnce(): Option[Double] = {
+            val t1 = System.nanoTime()
             try { fn(spark, sfDir).count(); Some((System.nanoTime() - t1) / 1e9) }
             catch { case _: Throwable => None }
             finally spark.catalog.clearCache()
-          rerun match {
-            case Some(t) =>
-              (name, math.min(official, t), ok, math.max(l, loadAvg), raws :+ t, fn)
-            case None => r
           }
+          var acc = r
+          var attempts = 0
+          var done = false
+          while (!done && attempts < 2 && System.nanoTime() - t0 <= budget) {
+            attempts += 1
+            rerunOnce() match {
+              case Some(t) =>
+                val (n, o, k, ll, rs, f) = acc
+                acc = (n, math.min(o, t), k, math.max(ll, loadAvg), rs :+ t, f)
+                // the second attempt is baseline-gate-only: the loadavg
+                // gate keeps its historical single-retry behavior
+                done = !overBaseline(n, acc._2)
+              case None => done = true
+            }
+          }
+          acc
         }
       }
     }
@@ -192,7 +253,7 @@ object Bench {
       .mkString("{", ",", "}")
     val mvF = mvFound.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive + gc-debt 3rd run >2s + load retry","mv_build_secs":$mvSecs,"mv_builds":$mvB,"mv_found":$mvF$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive + gc-debt 3rd run >2s + load/baseline retry","mv_build_secs":$mvSecs,"mv_builds":$mvB,"mv_found":$mvF$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
     // Locale.ROOT: the f-interpolator follows the default locale, and a
     // comma decimal separator would corrupt the compact JSON line.
     val qSec = results.map { case (_, v, _, _, _, _) =>
