@@ -359,4 +359,95 @@ class OperatorUnitSpec extends AnyFunSuite {
       .getStruct(0, 2).getDouble(1) == 16 * 9.9e7,
       "near-guard terms must sum exactly, never wrap the long fold")
   }
+
+  test("PqEncode guards: count-aware encode fold, 28-digit sum bound, -1 sentinel, type check") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import graft.functions.{PqAdcScores, PqEncodeCodes, PqEncodeHelper}
+    def arr(ds: Double*) = new GenericArrayData(ds.toArray)
+    // (1) encode's long fold is count-aware (round-15 ADVICE, medium):
+    // a 16-dim subspace of near-1e8 squared diffs would wrap a
+    // fixed-1e8-guarded long accumulator (16 × ~9.9e17 unscaled ≈
+    // 1.58e19 > 2^63 ≈ 9.2e18 → the wrapped dist goes NEGATIVE and
+    // steals the argmin). Candidate 0 sits at true dist ≈ 1.58e9,
+    // candidate 1 at 1.6e7 — the true argmin is 1, and under the wrap
+    // candidate 0 would win with its bogus negative distance.
+    val far = math.sqrt(9.9e7) // diff² ≈ 9.9e7: past 8e8/16, inside old 1e8
+    val near = 1e3 // diff² = 1e6: stays on the fast path at any k ≤ 800
+    val fv16 = arr(Seq.fill(16)(0.0): _*)
+    val cb16 = new GenericArrayData(Array[Any](new GenericArrayData(Array[Any](
+      InternalRow(0L, arr(Seq.fill(16)(far): _*)),
+      InternalRow(1L, arr(Seq.fill(16)(near): _*))))))
+    assert(PqEncodeHelper.encode(fv16, cb16).getLong(0) == 1L,
+      "16 near-guard terms must route to the exact path, not wrap the argmin")
+    // (2) adcScores' SUM bound mirrors decimal(38,10) — 28 integer
+    // digits, not the per-term cast's 20 (round-15 ADVICE): two
+    // per-term-valid 9e19 weights sum to 1.8e20 (21 digits), a real
+    // value on both engines.
+    val codes2 = new GenericArrayData(Array[Long](0L, 0L))
+    val lutBigSum = new GenericArrayData(Array[Any](
+      InternalRow(7L, new GenericArrayData(Array.fill[Any](2)(
+        new GenericArrayData(Array[Any](InternalRow(0L, 9e19))))))))
+    assert(PqEncodeHelper.adcScores(codes2, lutBigSum)
+      .getStruct(0, 2).getDouble(1) == 1.8e20,
+      "a 21-integer-digit sum fits decimal(38,10) and must not null out")
+    // (3) the no-winner sentinel: an all-garbage subspace (every
+    // candidate NaN/overflow) emits the documented -1, not a throw or a
+    // fabricated real code
+    val cbBad = new GenericArrayData(Array[Any](new GenericArrayData(Array[Any](
+      InternalRow(5L, arr(Double.NaN, Double.NaN))))))
+    assert(PqEncodeHelper.encode(arr(0.0, 0.0), cbBad).getLong(0) == -1L,
+      "all-garbage subspace must emit the -1 sentinel")
+    // (4) mistyped inputs fail at ANALYSIS (round-15 ADVICE: an
+    // unconditional TypeCheckSuccess deferred them to a codegen
+    // ClassCastException at execution)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    def lit(t: DataType) = Literal.default(t)
+    val vecT = ArrayType(DoubleType)
+    val cbT = ArrayType(ArrayType(StructType(Seq(
+      StructField("code", LongType), StructField("cv", ArrayType(DoubleType))))))
+    val lutT = ArrayType(StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("qlut", ArrayType(ArrayType(StructType(Seq(
+        StructField("code", LongType), StructField("w", DoubleType)))))))))
+    assert(PqEncodeCodes(lit(vecT), lit(cbT)).checkInputDataTypes().isSuccess)
+    assert(PqAdcScores(lit(ArrayType(LongType)), lit(lutT))
+      .checkInputDataTypes().isSuccess)
+    val badVec = lit(ArrayType(FloatType)) // the documented trap: float, not double
+    assert(PqEncodeCodes(badVec, lit(cbT)).checkInputDataTypes().isFailure)
+    assert(PqEncodeCodes(lit(vecT), lit(vecT)).checkInputDataTypes().isFailure,
+      "wrong nesting must be an analysis error")
+    assert(PqAdcScores(lit(vecT), lit(lutT)).checkInputDataTypes().isFailure)
+    assert(PqAdcScores(lit(ArrayType(LongType)), lit(cbT))
+      .checkInputDataTypes().isFailure,
+      "a codebook where the LUT belongs must be an analysis error")
+  }
+
+  test("Bench.selfBaseline reads the LATEST committed self sweep's queries map") {
+    // The baseline-relative retry (round-15 verdict item 1) compares
+    // each official time to the committed same-HEAD self sweep; this
+    // pins the artifact parsing: latest round number wins, only the
+    // `queries` object is read (never queries_raw/queries_loadavg), and
+    // a missing/garbled file degrades to an empty map, not a crash.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_base").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try w.print(body) finally w.close()
+    }
+    write("BENCH_SELF_r9.json",
+      """{"metric":"total","queries":{"q01_a":9.0},"queries_raw":{"q01_a":[9.0,9.1]}}""")
+    write("BENCH_SELF_r17.json",
+      """{"metric":"total","value":93.3,"queries":{"q01_a":0.25,"q206_b":3.06},""" +
+      """"queries_raw":{"q01_a":[0.3,0.25],"q206_b":[3.5,3.06,99.0]}}""")
+    write("BENCH_SELF_r2.json", "{not json at all")
+    val base = Bench.selfBaseline(dir)
+    assert(base == Map("q01_a" -> 0.25, "q206_b" -> 3.06),
+      "r17 must win over r9 (numeric, not lexicographic) and raw maps must not leak in")
+    assert(Bench.selfBaseline(
+      java.nio.file.Files.createTempDirectory("graft_bench_empty").toFile).isEmpty)
+    write("BENCH_SELF_r18.json", "{\"queries\":{") // truncated artifact
+    assert(Bench.selfBaseline(dir).isEmpty,
+      "a truncated latest artifact must degrade to empty, never throw")
+  }
 }
