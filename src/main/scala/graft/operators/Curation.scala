@@ -112,8 +112,11 @@ object Curation {
       // so the exploded join + decimal partial-aggregate would otherwise
       // run in a single task (profiled at 1.6 s of this query's 2.2 s);
       // dsum is order-free decimal, so the repartition changes nothing
-      // but parallelism
-      val dist = lf.repartition(32, col("vec_id"))
+      // but parallelism. Width = defaultParallelism (round-15 verdict
+      // item 4): scales with the cluster instead of hard-coding this
+      // harness's 32 threads.
+      val dist = lf.repartition(
+          math.max(s.sparkContext.defaultParallelism, 1), col("vec_id"))
         .join(broadcast(cents), Seq("dim"))
         .groupBy(col("vec_id"), col("label"), col("clabel"))
         .agg(det.dsum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))

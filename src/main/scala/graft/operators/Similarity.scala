@@ -154,8 +154,11 @@ object Similarity {
       // (the vector table reads as ONE parquet split at fixture scale,
       // which would run the whole |V|²/2 pair loop in a single task —
       // profiled at 2.1 s of this query's 2.3 s; the declared-yardstick
-      // status licenses the quadratic scan, not a serial one)
-      val a = e.repartition(32)
+      // status licenses the quadratic scan, not a serial one). Width =
+      // defaultParallelism (round-15 verdict item 4): the fan-out
+      // scales with whatever cluster runs it instead of hard-coding
+      // this harness's 32 threads.
+      val a = e.repartition(math.max(s.sparkContext.defaultParallelism, 1))
         .select(col("vec_id").as("vec_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       a.join(b, col("vec_a") < col("vec_b"))
