@@ -361,5 +361,52 @@ object Formats {
         .orderBy("o_orderpriority")
     })
 
-  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244, q253, q255)
+  // ---------------------------------------------------------------------
+  // q260 — raw-text source (spark.read.text): the last M1 input clause
+  // ---------------------------------------------------------------------
+
+  /** The RAW-TEXT ingest path (SURVEY §2.1 M1's last unexercised
+    * sub-clause — round-15 verdict item 3): scraped corpora land as
+    * line-oriented text long before anything is columnar, and the
+    * classic MapReduce job reads exactly that. The corpus exports as
+    * doc_id-keyed lines (`doc_id\u0001text` — deterministic content;
+    * the fixture's text carries no newlines, CRs or \u0001, probed
+    * before this gate was authored), `spark.read.text` reads the lines
+    * back (byte-range splittable — at 100 TB the scan parallelizes by
+    * HDFS/S3 block, no footer required), the line parses back into
+    * (doc_id, text), and the q11/q12-shape word profile — occurrences
+    * AND distinct containing docs per word — is recomputed THROUGH the
+    * text path while the oracle recomputes it from the ORIGINAL
+    * parquet. Any encoding, line-splitting, or key-parse drift in the
+    * text write/read breaks the per-word counts; the distinct-doc
+    * column additionally pins the doc_id keying (a line split in two
+    * would double a doc, a dropped key would null it). */
+  private val q260 = QueryDef(
+    "q260_raw_text_wordcount",
+    "spark.read.text raw-line ingest proved lossless via word-profile parity",
+    Some("""
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY word
+      ORDER BY word"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = scratch("q260")
+      docs.select(concat_ws("\u0001",
+          col("doc_id"), col("text")).as("value"))
+        .write.mode("overwrite").text(s"$base/txt")
+      s.read.text(s"$base/txt")
+        .select(
+          substring_index(col("value"), "\u0001", 1).cast("long").as("doc_id"),
+          substring_index(col("value"), "\u0001", -1).as("text"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("word")
+    })
+
+  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244, q253, q255, q260)
 }

@@ -1089,7 +1089,7 @@ object Relational {
   def defs: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q47, q79, q81, q107,
       q126, q127, q168, q181, q195, q221, q222, q224, q225, q226, q248, q249,
-      q256, q257)
+      q256, q257, q261)
 
   // ---------------------------------------------------------------------
   // q127 — column profile (the schema-drift / ingestion-health report)
@@ -1230,5 +1230,72 @@ object Relational {
         .union(audit("orders->customer", Tables.orders(s, dir), "o_custkey",
           Tables.customer(s, dir), "c_custkey"))
         .orderBy("edge")
+    })
+
+  // ---------------------------------------------------------------------
+  // q261 — schema-catalog audit (DESCRIBE / information-schema shape)
+  // ---------------------------------------------------------------------
+
+  /** Catalog introspection as a first-class gate (round-15 verdict item
+    * 6): the DESCRIBE-shaped audit a warehouse runs before trusting a
+    * dataset version — per table, its schema WIDTH (from the parquet
+    * footers, zero data read) and row count, cross-engine verified
+    * (DuckDB recomputes the widths via `DESCRIBE <t>` subqueries and
+    * the counts from the same parquet). This is the catalog-drift
+    * alarm: a dropped/added column or a truncated ingest surfaces as a
+    * one-row diff here before any downstream query mis-joins. At 100 TB
+    * the schema half is metadata-only, and each row count is a
+    * column-pruned count aggregate (the scan reads no data columns).
+    * events is audited at its RAW footer surface (the engine-derived
+    * `ts_us` convenience column is dropped — the oracle sees the files,
+    * not the session's view). */
+  private val q261 = QueryDef(
+    "q261_schema_catalog_audit",
+    "per-table schema width + row count, DESCRIBE-verified cross-engine",
+    Some("""
+      SELECT table_name, n_cols, n_rows FROM (
+        SELECT 'region' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE region)) AS n_cols,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_rows
+        UNION ALL SELECT 'nation',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE nation)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nation)
+        UNION ALL SELECT 'customer',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE customer)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+        UNION ALL SELECT 'supplier',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE supplier)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier)
+        UNION ALL SELECT 'part',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE part)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM part)
+        UNION ALL SELECT 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE orders)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        UNION ALL SELECT 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE lineitem)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        UNION ALL SELECT 'events',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE events)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+        UNION ALL SELECT 'documents',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE documents)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        UNION ALL SELECT 'embeddings',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE embeddings)),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings))
+      ORDER BY table_name"""),
+    (s, dir) => {
+      val loaded: Seq[(String, DataFrame)] = Tables.names.map {
+        case "events" => "events" -> Tables.events(s, dir).drop("ts_us")
+        case "orders" => "orders" -> Tables.orders(s, dir)
+        case "lineitem" => "lineitem" -> Tables.lineitem(s, dir)
+        case n => n -> Tables(s, dir, n)
+      }
+      loaded.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("table_name"),
+            lit(df.schema.size.toLong).as("n_cols"), col("n_rows"))
+      }.reduce(_.unionByName(_)).orderBy("table_name")
     })
 }

@@ -1237,4 +1237,74 @@ class PlanSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $fact")
     }
   }
+
+  test("CBO: statistics REORDER a three-table join before execution (selective dim joins first)") {
+    // The second stats-informed planning pin (round-15 verdict item 7):
+    // the broadcast flip above moves a join's DISTRIBUTION; this one
+    // moves its ORDER. A fact joins two dims in written order
+    // fact ⋈ wide ⋈ narrow, where `narrow` carries a grp = 7 filter
+    // (1/ndv ≈ 200 of 200k rows with stats) and `wide` does not.
+    // Without statistics the optimizer keeps SYNTAX order — the full
+    // fact⋈wide intermediate (200k rows) is built first and only then
+    // cut down by the selective dim. With `ANALYZE .. FOR ALL COLUMNS`
+    // on all three + spark.sql.cbo.{enabled,joinReorder.enabled}, the
+    // DP reorderer prices the alternatives from row counts and
+    // selectivities and joins fact ⋈ narrow FIRST, so every later
+    // operator sees the ~200-row-selective intermediate. AQE can never
+    // make this call: join order is fixed in the logical plan before
+    // any stage runs, and at 100 TB the difference is shuffling the
+    // full fact twice vs once. The pin inspects the OPTIMIZED LOGICAL
+    // plan's innermost join (physical distribution is the other test's
+    // concern): the order of leaf relations under the join tree.
+    val fact = "graft_cbo3_fact"
+    val wide = "graft_cbo3_wide"
+    val narrow = "graft_cbo3_narrow"
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    try {
+      spark.range(0, 200000)
+        .select(pmod(col("id"), lit(200000L)).as("k1"),
+          pmod(col("id") * 7L, lit(200000L)).as("k2"), col("id").as("v"))
+        .write.mode("overwrite").saveAsTable(fact)
+      spark.range(0, 200000)
+        .select(col("id").as("k1"), (col("id") * 37L).as("wpad"))
+        .write.mode("overwrite").saveAsTable(wide)
+      spark.range(0, 200000)
+        .select(col("id").as("k2"), pmod(col("id"), lit(1000L)).as("grp"),
+          (col("id") * 101L).as("npad"))
+        .write.mode("overwrite").saveAsTable(narrow)
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // STRUCTURAL readout: which dim sits under the INNERMOST join of
+      // the optimized logical plan (i.e. is joined to the fact first).
+      // collect is pre-order DFS, so the last Join it yields is the
+      // deepest one regardless of left-deep vs bushy rendering.
+      def innermostJoinSubtree(): String = {
+        val plan = spark.table(fact)
+          .join(spark.table(wide), Seq("k1"))
+          .join(spark.table(narrow).filter(col("grp") === 7L), Seq("k2"))
+          .groupBy("grp")
+          .agg(org.apache.spark.sql.functions.sum(col("v")).as("s"))
+          .queryExecution.optimizedPlan
+        val joins = plan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        assert(joins.size == 2, s"expected a two-join tree, got ${joins.size}")
+        joins.last.toString
+      }
+      val noStats = innermostJoinSubtree()
+      assert(noStats.contains(wide) && !noStats.contains(narrow),
+        s"without stats the join must keep syntax order (fact joins wide first):\n${noStats.take(800)}")
+      Seq(fact, wide, narrow).foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      val withStats = innermostJoinSubtree()
+      assert(withStats.contains(narrow) && !withStats.contains(wide),
+        s"with stats + CBO join reorder the selective dim must join first:\n${withStats.take(800)}")
+    } finally {
+      olds.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      Seq(fact, wide, narrow).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
