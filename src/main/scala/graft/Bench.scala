@@ -8,11 +8,16 @@ object Bench {
     * repo root — both the builder's sweeps and the driver's run start
     * there; the close protocol commits the self sweep at the same HEAD
     * the driver then benches). Powers the baseline-relative retry
-    * below. Any read/parse failure degrades to an empty map — the
-    * loadavg gate still stands — because a bench must never die on a
-    * missing artifact. The `queries` object holds only `"name":number`
-    * pairs, so it ends at the first `}` after its opening brace. */
-  private[graft] def selfBaseline(dir: java.io.File = new java.io.File(".")): Map[String, Double] =
+    * below. `sfDir`, when given, must match the artifact's recorded
+    * `"sf"` (round-18 review: a dev run at another scale factor would
+    * otherwise compare against the wrong scale's times — every query
+    * over 3× at a bigger SF, gate silently dead at a smaller one).
+    * Any read/parse failure degrades to an empty map — the loadavg
+    * gate still stands — because a bench must never die on a missing
+    * artifact. The `queries` object holds only `"name":number` pairs,
+    * so it ends at the first `}` after its opening brace. */
+  private[graft] def selfBaseline(dir: java.io.File = new java.io.File("."),
+      sfDir: Option[String] = None): Map[String, Double] =
     try {
       val pat = "BENCH_SELF_r(\\d+)\\.json".r
       val files = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
@@ -23,14 +28,19 @@ object Bench {
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(
           files.maxBy(_._1)._2.toPath), "UTF-8")
-        val key = "\"queries\":{"
-        val start = txt.indexOf(key)
-        if (start < 0) Map.empty
+        val artifactSf = "\"sf\":\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (sfDir.exists(want => !artifactSf.contains(want))) Map.empty
         else {
-          val body = txt.substring(start + key.length,
-            txt.indexOf('}', start + key.length).max(start + key.length))
-          "\"([A-Za-z0-9_]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val key = "\"queries\":{"
+          val start = txt.indexOf(key)
+          if (start < 0) Map.empty
+          else {
+            val body = txt.substring(start + key.length,
+              txt.indexOf('}', start + key.length).max(start + key.length))
+            "\"([A-Za-z0-9_]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
         }
       }
     } catch { case _: Throwable => Map.empty }
@@ -175,7 +185,7 @@ object Bench {
     val results = if (results0.isEmpty) results0 else {
       val loadsAll = results0.map(_._4)
       val medLoad = loadsAll.sorted.apply(loadsAll.size / 2)
-      val self = selfBaseline()
+      val self = selfBaseline(sfDir = Some(sfDir))
       // > 0.3 s floor: 3× a centisecond query is measurement noise, and
       // retrying it can't move the total either way
       def overBaseline(name: String, t: Double): Boolean =

@@ -394,7 +394,15 @@ object Formats {
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val base = scratch("q260")
-      docs.select(concat_ws("\u0001",
+      // NULL-text docs export no line (round-18 review: concat_ws SKIPS
+      // nulls, so a null text would collapse the line to the bare
+      // doc_id and the parse would read the id digits back as words;
+      // the oracle's unnest(string_split(NULL)) contributes zero rows
+      // for such a doc, and so does an absent line — the two sides
+      // agree by filtering, not by luck, if a regenerated fixture ever
+      // carries nulls)
+      docs.filter(col("text").isNotNull)
+        .select(concat_ws("\u0001",
           col("doc_id"), col("text")).as("value"))
         .write.mode("overwrite").text(s"$base/txt")
       s.read.text(s"$base/txt")

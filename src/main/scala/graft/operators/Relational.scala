@@ -1286,11 +1286,11 @@ object Relational {
                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings))
       ORDER BY table_name"""),
     (s, dir) => {
-      val loaded: Seq[(String, DataFrame)] = Tables.names.map {
-        case "events" => "events" -> Tables.events(s, dir).drop("ts_us")
-        case "orders" => "orders" -> Tables.orders(s, dir)
-        case "lineitem" => "lineitem" -> Tables.lineitem(s, dir)
-        case n => n -> Tables(s, dir, n)
+      val loaded: Seq[(String, DataFrame)] = Tables.names.map { n =>
+        val df = Tables.load(s, dir, n) // the shared drift-tolerant dispatch
+        // events' engine-derived ts_us convenience column is dropped so
+        // the audited width is the RAW footer surface the oracle sees
+        n -> (if (n == "events") df.drop("ts_us") else df)
       }
       loaded.map { case (name, df) =>
         df.agg(count(lit(1)).as("n_rows"))

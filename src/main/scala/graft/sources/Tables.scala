@@ -93,6 +93,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
+  /** Name-driven drift-tolerant loader dispatch — the ONE place the
+    * per-table drift policy lives (round-18 review: `validate`'s probe
+    * and q261's catalog audit each carried their own copy of this
+    * match, so the next drift-tolerant table could be added in one and
+    * silently missed by the other). Tables with declared-timestamp
+    * columns go through their own loaders (a ns-encoded fixture throws
+    * `[PARQUET_TYPE_ILLEGAL]` on a plain read); everything else reads
+    * directly. */
+  def load(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events"   => events(s, d)
+    case "orders"   => orders(s, d)
+    case "lineitem" => lineitem(s, d)
+    case n          => apply(s, d, n)
+  }
+
   /** Fixture schema probe (FIXTURES.md expectations). Run at the top of
     * Verify.main / Bench.main: prints one diagnostic line per drift to
     * stderr and NEVER aborts — its whole purpose is to turn a silent
@@ -136,18 +151,12 @@ object Tables {
     val drifts = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { t =>
       try {
-        // Tables with declared-timestamp columns are probed through their
-        // OWN drift-tolerant loaders (a ns-encoded fixture throws
-        // [PARQUET_TYPE_ILLEGAL] on a plain read, and probing the raw
-        // reader would report an encoding the loader explicitly supports
-        // as UNREADABLE/drift — round-9 ADVICE); everything else reads
-        // directly.
-        val schema = (t match {
-          case "events"   => events(s, sfDir)
-          case "orders"   => orders(s, sfDir)
-          case "lineitem" => lineitem(s, sfDir)
-          case _          => apply(s, sfDir, t)
-        }).schema
+        // Probed through the shared drift-tolerant dispatch ([[load]]):
+        // a ns-encoded fixture throws [PARQUET_TYPE_ILLEGAL] on a plain
+        // read, and probing the raw reader would report an encoding the
+        // loader explicitly supports as UNREADABLE/drift (round-9
+        // ADVICE).
+        val schema = load(s, sfDir, t).schema
         val have = schema.fields.map(f => f.name -> f.dataType.typeName).toMap
         expected(t).foreach { case (col, okTypes) =>
           have.get(col) match {

@@ -436,14 +436,18 @@ class OperatorUnitSpec extends AnyFunSuite {
       try w.print(body) finally w.close()
     }
     write("BENCH_SELF_r9.json",
-      """{"metric":"total","queries":{"q01_a":9.0},"queries_raw":{"q01_a":[9.0,9.1]}}""")
+      """{"metric":"total","queries":{"q01_a":9.0},"queries_raw":{"q01_a":[9.0,9.1]},"sf":"/data/sf0.1"}""")
     write("BENCH_SELF_r17.json",
       """{"metric":"total","value":93.3,"queries":{"q01_a":0.25,"q206_b":3.06},""" +
-      """"queries_raw":{"q01_a":[0.3,0.25],"q206_b":[3.5,3.06,99.0]}}""")
+      """"queries_raw":{"q01_a":[0.3,0.25],"q206_b":[3.5,3.06,99.0]},"sf":"/data/sf0.1"}""")
     write("BENCH_SELF_r2.json", "{not json at all")
     val base = Bench.selfBaseline(dir)
     assert(base == Map("q01_a" -> 0.25, "q206_b" -> 3.06),
       "r17 must win over r9 (numeric, not lexicographic) and raw maps must not leak in")
+    assert(Bench.selfBaseline(dir, Some("/data/sf0.1")) == base,
+      "a matching sf filter keeps the baseline")
+    assert(Bench.selfBaseline(dir, Some("/data/sf0.01")).isEmpty,
+      "a baseline from another scale factor must be IGNORED, not compared against")
     assert(Bench.selfBaseline(
       java.nio.file.Files.createTempDirectory("graft_bench_empty").toFile).isEmpty)
     write("BENCH_SELF_r18.json", "{\"queries\":{") // truncated artifact
