@@ -26,8 +26,9 @@ object Bench {
         })
       if (files.isEmpty) Map.empty
       else {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          files.maxBy(_._1)._2.toPath), "UTF-8")
+        val src = files.maxBy(_._1)._2
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(src.toPath), "UTF-8")
         val artifactSf = "\"sf\":\"([^\"]+)\"".r
           .findFirstMatchIn(txt).map(_.group(1))
         if (sfDir.exists(want => !artifactSf.contains(want))) Map.empty
@@ -186,6 +187,12 @@ object Bench {
       val loadsAll = results0.map(_._4)
       val medLoad = loadsAll.sorted.apply(loadsAll.size / 2)
       val self = selfBaseline(sfDir = Some(sfDir))
+      // one provenance line: a silently-dormant gate (wrong cwd, sf
+      // mismatch, garbled artifact) must be distinguishable from a
+      // clean run where it simply had nothing to catch
+      System.err.println(s"[bench] baseline-relative retry gate: " +
+        (if (self.isEmpty) "DORMANT (no usable same-sf BENCH_SELF artifact)"
+         else s"armed with ${self.size} baseline queries"))
       // > 0.3 s floor: 3× a centisecond query is measurement noise, and
       // retrying it can't move the total either way
       def overBaseline(name: String, t: Double): Boolean =
