@@ -14,8 +14,13 @@ object Bench {
     * over 3× at a bigger SF, gate silently dead at a smaller one).
     * Any read/parse failure degrades to an empty map — the loadavg
     * gate still stands — because a bench must never die on a missing
-    * artifact. The `queries` object holds only `"name":number` pairs,
-    * so it ends at the first `}` after its opening brace. */
+    * artifact. Parsing is anchored against format growth (round-19
+    * ADVICE): `sf` is the LAST match in the file (the serializer emits
+    * it at the tail — a future path-bearing string field before it
+    * can no longer spoof the scale check), and the `queries` object
+    * ends at its MATCHING close brace (depth scan), not the first
+    * `}`, so a nested value would degrade to empty-map instead of
+    * silently truncating the baseline to a prefix. */
   private[graft] def selfBaseline(dir: java.io.File = new java.io.File("."),
       sfDir: Option[String] = None): Map[String, Double] =
     try {
@@ -30,21 +35,169 @@ object Bench {
         val txt = new String(
           java.nio.file.Files.readAllBytes(src.toPath), "UTF-8")
         val artifactSf = "\"sf\":\"([^\"]+)\"".r
-          .findFirstMatchIn(txt).map(_.group(1))
+          .findAllMatchIn(txt).map(_.group(1)).toSeq.lastOption
         if (sfDir.exists(want => !artifactSf.contains(want))) Map.empty
         else {
           val key = "\"queries\":{"
           val start = txt.indexOf(key)
           if (start < 0) Map.empty
           else {
-            val body = txt.substring(start + key.length,
-              txt.indexOf('}', start + key.length).max(start + key.length))
-            "\"([A-Za-z0-9_]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            var i = start + key.length
+            var depth = 1
+            while (i < txt.length && depth > 0) {
+              txt.charAt(i) match {
+                case '{' => depth += 1
+                case '}' => depth -= 1
+                case _ => ()
+              }
+              i += 1
+            }
+            if (depth != 0) Map.empty // truncated artifact
+            else {
+              val body = txt.substring(start + key.length, i - 1)
+              "\"([A-Za-z0-9_]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            }
           }
         }
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** One sweep measurement: a query's official min-over-runs time plus
+    * the evidence around it (success, around-query loadavg max, every
+    * raw run). The retry pass transforms these; the artifact serializes
+    * them. */
+  private[graft] final case class Reading(name: String, official: Double,
+      ok: Boolean, load: Double, raws: Seq[Double])
+
+  /** An UNRESOLVED contamination: a query whose official time is still
+    * over the baseline gate after every retry it was entitled to. Rides
+    * the artifact (round-17 verdict item 3) so a dirty number is
+    * self-annotating — the judge computes the clean total from the
+    * driver artifact alone instead of reconstructing it from
+    * BENCH_SELF. */
+  private[graft] final case class Suspect(name: String, official: Double,
+      self: Double)
+
+  /** Baseline gate: does time `t` for `name` qualify against the
+    * committed same-HEAD self time? TWO clauses (round-17 verdict
+    * item 1):
+    *  - RATIO: `t > max(0.3 s, 3× self)` — the round-15 shape, with a
+    *    floor keeping centisecond noise out;
+    *  - ABSOLUTE EXCESS: `t − self > max(1.5 s, 0.5× self)` — round
+    *    16's single largest contamination (q206: 10.06 s official vs
+    *    3.59 s self, +6.5 s = 18% of the round's whole regression) sat
+    *    at 2.8×, invisible to the ratio clause; heavy queries carry
+    *    the most absolute phantom cost at the LOWEST ratios, so the
+    *    gate must also qualify on seconds of excess. The 0.5×-self arm
+    *    keeps the clause from flagging ordinary variance on multi-
+    *    second queries (a 4 s query must read > 6 s, not > 5.5 s). */
+  private[graft] def overBaseline(self: Map[String, Double], name: String,
+      t: Double): Boolean =
+    self.get(name).exists(s =>
+      t > math.max(0.3, 3.0 * s) || t - s > math.max(1.5, 0.5 * s))
+
+  /** END-OF-RUN RETRY for load-contaminated readings (round-13: the
+    * driver artifact carried a contiguous name-sorted band of 5-8x
+    * phantom regressions under a loadavg-16 spike; min-of-adaptive-runs
+    * cannot help while the spike SPANS all of a query's runs, but a
+    * spike shorter than the whole sweep has usually passed by the END
+    * of the run). TWO independent gates qualify a query, both retried
+    * under one bounded time budget with min-over-real-runs semantics
+    * (retry timings ride the raw artifact too; nothing synthesized):
+    *  - LOADAVG gate: official time non-trivial AND around-query
+    *    loadavg well above the run median.
+    *  - BASELINE gate ([[overBaseline]]): ratio OR absolute excess over
+    *    the committed same-HEAD self time. A baseline-flagged query may
+    *    take a SECOND retry if the first still qualifies (the burst can
+    *    outlive one retry) — a real plan regression reads slow on every
+    *    run and keeps its honest time; a stale baseline merely costs
+    *    one bounded extra run.
+    *
+    * Round-16 field result: the gate was armed and still lost 36 s to
+    * a burst that spanned the sweep tail AND the retry pass itself —
+    * retries that immediately re-sample a live burst are not
+    * independent samples. Hence (round-17 verdict item 2):
+    *  - WAIT-FOR-QUIET: if anything qualified and the CURRENT 1-min
+    *    loadavg still exceeds the sweep median ×1.25, sleep in bounded
+    *    steps (cap [[settleCapMs]], NOT charged to the retry budget —
+    *    the budget bounds measurement work, the settle bounds waiting)
+    *    until it decays or the cap hits.
+    *  - DESCENDING-EXCESS ORDER: retries run costliest-first
+    *    (official − self), so the largest phantom readings get the
+    *    cleanest post-settle air and a budget exhaustion strands only
+    *    the cheapest tail.
+    *
+    * Returns the updated readings plus the [[Suspect]] list — queries
+    * STILL over the baseline gate after the pass (including any the
+    * budget stranded). Environment (rerun/loadavg/sleep/clock) is
+    * injected so the flag → settle → retry → suspect protocol is
+    * battle-tested in a deterministic spec (round-17 verdict item 5)
+    * instead of being field-tested for the first time by the driver. */
+  private[graft] def retryPass(
+      readings: Seq[Reading],
+      self: Map[String, Double],
+      rerun: String => Option[Double],
+      loadNow: () => Double,
+      sleepMs: Long => Unit,
+      nowNs: () => Long = () => System.nanoTime(),
+      budgetNs: Long = 120L * 1000 * 1000 * 1000,
+      settleCapMs: Long = 120000L,
+      settleStepMs: Long = 5000L): (Seq[Reading], Seq[Suspect]) = {
+    if (readings.isEmpty) return (readings, Seq.empty)
+    val loadsAll = readings.map(_.load)
+    val medLoad = loadsAll.sorted.apply(loadsAll.size / 2)
+    def baseFlag(r: Reading): Boolean =
+      r.ok && overBaseline(self, r.name, r.official)
+    def loadFlag(r: Reading): Boolean =
+      r.ok && r.official > 1.0 && r.load > math.max(2.0, medLoad * 1.5)
+    def excess(r: Reading): Double =
+      r.official - self.getOrElse(r.name, 0.0)
+    val flaggedIdx = readings.zipWithIndex.collect {
+      case (r, i) if loadFlag(r) || baseFlag(r) => i
+    }
+    if (flaggedIdx.nonEmpty) {
+      // wait-for-quiet: bounded, and deliberately OUTSIDE the retry
+      // budget window (nowNs t0 is taken after)
+      var slept = 0L
+      var l = loadNow()
+      while (l > medLoad * 1.25 && slept < settleCapMs) {
+        sleepMs(settleStepMs); slept += settleStepMs; l = loadNow()
+      }
+      if (slept > 0) System.err.println(
+        s"[bench] retry settle: slept ${slept / 1000} s " +
+        f"(loadavg now $l%.1f vs sweep median $medLoad%.1f)")
+    }
+    val t0 = nowNs()
+    val updated = readings.toArray
+    flaggedIdx.sortBy(i => -excess(readings(i))).foreach { i =>
+      if (nowNs() - t0 <= budgetNs) {
+        var acc = updated(i)
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 2 && nowNs() - t0 <= budgetNs) {
+          attempts += 1
+          rerun(acc.name) match {
+            case Some(t) =>
+              acc = acc.copy(official = math.min(acc.official, t),
+                load = math.max(acc.load, loadNow()),
+                raws = acc.raws :+ t)
+              // the second attempt is baseline-gate-only: the loadavg
+              // gate keeps its historical single-retry behavior
+              done = !overBaseline(self, acc.name, acc.official)
+            case None => done = true
+          }
+        }
+        updated(i) = acc
+      }
+    }
+    val out = updated.toSeq
+    val suspects = out.collect {
+      case r if r.ok && overBaseline(self, r.name, r.official) =>
+        Suspect(r.name, r.official, self(r.name))
+    }
+    (out, suspects)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,9 +246,10 @@ object Bench {
     // exist on disk — e.g. a prior run against the same fixture).
     val (mvSecs, mvBuilds, mvFound) = graft.sources.MVWarm.warmAll(spark, sfDir)
     spark.catalog.clearCache()
-    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
+    val fnByName = queryFns.toMap
+    val readings0 = queryFns.map { case (name, fn) =>
       // 1-min loadavg sampled around EVERY query (max of before/after):
       // round-3's single end-of-run sample couldn't see a mid-run load
       // spike that tripled timeline-contiguous spans of queries, and the
@@ -159,33 +313,12 @@ object Bench {
       // the min fall back to the raw timings.
       val okTimes = raw.collect { case (t, true) => t }
       val official = (if (okTimes.nonEmpty) okTimes else raw.map(_._1)).min
-      (name, official, raw.forall(_._2), math.max(l0, loadAvg), raw.map(_._1), fn)
+      Reading(name, official, raw.forall(_._2), math.max(l0, loadAvg),
+        raw.map(_._1))
     }
-    // END-OF-RUN RETRY for load-contaminated readings (round-13: the
-    // driver artifact carried a contiguous name-sorted band of 5-8x
-    // phantom regressions under a loadavg-16 spike; min-of-adaptive-runs
-    // cannot help while the spike SPANS all of a query's runs, but a
-    // spike shorter than the whole sweep has usually passed by the END
-    // of the run). TWO independent gates qualify a query, both retried
-    // under one bounded time budget with min-over-real-runs semantics
-    // (retry timings ride the raw artifact too; nothing synthesized):
-    //  - LOADAVG gate: official time non-trivial AND around-query
-    //    loadavg well above the run median.
-    //  - BASELINE gate (round-15 verdict item 1): official time > 3×
-    //    the committed same-HEAD self-baseline (BENCH_SELF_r<N>.json in
-    //    the repo). Loadavg is a 1-MINUTE lagging average — round-15's
-    //    driver artifact carried ~21 s of phantom cost in three
-    //    sub-minute load bursts (9 queries at 4-10× their same-HEAD
-    //    self times, q250 at 7.14 s vs 0.73) that the loadavg gate
-    //    could not see; the repo carries its own baseline, so the
-    //    comparison is free and catches exactly that shape. A
-    //    baseline-flagged query may take a SECOND retry if the first
-    //    still reads > 3× (the burst can outlive one retry) — a real
-    //    plan regression reads slow on every run and keeps its honest
-    //    time; a stale baseline merely costs one bounded extra run.
-    val results = if (results0.isEmpty) results0 else {
-      val loadsAll = results0.map(_._4)
-      val medLoad = loadsAll.sorted.apply(loadsAll.size / 2)
+    // End-of-sweep retry pass ([[retryPass]]) with the real environment.
+    val (readings, suspects) = if (readings0.isEmpty) (readings0, Seq.empty[Suspect])
+    else {
       val self = selfBaseline(sfDir = Some(sfDir))
       // one provenance line: a silently-dormant gate (wrong cwd, sf
       // mismatch, garbled artifact) must be distinguishable from a
@@ -193,57 +326,40 @@ object Bench {
       System.err.println(s"[bench] baseline-relative retry gate: " +
         (if (self.isEmpty) "DORMANT (no usable same-sf BENCH_SELF artifact)"
          else s"armed with ${self.size} baseline queries"))
-      // > 0.3 s floor: 3× a centisecond query is measurement noise, and
-      // retrying it can't move the total either way
-      def overBaseline(name: String, t: Double): Boolean =
-        self.get(name).exists(s => t > math.max(0.3, 3.0 * s))
-      val budget = 120e9 // ns: bounded so a loaded host can't double bench time
-      val t0 = System.nanoTime()
-      results0.map { case r @ (name, official, ok, l, raws, fn) =>
-        val loadFlag = ok && official > 1.0 && l > math.max(2.0, medLoad * 1.5)
-        val baseFlag = ok && overBaseline(name, official)
-        if (!(loadFlag || baseFlag) || System.nanoTime() - t0 > budget) r
-        else {
-          def rerunOnce(): Option[Double] = {
-            val t1 = System.nanoTime()
-            try { fn(spark, sfDir).count(); Some((System.nanoTime() - t1) / 1e9) }
-            catch { case _: Throwable => None }
-            finally spark.catalog.clearCache()
-          }
-          var acc = r
-          var attempts = 0
-          var done = false
-          while (!done && attempts < 2 && System.nanoTime() - t0 <= budget) {
-            attempts += 1
-            rerunOnce() match {
-              case Some(t) =>
-                val (n, o, k, ll, rs, f) = acc
-                acc = (n, math.min(o, t), k, math.max(ll, loadAvg), rs :+ t, f)
-                // the second attempt is baseline-gate-only: the loadavg
-                // gate keeps its historical single-retry behavior
-                done = !overBaseline(n, acc._2)
-              case None => done = true
-            }
-          }
-          acc
-        }
+      def rerunOnce(name: String): Option[Double] = {
+        val t1 = System.nanoTime()
+        try { fnByName(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t1) / 1e9) }
+        catch { case _: Throwable => None }
+        finally spark.catalog.clearCache()
       }
+      retryPass(readings0, self, rerunOnce, () => loadAvg,
+        ms => Thread.sleep(ms))
     }
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = readings.map(r => s"\"" + r.name + "\":" + r.official)
       .mkString("{", ",", "}")
-    val qRaw = results.map { case (k, _, _, _, rs, _) =>
-      s"\"" + k + "\":" + rs.mkString("[", ",", "]") }
+    val qRaw = readings.map(r =>
+      s"\"" + r.name + "\":" + r.raws.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val qLoad = results.map { case (k, _, _, l, _, _) => s"\"" + k + "\":" + l }
+    val qLoad = readings.map(r => s"\"" + r.name + "\":" + r.load)
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
+    val failed = readings.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (readings.nonEmpty) readings.map(_.official).sum else 0.0
     // an EMPTY run (misspelled SPARK_GRAFT_ONLY) still emits a valid,
     // self-evidently-empty artifact instead of dying on loads.min
-    val loads = if (results.nonEmpty) results.map(_._4) else Seq(loadAvg)
+    val loads = if (readings.nonEmpty) readings.map(_.load) else Seq(loadAvg)
     val (lMin, lMax) = (loads.min, loads.max)
     val lMean = loads.sum / loads.size
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Unresolved contamination is self-annotating (round-17 verdict
+    // item 3): every query still over the baseline gate after its
+    // retries rides the artifact as {q, official, self}, so the judge
+    // computes the clean total from the driver artifact alone.
+    val suspectJson = suspects.map(s =>
+      s"""{"q":"${s.name}","official":${fmt2(s.official)},"self":${fmt2(s.self)}}""")
+      .mkString("[", ",", "]")
     // A crashing query must not masquerade as a fast one: failures are
     // listed explicitly in the emitted JSON (empty list = all ran).
     // Two artifacts, by audience:
@@ -258,8 +374,8 @@ object Bench {
     //    ARRAY in sorted-query-name order ("q_order":"name_asc", the
     //    same order `queries` in the full artifact iterates), which
     //    costs ~5 bytes/query instead of ~35 for a name-keyed map. A
-    //    1800-byte guard drops the array rather than ever risking
-    //    decapitation again.
+    //    1800-byte guard drops first the suspect list (its count stays)
+    //    and then the array rather than ever risking decapitation again.
     // A SPARK_GRAFT_ONLY subset run must be self-evidently partial: the
     // artifact files land at the same paths as a full run, and a subset
     // "total" mistaken for a full-run total would corrupt any baseline
@@ -270,20 +386,22 @@ object Bench {
       .mkString("{", ",", "}")
     val mvF = mvFound.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive + gc-debt 3rd run >2s + load/baseline retry","mv_build_secs":$mvSecs,"mv_builds":$mvB,"mv_found":$mvF$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":"2-4 adaptive + gc-debt 3rd run >2s + settle + load/baseline(3x-or-excess) retry","mv_build_secs":$mvSecs,"mv_builds":$mvB,"mv_found":$mvF$subset,"queries":$qs,"queries_raw":$qRaw,"queries_loadavg":$qLoad,"failed":$failed,"suspect":$suspectJson,"loadavg":{"min":$lMin,"mean":$lMean,"max":$lMax},"sf":"$sfDir"}"""
     // Locale.ROOT: the f-interpolator follows the default locale, and a
     // comma decimal separator would corrupt the compact JSON line.
-    val qSec = results.map { case (_, v, _, _, _, _) =>
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
-      .mkString("[", ",", "]")
-    def compactLine(withSecs: Boolean) = {
+    val qSec = readings.map(r => fmt2(r.official)).mkString("[", ",", "]")
+    def compactLine(withSecs: Boolean, withSuspects: Boolean) = {
       val secs = if (withSecs) s""","q_order":"name_asc","q_sec":$qSec""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mv_build_secs":$mvSecs$subset,"failed":$failed,"loadavg_max":$lMax,"sf":"$sfDir"$secs,"detail":"bench_out.json"}"""
+      val susp = s""","suspect_n":${suspects.size}""" +
+        (if (withSuspects && suspects.nonEmpty) s""","suspect":$suspectJson""" else "")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${readings.size},"mv_build_secs":$mvSecs$subset,"failed":$failed$susp,"loadavg_max":$lMax,"sf":"$sfDir"$secs,"detail":"bench_out.json"}"""
     }
-    val compact = {
-      val c = compactLine(withSecs = true)
-      if (c.length <= 1800) c else compactLine(withSecs = false)
-    }
+    val compact = Seq(
+      compactLine(withSecs = true, withSuspects = true),
+      compactLine(withSecs = true, withSuspects = false),
+      compactLine(withSecs = false, withSuspects = false))
+      .find(_.length <= 1800)
+      .getOrElse(compactLine(withSecs = false, withSuspects = false))
     for (p <- Seq("bench_out.json", "/tmp/graft_bench.json")) {
       try {
         val w = new java.io.PrintWriter(p, "UTF-8")

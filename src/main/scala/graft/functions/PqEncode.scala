@@ -220,7 +220,14 @@ object PqEncodeHelper {
         // wrong argmin codes; common PQ configs use 8/16-dim
         // subspaces): k terms, each |t|·1e10 unscaled, must sum inside
         // a Long — t < 8e8/k keeps the total ≤ 8e18 < 2^63 for any
-        // subspace dimension, mirroring adcScores' wGuard
+        // NON-EMPTY subspace dimension, mirroring adcScores' wGuard.
+        // k == 0 (an empty centroid array — a degenerate codebook
+        // entry) is handled below as a NaN no-winner candidate: the
+        // zero-iteration fold would otherwise yield dist 0.0 and STEAL
+        // the argmin from every real centroid (round-19 ADVICE), where
+        // the documented contract treats garbage entries like the NaN
+        // case — they lose, and an all-garbage subspace emits the -1
+        // sentinel.
         val tGuard = 8.0e8 / k
         var acc = 0L // exact: sum of scale-10 unscaled terms
         var slow = false
@@ -236,7 +243,9 @@ object PqEncodeHelper {
           if (t < tGuard) { acc += term10(t); i += 1 } else slow = true
         }
         val dist =
-          if (slow) distSlow(fv, sub * k, cv) else round4(unscale10(acc))
+          if (k == 0) Double.NaN // empty centroid: no-winner, never 0.0
+          else if (slow) distSlow(fv, sub * k, cv)
+          else round4(unscale10(acc))
         // a NaN dist never wins — the fold's null-dist candidates lost
         // the argmin the same way
         if (dist < best) { best = dist; bestCode = e.getLong(0) }

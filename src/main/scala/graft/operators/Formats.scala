@@ -381,6 +381,24 @@ object Formats {
     * text write/read breaks the per-word counts; the distinct-doc
     * column additionally pins the doc_id keying (a line split in two
     * would double a doc, a dropped key would null it). */
+  /** q260's line parse, keyed on the FIRST separator only (round-19
+    * ADVICE): the earlier substring_index(value, sep, -1) took
+    * everything after the LAST separator, so a regenerated fixture
+    * whose text happened to contain \u0001 would silently truncate the
+    * Spark-side text while the oracle splits the ORIGINAL parquet
+    * column -- a parity failure reading as an engine bug.
+    * split(_, _, limit=2) keeps doc_id and the FULL text intact no
+    * matter what bytes the text carries (the one-time fixture probe in
+    * the q260 scaladoc is now documentation, not a correctness
+    * precondition). Shared with SourcesSpec so the pinned idiom IS the
+    * production parse. */
+  private[graft] def parseDocLines(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("kv", split(col("value"), "\u0001", 2))
+      .select(
+        element_at(col("kv"), 1).cast("long").as("doc_id"),
+        element_at(col("kv"), 2).as("text"))
+
   private val q260 = QueryDef(
     "q260_raw_text_wordcount",
     "spark.read.text raw-line ingest proved lossless via word-profile parity",
@@ -405,10 +423,7 @@ object Formats {
         .select(concat_ws("\u0001",
           col("doc_id"), col("text")).as("value"))
         .write.mode("overwrite").text(s"$base/txt")
-      s.read.text(s"$base/txt")
-        .select(
-          substring_index(col("value"), "\u0001", 1).cast("long").as("doc_id"),
-          substring_index(col("value"), "\u0001", -1).as("text"))
+      parseDocLines(s.read.text(s"$base/txt"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("n"),

@@ -1241,11 +1241,24 @@ object Relational {
     * dataset version — per table, its schema WIDTH (from the parquet
     * footers, zero data read) and row count, cross-engine verified
     * (DuckDB recomputes the widths via `DESCRIBE <t>` subqueries and
-    * the counts from the same parquet). This is the catalog-drift
-    * alarm: a dropped/added column or a truncated ingest surfaces as a
-    * one-row diff here before any downstream query mis-joins. At 100 TB
-    * the schema half is metadata-only, and each row count is a
-    * column-pruned count aggregate (the scan reads no data columns).
+    * the counts from the same parquet). What each half proves
+    * (round-19 ADVICE — the earlier comment oversold the cross-engine
+    * diff as a drift alarm on its own):
+    *  - `n_cols`/`n_rows` cross-engine: Spark and DuckDB agree on the
+    *    parquet FOOTER interpretation, and the shared loader dispatch
+    *    ([[graft.sources.Tables.load]]) is width-neutral (no column
+    *    silently added/dropped on the Spark side). Both engines read
+    *    the SAME files, so a real fixture drift moves both sides
+    *    identically and this diff alone stays clean.
+    *  - `expected_cols`: the FIXTURES.md-recorded width as a CODE
+    *    CONSTANT ([[graft.sources.Tables.expectedWidth]]), embedded as
+    *    the same literal in both engines — a dropped/added column or a
+    *    truncated ingest now surfaces IN THE ARTIFACT as a visible
+    *    `n_cols != expected_cols` row (on both sides, so the gate stays
+    *    hash-green while the drift is still self-evident), and
+    *    SourcesSpec hard-fails the equality on the fixtures.
+    * At 100 TB the schema half is metadata-only, and each row count is
+    * a column-pruned count aggregate (the scan reads no data columns).
     * events is audited at its RAW footer surface (the engine-derived
     * `ts_us` convenience column is dropped — the oracle sees the files,
     * not the session's view). */
@@ -1253,36 +1266,46 @@ object Relational {
     "q261_schema_catalog_audit",
     "per-table schema width + row count, DESCRIBE-verified cross-engine",
     Some("""
-      SELECT table_name, n_cols, n_rows FROM (
+      SELECT table_name, n_cols, expected_cols, n_rows FROM (
         SELECT 'region' AS table_name,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE region)) AS n_cols,
+               CAST(2 AS BIGINT) AS expected_cols,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_rows
         UNION ALL SELECT 'nation',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE nation)),
+               CAST(3 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM nation)
         UNION ALL SELECT 'customer',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE customer)),
+               CAST(5 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
         UNION ALL SELECT 'supplier',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE supplier)),
+               CAST(4 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier)
         UNION ALL SELECT 'part',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE part)),
+               CAST(6 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM part)
         UNION ALL SELECT 'orders',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE orders)),
+               CAST(6 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
         UNION ALL SELECT 'lineitem',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE lineitem)),
+               CAST(11 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
         UNION ALL SELECT 'events',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE events)),
+               CAST(6 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
         UNION ALL SELECT 'documents',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE documents)),
+               CAST(5 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
         UNION ALL SELECT 'embeddings',
                (SELECT CAST(COUNT(*) AS BIGINT) FROM (DESCRIBE embeddings)),
+               CAST(3 AS BIGINT),
                (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings))
       ORDER BY table_name"""),
     (s, dir) => {
@@ -1295,7 +1318,9 @@ object Relational {
       loaded.map { case (name, df) =>
         df.agg(count(lit(1)).as("n_rows"))
           .select(lit(name).as("table_name"),
-            lit(df.schema.size.toLong).as("n_cols"), col("n_rows"))
+            lit(df.schema.size.toLong).as("n_cols"),
+            lit(Tables.expectedWidth(name).toLong).as("expected_cols"),
+            col("n_rows"))
       }.reduce(_.unionByName(_)).orderBy("table_name")
     })
 }

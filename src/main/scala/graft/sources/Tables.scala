@@ -147,6 +147,14 @@ object Tables {
                         "label" -> Set("integer", "long")))
   }
 
+  /** FIXTURES.md-expected FULL schema width per table (the `expected`
+    * column lists are complete, probed against the fixtures when they
+    * were recorded). The catalog audit (q261) embeds these as its
+    * drift reference: both engines derive `n_cols` from the same
+    * parquet footers, so a real drift moves both sides identically and
+    * only a CODE-CONSTANT expectation can make it visible. */
+  private[graft] def expectedWidth(name: String): Int = expected(name).size
+
   def validate(s: SparkSession, sfDir: String): Seq[String] = {
     val drifts = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { t =>

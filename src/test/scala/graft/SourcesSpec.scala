@@ -279,4 +279,41 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(run("4") == run("13"))
   }
+
+  test("q260 line parse keys on the FIRST separator: in-text \\u0001 bytes survive intact") {
+    // round-19 ADVICE: the earlier substring_index(_, sep, -1) parse
+    // returned everything after the LAST separator, silently truncating
+    // any text that itself contains \u0001 (the oracle splits the
+    // ORIGINAL parquet column, so the drift reads as an engine bug).
+    // This drives the PRODUCTION parse (Formats.parseDocLines, the same
+    // function q260 calls) with exactly that hostile shape.
+    val lines = Seq(
+      "7\u0001hello\u0001world",   // in-text separator: text must keep it
+      "8\u0001plain text",
+      "9\u0001"                    // empty text round-trips as empty
+    ).toDF("value")
+    val got = graft.operators.Formats.parseDocLines(lines)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got == Seq(
+      (7L, "hello\u0001world"),
+      (8L, "plain text"),
+      (9L, "")), s"first-separator keying must preserve the full text, got $got")
+  }
+
+  test("q261 catalog audit: fixture widths match the FIXTURES.md code constants (true drift alarm)") {
+    // Both engines derive n_cols from the SAME parquet footers, so a
+    // real drift moves both sides identically and the cross-engine hash
+    // stays green (round-19 ADVICE) — the CODE-CONSTANT expected_cols
+    // column is what makes drift visible, and this spec is the hard
+    // gate on it: a regenerated fixture that drops/adds a column fails
+    // HERE, by name, before any downstream query mis-joins.
+    val rows = SparkEntry.queries("q261_schema_catalog_audit")(spark, sf)
+      .collect().toSeq
+    assert(rows.size == 10)
+    val drifted = rows.filter(r =>
+      r.getLong(r.fieldIndex("n_cols")) != r.getLong(r.fieldIndex("expected_cols")))
+    assert(drifted.isEmpty,
+      s"schema-width drift vs FIXTURES.md: ${drifted.mkString(", ")}")
+  }
 }
