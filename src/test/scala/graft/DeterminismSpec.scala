@@ -106,7 +106,8 @@ class DeterminismSpec extends AnyFunSuite {
     "q207_kfold_cv_mse", // hash folds + decimal squared-error fold
     "q208_feature_hash_collisions", // hash-bucket loads + histogram re-agg
     "q209_linkpred_resource_allocation", // two-hop candidates + top-20 tie cut
-    "q210_conformal_coverage") // hash slices + grid-cum rank threshold
+    "q210_conformal_coverage", // hash slices + grid-cum rank threshold
+    "q262_malformed_csv_policy") // corrupted-CSV rewrite + two policy reads
 
   hazards.foreach { name =>
     test(s"$name is run-to-run identical") {
