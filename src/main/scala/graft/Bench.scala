@@ -55,7 +55,14 @@ object Bench {
             if (depth != 0) Map.empty // truncated artifact
             else {
               val body = txt.substring(start + key.length, i - 1)
-              "\"([A-Za-z0-9_]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
+              // any nesting means the format grew past "name":number
+              // pairs -- degrade to DORMANT (visible in the provenance
+              // line) rather than harvest inner keys as bogus baseline
+              // entries (round-19 review: a nested {"q206...":0.01}
+              // would otherwise poison the gate into flagging q206
+              // forever)
+              if (body.contains('{')) Map.empty
+              else "\"([A-Za-z0-9_]+)\":([-0-9.eE]+)".r.findAllMatchIn(body)
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
             }
           }
@@ -151,8 +158,13 @@ object Bench {
       r.ok && overBaseline(self, r.name, r.official)
     def loadFlag(r: Reading): Boolean =
       r.ok && r.official > 1.0 && r.load > math.max(2.0, medLoad * 1.5)
-    def excess(r: Reading): Double =
-      r.official - self.getOrElse(r.name, 0.0)
+    // known contamination first: a loadavg-flagged query with NO
+    // baseline entry has unknown excess and must not preempt a known
+    // +6.5 s phantom under a tight budget (round-19 review); unknowns
+    // retry after all known-excess queries, largest official first
+    def excess(r: Reading): (Int, Double) =
+      if (self.contains(r.name)) (0, -(r.official - self(r.name)))
+      else (1, -r.official)
     val flaggedIdx = readings.zipWithIndex.collect {
       case (r, i) if loadFlag(r) || baseFlag(r) => i
     }
@@ -161,7 +173,11 @@ object Bench {
       // budget window (nowNs t0 is taken after)
       var slept = 0L
       var l = loadNow()
-      while (l > medLoad * 1.25 && slept < settleCapMs) {
+      // absolute 2.0 floor mirrors the loadavg gate's: on a quiet host
+      // a baseline-flagged query (stale baseline, real regression) must
+      // retry immediately, not wait out the cap because 0.3 > 0.25
+      // (round-19 review)
+      while (l > math.max(2.0, medLoad * 1.25) && slept < settleCapMs) {
         sleepMs(settleStepMs); slept += settleStepMs; l = loadNow()
       }
       if (slept > 0) System.err.println(
@@ -170,7 +186,7 @@ object Bench {
     }
     val t0 = nowNs()
     val updated = readings.toArray
-    flaggedIdx.sortBy(i => -excess(readings(i))).foreach { i =>
+    flaggedIdx.sortBy(i => excess(readings(i))).foreach { i =>
       if (nowNs() - t0 <= budgetNs) {
         var acc = updated(i)
         var attempts = 0
@@ -223,12 +239,7 @@ object Bench {
     // C2-compiles the hot paths for ~1/100th of the data cost; the timed
     // loop below then measures execution, not one-time JIT. Warm-run
     // failures are ignored here — the timed loop reports them.
-    val warmDir = {
-      val d = new java.io.File(sfDir).getParentFile
-      val w = new java.io.File(d, "sf0.001")
-      if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
-    }
-    warmDir.foreach { wd =>
+    HarnessSession.warmDir(sfDir).foreach { wd =>
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.isEmpty || only(n) }
         .foreach { case (_, fn) =>

@@ -59,4 +59,16 @@ object HarnessSession {
     * artifacts to make contaminated readings attributable). */
   def loadAvg: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** The bench protocol's sf0.001 warm fixture next to the target SF
+    * dir (None when absent, or when the target IS sf0.001). ONE
+    * definition shared by Bench and every DriverSim mode that claims to
+    * reproduce its protocol (round-19 review: the copy-pasted block
+    * could silently desynchronize the sim from the protocol it
+    * certifies). */
+  def warmDir(sfDir: String): Option[String] = {
+    val d = new java.io.File(sfDir).getParentFile
+    val w = new java.io.File(d, "sf0.001")
+    if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
+  }
 }

@@ -479,13 +479,21 @@ object Formats {
       val docs = Tables.documents(s, dir)
       val base = scratch("q262")
       // deterministic corruption at WRITE time: arity stays 3, the
-      // doc_id field becomes unparseable for LongType
-      docs.select(concat_ws(",",
+      // doc_id field becomes unparseable for LongType. Written through
+      // the REAL CSV writer with quoteAll (round-19 review): a
+      // hand-rolled concat_ws would re-open the q260 regenerated-
+      // fixture hazard class -- a lang containing a comma/quote would
+      // shift arity and corrupt a line the oracle's rule keeps clean.
+      // quoteAll makes every field quoted; the reader unquotes before
+      // the type conversion, so the corrupt token still fails the LONG
+      // cast and clean ids still parse (the q202 writer discipline).
+      docs.select(
           when(col("doc_id") % 10 === 3,
             concat(lit("CORRUPT#"), col("doc_id")))
-            .otherwise(col("doc_id").cast("string")),
-          col("lang"), col("n_chars")).as("value"))
-        .write.mode("overwrite").text(s"$base/csv")
+            .otherwise(col("doc_id").cast("string")).as("doc_id"),
+          col("lang"), col("n_chars"))
+        .write.mode("overwrite").option("quoteAll", "true")
+        .csv(s"$base/csv")
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("n_chars", LongType)))
@@ -522,13 +530,19 @@ object Formats {
       // corrupt lines are precisely the null-doc_id ones), keeping the
       // scan's required schema non-degenerate under ANY downstream
       // pruning.
+      // ONE scan (round-19 review: a bare-count crossJoin read the
+      // file twice): total rows, clean rows and the clean checksum come
+      // from one conditional aggregation -- sum() skips the nulls the
+      // when() leaves on corrupt rows, which is exactly the filtered
+      // checksum. The condition references doc_id alongside the corrupt
+      // column so the scan's required schema can never prune down to
+      // the corrupt column alone.
+      val clean = col("_corrupt_record").isNull && col("doc_id").isNotNull
       val permRow = perm
-        .agg(count(lit(1)).as("n_rows"))
-        .crossJoin(perm
-          .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
-          .select(rowH.as("h"))
-          .agg(count(lit(1)).as("n_clean"),
-            checksum40(col("h")).as("content_checksum")))
+        .select(clean.as("clean"), rowH.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("clean"), 1)).as("n_clean"),
+          checksum40(when(col("clean"), col("h"))).as("content_checksum"))
         .select(lit("PERMISSIVE").as("mode"), col("n_rows"),
           col("n_clean"), col("content_checksum"))
       dropped.unionByName(permRow).orderBy("mode")

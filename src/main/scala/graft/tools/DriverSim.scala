@@ -69,12 +69,7 @@ object DriverSim {
     val spark = graft.HarnessSession.create()
     // bench-identical warm: corpus scan + each subset query at sf0.001
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val warmDir = {
-      val d = new java.io.File(sfDir).getParentFile
-      val w = new java.io.File(d, "sf0.001")
-      if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
-    }
-    warmDir.foreach { wd =>
+    graft.HarnessSession.warmDir(sfDir).foreach { wd =>
       names.foreach { n =>
         try graft.SparkEntry.queries(n)(spark, wd).count()
         catch { case _: Throwable => () }
@@ -114,7 +109,11 @@ object DriverSim {
       val l0 = loadAvg
       // bench shape: min-of-2, both raw timings kept
       val raws = (1 to 2).flatMap(_ => timeOnce(n))
-      val official = if (raws.nonEmpty) raws.min else Double.NaN
+      // -1.0 sentinel, not NaN: a query failing both runs (bad name,
+      // sf-scale crash) must not corrupt the emitted JSON line -- the
+      // artifact is the whole point of the run (round-19 review); the
+      // reading also carries ok=false so the gate never retries it
+      val official = if (raws.nonEmpty) raws.min else -1.0
       graft.Bench.Reading(n, official, raws.size == 2,
         math.max(l0, loadAvg), raws)
     }
@@ -181,11 +180,7 @@ object DriverSim {
     val fn = graft.SparkEntry.queries(name)
     // bench-identical warm: corpus scan + the query once at sf0.001
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val warmDir = {
-      val d = new java.io.File(sfDir).getParentFile
-      val w = new java.io.File(d, "sf0.001")
-      if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
-    }
+    val warmDir = graft.HarnessSession.warmDir(sfDir)
     // prefix mode warms EVERY query at sf0.001 (the bench's exact warm
     // pass); point mode warms just the target
     val warmNames =

@@ -463,14 +463,16 @@ class OperatorUnitSpec extends AnyFunSuite {
       """"queries":{"q02_c":1.5},"sf":"/data/sf0.1"}""")
     assert(Bench.selfBaseline(dir, Some("/data/sf0.1")) == Map("q02_c" -> 1.5),
       "the tail sf field governs; an earlier sf-shaped match must not disarm the gate")
-    // (b) the queries object ends at its MATCHING brace: a nested value
-    // must not truncate the baseline to a silent prefix (q03_b below
-    // would vanish under first-'}' termination)
+    // (b) a NESTED value inside queries means the format grew past
+    // "name":number pairs: the parse must degrade to empty (gate
+    // DORMANT, visible in the provenance line) -- under first-'}'
+    // termination q03_b would silently vanish, and under a naive flat
+    // regex the inner "x":2.0 would be harvested as a bogus baseline
+    // entry that poisons the gate (round-19 review)
     write("BENCH_SELF_r20.json",
       """{"queries":{"q01_a":1.0,"weird":{"x":2.0},"q03_b":3.0},"sf":"/data/sf0.1"}""")
-    val nested = Bench.selfBaseline(dir)
-    assert(nested.get("q01_a").contains(1.0) && nested.get("q03_b").contains(3.0),
-      s"a nested value must not truncate the parsed baseline, got $nested")
+    assert(Bench.selfBaseline(dir).isEmpty,
+      "a nested value must disarm the gate, not truncate or pollute the baseline")
   }
 
   test("PqEncode: an empty centroid is a no-winner candidate, never a 0-distance argmin thief") {
@@ -567,15 +569,25 @@ class OperatorUnitSpec extends AnyFunSuite {
       Reading("qb", 0.1, ok = true, load = 3.0, raws = Seq(0.1)),
       Reading("qc", 0.1, ok = true, load = 3.0, raws = Seq(0.1)),
       Reading("qd", 0.1, ok = true, load = 3.0, raws = Seq(0.1)),
+      // five quiet readings keep the sweep MEDIAN at 3.0 with four
+      // loaded ones present (9 loads: idx 4 of the sort)
+      Reading("qe", 0.1, ok = true, load = 3.0, raws = Seq(0.1)),
       Reading("q206", 10.1, ok = true, load = 15.6, raws = Seq(10.1)),
       Reading("q234", 4.8, ok = true, load = 15.0, raws = Seq(4.8)),
       // loadavg-flagged with NO baseline entry: one retry, never a suspect
-      Reading("qload", 2.5, ok = true, load = 15.0, raws = Seq(2.5)))
+      Reading("qload", 2.5, ok = true, load = 15.0, raws = Seq(2.5)),
+      // also no baseline, HUGE official: its unknown excess must not
+      // preempt q206's known +6.5 s under a tight budget (round-19
+      // review) -- unknowns retry after every known-excess query
+      Reading("qbig", 9.0, ok = true, load = 15.0, raws = Seq(9.0)))
     var sleptMs = 0L
+    val order = scala.collection.mutable.Buffer.empty[String]
     val attempts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     def rerun(n: String): Option[Double] = {
       attempts(n) += 1
-      Some(if (n == "qload") 2.4 else self(n) * 3.5) // burst never dies
+      order += n
+      Some(if (n == "qload") 2.4 else if (n == "qbig") 8.8
+        else self(n) * 3.5) // burst never dies
     }
     var clock = 0L
     val (out, suspects) = retryPass(readings, self, rerun,
@@ -585,8 +597,10 @@ class OperatorUnitSpec extends AnyFunSuite {
       s"an unkillable burst costs at most the settle cap of waiting, slept $sleptMs ms")
     assert(attempts("q206") == 2 && attempts("q234") == 2,
       "baseline-flagged queries get exactly two attempts under a live burst")
-    assert(attempts("qload") == 1,
+    assert(attempts("qload") == 1 && attempts("qbig") == 1,
       "loadavg-only flags keep the historical single retry")
+    assert(order.distinct.toSeq == Seq("q206", "q234", "qbig", "qload"),
+      s"known excess retries first (desc), then unknowns by official, got $order")
     assert(suspects.map(_.name).sorted == Seq("q206", "q234"),
       s"still-dirty baseline readings must self-annotate, got $suspects")
     val s206 = suspects.find(_.name == "q206").get
@@ -600,14 +614,20 @@ class OperatorUnitSpec extends AnyFunSuite {
     // flagged-dirty readings STILL surface as suspects (the judge sees
     // the stranding instead of reconstructing it from BENCH_SELF)
     val attempts0 = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var slept0 = 0L
     var clock2 = 0L
     val (out0, sus0) = retryPass(readings, self,
       n => { attempts0(n) += 1; Some(0.0) },
-      loadNow = () => 2.0, sleepMs = _ => (),
+      loadNow = () => 2.0, sleepMs = ms => slept0 += ms,
       nowNs = () => { clock2 += 1; clock2 }, budgetNs = 0L)
     assert(attempts0.isEmpty, "a spent budget blocks all reruns")
     assert(out0 == readings, "readings pass through unmodified")
     assert(sus0.map(_.name).sorted == Seq("q206", "q234"),
       "budget-stranded contamination is still annotated")
+    // idle-host floor (round-19 review): flagged queries on a quiet box
+    // (loadavg at/below the absolute 2.0 floor) retry IMMEDIATELY --
+    // a stale baseline or real regression must not wait out the cap
+    // just because 2.0 > tiny-median*1.25
+    assert(slept0 == 0L, "no settle below the absolute loadavg floor")
   }
 }
