@@ -1112,6 +1112,22 @@ class PlanSpec extends AnyFunSuite {
       "the en filter must push into the ORC reader (row-group elimination at scale)")
   }
 
+  test("q262: each recovery policy is ONE csv scan (no bare-count double read)") {
+    // round-19 review: the PERMISSIVE branch once crossJoined a bare
+    // count() scan with the clean-subset aggregation, reading the file
+    // twice -- and the bare count would ALSO have skipped parsing
+    // entirely under DROPMALFORMED (no columns referenced, nothing ever
+    // malformed). One conditional aggregation per policy keeps each
+    // path a single parsing scan; this pins it.
+    // executedPlan only (plan() concatenates the formatted explain,
+    // which lists every node twice more)
+    val exec = SparkEntry.queries("q262_malformed_csv_policy")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val csvScans = exec.linesIterator.count(_.contains("Scan csv"))
+    assert(csvScans == 2,
+      s"exactly one csv scan per policy (DROPMALFORMED + PERMISSIVE), got $csvScans")
+  }
+
   test("q252: PQ encode+ADC run map-side as native expressions; the corpus never joins") {
     val p = plan("q252_pq_adc_recall")
     // round-14 verdict item 3: the codebook AND the query LUT are model
