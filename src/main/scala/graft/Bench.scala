@@ -324,6 +324,11 @@ object Bench {
       // the min fall back to the raw timings.
       val okTimes = raw.collect { case (t, true) => t }
       val official = (if (okTimes.nonEmpty) okTimes else raw.map(_._1)).min
+      // GC-debt prevention between queries, OUTSIDE every timing window
+      // (HarnessSession.teardownGc: half-heap + 1/min bounded) -- the
+      // debt a query sheds here is debt the NEXT big query no longer
+      // pays inside its timed runs
+      HarnessSession.teardownGc()
       Reading(name, official, raw.forall(_._2), math.max(l0, loadAvg),
         raw.map(_._1))
     }

@@ -60,6 +60,29 @@ object HarnessSession {
   def loadAvg: Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Untimed GC-debt prevention (round-19; the q206 mechanism, named by
+    * the r15 prefixgc differential and re-proved this round: after ~125
+    * queries of accumulated old-gen garbage the next big allocating
+    * query pays the deferred collection INSIDE its timed runs -- prefix
+    * replay min 8.02 s vs 5.53 s with a forced GC between prefix and
+    * timing vs 3.59 s isolated). Instead of insuring after the fact
+    * (the gc-debt third run), pay the debt where it belongs: in the
+    * sweep's UNTIMED teardown, outside every timing window. Bounded two
+    * ways so it can never become the new overhead: only above
+    * half-heap occupancy, and at most one forced collection per
+    * minute. Called between queries by Bench's timed loop and by
+    * DriverSim's prefix replay (which must mirror the protocol). */
+  private var lastForcedGc = 0L
+  def teardownGc(): Unit = synchronized {
+    val rt = Runtime.getRuntime
+    val used = rt.totalMemory - rt.freeMemory
+    if (used > rt.maxMemory / 2 &&
+        System.nanoTime() - lastForcedGc > 60L * 1000 * 1000 * 1000) {
+      System.gc()
+      lastForcedGc = System.nanoTime()
+    }
+  }
+
   /** The bench protocol's sf0.001 warm fixture next to the target SF
     * dir (None when absent, or when the target IS sf0.001). ONE
     * definition shared by Bench and every DriverSim mode that claims to

@@ -206,6 +206,9 @@ object DriverSim {
       try graft.SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
+      // the timed loop now sheds GC debt between queries; the replay
+      // must mirror the protocol it reproduces
+      graft.HarnessSession.teardownGc()
     }
     val prefixSecs = (System.nanoTime() - prefixT0) / 1e9
     if (prefixReplay) System.err.println(
