@@ -548,5 +548,101 @@ object Formats {
       dropped.unionByName(permRow).orderBy("mode")
     })
 
-  def defs: Seq[QueryDef] = Seq(q202, q216, q217, q244, q253, q255, q260, q262)
+  /** q262's JSON-lines sibling, exercising the failure class CSV cannot
+    * have: STRUCTURAL corruption. q262's corrupt lines keep their shape
+    * (arity intact) and fail only a field's type conversion; a scraped
+    * JSON corpus instead carries truncated objects -- a writer died
+    * mid-line, a chunk boundary clipped a record -- where the parser
+    * fails before any field exists. The corpus exports as
+    * (doc_id, lang, n_chars) JSON lines through the real generator
+    * (`to_json(struct(...))` -- the same escaping as the json writer,
+    * so a quote/backslash in a field can never fake a corruption), and
+    * every `doc_id % 10 == 3` line loses its closing brace: Jackson
+    * hits EOF inside the object and the whole line is malformed.
+    * Read back under both policies:
+    *  - DROPMALFORMED: truncated lines vanish; survivor count and
+    *    content checksum must equal the oracle's over
+    *    `documents WHERE doc_id % 10 <> 3`;
+    *  - PERMISSIVE: every line survives, truncated ones carry the raw
+    *    line in `_corrupt_record` with ALL data fields null (structural
+    *    failure has no partial result, unlike q262's field-level case
+    *    where intact fields may survive), and the clean subset
+    *    reproduces the checksum.
+    * The oracle is recomputed from the ORIGINAL parquet + the rule, so
+    * a clean line misdropped, a truncated line half-salvaged, or any
+    * generator/parser escaping drift breaks parity. JSON lines stay
+    * byte-range-splittable (one record per line), so both policies are
+    * scan-time row-local decisions at 100 TB -- nothing driver-side.
+    * Same count discipline as q262: totals come from the
+    * column-referencing scan the checksum needs, and the PERMISSIVE
+    * clean predicate references doc_id alongside the corrupt column so
+    * no downstream pruning can degenerate the scan to the
+    * corrupt-record column alone (Spark forbids that shape at planning
+    * for JSON exactly as for CSV). */
+  private val q263 = QueryDef(
+    "q263_malformed_json_policy",
+    "PERMISSIVE vs DROPMALFORMED JSON-lines recovery proved against a truncation rule",
+    Some(s"""
+      WITH c AS (SELECT doc_id, lang, n_chars FROM documents
+                 WHERE doc_id % 10 <> 3),
+      h AS (SELECT ${text.md5Hash60Sql(
+                      "doc_id || chr(1) || lang || chr(1) || n_chars")}
+                      % (1::BIGINT << 40) AS h
+            FROM c),
+      agg AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clean,
+                     ${checksum40Sql("h")} AS content_checksum
+              FROM h)
+      SELECT 'DROPMALFORMED' AS mode, agg.n_clean AS n_rows,
+             agg.n_clean, agg.content_checksum
+      FROM agg
+      UNION ALL
+      SELECT 'PERMISSIVE',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+             agg.n_clean, agg.content_checksum
+      FROM agg
+      ORDER BY mode"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = scratch("q263")
+      // real JSON generation, then a deterministic structural clip: the
+      // final char of a to_json object line is always the closing brace,
+      // so dropping it leaves Jackson mid-object at EOF -- malformed
+      // regardless of field content.
+      val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      docs.select(
+          when(col("doc_id") % 10 === 3,
+            line.substr(lit(1), length(line) - 1))
+            .otherwise(line).as("value"))
+        .write.mode("overwrite").text(s"$base/json")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val rowH = text.md5Hash60(concat_ws("\u0001",
+        col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
+      val dropped = s.read.schema(schema)
+        .option("mode", "DROPMALFORMED").json(s"$base/json")
+        .select(rowH.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          checksum40(col("h")).as("content_checksum"))
+        .select(lit("DROPMALFORMED").as("mode"), col("n_rows"),
+          col("n_rows").as("n_clean"), col("content_checksum"))
+      val permSchema = StructType(schema.fields :+
+        StructField("_corrupt_record", StringType))
+      val perm = s.read.schema(permSchema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$base/json")
+      val clean = col("_corrupt_record").isNull && col("doc_id").isNotNull
+      val permRow = perm
+        .select(clean.as("clean"), rowH.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("clean"), 1)).as("n_clean"),
+          checksum40(when(col("clean"), col("h"))).as("content_checksum"))
+        .select(lit("PERMISSIVE").as("mode"), col("n_rows"),
+          col("n_clean"), col("content_checksum"))
+      dropped.unionByName(permRow).orderBy("mode")
+    })
+
+  def defs: Seq[QueryDef] =
+    Seq(q202, q216, q217, q244, q253, q255, q260, q262, q263)
 }

@@ -316,4 +316,62 @@ class SourcesSpec extends AnyFunSuite {
     assert(drifted.isEmpty,
       s"schema-width drift vs FIXTURES.md: ${drifted.mkString(", ")}")
   }
+
+  test("q263 structural JSON corruption: truncated line nulls ALL fields, clean line with hostile content survives") {
+    // The failure class q263 gates, driven directly at the parser: a
+    // truncated object must yield a fully-null data row with the raw
+    // line in _corrupt_record (structural failure has no partial
+    // result), while a syntactically VALID line whose fields carry
+    // hostile content (escaped quote + backslash, exactly what
+    // to_json generates) parses clean. This is the micro-pin behind
+    // the registered gate's corpus-level checksums.
+    val lines = Seq(
+      """{"doc_id":1,"lang":"a\"b\\c","n_chars":7}""",   // hostile but valid
+      """{"doc_id":3,"lang":"en","n_chars":5""",         // truncated: corrupt
+      """{"doc_id":4,"lang":"fr","n_chars":9}"""
+    ).toDF("value")
+    val dir = Files.createTempDirectory("graft_q263").toString
+    lines.coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-record column requires the full row materialized
+    val bad = df.filter($"_corrupt_record".isNotNull).collect()
+    assert(bad.length == 1)
+    assert(bad(0).isNullAt(0) && bad(0).isNullAt(1) && bad(0).isNullAt(2),
+      s"structural corruption must null every data field, got ${bad(0)}")
+    assert(bad(0).getString(3).startsWith("""{"doc_id":3"""))
+    val good = df.filter($"_corrupt_record".isNull).orderBy("doc_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(good == Seq((1L, "a\"b\\c", 7L), (4L, "fr", 9L)))
+    // DROPMALFORMED over the same file: exactly the clean lines, via a
+    // column-referencing scan (the q262/q263 count discipline)
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dropped == Seq(1L, 4L))
+    df.unpersist()
+  }
+
+  test("q263 registered gate: policies agree on the clean set and corruption hits exactly the rule's rows") {
+    val byMode = SparkEntry.queries("q263_malformed_json_policy")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (dRows, dClean, dSum) = byMode("DROPMALFORMED")
+    val (pRows, pClean, pSum) = byMode("PERMISSIVE")
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val corrupt = docs.filter($"doc_id" % 10 === 3).count()
+    assert(dRows == dClean && dRows == total - corrupt,
+      s"DROPMALFORMED must keep exactly the clean lines: $dRows vs ${total - corrupt}")
+    assert(pRows == total, s"PERMISSIVE must lose nothing: $pRows vs $total")
+    assert(pClean == dClean && pSum == dSum,
+      "both policies must agree on the clean set and its checksum")
+  }
 }
