@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, TopKLongPairs, TopKSummedLongPairs}
+import graft.functions.{DotProduct, NfcNormalize, TopKLongPairs, TopKSummedLongPairs}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use, so `spark.sql("SELECT graft_dot(a, b) ...")`
@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    // Unicode canonical normalization for encoding-robust dedup keys:
+    // `SELECT graft_nfc(text) ...`
+    e.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children(0))))
     // k-bounded-heap top-k-per-group aggregate:
     // `SELECT key, graft_topk_pairs(ord, v, 10) ... GROUP BY key`
     e.injectFunction((
@@ -103,6 +110,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk_pairs",
       exprs => TopKLongPairs(exprs(0), exprs(1),

@@ -1564,7 +1564,82 @@ object Dedup {
         .orderBy("mktsegment")
     })
 
+  // ---------------------------------------------------------------------
+  // q264 — Unicode canonical-equivalence dedup (NFC normalization)
+  // ---------------------------------------------------------------------
+
+  /** The encoding-robustness gap every byte-level dedup primitive in
+    * this file shares: canonical-equivalent text — composed U+00E9 vs
+    * "e" + combining acute U+0301, same rendered string, different
+    * bytes — defeats exact hashes, MinHash shingles and group-by keys
+    * alike. A corpus pipeline normalizes to NFC once at ingest and keys
+    * everything downstream on the normalized form; this gate proves the
+    * engine's normalizer ([[graft.functions.NfcNormalize]], a native
+    * codegen expression — Spark has no built-in) against DuckDB's
+    * nfc_normalize byte-for-byte.
+    *
+    * The fixture corpus is pure ASCII (verified — ASCII is trivially
+    * NFC), so the gate CONSTRUCTS the canonical-duplicate pair
+    * deterministically: every document's text spawns two variants via
+    * an in-stage explode — one suffixed with composed " café",
+    * one with decomposed " cafe" + U+0301. Byte-level distinctness
+    * sees 2x the texts (the two suffix encodings never collide across
+    * documents: the final byte 0xA9 vs 0x81 differs); NFC-normalized
+    * distinctness unifies each pair back to one — distinct_raw ==
+    * 2 * distinct_nfc by construction, the miss byte-level dedup would
+    * ship as duplicate training documents. The checksum sums the 40-bit
+    * md5 of every NORMALIZED variant, so both engines must produce
+    * identical normalized BYTES, not just equal distinct counts — any
+    * composition drift between java.text.Normalizer and DuckDB's
+    * ICU-backed twin breaks the hash.
+    *
+    * Scale shape: the explode doubles rows inside the scan's codegen
+    * stage (no shuffle); normalization is map-side (ASCII fast path
+    * returns the input UTF8String untouched — the 100 TB common case
+    * costs a byte-vs-char count compare); the exact multi-distinct
+    * aggregate plans as one Expand + hash aggregate, a single shuffle
+    * on lang. Exact distinct is the cross-engine contract here; a
+    * production census at scale would use HLL (q09's path) over the
+    * same normalized column. NULL texts are excluded up front (both
+    * engines state it), keeping the checksum's hash input total. */
+  private val q264 = QueryDef(
+    "q264_unicode_nfc_dedup",
+    "NFC normalization unifies composed/decomposed duplicates that byte-level dedup misses",
+    Some(s"""
+      WITH v AS (SELECT lang, text || ' caf' || chr(233) AS v
+                 FROM documents WHERE text IS NOT NULL
+                 UNION ALL
+                 SELECT lang, text || ' cafe' || chr(769) AS v
+                 FROM documents WHERE text IS NOT NULL),
+      n AS (SELECT lang, v, nfc_normalize(v) AS nv FROM v),
+      h AS (SELECT lang, v, nv,
+                   ${text.md5Hash60Sql("nv")} % (1::BIGINT << 40) AS h
+            FROM n)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_variants,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS distinct_raw,
+             CAST(COUNT(DISTINCT nv) AS BIGINT) AS distinct_nfc,
+             CAST(SUM(h) % (1::BIGINT << 40) AS BIGINT) AS nfc_checksum
+      FROM h GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("text"))
+      val variants = docs.select(col("lang"), explode(array(
+          concat(col("text"), lit(" caf\u00e9")),
+          concat(col("text"), lit(" cafe\u0301")))).as("v"))
+      val normed = variants.select(col("lang"), col("v"),
+        graft.functions.NfcNormalize.nfcCol(col("v")).as("nv"))
+      normed.groupBy("lang")
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("v")).as("distinct_raw"),
+          countDistinct(col("nv")).as("distinct_nfc"),
+          (sum((text.md5Hash60(col("nv")) % (1L << 40))
+            .cast("decimal(38,0)")) % lit(1L << 40))
+            .cast("long").as("nfc_checksum"))
+        .orderBy("lang")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162,
-      q163, q237, q238, q239, q241, q243, q254, q258)
+      q163, q237, q238, q239, q241, q243, q254, q258, q264)
 }

@@ -196,4 +196,36 @@ class LayoutSpec extends AnyFunSuite {
       "the backfilled partition must contain only the corrected batch")
     assert(back.count() == docs.count(), "row count conserved across the backfill")
   }
+
+  test("maxRecordsPerFile caps file size at write; content round-trips (file-size governance)") {
+    // The write-side half of the small-files/large-files problem: at
+    // 100 TB a sink must bound the records per output file so no task
+    // emits a multi-GB file (downstream readers split at file
+    // granularity for row-group-aligned work stealing) — the knob is
+    // per-writer, orthogonal to partitioning. Capping is per TASK:
+    // a writer rolls to a new file every n records, so file count >=
+    // ceil(rows / n) with equality only under single-partition input.
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    val rows = docs.count()
+    val cap = 100L
+    val dir = Files.createTempDirectory("graft_filegov").toString
+    docs.repartition(4).write.mode("overwrite")
+      .option("maxRecordsPerFile", cap).parquet(dir)
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= math.ceil(rows.toDouble / cap).toInt,
+      s"${files.length} files cannot hold $rows rows under a $cap cap")
+    // every file individually respects the cap (footer row count —
+    // no data read)
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= cap, s"${f.getName} holds $n rows > cap $cap")
+    }
+    // governance must not cost correctness: content round-trips exactly
+    val back = spark.read.parquet(dir)
+    assert(back.count() == rows)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
 }

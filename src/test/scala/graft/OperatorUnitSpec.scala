@@ -630,4 +630,38 @@ class OperatorUnitSpec extends AnyFunSuite {
     // just because 2.0 > tiny-median*1.25
     assert(slept0 == 0L, "no settle below the absolute loadavg floor")
   }
+
+  test("NfcNormalize: composes canonical equivalents, ASCII fast path is zero-copy, idempotent, SQL-registered") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NfcNormalize
+    // static helper (the codegen call target): ASCII returns the SAME
+    // object (the 100 TB fast path -- no Java String ever materializes)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.nfc(ascii) eq ascii, "ASCII must be zero-copy")
+    // already-NFC non-ASCII returns the same object too (probe only)
+    val nfcAlready = UTF8String.fromString("caf\u00e9")
+    assert(NfcNormalize.nfc(nfcAlready) eq nfcAlready,
+      "already-normalized text must not be copied")
+    // decomposed -> composed, byte-for-byte
+    val nfd = UTF8String.fromString("cafe\u0301")
+    assert(nfd.numBytes == 6 && nfcAlready.numBytes == 5,
+      "fixture strings must really differ at the byte level")
+    assert(NfcNormalize.nfc(nfd) == nfcAlready)
+    // idempotence
+    assert(NfcNormalize.nfc(NfcNormalize.nfc(nfd)) == nfcAlready)
+    // through the engine (codegen path), with null propagation
+    val df = Seq(Some("cafe\u0301"), Some("caf\u00e9"), Some("abc"), None)
+      .toDF("t")
+      .select(NfcNormalize.nfcCol(col("t")).as("nv"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .toSeq == Seq("caf\u00e9", "caf\u00e9", "abc", null))
+    // the two canonical forms must dedup to ONE key post-normalization
+    assert(df.filter(col("nv").isNotNull).distinct().count() == 2)
+    // SQL surface via GraftExtensions. NOTE: Spark's chr() is mod-256
+    // ASCII (chr(769) = chr(1)), unlike DuckDB's code-point chr() --
+    // the combining mark must ride a \\u escape in the SQL literal.
+    val viaSql = spark.sql("SELECT graft_nfc('cafe\\u0301') AS nv")
+      .head().getString(0)
+    assert(viaSql == "caf\u00e9")
+  }
 }
