@@ -1128,6 +1128,35 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one csv scan per policy (DROPMALFORMED + PERMISSIVE), got $csvScans")
   }
 
+  test("q263: each recovery policy is ONE json scan (the q262 discipline on the JSON path)") {
+    // same hazard as q262: a bare count() branch would read the file a
+    // second time (and under DROPMALFORMED could change what counts as
+    // malformed if the required schema degenerated) -- both policies
+    // must stay single parsing scans of the corrupted export
+    val exec = SparkEntry.queries("q263_malformed_json_policy")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val jsonScans = exec.linesIterator.count(_.contains("Scan json"))
+    assert(jsonScans == 2,
+      s"exactly one json scan per policy (DROPMALFORMED + PERMISSIVE), got $jsonScans")
+  }
+
+  test("q264: normalization is map-side in a single scan; the variant explode never shuffles raw text twice") {
+    val p = plan("q264_unicode_nfc_dedup")
+    // executedPlan only: plan()'s formatted explain lists every node
+    // again in its detail sections (the q262 lesson)
+    val exec = SparkEntry.queries("q264_unicode_nfc_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = exec.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"one documents scan feeds both variants, got $scans")
+    assert(p.toLowerCase.contains("graft_nfc"),
+      "normalization must be the native NfcNormalize expression")
+    assert(p.contains("Generate"),
+      "the composed/decomposed variants ride an in-stage explode")
+    assert(p.contains("Expand"),
+      "the exact multi-distinct census plans as one Expand, not per-distinct scans")
+    assert(!p.contains("Join"), "nothing in the census joins")
+  }
+
   test("q252: PQ encode+ADC run map-side as native expressions; the corpus never joins") {
     val p = plan("q252_pq_adc_recall")
     // round-14 verdict item 3: the codebook AND the query LUT are model
