@@ -32,7 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Non-ASCII strings pay one `Normalizer.isNormalized` scan (already-NFC
   * text — most of the rest — allocates nothing but the probe) and only
   * genuinely denormalized text pays the compose pass. Null propagates
-  * (standard UnaryExpression contract).
+  * (standard UnaryExpression contract). Invalid UTF-8 passes through
+  * byte-identical — never mangled to U+FFFD — so binary-ish text keeps
+  * its raw-column dedup identity (see [[NfcNormalize.nfc]]).
   */
 case class NfcNormalize(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -59,6 +61,15 @@ object NfcNormalize {
     // and ASCII contains no combining marks or composed forms, so the
     // string is its own NFC form — return it without copying.
     if (s.numBytes == s.numChars) return s
+    // Invalid UTF-8 passes through BYTE-IDENTICAL (post-close review):
+    // normalization is defined on Unicode text, and the implicit
+    // alternative — s.toString replacing invalid bytes with U+FFFD on
+    // the normalize path while the ASCII test let other invalid
+    // patterns through verbatim — would mutate non-normalization
+    // content inconsistently between paths. Garbage stays bytewise
+    // intact, so byte-level dedup over the normalized column sees it
+    // exactly as byte-level dedup over the raw column would.
+    if (!s.isValid) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

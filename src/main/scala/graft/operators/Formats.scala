@@ -431,32 +431,65 @@ object Formats {
         .orderBy("word")
     })
 
-  /** Malformed-input policy gate (round-16 verdict item 6 -- the
-    * ingest-robustness story q260 opens but does not stress): real
-    * scraped-corpus CSV always carries broken lines, and an engine must
-    * offer BOTH recovery policies with provable semantics. The corpus
-    * exports as (doc_id, lang, n_chars) CSV with a DETERMINISTIC
-    * corruption -- every `doc_id % 10 == 3` line gets its doc_id field
-    * replaced by an unparseable token (`CORRUPT#<id>`: arity intact,
-    * the LONG cast fails) -- and the file is read back under the two
-    * policies:
-    *  - DROPMALFORMED: broken lines vanish; the survivors' count and
-    *    content checksum must equal the oracle's over
-    *    `documents WHERE doc_id % 10 <> 3` -- drop exactly the corrupt
-    *    lines, every clean line intact, nothing else dropped;
-    *  - PERMISSIVE: every line survives (n_rows = full corpus), broken
-    *    lines carry a populated `_corrupt_record` and a null doc_id,
-    *    and the CLEAN subset (corrupt-record IS NULL) reproduces the
-    *    same checksum -- isolation without loss.
-    * The oracle recomputes all of it from the ORIGINAL parquet + the
-    * corruption rule, so any policy drift (a clean line misdropped, a
-    * corrupt line silently salvaged into the clean set, a partial-parse
-    * change) breaks parity. At 100 TB this is the scan-time policy
-    * choice itself -- both paths stream, nothing driver-side. */
-  private val q262 = QueryDef(
-    "q262_malformed_csv_policy",
-    "PERMISSIVE vs DROPMALFORMED CSV recovery proved against the corruption rule",
-    Some(s"""
+  /** Shared scaffold of the malformed-input policy gates (q262/q263):
+    * ONE copy of the count/checksum discipline, so a fix to it can
+    * never silently drift between formats (post-close review).
+    * `read(schema, options)` parses the corrupted export under the
+    * policy the options state.
+    *
+    * The discipline, measured on CSV and inherited by JSON:
+    *  - counts must come from a COLUMN-REFERENCING scan: a bare
+    *    count() prunes every column, the parser never attempts a
+    *    conversion, and no line is ever "malformed" (measured:
+    *    500 raw lines counted instead of 450 survivors). Both counts
+    *    derive from the same projection the checksum needs, which
+    *    forces the parse (and makes DROPMALFORMED's n_rows = n_clean
+    *    BY CONSTRUCTION, exactly its contract);
+    *  - the corrupt-record column can never be the ONLY referenced
+    *    column of a raw scan (Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    *    rule, CSV and JSON alike): the PERMISSIVE clean predicate also
+    *    references doc_id (redundant on this data -- the corrupt lines
+    *    are precisely the null-doc_id ones), keeping the scan's
+    *    required schema non-degenerate under ANY downstream pruning;
+    *  - ONE scan per policy (round-19 review: a bare-count crossJoin
+    *    once read the file twice): PERMISSIVE's total rows, clean rows
+    *    and clean checksum come from one conditional aggregation --
+    *    count(when)/sum(when) skip the nulls corrupt rows carry, which
+    *    is exactly the filtered checksum. PlanSpec pins one scan per
+    *    policy for both formats. */
+  private def policyAudit(
+      read: (StructType, Map[String, String]) => DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val rowH = text.md5Hash60(concat_ws("\u0001",
+      col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
+    val dropped = read(schema, Map("mode" -> "DROPMALFORMED"))
+      .select(rowH.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        checksum40(col("h")).as("content_checksum"))
+      .select(lit("DROPMALFORMED").as("mode"), col("n_rows"),
+        col("n_rows").as("n_clean"), col("content_checksum"))
+    val permSchema = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val perm = read(permSchema, Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record"))
+    val clean = col("_corrupt_record").isNull && col("doc_id").isNotNull
+    val permRow = perm
+      .select(clean.as("clean"), rowH.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("clean"), 1)).as("n_clean"),
+        checksum40(when(col("clean"), col("h"))).as("content_checksum"))
+      .select(lit("PERMISSIVE").as("mode"), col("n_rows"),
+        col("n_clean"), col("content_checksum"))
+    dropped.unionByName(permRow).orderBy("mode")
+  }
+
+  /** DuckDB twin of [[policyAudit]] -- both gates state the IDENTICAL
+    * oracle: the clean set, its checksum, and each policy's row
+    * arithmetic, recomputed from the ORIGINAL parquet + the shared
+    * corruption rule (doc_id % 10 == 3). */
+  private val policyOracleSql: String = s"""
       WITH c AS (SELECT doc_id, lang, n_chars FROM documents
                  WHERE doc_id % 10 <> 3),
       h AS (SELECT ${text.md5Hash60Sql(
@@ -474,7 +507,34 @@ object Formats {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
              agg.n_clean, agg.content_checksum
       FROM agg
-      ORDER BY mode"""),
+      ORDER BY mode"""
+
+  /** Malformed-input policy gate (round-16 verdict item 6 -- the
+    * ingest-robustness story q260 opens but does not stress): real
+    * scraped-corpus CSV always carries broken lines, and an engine must
+    * offer BOTH recovery policies with provable semantics. The corpus
+    * exports as (doc_id, lang, n_chars) CSV with a DETERMINISTIC
+    * corruption -- every `doc_id % 10 == 3` line gets its doc_id field
+    * replaced by an unparseable token (`CORRUPT#<id>`: arity intact,
+    * the LONG cast fails) -- and the file is read back under the two
+    * policies via [[policyAudit]]:
+    *  - DROPMALFORMED: broken lines vanish; the survivors' count and
+    *    content checksum must equal the oracle's over
+    *    `documents WHERE doc_id % 10 <> 3` -- drop exactly the corrupt
+    *    lines, every clean line intact, nothing else dropped;
+    *  - PERMISSIVE: every line survives (n_rows = full corpus), broken
+    *    lines carry a populated `_corrupt_record` and a null doc_id,
+    *    and the CLEAN subset (corrupt-record IS NULL) reproduces the
+    *    same checksum -- isolation without loss.
+    * The oracle recomputes all of it from the ORIGINAL parquet + the
+    * corruption rule, so any policy drift (a clean line misdropped, a
+    * corrupt line silently salvaged into the clean set, a partial-parse
+    * change) breaks parity. At 100 TB this is the scan-time policy
+    * choice itself -- both paths stream, nothing driver-side. */
+  private val q262 = QueryDef(
+    "q262_malformed_csv_policy",
+    "PERMISSIVE vs DROPMALFORMED CSV recovery proved against the corruption rule",
+    Some(policyOracleSql),
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val base = scratch("q262")
@@ -494,58 +554,8 @@ object Formats {
           col("lang"), col("n_chars"))
         .write.mode("overwrite").option("quoteAll", "true")
         .csv(s"$base/csv")
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("n_chars", LongType)))
-      val rowH = text.md5Hash60(concat_ws("\u0001",
-        col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
-      // DROPMALFORMED counts must come from a COLUMN-REFERENCING scan:
-      // a bare count() prunes every column, the CSV parser then never
-      // attempts a type conversion, and no line is ever "malformed" --
-      // Spark's documented CSV pruning behavior, measured here as
-      // n_rows = 500 raw lines instead of 450 survivors. Both counts
-      // derive from the same projection the checksum needs, which
-      // forces the parse (and makes n_rows = n_clean BY CONSTRUCTION,
-      // exactly the DROPMALFORMED contract).
-      val dropped = s.read.schema(schema)
-        .option("mode", "DROPMALFORMED").csv(s"$base/csv")
-        .select(rowH.as("h"))
-        .agg(count(lit(1)).as("n_rows"),
-          checksum40(col("h")).as("content_checksum"))
-        .select(lit("DROPMALFORMED").as("mode"), col("n_rows"),
-          col("n_rows").as("n_clean"), col("content_checksum"))
-      val permSchema = StructType(schema.fields :+
-        StructField("_corrupt_record", StringType))
-      val perm = s.read.schema(permSchema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(s"$base/csv")
-      // The corrupt-record column can never be the ONLY referenced
-      // column of a raw-CSV scan (Spark's
-      // QUERY_ONLY_CORRUPT_RECORD_COLUMN rule): under an outer count()
-      // -- the bench/smoke shape -- the optimizer prunes the checksum
-      // inputs away and a bare corrupt-null filter would degenerate the
-      // scan to exactly that shape and throw at planning. The filter
-      // therefore also references doc_id (redundant on this data: the
-      // corrupt lines are precisely the null-doc_id ones), keeping the
-      // scan's required schema non-degenerate under ANY downstream
-      // pruning.
-      // ONE scan (round-19 review: a bare-count crossJoin read the
-      // file twice): total rows, clean rows and the clean checksum come
-      // from one conditional aggregation -- sum() skips the nulls the
-      // when() leaves on corrupt rows, which is exactly the filtered
-      // checksum. The condition references doc_id alongside the corrupt
-      // column so the scan's required schema can never prune down to
-      // the corrupt column alone.
-      val clean = col("_corrupt_record").isNull && col("doc_id").isNotNull
-      val permRow = perm
-        .select(clean.as("clean"), rowH.as("h"))
-        .agg(count(lit(1)).as("n_rows"),
-          count(when(col("clean"), 1)).as("n_clean"),
-          checksum40(when(col("clean"), col("h"))).as("content_checksum"))
-        .select(lit("PERMISSIVE").as("mode"), col("n_rows"),
-          col("n_clean"), col("content_checksum"))
-      dropped.unionByName(permRow).orderBy("mode")
+      policyAudit((sch, opts) =>
+        s.read.schema(sch).options(opts).csv(s"$base/csv"))
     })
 
   /** q262's JSON-lines sibling, exercising the failure class CSV cannot
@@ -559,7 +569,7 @@ object Formats {
     * so a quote/backslash in a field can never fake a corruption), and
     * every `doc_id % 10 == 3` line loses its closing brace: Jackson
     * hits EOF inside the object and the whole line is malformed.
-    * Read back under both policies:
+    * Read back under both policies via [[policyAudit]]:
     *  - DROPMALFORMED: truncated lines vanish; survivor count and
     *    content checksum must equal the oracle's over
     *    `documents WHERE doc_id % 10 <> 3`;
@@ -572,35 +582,11 @@ object Formats {
     * a clean line misdropped, a truncated line half-salvaged, or any
     * generator/parser escaping drift breaks parity. JSON lines stay
     * byte-range-splittable (one record per line), so both policies are
-    * scan-time row-local decisions at 100 TB -- nothing driver-side.
-    * Same count discipline as q262: totals come from the
-    * column-referencing scan the checksum needs, and the PERMISSIVE
-    * clean predicate references doc_id alongside the corrupt column so
-    * no downstream pruning can degenerate the scan to the
-    * corrupt-record column alone (Spark forbids that shape at planning
-    * for JSON exactly as for CSV). */
+    * scan-time row-local decisions at 100 TB -- nothing driver-side. */
   private val q263 = QueryDef(
     "q263_malformed_json_policy",
     "PERMISSIVE vs DROPMALFORMED JSON-lines recovery proved against a truncation rule",
-    Some(s"""
-      WITH c AS (SELECT doc_id, lang, n_chars FROM documents
-                 WHERE doc_id % 10 <> 3),
-      h AS (SELECT ${text.md5Hash60Sql(
-                      "doc_id || chr(1) || lang || chr(1) || n_chars")}
-                      % (1::BIGINT << 40) AS h
-            FROM c),
-      agg AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clean,
-                     ${checksum40Sql("h")} AS content_checksum
-              FROM h)
-      SELECT 'DROPMALFORMED' AS mode, agg.n_clean AS n_rows,
-             agg.n_clean, agg.content_checksum
-      FROM agg
-      UNION ALL
-      SELECT 'PERMISSIVE',
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
-             agg.n_clean, agg.content_checksum
-      FROM agg
-      ORDER BY mode"""),
+    Some(policyOracleSql),
     (s, dir) => {
       val docs = Tables.documents(s, dir)
       val base = scratch("q263")
@@ -614,33 +600,8 @@ object Formats {
             line.substr(lit(1), length(line) - 1))
             .otherwise(line).as("value"))
         .write.mode("overwrite").text(s"$base/json")
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("n_chars", LongType)))
-      val rowH = text.md5Hash60(concat_ws("\u0001",
-        col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
-      val dropped = s.read.schema(schema)
-        .option("mode", "DROPMALFORMED").json(s"$base/json")
-        .select(rowH.as("h"))
-        .agg(count(lit(1)).as("n_rows"),
-          checksum40(col("h")).as("content_checksum"))
-        .select(lit("DROPMALFORMED").as("mode"), col("n_rows"),
-          col("n_rows").as("n_clean"), col("content_checksum"))
-      val permSchema = StructType(schema.fields :+
-        StructField("_corrupt_record", StringType))
-      val perm = s.read.schema(permSchema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(s"$base/json")
-      val clean = col("_corrupt_record").isNull && col("doc_id").isNotNull
-      val permRow = perm
-        .select(clean.as("clean"), rowH.as("h"))
-        .agg(count(lit(1)).as("n_rows"),
-          count(when(col("clean"), 1)).as("n_clean"),
-          checksum40(when(col("clean"), col("h"))).as("content_checksum"))
-        .select(lit("PERMISSIVE").as("mode"), col("n_rows"),
-          col("n_clean"), col("content_checksum"))
-      dropped.unionByName(permRow).orderBy("mode")
+      policyAudit((sch, opts) =>
+        s.read.schema(sch).options(opts).json(s"$base/json"))
     })
 
   def defs: Seq[QueryDef] =

@@ -216,11 +216,15 @@ class LayoutSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".parquet"))
     assert(files.length >= math.ceil(rows.toDouble / cap).toInt,
       s"${files.length} files cannot hold $rows rows under a $cap cap")
-    // every file individually respects the cap (footer row count —
-    // no data read)
-    files.foreach { f =>
-      val n = spark.read.parquet(f.getAbsolutePath).count()
-      assert(n <= cap, s"${f.getName} holds $n rows > cap $cap")
+    // every file individually respects the cap — ONE grouped scan over
+    // the directory instead of a sequential Spark job per file
+    // (post-close review)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perFile.length == files.length)
+    perFile.foreach { case (f, n) =>
+      assert(n <= cap, s"$f holds $n rows > cap $cap")
     }
     // governance must not cost correctness: content round-trips exactly
     val back = spark.read.parquet(dir)

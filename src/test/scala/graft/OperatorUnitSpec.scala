@@ -649,6 +649,20 @@ class OperatorUnitSpec extends AnyFunSuite {
     assert(NfcNormalize.nfc(nfd) == nfcAlready)
     // idempotence
     assert(NfcNormalize.nfc(NfcNormalize.nfc(nfd)) == nfcAlready)
+    // invalid UTF-8 passes through BYTE-IDENTICAL on every path
+    // (post-close review: the slow path's toString would otherwise
+    // mangle invalid bytes to U+FFFD while the ASCII test let other
+    // invalid patterns through verbatim). Two shapes: a lone
+    // continuation byte (passes the numBytes==numChars test) and a
+    // denormalized sequence PLUS a stray continuation byte (fails the
+    // ASCII test, must be caught by isValid).
+    val loneCont = UTF8String.fromBytes(Array[Byte](0x41, 0x80.toByte))
+    assert(NfcNormalize.nfc(loneCont) eq loneCont,
+      "invalid single-byte garbage must pass through untouched")
+    val mixed = UTF8String.fromBytes(
+      Array[Byte](0x65, 0xCC.toByte, 0x81.toByte, 0x80.toByte))
+    assert(NfcNormalize.nfc(mixed) eq mixed,
+      "invalid UTF-8 must never reach the U+FFFD-substituting normalize path")
     // through the engine (codegen path), with null propagation
     val df = Seq(Some("cafe\u0301"), Some("caf\u00e9"), Some("abc"), None)
       .toDF("t")
