@@ -604,6 +604,97 @@ object Formats {
         s.read.schema(sch).options(opts).json(s"$base/json"))
     })
 
+  // ---------------------------------------------------------------------
+  // q265 — corrupt-parquet survival (skip + quarantine-by-pruning)
+  // ---------------------------------------------------------------------
+
+  /** The columnar sibling of the q262/q263 recovery gates: a 100 TB
+    * lake ALWAYS contains a few unreadable parquet files (truncated
+    * uploads, failed multipart commits, bit rot), and a scan that dies
+    * on the first one cannot finish a day's work. The corpus is
+    * exported Hive-partitioned by `pk = doc_id % 8`, then every data
+    * file under `pk=3` is overwritten with garbage bytes (the lake's
+    * pre-existing damage, simulated deterministically; the stale
+    * LocalFS `.crc` twins are removed so the failure is the parquet
+    * footer itself, not a checksum veneer). Two survival strategies
+    * are proved against the SAME oracle — the clean subset
+    * `documents WHERE doc_id % 8 <> 3`:
+    *  - IGNORE_CORRUPT: `ignoreCorruptFiles=true` (a per-read option,
+    *    no session conf) must skip EXACTLY the unreadable file —
+    *    count + checksum equal to the clean subset proves no clean
+    *    file was dropped with it and no partial salvage of the bad
+    *    file leaked rows;
+    *  - PRUNE_QUARANTINE: a STRICT read (no ignore option) with the
+    *    partition predicate `pk <> 3` must succeed — directory-level
+    *    pruning means the corrupt file is never OPENED, which is how
+    *    a production lake quarantines a bad partition while the
+    *    repair job runs. If the filter ever degraded to a post-scan
+    *    predicate, the strict read would throw and the gate would go
+    *    red (PlanSpec pins the PartitionFilters shape).
+    * Both rows must carry identical numbers; the explicit read schema
+    * keeps planning footer-free (no inference pass to trip on the
+    * corrupt file before execution even starts). At 100 TB both
+    * policies are scan-time, file-local decisions — nothing
+    * driver-side. */
+  private val q265 = QueryDef(
+    "q265_corrupt_parquet_policy",
+    "ignoreCorruptFiles skip + partition-pruned quarantine proved against the clean subset",
+    Some(s"""
+      WITH c AS (SELECT doc_id, lang, n_chars FROM documents
+                 WHERE doc_id % 8 <> 3),
+      h AS (SELECT ${text.md5Hash60Sql(
+                      "doc_id || chr(1) || lang || chr(1) || n_chars")}
+                      % (1::BIGINT << 40) AS h
+            FROM c),
+      agg AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_rows,
+                     ${checksum40Sql("h")} AS content_checksum
+              FROM h)
+      SELECT m.mode, agg.n_rows, agg.content_checksum
+      FROM (SELECT unnest(['IGNORE_CORRUPT', 'PRUNE_QUARANTINE']) AS mode) m
+      CROSS JOIN agg
+      ORDER BY m.mode"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = scratch("q265")
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(col("doc_id"), lit(8L)).as("pk"))
+        .repartition(col("pk"))
+        .write.mode("overwrite").partitionBy("pk").parquet(s"$base/t")
+      // The lake's damage: every data file under pk=3 becomes garbage
+      // bytes (no parquet magic), and its LocalFS .crc twin goes away
+      // so the read fails in the parquet footer, not the checksum
+      // layer. Deterministic: pk derives from doc_id alone.
+      val badDir = new java.io.File(s"$base/t/pk=3")
+      Option(badDir.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach { f =>
+          java.nio.file.Files.write(f.toPath,
+            "CORRUPTED".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+          if (crc.exists) { crc.delete(); () }
+        }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType), StructField("pk", LongType)))
+      val rowH = text.md5Hash60(concat_ws("\u0001",
+        col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
+      def audit(df: DataFrame, mode: String): DataFrame = df
+        .select(rowH.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          checksum40(col("h")).as("content_checksum"))
+        .select(lit(mode).as("mode"), col("n_rows"),
+          col("content_checksum"))
+      val ignored = audit(
+        s.read.schema(schema).option("ignoreCorruptFiles", "true")
+          .parquet(s"$base/t"),
+        "IGNORE_CORRUPT")
+      val pruned = audit(
+        s.read.schema(schema).parquet(s"$base/t")
+          .filter(col("pk") =!= 3L),
+        "PRUNE_QUARANTINE")
+      ignored.unionByName(pruned).orderBy("mode")
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(q202, q216, q217, q244, q253, q255, q260, q262, q263)
+    Seq(q202, q216, q217, q244, q253, q255, q260, q262, q263, q265)
 }

@@ -1157,6 +1157,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "nothing in the census joins")
   }
 
+  test("q265: one parquet scan per survival mode; the quarantine predicate prunes at the directory level") {
+    // The PRUNE_QUARANTINE strategy only works because the pk filter
+    // becomes a PartitionFilters entry — directory-level pruning means
+    // the corrupt file is never OPENED, which is why the strict read
+    // can succeed at all. If the filter ever degraded to a post-scan
+    // predicate, the corrupt file would be read, the strict branch
+    // would throw, and the gate would go red; this pins the shape.
+    val exec = SparkEntry.queries("q265_corrupt_parquet_policy")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = exec.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 2, s"exactly one scan per survival mode, got $scans")
+    // PartitionFilters payloads: one empty (IGNORE_CORRUPT reads all
+    // directories), one carrying the pk <> 3 quarantine
+    val pf = exec.linesIterator.flatMap { l =>
+      val i = l.indexOf("PartitionFilters: [")
+      val j = if (i < 0) -1 else l.indexOf("]", i)
+      if (j < 0) None else Some(l.substring(i + "PartitionFilters: [".length, j))
+    }.toSeq
+    assert(pf.exists(s => s.contains("pk#") && s.contains("3")),
+      s"pk <> 3 must prune at the directory level, got PartitionFilters: $pf")
+    assert(!exec.contains("Join"), "the two-mode audit never joins")
+  }
+
   test("q252: PQ encode+ADC run map-side as native expressions; the corpus never joins") {
     val p = plan("q252_pq_adc_recall")
     // round-14 verdict item 3: the codebook AND the query LUT are model

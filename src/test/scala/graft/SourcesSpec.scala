@@ -374,4 +374,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(pClean == dClean && pSum == dSum,
       "both policies must agree on the clean set and its checksum")
   }
+
+  test("q265 corrupt parquet: strict read dies loud, ignoreCorruptFiles skips the file, pruning never opens it") {
+    // The micro-pin behind the registered gate: a garbage parquet file
+    // must (a) kill a strict scan — the default is LOUD, never silent
+    // data loss; (b) vanish file-granularly under ignoreCorruptFiles
+    // with every clean row intact; (c) never even be OPENED when a
+    // partition predicate prunes its directory, so the strict read
+    // succeeds without any recovery option.
+    val dir = Files.createTempDirectory("graft_q265").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").withColumn("pk", lit(0L))
+      .write.partitionBy("pk").mode("overwrite").parquet(dir)
+    Seq((3L, "c")).toDF("id", "v").withColumn("pk", lit(1L))
+      .write.partitionBy("pk").mode("append").parquet(dir)
+    val bad = new java.io.File(s"$dir/pk=1")
+    bad.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath,
+        "JUNK".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("pk", LongType)))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    val e = intercept[Exception] {
+      spark.read.schema(schema).parquet(dir).count()
+    }
+    assert(chain(e).exists(_.contains("pk=1")),
+      s"the strict failure must name the corrupt file, got: ${chain(e)}")
+    val skipped = spark.read.schema(schema)
+      .option("ignoreCorruptFiles", "true").parquet(dir)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(skipped == Seq(1L, 2L),
+      s"ignoreCorruptFiles must skip exactly the bad file, got $skipped")
+    val prunedStrict = spark.read.schema(schema).parquet(dir)
+      .filter($"pk" === 0L).select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(prunedStrict == Seq(1L, 2L),
+      "directory pruning must let a STRICT read succeed over the damaged layout")
+  }
 }
