@@ -457,13 +457,21 @@ object Formats {
     *    count(when)/sum(when) skip the nulls corrupt rows carry, which
     *    is exactly the filtered checksum. PlanSpec pins one scan per
     *    policy for both formats. */
+  /** Shared (doc_id, lang, n_chars) audit row of the recovery gates
+    * (q262/q263/q265): ONE read schema and ONE 40-bit row hash, so the
+    * hash recipe can never drift between a gate and its oracle twin
+    * for a reason unrelated to the behavior under test (post-close
+    * review of q265). */
+  private val auditSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_chars", LongType)))
+  private def auditRowHash = text.md5Hash60(concat_ws("\u0001",
+    col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
+
   private def policyAudit(
       read: (StructType, Map[String, String]) => DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("lang", StringType),
-      StructField("n_chars", LongType)))
-    val rowH = text.md5Hash60(concat_ws("\u0001",
-      col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
+    val schema = auditSchema
+    val rowH = auditRowHash
     val dropped = read(schema, Map("mode" -> "DROPMALFORMED"))
       .select(rowH.as("h"))
       .agg(count(lit(1)).as("n_rows"),
@@ -657,7 +665,7 @@ object Formats {
       val docs = Tables.documents(s, dir)
       val base = scratch("q265")
       docs.select(col("doc_id"), col("lang"), col("n_chars"),
-          pmod(col("doc_id"), lit(8L)).as("pk"))
+          (col("doc_id") % 8).as("pk"))
         .repartition(col("pk"))
         .write.mode("overwrite").partitionBy("pk").parquet(s"$base/t")
       // The lake's damage: every data file under pk=3 becomes garbage
@@ -673,11 +681,9 @@ object Formats {
           val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
           if (crc.exists) { crc.delete(); () }
         }
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("n_chars", LongType), StructField("pk", LongType)))
-      val rowH = text.md5Hash60(concat_ws("\u0001",
-        col("doc_id"), col("lang"), col("n_chars"))) % (1L << 40)
+      val schema = StructType(
+        auditSchema.fields :+ StructField("pk", LongType))
+      val rowH = auditRowHash
       def audit(df: DataFrame, mode: String): DataFrame = df
         .select(rowH.as("h"))
         .agg(count(lit(1)).as("n_rows"),

@@ -1169,13 +1169,18 @@ class PlanSpec extends AnyFunSuite {
     val scans = exec.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 2, s"exactly one scan per survival mode, got $scans")
     // PartitionFilters payloads: one empty (IGNORE_CORRUPT reads all
-    // directories), one carrying the pk <> 3 quarantine
-    val pf = exec.linesIterator.flatMap { l =>
-      val i = l.indexOf("PartitionFilters: [")
-      val j = if (i < 0) -1 else l.indexOf("]", i)
-      if (j < 0) None else Some(l.substring(i + "PartitionFilters: [".length, j))
-    }.toSeq
-    assert(pf.exists(s => s.contains("pk#") && s.contains("3")),
+    // directories), one carrying the pk <> 3 quarantine. The payload
+    // is anchored on the trailing ", PushedFilters" marker (a bare
+    // first-"]" scan would clip a bracket-bearing filter rendering),
+    // and the quarantine is matched as the actual NOT-equals predicate
+    // — a bare pk#/3 substring probe would false-green on exprId
+    // digits like pk#13L (post-close review).
+    val PF = """PartitionFilters: \[(.*)\], PushedFilters""".r.unanchored
+    val pf = exec.linesIterator.collect { case PF(p) => p }.toSeq
+    assert(pf.size == 2, s"both scans must expose PartitionFilters, got $pf")
+    assert(pf.exists(_.trim.isEmpty),
+      s"the IGNORE_CORRUPT scan must carry no partition filter, got $pf")
+    assert(pf.exists(p => """NOT \(pk#\d+L? = 3\)""".r.unanchored.matches(p)),
       s"pk <> 3 must prune at the directory level, got PartitionFilters: $pf")
     assert(!exec.contains("Join"), "the two-mode audit never joins")
   }
