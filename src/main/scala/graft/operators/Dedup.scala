@@ -1639,7 +1639,120 @@ object Dedup {
         .orderBy("lang")
     })
 
+  // ---------------------------------------------------------------------
+  // q266 — URL canonicalization dedup (the step BEFORE content dedup)
+  // ---------------------------------------------------------------------
+
+  /** Every scraped-corpus pipeline dedups at URL grain before any
+    * content pass (C4, RefinedWeb): the same page arrives under
+    * case-shuffled scheme/host, tracking parameters and fragments, and
+    * a byte-level URL key silently keeps every variant. The fixture
+    * has no URL column, so — the q264 pattern — the gate CONSTRUCTS
+    * the variant pair deterministically per document and proves the
+    * canonicalizer unifies it:
+    *  - variant A (already canonical):
+    *    `https://cdn.<source>.example.org/doc/<id>?id=<id>`
+    *  - variant B (the crawler's mess): scheme+host uppercased,
+    *    `&utm_source=feed&utm_campaign=<lang>` appended,
+    *    `#sec-<id>` fragment.
+    * The canonicalization chain is the SAME five string ops in both
+    * engines (strip fragment; split scheme+host from path+query;
+    * drop `utm_*` parameters; trim dangling `?`/`&`; lowercase ONLY
+    * scheme+host — paths stay case-sensitive): distinct_raw ==
+    * 2 * distinct_canonical by construction, and a 40-bit checksum
+    * over every CANONICAL string pins the bytes, not just the counts —
+    * any regex-semantics or case-mapping drift between the engines
+    * breaks the hash, not merely a count.
+    *
+    * Scale shape: the variant pair rides an in-stage explode (no
+    * shuffle); the whole chain is map-side codegen'd string/regexp
+    * work; the exact multi-distinct census plans as one Expand + hash
+    * aggregate with a single shuffle on source (exact distinct is the
+    * cross-engine contract; a 100 TB census would ride HLL over the
+    * same canonical column, and the production dedup itself is a
+    * groupBy(canonical) — one shuffle, no pairs). */
+  /** The q266 canonicalizer as a reusable column transform, unit-pinned
+    * in OperatorUnitSpec: strip the fragment, lowercase ONLY the
+    * scheme+host (paths stay case-sensitive), drop `utm_*` query
+    * parameters wherever they sit in the query string, trim the
+    * dangling `?`/`&` the removal leaves. One deliberate scope limit,
+    * stated rather than hidden: the utm pattern is applied to the
+    * whole path+query tail, so a PATH segment literally containing
+    * `utm_` would be clipped — real canonicalizers split the query
+    * first; the gate's constructed URLs (and the common case) never
+    * put `utm_` in a path. */
+  private[graft] def urlCanonical(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?#]+)", 1)),
+      regexp_replace(regexp_replace(
+          regexp_replace(noFrag, "^[a-zA-Z]+://[^/?#]+", ""),
+          "utm_[^&]*(&|$)", ""),
+        "[?&]+$", ""))
+  }
+
+  private val q266 = QueryDef(
+    "q266_url_canonical_dedup",
+    "URL canonicalization unifies tracking-param/case/fragment variants before content dedup",
+    Some(s"""
+      WITH d AS (SELECT doc_id, lang, source FROM documents
+                 WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                   AND source IS NOT NULL),
+      u AS (SELECT source,
+                   'https://cdn.' || source || '.example.org/doc/' || doc_id ||
+                     '?id=' || doc_id AS url
+            FROM d
+            UNION ALL
+            SELECT source,
+                   upper('https://cdn.' || source || '.example.org') ||
+                     '/doc/' || doc_id || '?id=' || doc_id ||
+                     '&utm_source=feed&utm_campaign=' || lang ||
+                     '#sec-' || doc_id AS url
+            FROM d),
+      c AS (SELECT source, url,
+                   lower(regexp_extract(regexp_replace(url, '#.*$$', ''),
+                                        '^([a-zA-Z]+://[^/?#]+)', 1)) ||
+                   regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(url, '#.*$$', ''),
+                          '^[a-zA-Z]+://[^/?#]+', ''),
+                        'utm_[^&]*(&|$$)', '', 'g'),
+                      '[?&]+$$', '') AS canon
+            FROM u),
+      h AS (SELECT source, url, canon,
+                   ${text.md5Hash60Sql("canon")} % (1::BIGINT << 40) AS h
+            FROM c)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
+             CAST(COUNT(DISTINCT url) AS BIGINT) AS distinct_raw,
+             CAST(COUNT(DISTINCT canon) AS BIGINT) AS distinct_canonical,
+             CAST(SUM(h) % (1::BIGINT << 40) AS BIGINT) AS canon_checksum
+      FROM h GROUP BY source ORDER BY source"""),
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull
+          && col("source").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"))
+      val schemeHost =
+        concat(lit("https://cdn."), col("source"), lit(".example.org"))
+      val pathQuery =
+        concat(lit("/doc/"), col("doc_id"), lit("?id="), col("doc_id"))
+      val urls = docs.select(col("source"), explode(array(
+          concat(schemeHost, pathQuery),
+          concat(upper(schemeHost), pathQuery,
+            lit("&utm_source=feed&utm_campaign="), col("lang"),
+            lit("#sec-"), col("doc_id")))).as("url"))
+      urls.select(col("source"), col("url"),
+          urlCanonical(col("url")).as("canon"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("distinct_raw"),
+          countDistinct(col("canon")).as("distinct_canonical"),
+          (sum((text.md5Hash60(col("canon")) % (1L << 40))
+            .cast("decimal(38,0)")) % lit(1L << 40))
+            .cast("long").as("canon_checksum"))
+        .orderBy("source")
+    })
+
   def defs: Seq[QueryDef] =
     Seq(q21, q22, q23, q24, q44, q45, q90, q96, q101, q129, q157, q162,
-      q163, q237, q238, q239, q241, q243, q254, q258, q264)
+      q163, q237, q238, q239, q241, q243, q254, q258, q264, q266)
 }

@@ -678,4 +678,34 @@ class OperatorUnitSpec extends AnyFunSuite {
       .head().getString(0)
     assert(viaSql == "caf\u00e9")
   }
+
+  test("urlCanonical: fragment/case/utm variants collapse; paths and kept params survive byte-exact") {
+    // The q266 recipe on hand-picked edges the corpus gate cannot
+    // isolate: utm params at head/middle/tail of the query, adjacent
+    // utm pairs, a fragment containing '?', host-only case folding
+    // (paths stay case-sensitive), and a no-op on an already-canonical
+    // URL.
+    import graft.operators.Dedup
+    val cases = Seq(
+      // already canonical: byte-identical no-op
+      "https://a.b/p?id=1" -> "https://a.b/p?id=1",
+      // scheme+host fold only; PATH case preserved
+      "HTTPS://A.B/P/Q?id=1" -> "https://a.b/P/Q?id=1",
+      // utm at tail after a kept param
+      "https://a.b/p?id=1&utm_s=x" -> "https://a.b/p?id=1",
+      // utm at head before a kept param
+      "https://a.b/p?utm_s=x&id=1" -> "https://a.b/p?id=1",
+      // adjacent utm pair, one pass
+      "https://a.b/p?utm_a=1&utm_b=2" -> "https://a.b/p",
+      // fragment stripped even when it contains '?'/'&'
+      "https://a.b/p#f?utm_a=1&x=2" -> "https://a.b/p",
+      // everything at once (the q266 variant-B shape)
+      "HTTPS://CDN.S.EXAMPLE.ORG/doc/7?id=7&utm_source=f&utm_campaign=en#sec-7"
+        -> "https://cdn.s.example.org/doc/7?id=7")
+    val got = cases.map(_._1).toDF("url")
+      .select(Dedup.urlCanonical(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2),
+      s"canonicalization drift:\n${cases.map(_._1).zip(got).mkString("\n")}")
+  }
 }

@@ -1157,6 +1157,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "nothing in the census joins")
   }
 
+  test("q266: URL variants and canonicalization are in-stage; the census is one Expand, never a join") {
+    // The q264 census shape on the URL column: the variant pair rides
+    // an in-stage explode off ONE documents scan, the whole
+    // canonicalization chain is map-side string/regexp work, and the
+    // exact multi-distinct aggregate plans as one Expand + hash
+    // aggregate — at 100 TB the only shuffle is the groupBy(source).
+    val exec = SparkEntry.queries("q266_url_canonical_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = exec.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"one documents scan feeds both variants, got $scans")
+    assert(exec.contains("Generate"),
+      "the raw/messy URL pair must ride an in-stage explode")
+    assert(exec.contains("Expand"),
+      "the exact multi-distinct census plans as one Expand, not per-distinct scans")
+    assert(!exec.contains("Join"), "nothing in the census joins")
+  }
+
   test("q265: one parquet scan per survival mode; the quarantine predicate prunes at the directory level") {
     // The PRUNE_QUARANTINE strategy only works because the pk filter
     // becomes a PartitionFilters entry — directory-level pruning means
