@@ -654,31 +654,73 @@ object TextPipeline {
         Nil, "__bkt", Seq(col(scoreCol).desc, col("doc_id")), rankName)
       .drop("__bkt")
 
-  /** BM25-scored candidates (doc_id, dl, score) for [[queryTerms]] —
-    * q228's scoring stage, reused as q233's lexical ranker. Every
+  /** Per-doc token statistics computed MAP-SIDE from the split array
+    * (optimization r17, guide §2.3/§2.4): `dl` is `size(split)` and each
+    * query term's occurrence count is `size(filter(toks, = term))` — the
+    * quantities the oracle derives by unnesting every token and
+    * re-grouping by doc_id. The previous form exploded the FULL corpus
+    * token stream and shuffled |tokens| rows back into |docs| groups
+    * (plus a second explode+shuffle for the query-term tf and a len
+    * join); all of that is per-row array arithmetic over the document
+    * row itself, so no explode, no exchange, and no len join exist at
+    * any scale. NULL-text docs produce no unnested rows in the oracle
+    * and are filtered identically here; an empty text splits to [''],
+    * dl = 1 on both engines. */
+  private def bm25DocStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id") +: size(toks).cast("long").as("dl") +:
+        queryTerms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+  }
+
+  /** BM25-scored candidates (doc_id, dl, score[, rel]) for
+    * [[queryTerms]] — q228's scoring stage, reused as q233's lexical
+    * ranker and (with `withRel = true`) q234's graded ranking. Every
     * operand mirrors the oracle's contrib expression: identical IEEE
-    * ops on identical integer inputs -> identical bits. */
-  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = len.agg(sum(col("dl")).as("sum_dl"),
-      count(lit(1)).as("n_docs"))
-    val qtok = tok.filter(col("term").isin(queryTerms: _*))
-    val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = qtok.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    * ops on identical integer inputs -> identical bits. Shape after the
+    * r17 rewrite: one map-side pass ([[bm25DocStats]]) feeds (a) ONE
+    * tiny corpus aggregate (sum_dl, n_docs, per-term df — a 1-row
+    * broadcast; df_t = #docs with tf_t > 0 ≡ the oracle's
+    * COUNT(DISTINCT doc_id) per term) and (b) the per-(doc, term)
+    * contrib rows via an in-stage 3-struct explode with tf > 0 — so the
+    * only remaining exchange is the final per-doc score aggregation,
+    * whose input is |matching doc × term| rows, never |tokens|.
+    * `rel` (q234's relevance grade, #distinct query terms present)
+    * falls out of the same aggregate as count(*) — the contrib rows are
+    * one-per-(doc, distinct term) by construction — replacing q234's
+    * second full tokenize + groupBy + join. */
+  private def bm25Scored(s: SparkSession, dir: String,
+      withRel: Boolean = false): DataFrame = {
+    val d = bm25DocStats(s, dir)
+    val statsAggs = Seq(sum(col("dl")).as("sum_dl"),
+      count(lit(1)).as("n_docs")) ++
+      queryTerms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = d.agg(statsAggs.head, statsAggs.tail: _*)
+    val tf = d.select(col("doc_id"), col("dl"),
+        explode(array(queryTerms.map(t =>
+          struct(lit(t).as("term"), col(s"tf_$t").as("tf"))): _*)).as("x"))
+      .select(col("doc_id"), col("dl"), col("x.term").as("term"),
+        col("x.tf").as("tf"))
+      .filter(col("tf") > 0)
+    val dfCol = queryTerms.tail.foldLeft(
+        when(col("term") === queryTerms.head, col(s"df_${queryTerms.head}"))) {
+        (acc, t) => acc.when(col("term") === t, col(s"df_$t"))
+      }
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)))
     val c = idf * (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
-    tf.join(broadcast(dfT), Seq("term"))
-      .join(len, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+    val rel =
+      if (withRel) Seq(count(lit(1)).as("rel")) else Seq.empty
+    tf.crossJoin(broadcast(stats))
+      .withColumn("df", dfCol)
       .withColumn("c", c)
       .groupBy("doc_id", "dl")
-      .agg(graft.functions.det.dsum(col("c")).as("score"))
+      .agg(graft.functions.det.dsum(col("c")).as("score"), rel: _*)
   }
 
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09 — the standard
@@ -857,14 +899,14 @@ object TextPipeline {
       ORDER BY k"""),
     (s, dir) => {
       import graft.functions.det
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term").isin(queryTerms: _*))
-      val grade = tok.groupBy("doc_id")
-        .agg(countDistinct(col("term")).as("rel"))
+      // grade (= #distinct query terms present) rides the scoring
+      // aggregate itself (bm25Scored withRel): the oracle's separate
+      // tokenize → groupBy → join pipeline has the same domain (docs
+      // with >= 1 query term) and the same value (one contrib row per
+      // distinct present term), so the whole grade subtree is free.
       val ranked = rankByScoreDesc(
-          bm25Scored(s, dir).select("doc_id", "score")
-            .join(grade, Seq("doc_id")), "score", 16, "rn")
+          bm25Scored(s, dir, withRel = true)
+            .select("doc_id", "score", "rel"), "score", 16, "rn")
         .select("doc_id", "rel", "rn")
       // ideal ranking: rel ∈ {1,2,3} is its own (3-bucket) coarsening
       val ideal = rankByScoreDesc(ranked.select("doc_id", "rel"),

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev utility: print the formatted physical plan of registered queries.
   * Usage: runMain graft.tools.Explain <sfDir> [queryName ...]
@@ -10,20 +9,12 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
                 else graft.SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.GraftExtensions)
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      // ObjectHashAggregate (TypedImperativeAggregate: MinHash/SimHash
-      // sketches) falls back to sort-based agg after 128 groups/partition
-      // by default, serializing the sketch buffer per row. Session-level
-      // so query fns never mutate shared conf (round-8 judge ask);
-      // correctness is unaffected without it, only speed.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // The SHARED harness recipe (HarnessSession): a committed plan
+    // capture must show the same physical shape the bench executes —
+    // this session previously lacked the range-join band default and
+    // the nanos probe flag, so range-join and events-reading queries
+    // could explain under a different plan than they bench.
+    val spark = graft.HarnessSession.create(logLevel = "ERROR")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
