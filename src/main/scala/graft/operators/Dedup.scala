@@ -124,11 +124,18 @@ object Dedup {
     // few coalesced tasks already saturate it at fixture scale; at
     // corpus scale the shuffles upstream are large enough that AQE
     // keeps them wide on its own.
+    // The shingle equality rides IN the join key (doc_b, shingle) — the
+    // previous doc_b-only join + post-filter materialized the per-pair
+    // CROSS PRODUCT of the two shingle sets inside the codegen stage
+    // (round-17 StageMetrics on q162: 17.3M intermediate rows for 351k
+    // candidates, ~28 cumulative task-seconds charged to the downstream
+    // aggregate) where the two-key hash lookup emits only the ~|shared
+    // shingles| matches. Guide §3: the join condition, not a post-join
+    // filter, is what bounds an exploding join.
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
-        Seq("doc_b"))
-      .filter(col("shingle") === col("shingle_b"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
 
@@ -965,12 +972,19 @@ object Dedup {
     (s, dir) => {
       import s.implicits._
       val sh = shingleSet(s, dir)
-      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"))
-      val tp = jaccardFromInter(sh, inter).select(col("jaccard").as("j"))
+      // The measured pair set IS the verified-pair MV's content (J >= 0.5
+      // exact-Jaccard pairs — the same pipeline, shared with q44/q45/q73);
+      // only the similarities need recomputing, so the intersection is
+      // CANDIDATE-RESTRICTED to the MV's pairs (the q23/q243 verify
+      // discipline) instead of re-running the full shingle self-join —
+      // round-17 measurement: the unrestricted self-join + agg was ~70%
+      // of this query for pairs the MV already names. jaccardFromInter's
+      // >= 0.5 filter keeps the arithmetic identical (every MV pair
+      // passes it by construction); the oracle still states the
+      // unfiltered self-join, so the DuckDB compare proves the recall.
+      val tp = jaccardFromInter(sh,
+        interForCandidates(sh, verifiedPairs(s, dir)))
+        .select(col("jaccard").as("j"))
       val br = Seq((1L, 42L), (2L, 21L), (3L, 14L), (6L, 7L),
         (7L, 6L), (14L, 3L), (21L, 2L), (42L, 1L)).toDF("r", "b")
       def sCurve(s0: Column): Column =
@@ -1430,7 +1444,13 @@ object Dedup {
         .select(col("doc_id"), substring(col("text"), 1, 24).as("k1"),
           substring(reverse(col("text")), 1, 24).as("k2"))
       // global rank by (key, doc_id) via the q154 bucket-prefix
-      // decomposition: never one task sorting the whole corpus
+      // decomposition: never one task sorting the whole corpus.
+      // Measured round-17 and left UN-persisted on purpose: the static
+      // plan shows each rank frame's pipeline planned once per join side
+      // (8 document scans), but AQE's runtime stage reuse already
+      // unifies the identical exchanges — persisting the (doc_id, rn)
+      // frames ADDED materialization barriers and read 2.2-2.9 s vs
+      // 1.8 s un-persisted at sf0.1.
       def rnOf(keyCol: String): DataFrame = {
         val b = keys.select(col("doc_id"), col(keyCol).as("k"))
           .withColumn("bkt", substring(col("k"), 1, 4))

@@ -318,7 +318,11 @@ object Learning {
                su.collided_features
       ORDER BY bl.bucket_load"""),
     (s, dir) => {
-      val feat = text.shingles(Tables.documents(s, dir))
+      // the shared shingle MV, not a fresh corpus explosion (round-17:
+      // this was the last text.shingles call site outside the MV build —
+      // every other consumer reads the parquet-backed view; the distinct
+      // over the view is a column-pruned scan + hash agg)
+      val feat = Dedup.shingleSet(s, dir)
         .select("shingle").distinct()
       val hb = feat.select((hkey("fh:", col("shingle")) % 256)
         .cast("int").as("bucket"))

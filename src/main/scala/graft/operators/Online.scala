@@ -390,6 +390,13 @@ object Online {
       FROM p GROUP BY 1, 2
       ORDER BY day, nation"""),
     (s, dir) => {
+      // Measured round-17 and left UN-persisted on purpose: caching the
+      // 2-column dim (so each micro-batch's broadcast build reads the
+      // cache instead of re-running the customer ⋈ nation scan+join)
+      // read 5.2-10.5 s vs ~3.3 s — the InMemoryRelation inside the
+      // per-batch re-planned static side costs more than the scan it
+      // saves. The per-batch re-plan is also the documented semantics
+      // (a live deployment picks up refreshed dimension snapshots).
       val dim = Tables.customer(s, dir)
         .join(Tables.nation(s, dir),
           col("c_nationkey") === col("n_nationkey"))
