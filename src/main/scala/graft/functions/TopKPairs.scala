@@ -99,12 +99,29 @@ case class TopKLongPairs(
     }
   }
 
+  // Primitive fast path for bound long columns (round-17 — see
+  // TopKSummedLongPairs.fastOrdinals for the rationale; this aggregate
+  // sits in q206's co-matrix truncation and q201's neighbor cut).
+  @transient private lazy val fastOrdinals: (Int, Int) = (ordChild, valChild) match {
+    case (a: org.apache.spark.sql.catalyst.expressions.BoundReference,
+          b: org.apache.spark.sql.catalyst.expressions.BoundReference)
+        if a.dataType == LongType && b.dataType == LongType =>
+      (a.ordinal, b.ordinal)
+    case _ => (-1, -1)
+  }
+
   override def update(buf: scala.collection.mutable.PriorityQueue[(Long, Long)],
       input: InternalRow): scala.collection.mutable.PriorityQueue[(Long, Long)] = {
-    val o = ordChild.eval(input)
-    val v = valChild.eval(input)
-    if (o != null && v != null)
-      offer(buf, (o.asInstanceOf[Long], v.asInstanceOf[Long]))
+    val (oi, vi) = fastOrdinals
+    if (oi >= 0) {
+      if (!input.isNullAt(oi) && !input.isNullAt(vi))
+        offer(buf, (input.getLong(oi), input.getLong(vi)))
+    } else {
+      val o = ordChild.eval(input)
+      val v = valChild.eval(input)
+      if (o != null && v != null)
+        offer(buf, (o.asInstanceOf[Long], v.asInstanceOf[Long]))
+    }
     buf
   }
 

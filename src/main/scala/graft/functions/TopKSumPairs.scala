@@ -86,14 +86,39 @@ case class TopKSummedLongPairs(
   override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] =
     scala.collection.mutable.LongMap.empty[Long]
 
+  // Primitive fast path (round-17, guide §1.2 "per-task work"): after
+  // binding, plain column children are BoundReferences, and the generic
+  // Expression.eval boxes a java.lang.Long per child PER ROW — q206's
+  // scoring pass feeds ~5.9M rows through this update at sf0.1, where
+  // the fused aggregate IS the stage. Read the long directly off the
+  // UnsafeRow when both children are long-typed bound refs; any other
+  // shape (cast, expression) keeps the generic path. Semantics are
+  // identical — null checks mirror eval's null contract.
+  @transient private lazy val fastOrdinals: (Int, Int) = (valChild, numChild) match {
+    case (a: org.apache.spark.sql.catalyst.expressions.BoundReference,
+          b: org.apache.spark.sql.catalyst.expressions.BoundReference)
+        if a.dataType == LongType && b.dataType == LongType =>
+      (a.ordinal, b.ordinal)
+    case _ => (-1, -1)
+  }
+
   override def update(buf: scala.collection.mutable.LongMap[Long],
       input: InternalRow): scala.collection.mutable.LongMap[Long] = {
-    val v = valChild.eval(input)
-    val n = numChild.eval(input)
-    if (v != null && n != null) {
-      val key = v.asInstanceOf[Long]
-      buf(key) = TopKSummedLongPairs.addSat(
-        buf.getOrElse(key, 0L), n.asInstanceOf[Long])
+    val (vi, ni) = fastOrdinals
+    if (vi >= 0) {
+      if (!input.isNullAt(vi) && !input.isNullAt(ni)) {
+        val key = input.getLong(vi)
+        buf(key) = TopKSummedLongPairs.addSat(
+          buf.getOrElse(key, 0L), input.getLong(ni))
+      }
+    } else {
+      val v = valChild.eval(input)
+      val n = numChild.eval(input)
+      if (v != null && n != null) {
+        val key = v.asInstanceOf[Long]
+        buf(key) = TopKSummedLongPairs.addSat(
+          buf.getOrElse(key, 0L), n.asInstanceOf[Long])
+      }
     }
     buf
   }

@@ -115,7 +115,16 @@ object Online {
       // O(partition + feed batch), never the whole fixture (round-8
       // judge item: the previous full collect() materialized 100k rows
       // on the driver inside a registered query).
-      val sorted = evBase.orderBy(col("ts_us"), col("event_id"))
+      // Explicit 4-way range partitioning for the feed sort (round-17):
+      // toLocalIterator below runs ONE serial driver job per partition,
+      // so the plain orderBy (session shuffle partitions = 8 here)
+      // paid 8 sequential fetch round-trips for a feed the driver
+      // consumes one batch at a time anyway; 4 halves them while the
+      // sort stays distributed (the state-store partitioning set above
+      // is untouched — it binds at stream start, not here).
+      val sorted = evBase
+        .repartitionByRange(4, col("ts_us"), col("event_id"))
+        .sortWithinPartitions(col("ts_us"), col("event_id"))
       // >= 2 data batches so the watermark genuinely advances mid-run;
       // <= 50k rows per feed batch (a few MB) so driver memory stays
       // bounded as the fixture scales — at sf0.1 that gives 2 data
