@@ -1181,4 +1181,52 @@ class PropertySpec extends AnyFunSuite {
       assert(n >= 1 && n <= math.max(1, m - 3))
     }
   }
+
+  test("verified_pairs_j05 MV ≡ inline ≥0.5 exact-Jaccard set of shingles_w3 (q237 coupling pin)") {
+    // r17 verdict item 8: q237's measured-pair input reads the
+    // verified_pairs_j05 MV on the CONTRACT that it carries exactly the
+    // round(J,4) >= 0.5 pair set of the same shingle definition. A
+    // future MV change (threshold, rounding, shingle width) must fail
+    // HERE, not silently skew q237's recall integral.
+    val sh = graft.operators.Dedup.shingleSet(spark, sf)
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inline = inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .filter(round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4) >= 0.5)
+      .select("doc_a", "doc_b")
+    val mv = graft.operators.Dedup.verifiedPairs(spark, sf)
+      .select("doc_a", "doc_b")
+    assert(mv.collect().map(_.toSeq).toSet == inline.collect().map(_.toSeq).toSet)
+  }
+
+  test("q162 prefix-overlap filter loses no pair: output == brute-force containment") {
+    // r18: the PPJoin-style minimum-prefix-match filter
+    // (pfx_matches >= min(sz_a div 5 + 2, sz_a) - (sz_a*20005) div 100000)
+    // is a pigeonhole bound, so the filtered candidate set must retain
+    // EVERY true containment pair — compare the full query output
+    // against the unfiltered shared-shingle self-join reference.
+    val sh = graft.operators.Dedup.shingleSet(spark, sf)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val p = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val ref = p
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("sz_a"), 4) + lit(0.0))
+      .filter(col("containment") >= 0.8 &&
+        (col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("doc_a") < col("doc_b"))))
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "containment")
+    val out = SparkEntry.queries("q162_containment_pairs")(spark, sf)
+    assert(out.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+  }
 }
