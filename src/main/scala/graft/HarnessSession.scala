@@ -47,6 +47,37 @@ object HarnessSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Byte-based shuffle right-sizing (optimization guide §2.2, r17
+      // verdict item 1): with parallelismFirst=true (Spark's default)
+      // AQE coalesces post-shuffle partitions toward defaultParallelism
+      // regardless of bytes — at fixture scale that schedules #cores
+      // near-empty reduce tasks per exchange, and the r17 32-core sweep
+      // ran 19% SLOWER than the 8-core sweep (BENCH_r17 124.5 s vs
+      // BENCH_r17_c8 103.4 s) on pure task overhead. parallelismFirst=
+      // false makes AQE honor the advisory byte target instead, so the
+      // post-shuffle partition COUNT derives from shuffle BYTES at
+      // every scale. The advisory SIZE is the deployment's target
+      // partition size and is the scale parameter (env-overridable
+      // below): guide §9's starting value for a real cluster is 256m;
+      // the local default is 1m so fixture-sized shuffles (0.1–30 MB)
+      // land at 1–30 tasks instead of #cores near-empty ones while
+      // CPU-dense-but-byte-light reduce stages keep enough tasks.
+      // Measured r18 (interleaved full 266-query sweeps, 32 cores):
+      // 64m collapsed compute stages (heavy subset 17.1→22.5 s, q206
+      // 4.6→7.7 s); 4m still cost the shingle-pair family +3.9 s while
+      // saving the over-parallelized window/agg family −4.8 s; 1m kept
+      // most of the win (−3.0 s) at a third of the cost (+2.4 s),
+      // median per-query ratio 0.979 vs parallelismFirst=true. Explicit
+      // repartition(n, col) calls (q99's probe fan-out, q206's scoring
+      // layout) are exempt from coalescing by Spark's contract, so
+      // hand-tuned parallelism survives. The scan-side twin (pinning
+      // files.minPartitionNum=1) was evaluated and REJECTED: scan
+      // split counts already derive from bytes via the openCost floor
+      // (identical at 8 and 32 cores), and the pin would serialize
+      // real map work (an 11 MB lineitem scan → 1 task).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SHUFFLE", "1m"))
 
   /** Build the session and set the harness log level. */
   def create(nCpus: String = cpus, logLevel: String = "WARN"): SparkSession = {
